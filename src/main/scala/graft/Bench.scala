@@ -1,23 +1,43 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: times every SparkEntry query on SPARK_GRAFT_SF_DIR and
+  * prints ONE JSON line {"metric":...,"queries":{...}}. Per-query progress
+  * goes to stderr so the stdout contract stays a single line.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    // one warmup action so JVM/codegen startup doesn't land on the first query
+    spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+
+    // SPARK_GRAFT_BENCH_ONLY=a,b,c limits the run (local iteration aid)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val n = try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
+      val sec = (System.nanoTime() - t0) / 1e9
+      System.err.println(f"[bench] $name%-32s $sec%8.2f s  ($n rows)")
+      name -> sec
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -1,13 +1,637 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.core.MergeKey
+import graft.functions._
+import graft.operators._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Each `queries` entry exercises one operator from SURVEY §2 (or one of the
+  * LLM-pipeline extensions) over the driver's parquet test tables; each
+  * `oracleSql` entry is the DuckDB-equivalent SQL the driver hash-compares
+  * against at sf0.01. Column names and value rounding are deliberately
+  * identical on both sides.
+  */
 object SparkEntry {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame = {
+    val df = s.read.parquet(s"$dir/$name.parquet")
+    // events.ts is INT64 TIMESTAMP(NANOS) parquet, which Spark only reads as
+    // a long (nanosAsLong). Truncate to µs timestamp_ntz — the same ns→µs
+    // truncation DuckDB applies, keeping oracle values bit-identical.
+    if (name == "events" && df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+    else df
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+    queries("q1_pricing_summary")(spark, "/root/testdata/sf0.001")
+
+  // ---- events-as-changestream scaffolding for the merge-operator queries ----
+  // The events table plays the role of a CDC feed: user_id is the merge key,
+  // event_id the monotone version, event_type='error' marks tombstones.
+  private val MergePivot = 5000L
+
+  private def eventsBase(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events").select(col("user_id"), col("event_id"), col("ts"),
+      col("event_type"), col("value"))
+
+  private def mergeTarget(s: SparkSession, dir: String, verCol: String): DataFrame =
+    Dedup.latestByKey(
+      eventsBase(s, dir).filter(col("event_id") < MergePivot)
+        .withColumn(verCol, col("event_id")),
+      col("user_id"), Seq(col(verCol)))
+
+  private def mergeChanges(s: SparkSession, dir: String, verCol: String): DataFrame =
+    eventsBase(s, dir).filter(col("event_id") >= MergePivot)
+      .withColumn(verCol, col("event_id"))
+
+  private val mergeOutCols = Seq("user_id", "event_id", "event_type", "value")
+
+  /** One per implemented operator from SURVEY.md §2. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ================= analytics over the TPC-H-ish tables =================
+
+    // A*: grouped aggregation pipeline (partial aggregation + single shuffle)
+    "q1_pricing_summary" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          round(avg(col("l_extendedprice")), 4).as("avg_price"),
+          round(avg(col("l_discount")), 4).as("avg_disc"),
+          count(lit(1)).cast("long").as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // broadcast-joined selective aggregation (small dims broadcast, big fact streams)
+    "q3_shipping_priority" -> ((s, dir) => {
+      val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = t(s, dir, "orders").filter(col("o_orderdate") < lit("1998-06-01"))
+      val l = t(s, dir, "lineitem").filter(col("l_shipdate") > lit("1998-06-01"))
+      l.join(broadcast(o), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+
+    // multi-way join: region → nation → (customer, supplier) → orders → lineitem
+    "q5_local_supplier" -> ((s, dir) => {
+      val r = t(s, dir, "region").filter(col("r_name") === "ASIA")
+      val n = t(s, dir, "nation")
+      val c = t(s, dir, "customer")
+      val sup = t(s, dir, "supplier")
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01") && col("o_orderdate") < lit("1999-01-01"))
+      val l = t(s, dir, "lineitem")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
+    // selective scan + scalar aggregate (filter pushdown to parquet)
+    "q6_revenue_forecast" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01") && col("l_shipdate") < lit("1997-01-01")
+          && col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"))
+    }),
+
+    // window ranking (§2.6): top-3 customers per market segment
+    "q_top_customers_per_segment" -> ((s, dir) => {
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      t(s, dir, "customer")
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 3)
+        .select(col("c_mktsegment"), col("rnk"), col("c_custkey"), col("c_name"), col("c_acctbal"))
+        .orderBy(col("c_mktsegment"), col("rnk"))
+    }),
+
+    // time-bucketed streaming-style aggregation (runs identically under
+    // readStream + watermark; batch form here for the oracle)
+    "q_events_hourly" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).cast("long").as("n_events"),
+          round(sum(col("value")), 4).as("sum_value"),
+          countDistinct(col("user_id")).cast("long").as("n_users"))
+        .orderBy(col("hour"), col("event_type"))
+    }),
+
+    // running aggregate over an ordered per-key window (§2.6)
+    "q_events_running_sum" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .withColumn("running_value", round(sum(col("value")).over(w), 4))
+        .select(col("event_id"), col("user_id"), col("running_value"))
+        .orderBy(col("event_id"))
+    }),
+
+    // ===================== CDC operators (SURVEY §2.4) =====================
+
+    // M1: dedup-latest (reduceExpr) — row_number dialect
+    "m1_dedup_latest" -> ((s, dir) => {
+      Dedup.latestByKey(eventsBase(s, dir), col("user_id"),
+        Seq(col("ts")), Seq(col("event_id")))
+        .orderBy(col("user_id"))
+    }),
+
+    // M1 WITH-TIES fidelity variant: rank() keeps same-version ties
+    "m1_dedup_with_ties" -> ((s, dir) => {
+      Dedup.latestByKeyWithTies(eventsBase(s, dir), col("user_id"),
+        Seq(date_trunc("day", col("ts"))))
+        .select(col("user_id"), col("event_id"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+
+    // M2: CDC merge, hard-delete dialect (MSSQL change tracking)
+    "m2_merge_mssql_ct" -> ((s, dir) => {
+      val target = mergeTarget(s, dir, "SYS_CHANGE_VERSION")
+      val changes = mergeChanges(s, dir, "SYS_CHANGE_VERSION")
+        .withColumn("SYS_CHANGE_OPERATION",
+          when(col("event_type") === "error", "D").otherwise("U"))
+      val latest = Dedup.latestByKey(changes, col("user_id"), Seq(col("SYS_CHANGE_VERSION")))
+      CdcMerge.applyChanges(target, latest, "user_id", MsSqlCtDialect)
+        .select(mergeOutCols.map(col): _*)
+        .orderBy(col("user_id"))
+    }),
+
+    // M3: CDC merge, soft-delete dialect (Synapse Link)
+    "m3_merge_synapse_softdelete" -> ((s, dir) => {
+      val target = mergeTarget(s, dir, "versionnumber")
+      val changes = mergeChanges(s, dir, "versionnumber")
+        .withColumn("IsDelete", col("event_type") === "error")
+      val latest = Dedup.latestByKey(changes, col("user_id"), Seq(col("versionnumber")))
+      CdcMerge.applyChanges(target, latest, "user_id", SynapseLinkDialect)
+        .select(mergeOutCols.map(col): _*)
+        .orderBy(col("user_id"))
+    }),
+
+    // M4: upsert dialect (blob sources, no deletes)
+    "m4_merge_upsert_blob" -> ((s, dir) => {
+      val target = mergeTarget(s, dir, "createdon")
+      val latest = Dedup.latestByKey(mergeChanges(s, dir, "createdon"),
+        col("user_id"), Seq(col("createdon")))
+      CdcMerge.applyChanges(target, latest, "user_id", UpsertBlobDialect)
+        .select(mergeOutCols.map(col): _*)
+        .orderBy(col("user_id"))
+    }),
+
+    // M7/B2: backfill-overwrite dedup + tombstone filter + swap source
+    "b2_backfill_overwrite_dedup" -> ((s, dir) => {
+      val full = eventsBase(s, dir)
+        .withColumn("IsDelete", col("event_type") === "error")
+      Dedup.latestByKey(full, col("user_id"), Seq(col("event_id")))
+        .filter(!coalesce(col("IsDelete"), lit(false)))
+        .select(col("user_id"), col("event_id"), col("event_type"))
+        .orderBy(col("user_id"))
+    }),
+
+    // ============== scan enrichment / projection (§2.1, §2.3) ==============
+
+    // S1: MSSQL-dialect merge key (lowercase-hex SHA-256 of '#'-joined PKs)
+    "s1_merge_key_hex" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          MergeKey.mergeKeyHex(Seq(col("l_orderkey"), col("l_linenumber")))
+            .as("ARCANE_MERGE_KEY"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // S6: blob-dialect merge key (Base64 SHA-256)
+    "s6_merge_key_base64" -> ((s, dir) => {
+      t(s, dir, "events")
+        .select(col("event_id"),
+          MergeKey.mergeKeyBase64(Seq(col("event_id"))).as("ARCANE_MERGE_KEY"))
+        .orderBy(col("event_id"))
+    }),
+
+    // P1/P2: column include-filtering (prunes into the parquet scan)
+    "p1_field_filter" -> ((s, dir) => {
+      FieldFilter.include(t(s, dir, "orders"),
+        Seq("o_orderkey", "o_totalprice"), essential = Seq("o_orderdate"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // S3: deterministic shard assignment for partitioned backfill reads
+    "s3_shard_assignment" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy((col("l_orderkey") % 8).cast("long").as("shard"))
+        .agg(count(lit(1)).cast("long").as("n_rows"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"))
+        .orderBy(col("shard"))
+    }),
+
+    // ================= LLM-pipeline operators (SURVEY §7.5) ================
+
+    // exact dedup: one survivor per identical text (hash-grouped)
+    "dedup_exact" -> ((s, dir) => {
+      Dedup.exactByColumns(t(s, dir, "documents"),
+        Seq(sha2(col("text"), 256)), col("doc_id"))
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // fingerprint dedup: md5 of normalized text, survivor + duplicate count
+    "dedup_fingerprint" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .groupBy(TextFunctions.fingerprint(col("text")).as("fingerprint"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).cast("long").as("n_dups"))
+        .orderBy(col("keep_id"))
+    }),
+
+    // MinHash + LSH near-dup pairs, verified with exact Jaccard (char-5 shingles)
+    "dedup_minhash_lsh" -> ((s, dir) => {
+      MinHashLsh.nearDupPairs(t(s, dir, "documents"), "doc_id",
+        TextFunctions.charShingles(col("text"), 5),
+        numHashes = 64, bands = 16, threshold = 0.8)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // SimHash near-dup pairs via pigeonhole chunk join (word shingles)
+    "dedup_simhash" -> ((s, dir) => {
+      SimHash.nearDupPairs(t(s, dir, "documents"), "doc_id",
+        TextFunctions.wordNgrams(col("text"), 2), maxDist = 8)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // exact n-gram Jaccard pairs via inverted-index join (word 3-grams)
+    "dedup_ngram_jaccard" -> ((s, dir) => {
+      NgramJaccard.pairs(t(s, dir, "documents"), "doc_id",
+        TextFunctions.wordNgrams(col("text"), 3), threshold = 0.8)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // text quality/statistics battery (all codegen'd built-ins)
+    "text_stats" -> ((s, dir) => {
+      val txt = col("text")
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        TextFunctions.tokenCount(txt).cast("long").as("n_tokens"),
+        TextFunctions.bpeTokenCount(txt).cast("long").as("n_bpe_tokens"),
+        round(TextFunctions.punctRatio(txt), 4).as("punct_ratio"),
+        round(TextFunctions.digitRatio(txt), 4).as("digit_ratio"),
+        round(TextFunctions.meanTokenLength(txt), 4).as("mean_token_len"),
+        TextFunctions.qualityScore(txt).as("quality"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // stopword-lexicon language ID
+    "text_langid" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.langId(col("text")).as("lang_id"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // brute-force cosine top-k (exact ANN baseline)
+    "knn_cosine_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      VectorSimilarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
+        .withColumn("rnk", col("rank").cast("long")).drop("rank")
+        .orderBy(col("query_id"), col("rnk"))
+    }),
+
+    // IVF-bucketed approximate top-k (scale path; rows-only check)
+    "ann_ivf_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      VectorSimilarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), k = 5,
+        stride = 25, nprobe = 4)
+        .withColumnRenamed("rank", "rnk")
+        .orderBy(col("query_id"), col("rnk"))
+    }),
+
+    // random-hyperplane LSH approximate top-k (rows-only check)
+    "ann_lsh_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      VectorSimilarity.lshTopK(emb, emb.filter(col("vec_id") < 10), k = 5,
+        nbits = 4, dim = 64)
+        .withColumnRenamed("rank", "rnk")
+        .orderBy(col("query_id"), col("rnk"))
+    }),
+
+    // multimodal: opaque binary payload + typed metadata plumbing
+    "mm_media_meta" -> ((s, dir) => {
+      val media = Multimodal.synthesizeMedia(t(s, dir, "documents"), "doc_id", "text")
+      Multimodal.extractFeatures(media)
+        .select(col("media_id"), col("n_bytes").cast("long").as("n_bytes"))
+        .orderBy(col("media_id"))
+    }),
+
+    // multimodal: partition-mapped feature extraction (stubbed codec; rows-only)
+    "mm_media_features" -> ((s, dir) => {
+      val media = Multimodal.synthesizeMedia(t(s, dir, "documents"), "doc_id", "text")
+      Multimodal.extractFeatures(media)
+        .select(col("media_id"), col("n_bytes").cast("long").as("n_bytes"),
+          round(element_at(col("features"), 1), 4).as("f0"))
+        .orderBy(col("media_id"))
+    }),
+
+    // X6: additive schema evolution result surfaced as rows (rows-only)
+    "schema_evolution" -> ((s, dir) => {
+      import graft.core.SchemaEvolution
+      val evolved = SchemaEvolution.evolve(
+        t(s, dir, "events").schema, t(s, dir, "orders").schema)
+      s.createDataFrame(
+        evolved.fields.toSeq.map(f =>
+          org.apache.spark.sql.Row(f.name, f.dataType.simpleString)).asJava_,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("field_name", org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("data_type", org.apache.spark.sql.types.StringType))))
+        .orderBy(col("field_name"))
+    })
+  )
+
+  private implicit class SeqOps[T](s: Seq[T]) {
+    def asJava_ : java.util.List[T] = {
+      val l = new java.util.ArrayList[T](s.size)
+      s.foreach(l.add)
+      l
+    }
+  }
+
+  // ======================== DuckDB oracle SQL ========================
+
+  private def tbl(name: String) = name // driver registers tables by name
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted keys get a weaker rows-only check.
+    */
+  def oracleSql: Map[String, String] = {
+    val normText =
+      "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), '\\s+', ' ', 'g'))"
+    val stopEn = "\\b(the|and|of|to|is|in|that|with)\\b"
+    val stopDe = "\\b(der|die|und|das|ist|mit|von|nicht)\\b"
+    val stopFr = "\\b(le|la|et|les|des|est|dans|pour)\\b"
+    val stopEs = "\\b(el|los|las|de|que|es|con|para)\\b"
+
+    def mergeOracle(deleteExpr: String, verExpr: String, whereDeletes: Boolean): String = {
+      val takeS = "(s.user_id IS NOT NULL AND (t.user_id IS NULL OR s.ver > t.ver))"
+      val deleteFilter =
+        if (whereDeletes) s"WHERE NOT (s.user_id IS NOT NULL AND s.is_del)" else ""
+      s"""WITH target AS (
+         |  SELECT user_id, event_id, event_type, value, $verExpr AS ver
+         |  FROM events WHERE event_id < $MergePivot
+         |  QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY $verExpr DESC) = 1
+         |), changes AS (
+         |  SELECT user_id, event_id, event_type, value, $verExpr AS ver, $deleteExpr AS is_del
+         |  FROM events WHERE event_id >= $MergePivot
+         |  QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY $verExpr DESC) = 1
+         |)
+         |SELECT
+         |  CASE WHEN $takeS THEN s.user_id ELSE t.user_id END AS user_id,
+         |  CASE WHEN $takeS THEN s.event_id ELSE t.event_id END AS event_id,
+         |  CASE WHEN $takeS THEN s.event_type ELSE t.event_type END AS event_type,
+         |  CASE WHEN $takeS THEN s.value ELSE t.value END AS value
+         |FROM target t FULL OUTER JOIN changes s ON t.user_id = s.user_id
+         |$deleteFilter
+         |ORDER BY user_id""".stripMargin
+    }
+
+    Map(
+      "q1_pricing_summary" ->
+        """SELECT l_returnflag, l_linestatus,
+          |  round(sum(l_quantity), 2) AS sum_qty,
+          |  round(sum(l_extendedprice), 2) AS sum_base_price,
+          |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+          |  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+          |  round(avg(l_quantity), 4) AS avg_qty,
+          |  round(avg(l_extendedprice), 4) AS avg_price,
+          |  round(avg(l_discount), 4) AS avg_disc,
+          |  CAST(count(*) AS BIGINT) AS count_order
+          |FROM lineitem
+          |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+          |GROUP BY l_returnflag, l_linestatus
+          |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+      "q3_shipping_priority" ->
+        """SELECT l_orderkey, o_orderdate, o_orderpriority,
+          |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+          |FROM customer
+          |JOIN orders ON c_custkey = o_custkey
+          |JOIN lineitem ON l_orderkey = o_orderkey
+          |WHERE c_mktsegment = 'BUILDING'
+          |  AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+          |  AND l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+          |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+          |ORDER BY revenue DESC, l_orderkey
+          |LIMIT 10""".stripMargin,
+
+      "q5_local_supplier" ->
+        """SELECT n_name,
+          |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+          |FROM region
+          |JOIN nation ON n_regionkey = r_regionkey
+          |JOIN supplier ON s_nationkey = n_nationkey
+          |JOIN lineitem ON l_suppkey = s_suppkey
+          |JOIN orders ON o_orderkey = l_orderkey
+          |JOIN customer ON c_custkey = o_custkey AND c_nationkey = s_nationkey
+          |WHERE r_name = 'ASIA'
+          |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          |  AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+          |GROUP BY n_name
+          |ORDER BY revenue DESC, n_name""".stripMargin,
+
+      "q6_revenue_forecast" ->
+        """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+          |FROM lineitem
+          |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+          |  AND l_discount BETWEEN 0.05 AND 0.07
+          |  AND l_quantity < 24""".stripMargin,
+
+      "q_top_customers_per_segment" ->
+        """SELECT c_mktsegment, CAST(rnk AS BIGINT) AS rnk, c_custkey, c_name, c_acctbal
+          |FROM (
+          |  SELECT c_mktsegment, c_custkey, c_name, c_acctbal,
+          |    row_number() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey) AS rnk
+          |  FROM customer)
+          |WHERE rnk <= 3
+          |ORDER BY c_mktsegment, rnk""".stripMargin,
+
+      "q_events_hourly" ->
+        """SELECT date_trunc('hour', ts) AS hour, event_type,
+          |  CAST(count(*) AS BIGINT) AS n_events,
+          |  round(sum(value), 4) AS sum_value,
+          |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+          |FROM events
+          |GROUP BY 1, 2
+          |ORDER BY 1, 2""".stripMargin,
+
+      "q_events_running_sum" ->
+        """SELECT event_id, user_id,
+          |  round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_value
+          |FROM events
+          |ORDER BY event_id""".stripMargin,
+
+      "m1_dedup_latest" ->
+        """SELECT user_id, event_id, ts, event_type, value
+          |FROM events
+          |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+          |ORDER BY user_id""".stripMargin,
+
+      "m1_dedup_with_ties" ->
+        """SELECT user_id, event_id
+          |FROM events
+          |QUALIFY rank() OVER (PARTITION BY user_id ORDER BY date_trunc('day', ts) DESC) = 1
+          |ORDER BY user_id, event_id""".stripMargin,
+
+      "m2_merge_mssql_ct" ->
+        mergeOracle("(event_type = 'error')", "event_id", whereDeletes = true),
+
+      "m3_merge_synapse_softdelete" ->
+        mergeOracle("coalesce(event_type = 'error', false)", "event_id", whereDeletes = true),
+
+      "m4_merge_upsert_blob" ->
+        mergeOracle("false", "event_id", whereDeletes = false),
+
+      "b2_backfill_overwrite_dedup" ->
+        """SELECT user_id, event_id, event_type
+          |FROM events
+          |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) = 1
+          |  AND NOT coalesce(event_type = 'error', false)
+          |ORDER BY user_id""".stripMargin,
+
+      "s1_merge_key_hex" ->
+        """SELECT l_orderkey, l_linenumber,
+          |  lower(sha256(concat_ws('#', CAST(l_orderkey AS VARCHAR), CAST(l_linenumber AS VARCHAR)))) AS ARCANE_MERGE_KEY
+          |FROM lineitem
+          |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+      "s6_merge_key_base64" ->
+        """SELECT event_id,
+          |  to_base64(from_hex(sha256(CAST(event_id AS VARCHAR)))) AS ARCANE_MERGE_KEY
+          |FROM events
+          |ORDER BY event_id""".stripMargin,
+
+      "p1_field_filter" ->
+        """SELECT o_orderkey, o_totalprice, o_orderdate
+          |FROM orders
+          |ORDER BY o_orderkey""".stripMargin,
+
+      "s3_shard_assignment" ->
+        """SELECT CAST(l_orderkey % 8 AS BIGINT) AS shard,
+          |  CAST(count(*) AS BIGINT) AS n_rows,
+          |  round(sum(l_quantity), 2) AS sum_qty
+          |FROM lineitem
+          |GROUP BY 1
+          |ORDER BY 1""".stripMargin,
+
+      "dedup_exact" ->
+        """SELECT doc_id, n_chars
+          |FROM documents
+          |QUALIFY row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) = 1
+          |ORDER BY doc_id""".stripMargin,
+
+      "dedup_fingerprint" ->
+        s"""SELECT md5($normText) AS fingerprint,
+           |  min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_dups
+           |FROM documents
+           |GROUP BY 1
+           |ORDER BY keep_id""".stripMargin,
+
+      "dedup_minhash_lsh" ->
+        s"""WITH t AS (SELECT doc_id, $normText AS norm FROM documents),
+           |g AS (SELECT DISTINCT doc_id, CASE WHEN len(norm) < 5 THEN norm ELSE norm[i:i+4] END AS sh
+           |      FROM t, LATERAL (SELECT unnest(range(1, greatest(len(norm) - 3, 2))) AS i) r),
+           |cnt AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
+           |inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS i
+           |          FROM g a JOIN g b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2)
+           |SELECT ia AS id_a, ib AS id_b, round(i * 1.0 / (ca.n + cb.n - i), 4) AS jaccard
+           |FROM inter JOIN cnt ca ON ca.doc_id = ia JOIN cnt cb ON cb.doc_id = ib
+           |WHERE round(i * 1.0 / (ca.n + cb.n - i), 4) >= 0.8
+           |ORDER BY id_a, id_b""".stripMargin,
+
+      "dedup_ngram_jaccard" ->
+        s"""WITH t AS (SELECT doc_id, $normText AS norm FROM documents),
+           |tk AS (SELECT doc_id, regexp_split_to_array(norm, ' ') AS toks FROM t),
+           |g AS (SELECT DISTINCT doc_id,
+           |        CASE WHEN len(toks) < 3 THEN array_to_string(toks, ' ')
+           |             ELSE array_to_string(toks[i:i+2], ' ') END AS gram
+           |      FROM tk, LATERAL (SELECT unnest(range(1, greatest(len(toks) - 1, 2))) AS i) r),
+           |cnt AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
+           |inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS i
+           |          FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id GROUP BY 1, 2)
+           |SELECT ia AS id_a, ib AS id_b, round(i * 1.0 / (ca.n + cb.n - i), 4) AS jaccard
+           |FROM inter JOIN cnt ca ON ca.doc_id = ia JOIN cnt cb ON cb.doc_id = ib
+           |WHERE round(i * 1.0 / (ca.n + cb.n - i), 4) >= 0.8
+           |ORDER BY id_a, id_b""".stripMargin,
+
+      "text_stats" ->
+        """SELECT doc_id,
+          |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+          |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_tokens,
+          |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe_tokens,
+          |  round(CASE WHEN length(text) = 0 THEN 0.0
+          |       ELSE len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) * 1.0 / length(text) END, 4) AS punct_ratio,
+          |  round(CASE WHEN length(text) = 0 THEN 0.0
+          |       ELSE len(regexp_extract_all(text, '[0-9]')) * 1.0 / length(text) END, 4) AS digit_ratio,
+          |  round(CASE WHEN length(trim(text)) = 0 THEN 0.0
+          |       ELSE length(regexp_replace(text, '\s+', '', 'g')) * 1.0
+          |            / len(regexp_split_to_array(trim(text), '\s+')) END, 4) AS mean_token_len,
+          |  round(((CASE WHEN length(text) BETWEEN 20 AND 20000 THEN 1.0 ELSE 0.0 END)
+          |       + (CASE WHEN (CASE WHEN length(text) = 0 THEN 0.0
+          |            ELSE len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) * 1.0 / length(text) END) < 0.2
+          |            THEN 1.0 ELSE 0.0 END)
+          |       + (CASE WHEN (CASE WHEN length(trim(text)) = 0 THEN 0.0
+          |            ELSE length(regexp_replace(text, '\s+', '', 'g')) * 1.0
+          |                 / len(regexp_split_to_array(trim(text), '\s+')) END) BETWEEN 2.0 AND 12.0
+          |            THEN 1.0 ELSE 0.0 END)) / 3.0, 4) AS quality
+          |FROM documents
+          |ORDER BY doc_id""".stripMargin,
+
+      "text_langid" ->
+        s"""WITH h AS (
+           |  SELECT doc_id,
+           |    len(regexp_extract_all(lower(text), '$stopEn')) AS h_en,
+           |    len(regexp_extract_all(lower(text), '$stopDe')) AS h_de,
+           |    len(regexp_extract_all(lower(text), '$stopFr')) AS h_fr,
+           |    len(regexp_extract_all(lower(text), '$stopEs')) AS h_es
+           |  FROM documents)
+           |SELECT doc_id,
+           |  CASE WHEN greatest(h_en, h_de, h_fr, h_es) = 0 THEN 'und'
+           |       WHEN h_fr = greatest(h_en, h_de, h_fr, h_es) THEN 'fr'
+           |       WHEN h_es = greatest(h_en, h_de, h_fr, h_es) THEN 'es'
+           |       WHEN h_en = greatest(h_en, h_de, h_fr, h_es) THEN 'en'
+           |       ELSE 'de' END AS lang_id
+           |FROM h
+           |ORDER BY doc_id""".stripMargin,
+
+      "knn_cosine_topk" ->
+        """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+          |           FROM embeddings WHERE vec_id < 10),
+          |c AS (SELECT vec_id AS corpus_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+          |s AS (SELECT query_id, corpus_id,
+          |        round(list_cosine_similarity(cv, qv), 6) AS cosine
+          |      FROM c CROSS JOIN q WHERE corpus_id != query_id)
+          |SELECT query_id, corpus_id, cosine, CAST(rn AS BIGINT) AS rnk
+          |FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id) AS rn FROM s)
+          |WHERE rn <= 5
+          |ORDER BY query_id, rnk""".stripMargin,
+
+      "mm_media_meta" ->
+        """SELECT doc_id AS media_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+          |FROM documents
+          |ORDER BY media_id""".stripMargin
+    )
+  }
 }

@@ -1,0 +1,34 @@
+package graft.core
+
+import java.util.UUID
+
+/** Deterministic staging/backfill table naming discipline, mirroring the
+  * reference's DefaultNameGenerator
+  * (/root/reference/src/main/scala/services/naming/DefaultNameGenerator.scala:22-63).
+  * Prefix-scoped names let bootstrap clean up leftovers by prefix listing.
+  */
+object Naming {
+  private def sanitize(s: String): String =
+    s.toLowerCase.replaceAll("[^a-z0-9_]", "_")
+
+  def stagingPrefix(streamId: String): String =
+    s"stream__${sanitize(streamId)}__stage"
+
+  def stagingTable(streamId: String, uuid: UUID = UUID.randomUUID()): String =
+    s"${stagingPrefix(streamId)}__${uuid.toString.replace("-", "_")}"
+
+  def backfillPrefix(streamId: String): String =
+    s"backfill__${sanitize(streamId)}"
+
+  def backfillTable(streamId: String, backfillId: String): String =
+    s"${backfillPrefix(streamId)}__${sanitize(backfillId)}"
+
+  def shardTable(streamId: String, backfillId: String, shardId: Int): String =
+    s"${backfillTable(streamId, backfillId)}__shard__$shardId"
+
+  def isStagingFor(streamId: String, tableName: String): Boolean =
+    tableName.startsWith(stagingPrefix(streamId))
+
+  def isBackfillFor(streamId: String, tableName: String): Boolean =
+    tableName.startsWith(backfillPrefix(streamId))
+}

@@ -1,0 +1,100 @@
+package graft.core
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.time.Instant
+
+/** Source watermarks: the resume token a CDC stream commits after every
+  * successfully merged micro-batch.
+  *
+  * The reference models these as `SourceWatermark[V <: String]` with JSON
+  * serialization, persisted in the target Iceberg table's `comment` property
+  * (/root/reference/src/main/scala/services/streaming/base/SourceWatermark.scala:12-59;
+  * commit path WatermarkProcessingExtensions.scala:13-39). On Spark the same
+  * contract is a small JSON payload committed *after* the merge — replays are
+  * harmless because every merge dialect is version-guarded (idempotent).
+  */
+final case class Watermark(kind: String, version: String, timestampMillis: Long)
+    extends Ordered[Watermark] {
+
+  /** Versions compare lexicographically, as in the reference (versions are
+    * zero-padded numerics or ISO timestamps, both order correctly as strings).
+    */
+  override def compare(that: Watermark): Int = version.compareTo(that.version)
+
+  def ageMillis(nowMillis: Long): Long = math.max(0L, nowMillis - timestampMillis)
+
+  def toJson: String = {
+    def esc(s: String) = s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+    }
+    s"""{"kind":"${esc(kind)}","version":"${esc(version)}","timestamp":$timestampMillis}"""
+  }
+}
+
+object Watermark {
+  /** Watermark kinds mirroring the reference's implementations. */
+  val MsSql = "mssql-ct"        // change-tracking version (numeric string)
+  val Synapse = "synapse-link"  // batch-folder timestamp yyyy-MM-ddTHH.mm.ssZ
+  val Blob = "blob-source"      // max blob createdOn epoch millis
+  val TimestampOnly = "timestamp-only"
+
+  private val Pattern =
+    """\{"kind":"(.*?)","version":"(.*?)","timestamp":(\d+)\}""".r
+
+  def fromJson(json: String): Option[Watermark] = json.trim match {
+    case Pattern(k, v, ts) => Some(Watermark(unescape(k), unescape(v), ts.toLong))
+    case _ => None
+  }
+
+  private def unescape(s: String): String =
+    s.replace("\\\"", "\"").replace("\\\\", "\\").replace("\\n", "\n")
+
+  def mssql(version: Long, now: Instant = Instant.now()): Watermark =
+    Watermark(MsSql, f"$version%020d", now.toEpochMilli)
+
+  def blob(createdOnMillis: Long, now: Instant = Instant.now()): Watermark =
+    Watermark(Blob, f"$createdOnMillis%020d", now.toEpochMilli)
+}
+
+/** Where watermarks live between runs. The reference uses the Iceberg table
+  * `comment` property; locally a sidecar file next to the target directory
+  * plays the same role, and a catalog-table-property impl slots in unchanged
+  * on Iceberg/Delta deployments (ALTER TABLE ... SET TBLPROPERTIES).
+  */
+trait WatermarkStore {
+  def get(target: String): Option[Watermark]
+  def set(target: String, wm: Watermark): Unit
+}
+
+final class InMemoryWatermarkStore extends WatermarkStore {
+  private val state = new java.util.concurrent.ConcurrentHashMap[String, Watermark]()
+  override def get(target: String): Option[Watermark] = Option(state.get(target))
+  override def set(target: String, wm: Watermark): Unit = state.put(target, wm)
+}
+
+/** Sidecar-file store: `<dir>/_graft_watermark.json`, written atomically
+  * (tmp + move) so a crash mid-commit leaves the previous watermark intact —
+  * the version-guarded merge makes the resulting replay a no-op.
+  */
+final class FileWatermarkStore(baseDir: String) extends WatermarkStore {
+  private def pathFor(target: String): Path =
+    Paths.get(baseDir, target.replaceAll("[^A-Za-z0-9_.-]", "_") + ".watermark.json")
+
+  override def get(target: String): Option[Watermark] = {
+    val p = pathFor(target)
+    if (Files.exists(p))
+      Watermark.fromJson(new String(Files.readAllBytes(p), StandardCharsets.UTF_8))
+    else None
+  }
+
+  override def set(target: String, wm: Watermark): Unit = {
+    val p = pathFor(target)
+    Files.createDirectories(p.getParent)
+    val tmp = p.resolveSibling(p.getFileName.toString + ".tmp")
+    Files.write(tmp, wm.toJson.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, p, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+}

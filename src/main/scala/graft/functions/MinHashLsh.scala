@@ -1,0 +1,132 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** MinHash + LSH near-duplicate detection at corpus scale.
+  *
+  * Shape: shingle → base-hash each shingle ONCE → k affine hash families
+  * folded as codegen'd `min` aggregates over the exploded shingles → band the
+  * signature → one shuffle on (band, bucket-hash) to find candidate pairs →
+  * verify candidates with exact Jaccard. Only candidate pairs ever get
+  * compared, so cost is O(corpus + collisions), never O(n²) — the property
+  * that lets this run over a 100 TB document set.
+  *
+  * Implementation note (measured): computing signatures with higher-order
+  * array functions (`transform`/`array_min` per hash family) re-walks each
+  * document's shingle array k times through interpreted lambdas — 99 s for
+  * 5k docs. The explode → groupBy(id).agg(k × min(a·h+b)) form below runs the
+  * same math inside whole-stage codegen in ~2 s and scales out: the exploded
+  * shingles flow through a hash aggregate with partial (map-side) combine.
+  */
+object MinHashLsh {
+
+  /** Per-document MinHash signature columns `__mh0..__mh{k-1}` via exploded
+    * shingles + codegen'd min aggregates. Family i re-hashes the base hash
+    * with seed i (`xxhash64(i, h)`): cheap fixed-width hashing, no ANSI
+    * overflow, k independent families. Returns (id, __mh0.., __sh) with the
+    * original shingle array retained for exact verification.
+    */
+  private def signatures(df: DataFrame, idCol: String, shingles: Column, k: Int): DataFrame = {
+    val base = df.select(col(idCol).as("__id"), shingles.as("__sh"))
+    val exploded = base
+      .select(col("__id"), explode(col("__sh")).as("__s"))
+      .withColumn("__h", xxhash64(col("__s")))
+    val aggs = (0 until k).map { i =>
+      min(xxhash64(lit(i), col("__h"))).as(s"__mh$i")
+    }
+    exploded.groupBy(col("__id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** k-element MinHash signature over an array-of-string column, as a single
+    * array column. Expression-only form for ad-hoc use on small arrays; the
+    * corpus-scale path is [[nearDupPairs]]'s aggregate form.
+    */
+  def signature(shingles: Column, k: Int): Column = {
+    val hashes = transform(shingles, s => xxhash64(s))
+    array((0 until k).map { i =>
+      array_min(transform(hashes, h => xxhash64(lit(i), h)))
+    }: _*)
+  }
+
+  /** Per-band bucket keys: hash of each r-length signature slice. Two
+    * documents collide in a band iff that slice matches exactly.
+    */
+  def bandBuckets(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map { b =>
+      xxhash64(lit(b), slice(sig, b * rowsPerBand + 1, rowsPerBand))
+    }: _*)
+
+  /** Candidate near-duplicate pairs (idA < idB) from banded LSH, verified
+    * against exact shingle-set Jaccard >= `threshold`.
+    *
+    * Three-stage funnel, measured on a corpus whose background similarity
+    * (~0.3) sits uncomfortably close to banding noise:
+    *   1. band collision in >= `minBands` bands (keys-only self-join; two
+    *      collisions cut background candidates ~15× while keeping recall at
+    *      j>=threshold ≈ 0.999);
+    *   2. signature-agreement estimate (fraction of equal minhashes) within
+    *      0.2 of the threshold — 64 long compares per pair, no text touched;
+    *   3. exact Jaccard on the surviving few, which is what the caller gets.
+    * The wide shingle arrays enter only at stage 3, so the shuffles move
+    * kilobytes of keys/signatures per document, never the corpus text.
+    */
+  def nearDupPairs(df: DataFrame, idCol: String, shingles: Column,
+                   numHashes: Int = 64, bands: Int = 16,
+                   threshold: Double = 0.8, minBands: Int = 2): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    // The signature frame feeds three plan branches (banding + both sides of
+    // the estimate join); persist it so the explode+aggregate runs once.
+    // ~0.5 KB/doc — a 100M-doc corpus holds ~50 GB cluster-wide, well inside
+    // executor storage at that scale.
+    val sigs = signatures(df, idCol, shingles, numHashes)
+      .withColumn("__sig", array((0 until numHashes).map(i => col(s"__mh$i")): _*))
+      .select(col("__id"), col("__sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = sigs
+      .select(col("__id"),
+        posexplode(bandBuckets(col("__sig"), bands, r)).as(Seq("__band", "__bucket")))
+    val cand = banded.as("l").join(banded.as("r"),
+        col("l.__band") === col("r.__band") &&
+        col("l.__bucket") === col("r.__bucket") &&
+        col("l.__id") < col("r.__id"))
+      .groupBy(col("l.__id").as("id_a"), col("r.__id").as("id_b"))
+      .agg(count(lit(1)).as("__nbands"))
+      .filter(col("__nbands") >= math.min(minBands, bands))
+      .select(col("id_a"), col("id_b"))
+    val estimated = cand
+      .join(sigs.select(col("__id").as("id_a"), col("__sig").as("sig_a")), "id_a")
+      .join(sigs.select(col("__id").as("id_b"), col("__sig").as("sig_b")), "id_b")
+      .withColumn("__est",
+        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), p => p))
+          .cast("double") / numHashes)
+      .filter(col("__est") >= threshold - 0.2)
+      .select(col("id_a"), col("id_b"))
+    // Exact verification touches only candidate documents: semi-join the ids
+    // first so shingling cost is ∝ candidates, not corpus size.
+    val candIds = estimated
+      .select(explode(array(col("id_a"), col("id_b"))).as("__cid")).distinct()
+    val candSh = df.join(candIds, col(idCol) === col("__cid"), "left_semi")
+      .select(col(idCol).as("__id"), shingles.as("__sh"))
+    estimated
+      .join(candSh.select(col("__id").as("id_a"), col("__sh").as("sh_a")), "id_a")
+      .join(candSh.select(col("__id").as("id_b"), col("__sh").as("sh_b")), "id_b")
+      .withColumn("jaccard", round(TextFunctions.jaccard(col("sh_a"), col("sh_b")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Dedup a corpus by near-duplicate clustering: drop every document that
+    * has a near-dup with a smaller id (cheap transitive-lite survivor rule —
+    * one pass, no iterative connected components; adequate for dedup where
+    * any representative is acceptable).
+    */
+  def dedupKeepFirst(df: DataFrame, idCol: String, shingles: Column,
+                     numHashes: Int = 64, bands: Int = 16,
+                     threshold: Double = 0.8): DataFrame = {
+    val dupIds = nearDupPairs(df, idCol, shingles, numHashes, bands, threshold)
+      .select(col("id_b").as(idCol)).distinct()
+    df.join(dupIds, Seq(idCol), "left_anti")
+  }
+}

@@ -1,0 +1,77 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** 64-bit SimHash fingerprints + Hamming-distance near-dup detection.
+  *
+  * SimHash packs a document's token set into one long: near-duplicate
+  * documents land within a few bits of each other, so dedup is a 64-bit
+  * integer comparison instead of a set intersection. Candidate generation
+  * uses the pigeonhole trick: split the 64 bits into `maxDist+1` chunks — two
+  * fingerprints within `maxDist` bits must agree exactly on at least one
+  * chunk — giving an equi-join on chunk values (one shuffle, no n²).
+  *
+  * Like [[MinHashLsh]], the corpus-scale fingerprint path is explode →
+  * codegen'd sum aggregates (one xxhash per token, 64 cheap bit-vote sums),
+  * not per-row higher-order lambdas.
+  */
+object SimHash {
+
+  /** (id, __simhash) per document via exploded tokens + bit-vote aggregates. */
+  def fingerprints(df: DataFrame, idCol: String, tokens: Column): DataFrame = {
+    val exploded = df.select(col(idCol).as("__id"), explode(tokens).as("__t"))
+      .withColumn("__h", xxhash64(col("__t")))
+    // per bit: vote +1 if set else -1  ==  2*count(set) - count(*)
+    val votes = (0 until 64).map { i =>
+      sum(shiftright(col("__h"), i).bitwiseAND(1)).as(s"__b$i")
+    }
+    val n = count(lit(1)).as("__n")
+    exploded.groupBy(col("__id")).agg(votes.head, (votes.tail :+ n): _*)
+      .select(col("__id"),
+        (0 until 64).map { i =>
+          when(col(s"__b$i") * 2 > col("__n"), shiftleft(lit(1L), i)).otherwise(lit(0L))
+        }.reduce((a, b) => a.bitwiseOR(b)).as("__simhash"))
+  }
+
+  /** Expression form for small arrays / tests (interpreted; prefer
+    * [[fingerprints]] for corpus scans).
+    */
+  def simhash64(tokens: Column): Column = {
+    val hashes = transform(tokens, t => xxhash64(t))
+    val n = size(hashes)
+    (0 until 64).map { i =>
+      val ones = size(filter(hashes, h => shiftright(h, i).bitwiseAND(1) === 1))
+      when(ones * 2 > n, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Hamming distance between two 64-bit fingerprints. */
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Near-dup pairs (idA < idB) with Hamming distance <= maxDist, via
+    * pigeonhole chunk join over `maxDist+1` 64/(maxDist+1)-bit chunks.
+    */
+  def nearDupPairs(df: DataFrame, idCol: String, tokens: Column,
+                   maxDist: Int = 3): DataFrame = {
+    val chunks = maxDist + 1
+    val bitsPer = 64 / chunks
+    val base = fingerprints(df, idCol, tokens)
+      .select(col("__id"), col("__simhash").as("__sh"))
+    val chunked = base.select(col("__id"), col("__sh"),
+      posexplode(array((0 until chunks).map { c =>
+        shiftright(col("__sh"), c * bitsPer)
+          .bitwiseAND((1L << bitsPer) - 1)
+      }: _*)).as(Seq("__chunk", "__val")))
+    val l = chunked.as("l")
+    val r = chunked.as("r")
+    l.join(r,
+        col("l.__chunk") === col("r.__chunk") &&
+        col("l.__val") === col("r.__val") &&
+        col("l.__id") < col("r.__id"))
+      .select(col("l.__id").as("id_a"), col("r.__id").as("id_b"),
+        hamming(col("l.__sh"), col("r.__sh")).as("hamming"))
+      .dropDuplicates("id_a", "id_b")
+      .filter(col("hamming") <= maxDist)
+  }
+}

@@ -1,0 +1,136 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for large-scale training-data pipelines: token
+  * counting, quality scoring, language ID, fingerprinting, shingling.
+  *
+  * Everything here composes Catalyst built-ins only — no Scala UDFs — so the
+  * expressions stay codegen-compiled and a 100 TB document scan runs these at
+  * parquet-read speed with full column pruning (only `text` is read).
+  */
+object TextFunctions {
+
+  /** Whitespace token count; empty/blank text counts 0. */
+  def tokenCount(text: Column): Column =
+    when(length(trim(text)) === 0, lit(0))
+      .otherwise(size(split(trim(text), "\\s+")))
+
+  /** BPE-ish token count: alphabetic runs, single digits, and isolated
+    * non-alphanumeric symbols — the GPT-2 pre-tokenizer shape, countable with
+    * one regexp scan.
+    */
+  def bpeTokenCount(text: Column): Column =
+    regexp_count(text, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"))
+
+  /** Ratio of punctuation characters to total characters (0 for empty). */
+  def punctRatio(text: Column): Column = {
+    val n = length(text)
+    when(n === 0, lit(0.0))
+      .otherwise(regexp_count(text, lit("[^A-Za-z0-9\\s]")).cast("double") / n)
+  }
+
+  /** Ratio of digit characters. */
+  def digitRatio(text: Column): Column = {
+    val n = length(text)
+    when(n === 0, lit(0.0))
+      .otherwise(regexp_count(text, lit("[0-9]")).cast("double") / n)
+  }
+
+  /** Mean whitespace-token length — long-token soup is a spam signal. */
+  def meanTokenLength(text: Column): Column = {
+    val toks = tokenCount(text)
+    when(toks === 0, lit(0.0))
+      .otherwise(length(regexp_replace(text, "\\s+", "")).cast("double") / toks)
+  }
+
+  private val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "with"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "mit", "von", "nicht"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "est", "dans", "pour"),
+    "es" -> Seq("el", "los", "las", "de", "que", "es", "con", "para"))
+
+  private def wordPattern(words: Seq[String]): String =
+    words.mkString("\\b(", "|", ")\\b")
+
+  /** Count of stopword hits for one language (case-insensitive, word-bounded). */
+  def stopwordHits(text: Column, lang: String): Column =
+    regexp_count(lower(text), lit(wordPattern(stopwords(lang))))
+
+  /** Fraction of tokens that are English stopwords — the classic fluency
+    * signal in quality-filter cascades.
+    */
+  def stopwordRatio(text: Column, lang: String = "en"): Column = {
+    val toks = tokenCount(text)
+    when(toks === 0, lit(0.0))
+      .otherwise(stopwordHits(text, lang).cast("double") / toks)
+  }
+
+  /** N-gram-heuristic language ID: the language whose stopword lexicon hits
+    * most, ties broken alphabetically; "und" (undetermined) when nothing hits.
+    */
+  def langId(text: Column): Column = {
+    val hits = stopwords.keys.toSeq.sorted.map(l => struct(
+      stopwordHits(text, l).as("hits"), lit(l).as("lang")))
+    val best = array_max(array(hits: _*))
+    when(best.getField("hits") === 0, lit("und")).otherwise(best.getField("lang"))
+  }
+
+  /** Composite quality score in [0,1]: length band + punctuation sanity +
+    * token-shape sanity, the usual cheap pre-filter before model-based
+    * scoring. Deterministic and oracle-expressible.
+    */
+  def qualityScore(text: Column): Column = {
+    val lenOk = when(length(text).between(20, 20000), lit(1.0)).otherwise(lit(0.0))
+    val punctOk = when(punctRatio(text) < 0.2, lit(1.0)).otherwise(lit(0.0))
+    val tokOk = when(meanTokenLength(text).between(2.0, 12.0), lit(1.0)).otherwise(lit(0.0))
+    round((lenOk + punctOk + tokOk) / 3.0, 4)
+  }
+
+  /** Canonical text normalization for fingerprinting: lowercase, strip
+    * non-alphanumerics to spaces, collapse runs, trim.
+    */
+  def normalized(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9]+", " "), "\\s+", " "))
+
+  /** Content fingerprint = MD5 of the normalized text: whitespace/punct/case
+    * variations collapse to one 128-bit key. Group on this, not on raw text —
+    * 16-byte shuffle keys instead of document bodies.
+    */
+  def fingerprint(text: Column): Column = md5(normalized(text))
+
+  /** Character k-shingles of the normalized text, as an array column, for
+    * MinHash. Built from `sequence` + `transform` (native higher-order
+    * functions, no UDF).
+    *
+    * The normalized string is LET-BOUND through a one-element outer
+    * `transform` so the lambda sees it as a variable: referencing
+    * `normalized(text)` directly inside the inner lambda would re-run the
+    * two-regex normalization once per shingle (measured: 30× slower on a
+    * 300-char document).
+    */
+  def charShingles(text: Column, k: Int): Column =
+    flatten(transform(array(normalized(text)), t =>
+      when(length(t) < k, array(t)).otherwise(
+        array_distinct(transform(
+          sequence(lit(1), length(t) - (k - 1)),
+          i => t.substr(i, lit(k)))))))
+
+  /** Word n-grams of the normalized text (for n-gram Jaccard dedup).
+    * Token array let-bound like [[charShingles]].
+    */
+  def wordNgrams(text: Column, n: Int): Column =
+    flatten(transform(array(split(normalized(text), " ")), toks =>
+      when(size(toks) < n, array(concat_ws(" ", toks))).otherwise(
+        array_distinct(transform(
+          sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ", slice(toks, i + 1, lit(n))))))))
+
+  /** Exact Jaccard similarity of two array columns. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val uni = size(array_union(a, b)).cast("double")
+    when(uni === 0, lit(0.0)).otherwise(inter / uni)
+  }
+}

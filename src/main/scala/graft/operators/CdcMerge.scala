@@ -1,0 +1,123 @@
+package graft.operators
+
+import graft.core.SchemaEvolution
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** The merge dialects: which source rows are deletes, which column orders
+  * versions, and whether inserts are guarded. One object per source family,
+  * mirroring the reference's three batch consumers
+  * (/root/reference/src/main/scala/models/batches/SqlServerChangeTracking.scala:17-58,
+  * SynapseLink.scala:17-58, UpsertBlob.scala:17-48).
+  */
+sealed trait MergeDialect {
+  /** Column name carrying the monotonically increasing version. */
+  def versionColumn: String
+  /** Predicate on a source row marking it a delete (tombstone). */
+  def isDelete(s: String => Column): Column
+  /** Columns that order rows within a merge key, newest first. */
+  def versionOrder(s: String => Column): Seq[Column] = Seq(s(versionColumn))
+}
+
+/** MSSQL change tracking: hard deletes via SYS_CHANGE_OPERATION = 'D',
+  * versions via SYS_CHANGE_VERSION.
+  */
+case object MsSqlCtDialect extends MergeDialect {
+  val operationColumn = "SYS_CHANGE_OPERATION"
+  override val versionColumn = "SYS_CHANGE_VERSION"
+  override def isDelete(s: String => Column): Column = s(operationColumn) === "D"
+}
+
+/** Synapse Link: soft deletes via IsDelete flag, versions via versionnumber. */
+case object SynapseLinkDialect extends MergeDialect {
+  val deleteColumn = "IsDelete"
+  override val versionColumn = "versionnumber"
+  override def isDelete(s: String => Column): Column =
+    coalesce(s(deleteColumn), lit(false))
+}
+
+/** Blob upsert: no deletes; versions via the file-derived createdon. */
+case object UpsertBlobDialect extends MergeDialect {
+  override val versionColumn = "createdon"
+  override def isDelete(s: String => Column): Column = lit(false)
+}
+
+/** CDC merge as a native Spark operator.
+  *
+  * The reference outsources its MERGE INTO to Trino
+  * (services/merging/JdbcMergeServiceClient.scala:62-91); here the same
+  * semantics run inside Spark as a single full-outer join on the merge key:
+  *
+  *   - source row absent                        → keep target row
+  *   - source is a delete                       → drop (matched or not)
+  *   - source newer than target (or unmatched)  → take source row
+  *   - source stale (version ≤ target's)        → keep target row
+  *
+  * The version guard makes the operator idempotent: replaying a batch after a
+  * crash between merge and watermark commit is a no-op (SURVEY §2.8 T9).
+  *
+  * Scale: the join shuffles both sides on the merge key — the minimum possible
+  * data movement for an upsert. The changes side has just been key-partitioned
+  * by the dedup window, so AQE reuses that exchange; with a key-bucketed
+  * target table the target-side shuffle disappears too. For small change
+  * batches against a huge target, prefer the SQL MERGE path
+  * ([[MergeSqlBuilder]]) on Iceberg/Delta, which rewrites only matching files.
+  */
+object CdcMerge {
+
+  /** Add null columns for any field of `schema` the frame lacks
+    * (case-insensitive), so both merge sides share one schema after additive
+    * evolution.
+    */
+  def alignTo(df: DataFrame, schema: StructType): DataFrame = {
+    val missing = SchemaEvolution.missingFields(df.schema, schema)
+    missing.foldLeft(df)((acc, f) => acc.withColumn(f.name, lit(null).cast(f.dataType)))
+  }
+
+  /** Apply a deduplicated change set to a target frame. `changes` must already
+    * be unique per key (run [[Dedup.latestByKey]] first — mirrors the
+    * reference's reduceExpr staging subquery).
+    */
+  def applyChanges(target: DataFrame, changes: DataFrame, keyCol: String,
+                   dialect: MergeDialect,
+                   extraMatch: Option[(String => Column, String => Column) => Column] = None): DataFrame = {
+    val outSchema = SchemaEvolution.evolve(target.schema, changes.schema)
+    val t = alignTo(target, outSchema).as("t")
+    val s = alignTo(changes, outSchema).as("s")
+    def tc(n: String): Column = col(s"t.`$n`")
+    def sc(n: String): Column = col(s"s.`$n`")
+
+    val onExpr = extraMatch.foldLeft(tc(keyCol) === sc(keyCol)) { (on, extra) =>
+      on && extra(tc, sc)
+    }
+    val joined = t.join(s, onExpr, "full_outer")
+
+    val sPresent = sc(keyCol).isNotNull
+    val tPresent = tc(keyCol).isNotNull
+    val del = dialect.isDelete(sc)
+    val newer = dialect.versionOrder(sc).zip(dialect.versionOrder(tc))
+      .map { case (sv, tv) => sv > tv }
+      .reduce(_ || _) // single version column in all three dialects
+    val takeSource = sPresent && !del && (!tPresent || newer)
+
+    // Deletes drop the row whether matched (WHEN MATCHED ... DELETE) or not
+    // (WHEN NOT MATCHED guard excludes tombstone inserts) — reference M2-M3.
+    joined
+      .filter(!(sPresent && del))
+      .select(outSchema.fieldNames.toSeq.map { c =>
+        when(takeSource, sc(c)).otherwise(tc(c)).as(c)
+      }: _*)
+  }
+
+  /** One-call merge of a raw (not yet deduplicated) change batch: windowed
+    * dedup-latest then version-guarded apply — the staging + merge pipeline
+    * stages fused into one plan with a single key exchange.
+    */
+  def mergeBatch(target: DataFrame, rawChanges: DataFrame, keyCol: String,
+                 dialect: MergeDialect, tieBreakers: Seq[Column] = Nil): DataFrame = {
+    val latest = Dedup.latestByKey(rawChanges, col(keyCol),
+      dialect.versionOrder(col), tieBreakers)
+    applyChanges(target, latest, keyCol, dialect)
+  }
+}

@@ -1,0 +1,84 @@
+package graft.sources
+
+import graft.core.{MergeKey, Watermark}
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Blob/file-listing CDC source: list a prefix, take files newer than the
+  * watermark, read them, enrich each row with the blob-dialect merge key and a
+  * `createdon` version column from the file modification time.
+  *
+  * Re-expresses the reference's BlobListingStreamingSource family
+  * (/root/reference/src/main/scala/services/blobsource/readers/listing/
+  * BlobListingStreamingSource.scala:110-119, BlobListingParquetStreamingSource.scala:90-112,
+  * enrichment models/batches/BlobBatchCommons.scala:21-51) on the Hadoop
+  * FileSystem API — the same code path serves local files, s3a:// and
+  * abfss:// with no source changes, and Spark parallelizes the file reads
+  * across executors (the reference hand-schedules cores×10 file groups;
+  * Spark's split planning makes that knob unnecessary).
+  *
+  * `createdon` comes from `_metadata.file_modification_time`, so the version
+  * column is computed inside the scan without a second listing pass.
+  */
+final case class BlobSourceConfig(
+    path: String,
+    format: String = "parquet",           // parquet | json | csv
+    pkColumns: Seq[String] = Nil,          // merge key = base64 sha256 of these
+    readerOptions: Map[String, String] = Map.empty)
+
+object BlobListingSource {
+
+  /** List files under the prefix with modTime strictly greater than the
+    * watermark (reference filters `createdOn >= startFrom`; strict > here
+    * because our watermark commits the max seen, making re-listing
+    * idempotent). Returns (files, maxModTime).
+    */
+  def listNewFiles(spark: SparkSession, path: String, afterMillis: Long): (Seq[String], Long) = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return (Nil, afterMillis)
+    val it = fs.listFiles(p, true)
+    val files = Seq.newBuilder[(String, Long)]
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.isFile && !st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith(".")
+          && st.getModificationTime > afterMillis)
+        files += ((st.getPath.toString, st.getModificationTime))
+    }
+    val out = files.result()
+    (out.map(_._1), if (out.isEmpty) afterMillis else out.map(_._2).max)
+  }
+
+  /** Read one change batch: files newer than `watermark`, enriched with
+    * ARCANE_MERGE_KEY + createdon. Returns None when no new files (the
+    * empty-batch short-circuit, reference T11).
+    */
+  def nextBatch(spark: SparkSession, cfg: BlobSourceConfig,
+                watermark: Option[Watermark]): Option[(DataFrame, Watermark)] = {
+    val after = watermark.flatMap(w => w.version.toLongOption).getOrElse(Long.MinValue)
+    val (files, maxMod) = listNewFiles(spark, cfg.path, after)
+    if (files.isEmpty) None
+    else {
+      val reader = spark.read.options(cfg.readerOptions)
+      val df = cfg.format match {
+        case "parquet" => reader.parquet(files: _*)
+        case "json" => reader.json(files: _*)
+        case "csv" => reader.option("header", "true").csv(files: _*)
+        case other => throw new IllegalArgumentException(s"unsupported format: $other")
+      }
+      Some((enrich(df, cfg.pkColumns), Watermark.blob(maxMod)))
+    }
+  }
+
+  /** Blob enrichment: Base64-SHA256 merge key over PKs (all columns when no
+    * PKs configured — whole-row identity, reference BlobBatchCommons) and the
+    * file modification time as the version column.
+    */
+  def enrich(df: DataFrame, pkColumns: Seq[String]): DataFrame = {
+    val pks = if (pkColumns.nonEmpty) pkColumns else df.columns.toSeq
+    df.withColumn(MergeKey.MergeKeyColumn, MergeKey.mergeKeyBase64(pks.map(col)))
+      .withColumn("createdon",
+        (unix_millis(col("_metadata.file_modification_time"))).cast("long"))
+  }
+}

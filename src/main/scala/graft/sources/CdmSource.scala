@@ -1,0 +1,120 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Synapse Link CDM (Common Data Model) folder-batch source.
+  *
+  * The reference lists hourly batch folders named `yyyy-MM-ddTHH.mm.ssZ`,
+  * excludes the in-progress one (Changelog/changelog.info), reads each
+  * entity's CSVs with the schema from the per-batch `model.json`, and — the
+  * correctness-critical detail — orders files DESCENDING by numeric name so
+  * deletions in `1.csv` apply last
+  * (/root/reference/src/main/scala/services/synapse/base/
+  * SynapseLinkStreamingSource.scala:79-82,154-176).
+  *
+  * Spark's CSV reader gives no cross-file ordering, so the file sequence is
+  * threaded into the data instead: a `_file_seq` column derived from the file
+  * name ranks rows, and the downstream dedup orders by
+  * (versionnumber, _file_seq) — order-independence by construction, which is
+  * the only strategy that survives distributed reads (SURVEY §7.4).
+  */
+object CdmSource {
+
+  /** CDM attribute-type → Spark type, mirroring SimpleCdmModel.scala:54-63
+    * (note: CDM "decimal" maps to Double there — preserved).
+    */
+  def cdmTypeToSpark(dataType: String): DataType = dataType.toLowerCase match {
+    case "guid" | "string" => StringType
+    case "int64" => LongType
+    case "decimal" => DoubleType
+    case "datetime" => TimestampNTZType
+    case "datetimeoffset" => TimestampType
+    case "boolean" => BooleanType
+    case _ => StringType
+  }
+
+  /** Minimal model.json parse (entity → attributes[name, dataType]) without a
+    * JSON library dependency: regex-scoped to the requested entity block.
+    */
+  def schemaFromModelJson(modelJson: String, entity: String): StructType = {
+    val entityRe =
+      ("""\{\s*"\$type"[^{}]*"name"\s*:\s*"""" + java.util.regex.Pattern.quote(entity) +
+        """"[\s\S]*?"attributes"\s*:\s*\[([\s\S]*?)\]""").r
+    val attrRe = """\{[^{}]*?"name"\s*:\s*"([^"]+)"[^{}]*?"dataType"\s*:\s*"([^"]+)"[^{}]*?\}""".r
+    entityRe.findFirstMatchIn(modelJson) match {
+      case Some(m) =>
+        val fields = attrRe.findAllMatchIn(m.group(1)).map { am =>
+          StructField(am.group(1), cdmTypeToSpark(am.group(2)), nullable = true)
+        }.toArray
+        StructType(fields)
+      case None =>
+        throw new IllegalArgumentException(s"entity '$entity' not found in model.json")
+    }
+  }
+
+  /** Per-column timestamp parsing dialects
+    * (SynapseLinkStreamingSource.scala:229-251): SinkCreatedOn/SinkModifiedOn
+    * use `M/d/yyyy h:mm:ss a`, CreatedOn uses ISO offset, everything else ISO
+    * local with optional 'Z'.
+    */
+  def parseCdmTimestamp(colName: String, c: Column): Column = colName match {
+    case "SinkCreatedOn" | "SinkModifiedOn" => to_timestamp(c, "M/d/yyyy h:mm:ss a")
+    case "CreatedOn" => to_timestamp(c) // ISO offset — Spark default handles it
+    case _ =>
+      // try_* variants: ANSI mode (Spark 4 default) would otherwise throw on
+      // the first non-matching dialect instead of falling through.
+      coalesce(
+        try_to_timestamp(c, lit("yyyy-MM-dd'T'HH:mm:ss.SSSSSSS'Z'")),
+        try_to_timestamp(c, lit("yyyy-MM-dd'T'HH:mm:ss'Z'")),
+        try_to_timestamp(c))
+  }
+
+  /** Batch folders under `root` with names in (afterFolder, beforeFolder],
+    * sorted ascending — `yyyy-MM-ddTHH.mm.ssZ` names sort chronologically as
+    * strings, which is exactly how the reference prunes by hour prefix.
+    */
+  def listBatchFolders(spark: SparkSession, root: String,
+                       afterFolder: Option[String], inProgress: Option[String]): Seq[String] = {
+    val p = new Path(root)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return Nil
+    fs.listStatus(p).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filter(n => n.matches("""\d{4}-\d{2}-\d{2}T\d{2}\.\d{2}\.\d{2}Z"""))
+      .filter(n => afterFolder.forall(n > _))
+      .filter(n => inProgress.forall(n < _))
+      .sorted
+  }
+
+  /** Read one entity from a batch folder with deletes-last ordering baked in
+    * as `_file_seq` (descending numeric file name → ascending sequence, so
+    * larger `_file_seq` = applied later = wins the dedup tie).
+    */
+  def readEntity(spark: SparkSession, folderPath: String, entity: String,
+                 schema: StructType): DataFrame = {
+    val stringSchema = StructType(schema.fields.map(_.copy(dataType = StringType)))
+    val raw = spark.read
+      .schema(stringSchema)
+      .option("multiLine", "true").option("quote", "\"").option("escape", "\"")
+      .option("header", "false")
+      .csv(s"$folderPath/$entity/*.csv")
+      .withColumn("_file_name", element_at(split(input_file_name(), "/"), -1))
+    // numeric file name N.csv → seq = -N  (descending name order = ascending seq)
+    val withSeq = raw.withColumn("_file_seq",
+      -regexp_extract(col("_file_name"), """(\d+)\.csv$""", 1).cast("long"))
+      .drop("_file_name")
+    // typed projection with per-column timestamp dialects
+    schema.fields.foldLeft(withSeq) { (df, f) =>
+      f.dataType match {
+        case TimestampType | TimestampNTZType =>
+          df.withColumn(f.name, parseCdmTimestamp(f.name, col(f.name)).cast(f.dataType))
+        case StringType => df
+        case dt => df.withColumn(f.name, col(f.name).cast(dt))
+      }
+    }
+  }
+}

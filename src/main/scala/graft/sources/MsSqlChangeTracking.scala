@@ -1,0 +1,93 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** MSSQL change-tracking source: query generators + partitioned-read wiring.
+  *
+  * The relational shape mirrors the reference's delta query
+  * (/root/reference/src/main/resources/get_select_delta_query.sql:1-6 and
+  * services/mssql/QueryProvider.scala:244-269): `CHANGETABLE(CHANGES t, v)`
+  * RIGHT JOIN base table, emitting PKs, SYS_CHANGE_VERSION,
+  * SYS_CHANGE_OPERATION, the data columns and a server-side computed
+  * lowercase-hex SHA-256 ARCANE_MERGE_KEY.
+  *
+  * These are pure string builders (unit-testable with no database); at run
+  * time they feed `spark.read.jdbc` — the backfill variant with per-shard
+  * `ABS(CHECKSUM(pk)) % N = i` predicates, giving N parallel JDBC partitions
+  * WITHOUT the reference's server-side shard-table copies (S3): Spark's
+  * partitioned read replaces materialization.
+  */
+object MsSqlChangeTracking {
+
+  /** Server-side merge-key expression (get_select_delta_query.sql:4). */
+  def mergeKeySql(pkColumns: Seq[String], tableAlias: String = "tq"): String = {
+    val concat = pkColumns
+      .map(c => s"CAST($tableAlias.[$c] AS NVARCHAR(128))")
+      .mkString(" + '#' + ")
+    s"LOWER(CONVERT(NVARCHAR(128), HASHBYTES('SHA2_256', $concat), 2))"
+  }
+
+  /** Delta query: changes since `fromVersion` (exclusive), reference queries
+    * `latestVersion - 1` inclusive — the -1 adjustment from
+    * MsSqlStreamingSource.scala:179 is the caller's contract here: pass the
+    * committed watermark version verbatim.
+    */
+  def deltaQuery(schema: String, table: String, pkColumns: Seq[String],
+                 dataColumns: Seq[String], fromVersion: Long): String = {
+    val pkSel = pkColumns.map(c => s"ct.[$c]").mkString(", ")
+    val dataSel = dataColumns.map(c => s"tq.[$c]").mkString(", ")
+    s"""SELECT $pkSel, ct.SYS_CHANGE_VERSION, ct.SYS_CHANGE_OPERATION, $dataSel,
+       |  ${mergeKeySql(pkColumns, "ct")} AS ARCANE_MERGE_KEY
+       |FROM CHANGETABLE(CHANGES [$schema].[$table], $fromVersion) AS ct
+       |LEFT JOIN [$schema].[$table] AS tq ON ${pkColumns.map(c => s"ct.[$c] = tq.[$c]").mkString(" AND ")}""".stripMargin
+  }
+
+  /** Full-scan backfill query with synthetic CDC columns
+    * (get_select_all_query.sql:1-8): version 0, operation 'I'.
+    */
+  def backfillQuery(schema: String, table: String, pkColumns: Seq[String],
+                    dataColumns: Seq[String]): String = {
+    val sel = (pkColumns ++ dataColumns).map(c => s"tq.[$c]").mkString(", ")
+    s"""SELECT $sel, CAST(0 AS BIGINT) AS SYS_CHANGE_VERSION,
+       |  'I' AS SYS_CHANGE_OPERATION,
+       |  ${mergeKeySql(pkColumns)} AS ARCANE_MERGE_KEY
+       |FROM [$schema].[$table] AS tq""".stripMargin
+  }
+
+  /** Shard count from the reference's cost model: clamp(1 + ln(cost)³, 1,
+    * 1000) (QueryProvider.scala:169-174) — cost from SET STATISTICS PROFILE
+    * EstimateIO + EstimateCPU sums.
+    */
+  def shardCountFromCost(cost: Double): Int = {
+    if (cost <= 1.0) 1
+    else math.min(1000, math.max(1, (1.0 + math.pow(math.log(cost), 3)).toInt))
+  }
+
+  /** Per-shard JDBC predicates (`%N=i` over PK checksum) — one Spark input
+    * partition each; the server evaluates the checksum, the rows never
+    * co-locate on one connection.
+    */
+  def shardPredicates(pkColumns: Seq[String], numShards: Int): Array[String] = {
+    val checksum = s"CHECKSUM(${pkColumns.map(c => s"[$c]").mkString(", ")})"
+    Array.tabulate(numShards)(i =>
+      s"ABS(CAST($checksum AS BIGINT)) % $numShards = $i")
+  }
+
+  /** Partitioned backfill read: the full table pulled over numShards parallel
+    * JDBC connections.
+    */
+  def readBackfill(spark: SparkSession, jdbcUrl: String, props: java.util.Properties,
+                   schema: String, table: String, pkColumns: Seq[String],
+                   dataColumns: Seq[String], numShards: Int): DataFrame = {
+    val q = s"(${backfillQuery(schema, table, pkColumns, dataColumns)}) AS backfill"
+    spark.read.jdbc(jdbcUrl, q, shardPredicates(pkColumns, numShards), props)
+  }
+
+  /** Delta read for one micro-batch (changes in (fromVersion, toVersion]). */
+  def readDelta(spark: SparkSession, jdbcUrl: String, props: java.util.Properties,
+                schema: String, table: String, pkColumns: Seq[String],
+                dataColumns: Seq[String], fromVersion: Long): DataFrame = {
+    val q = s"(${deltaQuery(schema, table, pkColumns, dataColumns, fromVersion)}) AS delta"
+    spark.read.jdbc(jdbcUrl, q, props)
+  }
+}

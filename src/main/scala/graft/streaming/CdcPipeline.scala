@@ -1,0 +1,139 @@
+package graft.streaming
+
+import graft.core.{SchemaEvolution, Watermark, WatermarkStore}
+import graft.operators.{CdcMerge, Dedup, FieldFilter, MergeDialect}
+import graft.sources.{BlobListingSource, BlobSourceConfig}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+
+/** The per-batch CDC pipeline: field filter → dedup-latest → schema evolve →
+  * version-guarded merge → commit → watermark update → every-Nth maintenance.
+  *
+  * This is the reference's streaming graph
+  * (/root/reference/src/main/scala/services/streaming/graph/
+  * DefaultStreamingGraphBuilder.scala:37-47 and the processor chain it wires)
+  * collapsed into one `foreachBatch`-shaped function: the stage sequence is
+  * identical, but each stage is a declarative DataFrame transform that
+  * Catalyst fuses — dedup + merge execute with a single exchange on the merge
+  * key instead of the reference's staging-table round trip through Trino.
+  */
+final case class PipelineConfig(
+    keyColumn: String = "ARCANE_MERGE_KEY",
+    includeColumns: Seq[String] = Nil,      // empty = all
+    excludeColumns: Seq[String] = Nil,
+    essentialColumns: Seq[String] = Nil,
+    maintenanceEvery: Int = 10,             // run maintenance every Nth batch
+    snapshotsToKeep: Int = 3,
+    targetPartitions: Option[Int] = None)   // clamp files per commit
+
+final class CdcPipeline(spark: SparkSession, dialect: MergeDialect,
+                        cfg: PipelineConfig, watermarks: WatermarkStore) {
+
+  @volatile private var batchCount: Long = 0L
+
+  /** Run one micro-batch through the full stage chain against a target. */
+  def runBatch(target: ParquetTarget, targetName: String, changes: DataFrame,
+               watermark: Watermark, tieBreakers: Seq[Column] = Nil): Unit = {
+    // T11 empty-batch short-circuit: commit only the watermark.
+    if (changes.isEmpty) {
+      watermarks.set(targetName, watermark)
+      return
+    }
+    // P1/P2 field filtering (columns prune into the scan)
+    val filtered0 =
+      if (cfg.includeColumns.nonEmpty)
+        FieldFilter.include(changes, cfg.includeColumns,
+          cfg.essentialColumns :+ cfg.keyColumn :+ dialect.versionColumn)
+      else changes
+    val filtered =
+      if (cfg.excludeColumns.nonEmpty)
+        FieldFilter.exclude(filtered0, cfg.excludeColumns,
+          cfg.essentialColumns :+ cfg.keyColumn :+ dialect.versionColumn)
+      else filtered0
+
+    // M1 dedup-latest inside the batch
+    val latest = Dedup.latestByKey(filtered, col(cfg.keyColumn),
+      dialect.versionOrder(col), tieBreakers)
+
+    // X6 additive schema evolution: target gains batch-only columns
+    val current = target.read(Some(latest.schema))
+    val evolved = SchemaEvolution.evolve(current.schema, latest.schema)
+
+    // M2-M4 version-guarded merge, then snapshot commit
+    val merged = CdcMerge.applyChanges(
+      CdcMerge.alignTo(current, evolved), CdcMerge.alignTo(latest, evolved),
+      cfg.keyColumn, dialect)
+    target.commit(merged, cfg.targetPartitions)
+
+    // T3 watermark commit AFTER the merge — replay-safe via version guards
+    watermarks.set(targetName, watermark)
+
+    // X1/X2/X3 maintenance every Nth batch
+    batchCount += 1
+    if (cfg.maintenanceEvery > 0 && batchCount % cfg.maintenanceEvery == 0) {
+      target.expireSnapshots(cfg.snapshotsToKeep)
+      target.removeOrphans()
+    }
+  }
+
+  /** Continuous poll loop over a blob-listing source: the reference's T1
+    * change-capture loop with jittered sleep, ending after `maxPolls` (tests)
+    * or on `stop()`.
+    */
+  @volatile private var stopped = false
+  def stop(): Unit = stopped = true
+
+  def runBlobStream(cfgSrc: BlobSourceConfig, target: ParquetTarget, targetName: String,
+                    pollIntervalMs: Long = 1000, jitter: Double = 0.2,
+                    maxPolls: Int = Int.MaxValue): Int = {
+    var polls = 0
+    val rnd = new java.util.Random(42) // seeded, like the reference's jitter RNG
+    while (!stopped && polls < maxPolls) {
+      val wm = watermarks.get(targetName)
+      BlobListingSource.nextBatch(spark, cfgSrc, wm) match {
+        case Some((batch, newWm)) => runBatch(target, targetName, batch, newWm)
+        case None =>
+          val sleep = (pollIntervalMs * (1.0 + jitter * (rnd.nextDouble() * 2 - 1))).toLong
+          if (polls < maxPolls - 1) Thread.sleep(math.max(0, sleep))
+      }
+      polls += 1
+    }
+    polls
+  }
+}
+
+/** Backfill entry points (reference §2.10): one-shot catch-up jobs that reuse
+  * the same dedup + merge operators.
+  */
+object Backfill {
+
+  /** Backfill MERGE (B1): one big changeset through dedup + merge +
+    * watermark, no maintenance.
+    */
+  def merge(target: ParquetTarget, targetName: String, changes: DataFrame,
+            keyColumn: String, dialect: MergeDialect, watermark: Watermark,
+            watermarks: WatermarkStore): Unit = {
+    val latest = Dedup.latestByKey(changes, col(keyColumn), dialect.versionOrder(col))
+    val current = target.read(Some(latest.schema))
+    val evolved = SchemaEvolution.evolve(current.schema, latest.schema)
+    val merged = CdcMerge.applyChanges(
+      CdcMerge.alignTo(current, evolved), CdcMerge.alignTo(latest, evolved),
+      keyColumn, dialect)
+    target.commit(merged)
+    watermarks.set(targetName, watermark)
+  }
+
+  /** Backfill OVERWRITE (B2): dedup + tombstone-filter the full source, then
+    * replace the target in one commit (the CREATE OR REPLACE swap). Spark's
+    * partitioned read replaces the reference's shard tables; resumability
+    * collapses to job retry because the swap is atomic.
+    */
+  def overwrite(target: ParquetTarget, targetName: String, full: DataFrame,
+                keyColumn: String, dialect: MergeDialect, watermark: Watermark,
+                watermarks: WatermarkStore): Unit = {
+    val latest = Dedup.latestByKey(full, col(keyColumn), dialect.versionOrder(col))
+    val live = latest.filter(!dialect.isDelete(col))
+    target.commit(live)
+    watermarks.set(targetName, watermark)
+  }
+}

@@ -1,0 +1,115 @@
+package graft.streaming
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Versioned parquet target table for local / test deployments.
+  *
+  * Production targets are Iceberg/Delta tables (SQL MERGE via
+  * [[graft.operators.MergeSqlBuilder]]); this class supplies the same
+  * contract — read current snapshot, atomically replace, retain/expire
+  * history, compact — over a plain directory:
+  *
+  *   dir/v_00000001/...parquet     snapshots
+  *   dir/_CURRENT                  pointer file (atomic move = commit)
+  *
+  * Readers resolve the pointer then read an immutable snapshot directory, so
+  * a concurrent commit never yields torn reads — the same snapshot-isolation
+  * idea Iceberg's metadata pointer provides, scaled down.
+  */
+final class ParquetTarget(spark: SparkSession, dir: String) {
+  private val base = Paths.get(dir)
+  private val pointer = base.resolve("_CURRENT")
+
+  def exists: Boolean = Files.exists(pointer)
+
+  def currentVersion: Option[Int] =
+    if (!exists) None
+    else Some(new String(Files.readAllBytes(pointer), StandardCharsets.UTF_8).trim.toInt)
+
+  private def versionDir(v: Int) = base.resolve(f"v_$v%08d")
+
+  /** Current snapshot as a DataFrame; empty frame with `emptySchema` when the
+    * table does not exist yet.
+    */
+  def read(emptySchema: Option[StructType] = None): DataFrame =
+    currentVersion match {
+      case Some(v) => spark.read.parquet(versionDir(v).toString)
+      case None =>
+        val schema = emptySchema.getOrElse(
+          throw new IllegalStateException(s"target $dir does not exist and no schema given"))
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    }
+
+  /** Commit a new snapshot: write v+1 fully, then atomically swing the
+    * pointer. A crash before the move leaves the old snapshot current.
+    */
+  def commit(df: DataFrame, partitions: Option[Int] = None): Int = {
+    val next = currentVersion.getOrElse(0) + 1
+    val out = partitions.map(df.coalesce).getOrElse(df)
+    out.write.mode(SaveMode.Overwrite).parquet(versionDir(next).toString)
+    Files.createDirectories(base)
+    val tmp = base.resolve("_CURRENT.tmp")
+    Files.write(tmp, next.toString.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, pointer, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+    next
+  }
+
+  /** Snapshot expiration (maintenance X2 analog): delete all but the last
+    * `keep` snapshot directories.
+    */
+  def expireSnapshots(keep: Int = 2): Seq[Int] = {
+    val cur = currentVersion.getOrElse(return Nil)
+    val versions = listVersions().filter(_ <= cur).sorted.reverse
+    val expire = versions.drop(math.max(1, keep))
+    expire.foreach(v => deleteRecursively(versionDir(v)))
+    expire
+  }
+
+  /** Compaction (maintenance X1 analog): rewrite the current snapshot into
+    * `numFiles` files.
+    */
+  def compact(numFiles: Int): Int = commit(read(), Some(numFiles))
+
+  /** Orphan cleanup (X3 analog): version dirs above the pointer (failed
+    * commits) are unreachable — remove them.
+    */
+  def removeOrphans(): Seq[Int] = {
+    val cur = currentVersion.getOrElse(-1)
+    val orphans = listVersions().filter(_ > cur)
+    orphans.foreach(v => deleteRecursively(versionDir(v)))
+    orphans
+  }
+
+  private def listVersions(): Seq[Int] =
+    if (!Files.exists(base)) Nil
+    else {
+      val s = Files.list(base)
+      try s.iterator().asInstanceOf[java.util.Iterator[java.nio.file.Path]]
+        .asScala_toSeq
+        .map(_.getFileName.toString)
+        .filter(_.startsWith("v_"))
+        .map(_.stripPrefix("v_").toInt)
+      finally s.close()
+    }
+
+  private implicit class IterOps(it: java.util.Iterator[java.nio.file.Path]) {
+    def asScala_toSeq: Seq[java.nio.file.Path] = {
+      val b = Seq.newBuilder[java.nio.file.Path]
+      while (it.hasNext) b += it.next()
+      b.result()
+    }
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit =
+    if (Files.exists(p)) {
+      val s = Files.walk(p)
+      try s.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => Files.deleteIfExists(f))
+      finally s.close()
+    }
+}

@@ -1,0 +1,104 @@
+package graft.core
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+class SchemaEvolutionSpec extends SparkSpec {
+
+  private val target = StructType(Seq(
+    StructField("id", LongType), StructField("Name", StringType)))
+  private val source = StructType(Seq(
+    StructField("ID", LongType), StructField("name", StringType),
+    StructField("extra", DoubleType)))
+
+  test("missingFields is case-insensitive and additive-only") {
+    val missing = SchemaEvolution.missingFields(target, source)
+    assert(missing.map(_.name) == Seq("extra"))
+    assert(SchemaEvolution.missingFields(source, target).isEmpty)
+  }
+
+  test("evolve appends missing fields as nullable, keeps order") {
+    val evolved = SchemaEvolution.evolve(target, source)
+    assert(evolved.fieldNames.toSeq == Seq("id", "Name", "extra"))
+    assert(evolved("extra").nullable)
+  }
+
+  test("schemaEquals ignores order, case, nullability; Int≡Short") {
+    val a = StructType(Seq(StructField("x", IntegerType), StructField("y", StringType)))
+    val b = StructType(Seq(StructField("Y", StringType, nullable = false),
+      StructField("X", ShortType)))
+    assert(SchemaEvolution.schemaEquals(a, b))
+    val c = StructType(Seq(StructField("x", LongType), StructField("y", StringType)))
+    assert(!SchemaEvolution.schemaEquals(a, c))
+  }
+
+  test("conflictingFields reports incompatible retypes") {
+    val c = StructType(Seq(StructField("name", LongType)))
+    val conflicts = SchemaEvolution.conflictingFields(target, c)
+    assert(conflicts.map(_._1.name) == Seq("Name"))
+  }
+
+  test("nested array/struct type equivalence") {
+    val a = ArrayType(StructType(Seq(StructField("v", IntegerType))))
+    val b = ArrayType(StructType(Seq(StructField("V", ShortType))))
+    assert(SchemaEvolution.typeEquals(a, b))
+  }
+}
+
+class MergeKeySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hex merge key equals sha256 of '#'-joined pk casts") {
+    val df = Seq((1L, 2)).toDF("a", "b")
+      .select(MergeKey.mergeKeyHex(Seq(col("a"), col("b"))).as("k"))
+    val expected = java.security.MessageDigest.getInstance("SHA-256")
+      .digest("1#2".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(df.head().getString(0) == expected)
+  }
+
+  test("base64 merge key encodes the raw digest bytes") {
+    val df = Seq(Tuple1(42L)).toDF("a")
+      .select(MergeKey.mergeKeyBase64(Seq(col("a"))).as("k"))
+    val digest = java.security.MessageDigest.getInstance("SHA-256")
+      .digest("42".getBytes("UTF-8"))
+    assert(df.head().getString(0) == java.util.Base64.getEncoder.encodeToString(digest))
+  }
+
+  test("shard predicates cover all shards") {
+    val preds = MergeKey.mssqlShardPredicates("[id]", 4)
+    assert(preds.length == 4)
+    assert(preds(2).contains("% 4 = 2"))
+  }
+}
+
+class WatermarkSpec extends SparkSpec {
+
+  test("json round-trip") {
+    val wm = Watermark(Watermark.MsSql, "00000000000000000042", 1700000000000L)
+    assert(Watermark.fromJson(wm.toJson).contains(wm))
+  }
+
+  test("ordering is lexicographic on version (zero-padded numerics)") {
+    assert(Watermark.mssql(9) < Watermark.mssql(10))
+    assert(Watermark.mssql(100) > Watermark.mssql(99))
+  }
+
+  test("file store persists atomically and survives reload") {
+    val dir = java.nio.file.Files.createTempDirectory("wmstore").toString
+    val store = new FileWatermarkStore(dir)
+    assert(store.get("t1").isEmpty)
+    val wm = Watermark.blob(123456789L)
+    store.set("t1", wm)
+    assert(store.get("t1").contains(wm))
+    val store2 = new FileWatermarkStore(dir)
+    assert(store2.get("t1").contains(wm))
+  }
+
+  test("naming discipline: prefixes and membership") {
+    val st = Naming.stagingTable("my-stream")
+    assert(Naming.isStagingFor("my-stream", st))
+    assert(!Naming.isBackfillFor("my-stream", st))
+    assert(Naming.shardTable("s", "b1", 3) == "backfill__s__b1__shard__3")
+  }
+}

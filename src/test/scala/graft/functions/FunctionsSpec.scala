@@ -1,0 +1,147 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one(c: org.apache.spark.sql.Column, text: String): Any =
+    Seq(text).toDF("t").select(c.as("v")).head().get(0)
+
+  test("tokenCount handles empty, blank, multi-space") {
+    assert(one(TextFunctions.tokenCount($"t"), "") == 0)
+    assert(one(TextFunctions.tokenCount($"t"), "   ") == 0)
+    assert(one(TextFunctions.tokenCount($"t"), "a  b\tc") == 3)
+  }
+
+  test("bpe token count splits words, digits, symbols") {
+    assert(one(TextFunctions.bpeTokenCount($"t"), "ab 12 c!") == 5) // ab,1,2,c,!
+  }
+
+  test("normalization collapses case/punct/whitespace") {
+    assert(one(TextFunctions.normalized($"t"), " Hello,  WORLD!! ") == "hello world")
+  }
+
+  test("fingerprint is invariant to formatting noise") {
+    val a = one(TextFunctions.fingerprint($"t"), "Hello, world!")
+    val b = one(TextFunctions.fingerprint($"t"), "  hello   WORLD ")
+    assert(a == b)
+  }
+
+  test("charShingles produces len-k+1 distinct shingles") {
+    val sh = one(TextFunctions.charShingles($"t", 3), "abcd")
+      .asInstanceOf[scala.collection.Seq[String]]
+    assert(sh.toSet == Set("abc", "bcd"))
+    val short = one(TextFunctions.charShingles($"t", 5), "ab")
+      .asInstanceOf[scala.collection.Seq[String]]
+    assert(short.toSeq == Seq("ab"))
+  }
+
+  test("wordNgrams slides over tokens") {
+    val g = one(TextFunctions.wordNgrams($"t", 2), "a b c")
+      .asInstanceOf[scala.collection.Seq[String]]
+    assert(g.toSet == Set("a b", "b c"))
+  }
+
+  test("jaccard of identical sets is 1, disjoint is 0") {
+    val df = Seq((Seq("a", "b"), Seq("a", "b"), Seq("x"))).toDF("a", "b", "c")
+    assert(df.select(TextFunctions.jaccard($"a", $"b")).head().getDouble(0) == 1.0)
+    assert(df.select(TextFunctions.jaccard($"a", $"c")).head().getDouble(0) == 0.0)
+  }
+
+  test("langId picks lexicon with most hits, und when none") {
+    assert(one(TextFunctions.langId($"t"), "the cat and the dog is here") == "en")
+    assert(one(TextFunctions.langId($"t"), "der hund und die katze ist") == "de")
+    assert(one(TextFunctions.langId($"t"), "xyzzy qwerty") == "und")
+  }
+}
+
+class MinHashSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog again and again"),
+    (1L, "the quick brown fox jumps over the lazy dog again and again!"), // near-dup of 0
+    (2L, "completely different content about spark query engines at scale"),
+    (3L, "another unrelated document mentioning benchmarks and shuffles")
+  ).toDF("doc_id", "text")
+
+  test("minhash signature is deterministic and has k elements") {
+    val sig = docs.select(MinHashLsh.signature(
+      TextFunctions.charShingles($"text", 5), 16).as("sig"))
+    val a = sig.collect().map(_.getSeq[Long](0))
+    val b = sig.collect().map(_.getSeq[Long](0))
+    assert(a.zip(b).forall { case (x, y) => x == y })
+    assert(a.forall(_.length == 16))
+  }
+
+  test("near-dup pairs found for planted duplicate, none across distinct docs") {
+    val pairs = MinHashLsh.nearDupPairs(docs, "doc_id",
+      TextFunctions.charShingles($"text", 5), numHashes = 32, bands = 8, threshold = 0.8)
+      .collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((0L, 1L)))
+  }
+
+  test("dedupKeepFirst drops the higher id of a dup pair") {
+    val kept = MinHashLsh.dedupKeepFirst(docs, "doc_id",
+      TextFunctions.charShingles($"text", 5), numHashes = 32, bands = 8, threshold = 0.8)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(0L, 2L, 3L))
+  }
+
+  test("simhash hamming distance small for near-dups, large for unrelated") {
+    val withSim = docs.select($"doc_id",
+      SimHash.simhash64(TextFunctions.wordNgrams($"text", 2)).as("sh"))
+    val m = withSim.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(m(0L), m(1L)) <= 8)
+    assert(ham(m(0L), m(2L)) > 8)
+  }
+
+  test("ngram jaccard pairs exact") {
+    val pairs = NgramJaccard.pairs(docs, "doc_id",
+      TextFunctions.wordNgrams($"text", 3), threshold = 0.8).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((0L, 1L)))
+  }
+}
+
+class VectorSimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosine of identical vectors is 1, orthogonal is 0") {
+    val df = Seq((Seq(1.0f, 0.0f), Seq(1.0f, 0.0f), Seq(0.0f, 2.0f)))
+      .toDF("a", "b", "c")
+    val r = df.select(
+      VectorSimilarity.cosine($"a", $"b").as("same"),
+      VectorSimilarity.cosine($"a", $"c").as("orth")).head()
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+    assert(math.abs(r.getDouble(1)) < 1e-12)
+  }
+
+  test("brute-force topk ranks by cosine with deterministic ties") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val out = VectorSimilarity.bruteForceTopK(emb, emb.filter($"vec_id" === 0), k = 3)
+      .collect()
+    assert(out.length == 3)
+    assert(out.map(_.getInt(3)).toSeq.sorted == Seq(1, 2, 3))
+    val cos = out.sortBy(_.getInt(3)).map(_.getDouble(2))
+    assert(cos.sliding(2).forall { case Array(a, b) => a >= b })
+  }
+
+  test("lsh buckets are deterministic") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet").limit(20)
+    val b1 = emb.select(VectorSimilarity.hyperplaneBucket($"embedding", 4, 64)).collect()
+    val b2 = emb.select(VectorSimilarity.hyperplaneBucket($"embedding", 4, 64)).collect()
+    assert(b1.map(_.getLong(0)).toSeq == b2.map(_.getLong(0)).toSeq)
+  }
+
+  test("multimodal feature extraction preserves ids and emits fixed-width vectors") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet").limit(10)
+    val media = Multimodal.synthesizeMedia(docs, "doc_id", "text")
+    val feats = Multimodal.extractFeatures(media, dim = 8).collect()
+    assert(feats.length == 10)
+    assert(feats.forall(_.getSeq[Float](2).length == 8))
+    assert(feats.forall(r => r.getInt(1) > 0))
+  }
+}

@@ -1,0 +1,120 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.types._
+
+import java.nio.file.{Files, Paths}
+
+class MsSqlChangeTrackingSpec extends SparkSpec {
+
+  test("delta query shape: CHANGETABLE join, CDC columns, merge key") {
+    val q = MsSqlChangeTracking.deltaQuery("dbo", "t", Seq("x"), Seq("y", "z"), 42L)
+    assert(q.contains("CHANGETABLE(CHANGES [dbo].[t], 42)"))
+    assert(q.contains("ct.SYS_CHANGE_VERSION"))
+    assert(q.contains("ct.SYS_CHANGE_OPERATION"))
+    assert(q.contains("HASHBYTES('SHA2_256'"))
+    assert(q.contains("LEFT JOIN [dbo].[t] AS tq ON ct.[x] = tq.[x]"))
+  }
+
+  test("backfill query synthesizes version 0 and operation I") {
+    val q = MsSqlChangeTracking.backfillQuery("dbo", "t", Seq("x"), Seq("y"))
+    assert(q.contains("CAST(0 AS BIGINT) AS SYS_CHANGE_VERSION"))
+    assert(q.contains("'I' AS SYS_CHANGE_OPERATION"))
+  }
+
+  test("shard count follows clamp(1+ln(cost)^3, 1, 1000)") {
+    assert(MsSqlChangeTracking.shardCountFromCost(0.5) == 1)
+    assert(MsSqlChangeTracking.shardCountFromCost(math.exp(2)) == 9) // 1+2^3
+    assert(MsSqlChangeTracking.shardCountFromCost(1e60) == 1000)
+  }
+
+  test("shard predicates partition the keyspace") {
+    val preds = MsSqlChangeTracking.shardPredicates(Seq("x", "y"), 3)
+    assert(preds.length == 3)
+    assert(preds(0) == "ABS(CAST(CHECKSUM([x], [y]) AS BIGINT)) % 3 = 0")
+  }
+}
+
+class CdmSourceSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("cdm type mapping mirrors the reference (decimal→double!)") {
+    assert(CdmSource.cdmTypeToSpark("guid") == StringType)
+    assert(CdmSource.cdmTypeToSpark("int64") == LongType)
+    assert(CdmSource.cdmTypeToSpark("decimal") == DoubleType)
+    assert(CdmSource.cdmTypeToSpark("dateTime") == TimestampNTZType)
+    assert(CdmSource.cdmTypeToSpark("dateTimeOffset") == TimestampType)
+    assert(CdmSource.cdmTypeToSpark("mystery") == StringType)
+  }
+
+  test("model.json schema extraction for one entity") {
+    val model =
+      """{"entities":[
+        |{"$type":"LocalEntity","name":"other","attributes":[{"name":"zz","dataType":"string"}]},
+        |{"$type":"LocalEntity","name":"acct","attributes":[
+        |  {"name":"Id","dataType":"guid"},
+        |  {"name":"versionnumber","dataType":"int64"},
+        |  {"name":"IsDelete","dataType":"boolean"}]}
+        |]}""".stripMargin
+    val schema = CdmSource.schemaFromModelJson(model, "acct")
+    assert(schema.fieldNames.toSeq == Seq("Id", "versionnumber", "IsDelete"))
+    assert(schema("versionnumber").dataType == LongType)
+    intercept[IllegalArgumentException] {
+      CdmSource.schemaFromModelJson(model, "missing")
+    }
+  }
+
+  test("timestamp dialects: Sink* uses M/d/yyyy, others ISO with Z variants") {
+    val df = Seq(("6/12/2024 3:04:05 PM", "2024-06-12T15:04:05.1234567Z",
+      "2024-06-12T15:04:05Z")).toDF("sink", "frac", "zulu")
+    val out = df.select(
+      CdmSource.parseCdmTimestamp("SinkCreatedOn", col("sink")).as("a"),
+      CdmSource.parseCdmTimestamp("modifiedon", col("frac")).as("b"),
+      CdmSource.parseCdmTimestamp("modifiedon", col("zulu")).as("c")).head()
+    assert(!out.isNullAt(0) && !out.isNullAt(1) && !out.isNullAt(2))
+    assert(out.getTimestamp(0).toString.startsWith("2024-06-12 15:04:05"))
+  }
+
+  test("deletes-last ordering: _file_seq ranks 2.csv before 1.csv") {
+    val dir = Files.createTempDirectory("cdm").toString
+    val entityDir = Paths.get(dir, "2024-01-01T00.00.00Z", "acct")
+    Files.createDirectories(entityDir)
+    // 2.csv carries the insert, 1.csv the later delete-marked row
+    Files.writeString(entityDir.resolve("2.csv"), "id1,1,False\n")
+    Files.writeString(entityDir.resolve("1.csv"), "id1,2,True\n")
+    val schema = StructType(Seq(
+      StructField("Id", StringType), StructField("versionnumber", LongType),
+      StructField("IsDelete", BooleanType)))
+    val df = CdmSource.readEntity(spark, s"$dir/2024-01-01T00.00.00Z", "acct", schema)
+    val rows = df.orderBy(col("_file_seq")).collect()
+    assert(rows.length == 2)
+    // 2.csv gets seq -2, 1.csv gets seq -1: delete (1.csv) sorts last
+    val bySeq = rows.map(r => (r.getAs[Long]("_file_seq"), r.getAs[Boolean]("IsDelete")))
+    assert(bySeq.maxBy(_._1)._2) // highest seq = the delete row
+  }
+
+  test("folder listing prunes in-progress and already-seen folders") {
+    val dir = Files.createTempDirectory("cdmroot").toString
+    Seq("2024-01-01T00.00.00Z", "2024-01-01T01.00.00Z", "2024-01-01T02.00.00Z", "junk")
+      .foreach(n => Files.createDirectories(Paths.get(dir, n)))
+    val got = CdmSource.listBatchFolders(spark, dir,
+      afterFolder = Some("2024-01-01T00.00.00Z"),
+      inProgress = Some("2024-01-01T02.00.00Z"))
+    assert(got == Seq("2024-01-01T01.00.00Z"))
+  }
+}
+
+class BlobListingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("listing filters by mod time and skips hidden/meta files") {
+    val dir = Files.createTempDirectory("blobs").toString
+    Seq((1L, "a")).toDF("id", "v").write.parquet(s"$dir/d1")
+    val (files, maxMod) = BlobListingSource.listNewFiles(spark, dir, Long.MinValue)
+    assert(files.nonEmpty)
+    assert(files.forall(f => !f.contains("_SUCCESS")))
+    val (none, sameMod) = BlobListingSource.listNewFiles(spark, dir, maxMod)
+    assert(none.isEmpty && sameMod == maxMod)
+  }
+}

@@ -1,0 +1,122 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.core.{InMemoryWatermarkStore, Watermark}
+import graft.operators.UpsertBlobDialect
+import graft.sources.{BlobListingSource, BlobSourceConfig}
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.functions._
+
+import java.nio.file.Files
+
+class ParquetTargetSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("commit/read round-trip with snapshot isolation and expiration") {
+    val dir = Files.createTempDirectory("ptarget").toString
+    val tgt = new ParquetTarget(spark, dir)
+    assert(!tgt.exists)
+    tgt.commit(Seq((1L, "a")).toDF("id", "v"))
+    tgt.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    assert(tgt.currentVersion.contains(2))
+    assert(tgt.read().count() == 2)
+    tgt.commit(Seq((3L, "c")).toDF("id", "v"))
+    val expired = tgt.expireSnapshots(keep = 1)
+    assert(expired.nonEmpty)
+    assert(tgt.read().count() == 1) // latest snapshot intact
+  }
+}
+
+/** The reference's minimum end-to-end slice (SURVEY §7.3): a folder of
+  * parquet change-files upserted into a versioned target with dedup-latest,
+  * schema evolution and watermark commit — scan, projection, window dedup,
+  * merge, evolution, watermark in one run.
+  */
+class CdcPipelineE2eSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("blob-listing source → dedup → upsert merge → watermark, incremental") {
+    val srcDir = Files.createTempDirectory("blobsrc").toString
+    val tgtDir = Files.createTempDirectory("tgt").toString
+    val wms = new InMemoryWatermarkStore
+    val pipeline = new CdcPipeline(spark, UpsertBlobDialect,
+      PipelineConfig(maintenanceEvery = 0), wms)
+    val target = new ParquetTarget(spark, tgtDir)
+    val cfg = BlobSourceConfig(srcDir, "parquet", pkColumns = Seq("id"))
+
+    // batch 1: two files
+    Seq((1L, "v1"), (2L, "v1")).toDF("id", "payload")
+      .write.mode(SaveMode.Append).parquet(srcDir)
+    val Some((b1, wm1)) = BlobListingSource.nextBatch(spark, cfg, None)
+    pipeline.runBatch(target, "t", b1, wm1)
+    assert(target.read().count() == 2)
+    assert(wms.get("t").contains(wm1))
+
+    // no new files → no batch
+    assert(BlobListingSource.nextBatch(spark, cfg, wms.get("t")).isEmpty)
+
+    // batch 2: update for id=1 + new id=3, newer mod time
+    Thread.sleep(1100) // distinct mtime second
+    Seq((1L, "v2"), (3L, "v1")).toDF("id", "payload")
+      .write.mode(SaveMode.Append).parquet(srcDir)
+    val Some((b2, wm2)) = BlobListingSource.nextBatch(spark, cfg, wms.get("t"))
+    pipeline.runBatch(target, "t", b2, wm2)
+
+    val rows = target.read().select("id", "payload").as[(Long, String)]
+      .collect().toMap
+    assert(rows == Map(1L -> "v2", 2L -> "v1", 3L -> "v1"))
+    assert(wms.get("t").exists(_.version >= wm1.version))
+  }
+
+  test("empty-batch short-circuit commits only the watermark") {
+    val tgtDir = Files.createTempDirectory("tgt2").toString
+    val wms = new InMemoryWatermarkStore
+    val pipeline = new CdcPipeline(spark, UpsertBlobDialect, PipelineConfig(), wms)
+    val target = new ParquetTarget(spark, tgtDir)
+    val empty = Seq.empty[(String, Long, String)]
+      .toDF("ARCANE_MERGE_KEY", "createdon", "v")
+    pipeline.runBatch(target, "t", empty, Watermark.blob(42L))
+    assert(!target.exists)
+    assert(wms.get("t").isDefined)
+  }
+
+  test("backfill overwrite: dedup + tombstone filter + swap") {
+    val tgtDir = Files.createTempDirectory("tgt3").toString
+    val wms = new InMemoryWatermarkStore
+    val target = new ParquetTarget(spark, tgtDir)
+    val full = Seq(
+      ("k1", 1L, false, "a"), ("k1", 2L, false, "b"),
+      ("k2", 1L, true, "x"), ("k3", 1L, false, "c")
+    ).toDF("ARCANE_MERGE_KEY", "versionnumber", "IsDelete", "v")
+    Backfill.overwrite(target, "t", full, "ARCANE_MERGE_KEY",
+      graft.operators.SynapseLinkDialect, Watermark.blob(1L), wms)
+    val keys = target.read().select("ARCANE_MERGE_KEY").as[String].collect().toSet
+    assert(keys == Set("k1", "k3")) // k2 tombstoned, k1 deduped to latest
+  }
+}
+
+class StructuredStreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("events hourly agg runs identically under Structured Streaming") {
+    val schema = spark.read.parquet(s"$sf/events.parquet").schema
+    val stream = spark.readStream.schema(schema).parquet(s"$sf")
+    // note: reads all tables' dirs would clash — point to a dedicated dir
+    val dir = Files.createTempDirectory("stream").toString
+    spark.read.parquet(s"$sf/events.parquet").write.parquet(s"$dir/in")
+    val in = spark.readStream.schema(schema).parquet(s"$dir/in")
+      .withColumn("ts_ntz", timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+    val agg = in.groupBy(date_trunc("hour", $"ts_ntz").as("hour"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+    val q = agg.writeStream.outputMode("complete")
+      .format("memory").queryName("hourly").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("hourly").count()
+      val batch = spark.read.parquet(s"$sf/events.parquet")
+        .withColumn("ts_ntz", timestamp_micros(expr("ts div 1000")))
+        .groupBy(date_trunc("hour", $"ts_ntz"), $"event_type").count().count()
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+}
