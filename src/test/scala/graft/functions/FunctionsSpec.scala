@@ -145,3 +145,35 @@ class VectorSimilaritySpec extends SparkSpec {
     assert(feats.forall(r => r.getInt(1) > 0))
   }
 }
+
+class VectorExprSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("codegen cosine matches interpreted HOF cosine on real embeddings") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet").limit(50)
+    val a = emb.select($"vec_id", $"embedding".as("va"))
+    val b = emb.select($"vec_id".as("vid2"), $"embedding".as("vb"))
+    val pairs = a.crossJoin(b.limit(5))
+    val diff = pairs.select(
+      abs(VectorSimilarity.cosine($"va", $"vb") -
+          VectorSimilarity.cosineHof($"va", $"vb")).as("d"))
+      .agg(max($"d")).head().getDouble(0)
+    assert(diff < 1e-12)
+  }
+
+  test("cosine null/zero-norm handling") {
+    val df = Seq(
+      (Some(Seq(1.0f, 2.0f)), Some(Seq(0.0f, 0.0f))),
+      (None, Some(Seq(1.0f, 1.0f)))
+    ).toDF("a", "b")
+    val out = df.select(VectorSimilarity.cosine($"a", $"b")).collect()
+    assert(out(0).getDouble(0) == 0.0) // zero norm -> 0
+    assert(out(1).isNullAt(0))         // null array -> null
+  }
+
+  test("dot product matches manual computation") {
+    val df = Seq((Seq(1.0f, 2.0f, 3.0f), Seq(4.0f, 5.0f, 6.0f))).toDF("a", "b")
+    assert(df.select(VectorSimilarity.dot($"a", $"b")).head().getDouble(0) == 32.0)
+  }
+}
