@@ -31,12 +31,18 @@ final class CdcPipeline(spark: SparkSession, dialect: MergeDialect,
 
   @volatile private var batchCount: Long = 0L
 
+  private def commitWatermark(targetName: String, wm: Watermark): Unit = {
+    watermarks.set(targetName, wm)
+    GraftMetrics.inc(GraftMetrics.WatermarkUpdates)
+    GraftMetrics.gauge(GraftMetrics.WatermarkAge, wm.ageMillis(System.currentTimeMillis()))
+  }
+
   /** Run one micro-batch through the full stage chain against a target. */
   def runBatch(target: ParquetTarget, targetName: String, changes: DataFrame,
                watermark: Watermark, tieBreakers: Seq[Column] = Nil): Unit = {
     // T11 empty-batch short-circuit: commit only the watermark.
     if (changes.isEmpty) {
-      watermarks.set(targetName, watermark)
+      commitWatermark(targetName, watermark)
       return
     }
     // P1/P2 field filtering (columns prune into the scan)
@@ -60,19 +66,24 @@ final class CdcPipeline(spark: SparkSession, dialect: MergeDialect,
     val evolved = SchemaEvolution.evolve(current.schema, latest.schema)
 
     // M2-M4 version-guarded merge, then snapshot commit
+    val t0 = System.currentTimeMillis()
     val merged = CdcMerge.applyChanges(
       CdcMerge.alignTo(current, evolved), CdcMerge.alignTo(latest, evolved),
       cfg.keyColumn, dialect)
     target.commit(merged, cfg.targetPartitions)
+    GraftMetrics.gauge(GraftMetrics.MergeDuration, System.currentTimeMillis() - t0)
 
     // T3 watermark commit AFTER the merge — replay-safe via version guards
-    watermarks.set(targetName, watermark)
+    commitWatermark(targetName, watermark)
 
     // X1/X2/X3 maintenance every Nth batch
     batchCount += 1
     if (cfg.maintenanceEvery > 0 && batchCount % cfg.maintenanceEvery == 0) {
+      val m0 = System.currentTimeMillis()
       target.expireSnapshots(cfg.snapshotsToKeep)
       target.removeOrphans()
+      GraftMetrics.gauge(GraftMetrics.TargetSnapshotExpireDuration,
+        System.currentTimeMillis() - m0)
     }
   }
 

@@ -1,0 +1,64 @@
+package graft.streaming
+
+import org.apache.spark.sql.streaming.StreamingQueryListener
+import org.apache.spark.sql.streaming.StreamingQueryListener._
+
+import java.util.concurrent.ConcurrentHashMap
+import java.util.concurrent.atomic.LongAdder
+
+/** Metrics registry mirroring the reference's `arcane.stream.*` metric
+  * surface (services/metrics/DeclaredMetrics.scala:10-103): same names, so
+  * dashboards port 1:1. Counters/gauges are in-memory here; `snapshot()`
+  * is the export point for a StatsD/Dropwizard bridge in deployment.
+  */
+object GraftMetrics {
+  private val counters = new ConcurrentHashMap[String, LongAdder]()
+  private val gauges = new ConcurrentHashMap[String, Long]()
+
+  def inc(name: String, delta: Long = 1L): Unit =
+    counters.computeIfAbsent(name, _ => new LongAdder).add(delta)
+  def gauge(name: String, value: Long): Unit = gauges.put(name, value)
+
+  def counter(name: String): Long =
+    Option(counters.get(name)).map(_.sum()).getOrElse(0L)
+  def gaugeValue(name: String): Option[Long] = Option(gauges.get(name))
+
+  def snapshot(): Map[String, Long] = {
+    import scala.jdk.CollectionConverters._
+    counters.asScala.map { case (k, v) => k -> v.sum() }.toMap ++
+      gauges.asScala.toMap
+  }
+
+  def reset(): Unit = { counters.clear(); gauges.clear() }
+
+  // Metric names (reference DeclaredMetrics)
+  val RowsIncoming = "arcane.stream.rows.incoming"
+  val ChunkSize = "arcane.stream.rows.chunk_size"
+  val StageDuration = "arcane.stream.batch.stage_duration"
+  val MergeDuration = "arcane.stream.batch.merge_duration"
+  val DisposeDuration = "arcane.stream.batch.dispose_duration"
+  val WatermarkAge = "arcane.stream.watermark.age"
+  val WatermarkUpdates = "arcane.stream.watermark.updates"
+  val BackfillShardsStaged = "arcane.stream.backfill.shards_staged"
+  val BackfillShardsCombined = "arcane.stream.backfill.shards_combined"
+  val TargetOptimizeDuration = "arcane.stream.target.optimize_duration"
+  val TargetSnapshotExpireDuration = "arcane.stream.target.snapshot_expire_duration"
+}
+
+/** StreamingQueryListener bridging Spark's streaming progress events into
+  * the arcane.stream.* metric names (reference pushes the same numbers to a
+  * DataDog UDS publisher; the snapshot map is the equivalent hook here).
+  */
+class GraftStreamingListener extends StreamingQueryListener {
+  override def onQueryStarted(event: QueryStartedEvent): Unit = ()
+
+  override def onQueryProgress(event: QueryProgressEvent): Unit = {
+    val p = event.progress
+    GraftMetrics.inc(GraftMetrics.RowsIncoming, p.numInputRows)
+    GraftMetrics.gauge(GraftMetrics.ChunkSize, p.numInputRows)
+    Option(p.durationMs.get("triggerExecution"))
+      .foreach(d => GraftMetrics.gauge(GraftMetrics.MergeDuration, d))
+  }
+
+  override def onQueryTerminated(event: QueryTerminatedEvent): Unit = ()
+}
