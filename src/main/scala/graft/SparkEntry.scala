@@ -146,6 +146,102 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // semi-join (EXISTS): orders with at least one late lineitem
+    "q4_order_priority" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01") && col("o_orderdate") < lit("1997-01-01"))
+      val l = t(s, dir, "lineitem")
+      o.join(l, col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).cast("long").as("order_count"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // anti-join + outer aggregation: order-count distribution per customer
+    "q13_customer_orders" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).cast("long").as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).cast("long").as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }),
+
+    // correlated-aggregate join: lineitems below 20% of the part's avg qty
+    "q17_small_quantity" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem")
+      val avgQty = l.groupBy(col("l_partkey").as("ap_partkey"))
+        .agg((avg(col("l_quantity")) * 0.2).as("avg20"))
+      l.join(broadcast(avgQty), col("l_partkey") === col("ap_partkey"))
+        .filter(col("l_quantity") < col("avg20"))
+        .agg(round(sum(col("l_extendedprice")) / 7.0, 2).as("avg_yearly"))
+    }),
+
+    // group-having + join back: customers with any order above a threshold
+    "q18_large_orders" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem")
+      val big = l.groupBy(col("l_orderkey").as("big_orderkey"))
+        .agg(sum(col("l_quantity")).as("sum_qty"))
+        .filter(col("sum_qty") > 150)
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      o.join(broadcast(big), col("o_orderkey") === col("big_orderkey"))
+        .join(broadcast(c), col("c_custkey") === col("o_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"), round(col("sum_qty"), 2).as("sum_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(20)
+    }),
+
+    // set operations: intersect/except over key sets
+    "setop_users" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val early = ev.filter(col("event_id") < 5000).select(col("user_id"))
+      val late = ev.filter(col("event_id") >= 5000).select(col("user_id"))
+      val both = early.intersect(late).withColumn("kind", lit("both"))
+      val onlyEarly = early.except(late).withColumn("kind", lit("only_early"))
+      both.unionByName(onlyEarly)
+        .groupBy(col("kind")).agg(count(lit(1)).cast("long").as("n_users"))
+        .orderBy(col("kind"))
+    }),
+
+    // exact distribution statistics per group (stddev, exact median)
+    "q_value_stats" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(
+          round(stddev_samp(col("value")), 4).as("sd_value"),
+          round(expr("percentile(value, 0.5)"), 4).as("median_value"),
+          round(min(col("value")), 4).as("min_value"),
+          round(max(col("value")), 4).as("max_value"))
+        .orderBy(col("event_type"))
+    }),
+
+    // gap-based sessionization (30-min inactivity): lag + cumulative flag —
+    // the batch twin of the mapGroupsWithState streaming path
+    "q_events_sessions" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val flagged = t(s, dir, "events")
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull ||
+            unix_seconds(col("ts").cast("timestamp")) -
+              unix_seconds(col("prev_ts").cast("timestamp")) > 1800, 1L).otherwise(0L))
+        .withColumn("session_seq",
+          sum(col("new_session")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      flagged.groupBy(col("user_id"), col("session_seq"))
+        .agg(count(lit(1)).cast("long").as("n_events"),
+          round(sum(col("value")), 4).as("session_value"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).cast("long").as("n_sessions"),
+          max(col("n_events")).as("max_session_events"),
+          round(max(col("session_value")), 4).as("max_session_value"))
+        .orderBy(col("user_id"))
+    }),
+
     // ===================== CDC operators (SURVEY §2.4) =====================
 
     // M1: dedup-latest (reduceExpr) — row_number dialect
@@ -482,6 +578,91 @@ object SparkEntry {
           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_value
           |FROM events
           |ORDER BY event_id""".stripMargin,
+
+      "q4_order_priority" ->
+        """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+          |FROM orders
+          |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+          |  AND EXISTS (SELECT 1 FROM lineitem
+          |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+          |GROUP BY o_orderpriority
+          |ORDER BY o_orderpriority""".stripMargin,
+
+      "q13_customer_orders" ->
+        """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+          |FROM (
+          |  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+          |  FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+          |  GROUP BY c_custkey)
+          |GROUP BY c_count
+          |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+      "q17_small_quantity" ->
+        """SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+          |FROM lineitem,
+          |  (SELECT l_partkey AS ap_partkey, 0.2 * avg(l_quantity) AS avg20
+          |   FROM lineitem GROUP BY l_partkey) a
+          |WHERE l_partkey = ap_partkey AND l_quantity < avg20""".stripMargin,
+
+      "q18_large_orders" ->
+        """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+          |  round(sum_qty, 2) AS sum_qty
+          |FROM orders
+          |JOIN (SELECT l_orderkey AS big_orderkey, sum(l_quantity) AS sum_qty
+          |      FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 150) b
+          |  ON o_orderkey = big_orderkey
+          |JOIN customer ON c_custkey = o_custkey
+          |ORDER BY o_totalprice DESC, o_orderkey
+          |LIMIT 20""".stripMargin,
+
+      "setop_users" ->
+        """WITH early AS (SELECT DISTINCT user_id FROM events WHERE event_id < 5000),
+          |late AS (SELECT DISTINCT user_id FROM events WHERE event_id >= 5000),
+          |tagged AS (
+          |  SELECT user_id, 'both' AS kind FROM (SELECT user_id FROM early INTERSECT SELECT user_id FROM late)
+          |  UNION ALL
+          |  SELECT user_id, 'only_early' AS kind FROM (SELECT user_id FROM early EXCEPT SELECT user_id FROM late))
+          |SELECT kind, CAST(count(*) AS BIGINT) AS n_users
+          |FROM tagged
+          |GROUP BY kind
+          |ORDER BY kind""".stripMargin,
+
+      "q_value_stats" ->
+        """SELECT event_type,
+          |  round(stddev_samp(value), 4) AS sd_value,
+          |  round(quantile_cont(value, 0.5), 4) AS median_value,
+          |  round(min(value), 4) AS min_value,
+          |  round(max(value), 4) AS max_value
+          |FROM events
+          |GROUP BY event_type
+          |ORDER BY event_type""".stripMargin,
+
+      "q_events_sessions" ->
+        """WITH flagged AS (
+          |  SELECT user_id, event_id, ts, value,
+          |    CASE WHEN lag(ts) OVER w IS NULL
+          |           OR date_diff('second', lag(ts) OVER w, ts) > 1800
+          |         THEN 1 ELSE 0 END AS new_session
+          |  FROM events
+          |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+          |), sessions AS (
+          |  SELECT user_id, event_id, value,
+          |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+          |  FROM flagged
+          |), per_session AS (
+          |  SELECT user_id, session_seq,
+          |    CAST(count(*) AS BIGINT) AS n_events,
+          |    round(sum(value), 4) AS session_value
+          |  FROM sessions GROUP BY user_id, session_seq)
+          |SELECT user_id,
+          |  CAST(count(*) AS BIGINT) AS n_sessions,
+          |  max(n_events) AS max_session_events,
+          |  round(max(session_value), 4) AS max_session_value
+          |FROM per_session
+          |GROUP BY user_id
+          |ORDER BY user_id""".stripMargin,
 
       "m1_dedup_latest" ->
         """SELECT user_id, event_id, ts, event_type, value

@@ -37,14 +37,27 @@ final class CdcPipeline(spark: SparkSession, dialect: MergeDialect,
     GraftMetrics.gauge(GraftMetrics.WatermarkAge, wm.ageMillis(System.currentTimeMillis()))
   }
 
-  /** Run one micro-batch through the full stage chain against a target. */
-  def runBatch(target: ParquetTarget, targetName: String, changes: DataFrame,
+  /** Run one micro-batch through the full stage chain against a target.
+    * The batch is persisted for the duration: the chain takes several
+    * actions (emptiness probe, merge, commit) and an unpersisted streaming
+    * batch would re-pull the source — for a JDBC CDC feed that means
+    * re-querying the database per action.
+    */
+  def runBatch(target: ParquetTarget, targetName: String, changes0: DataFrame,
                watermark: Watermark, tieBreakers: Seq[Column] = Nil): Unit = {
+    val changes = changes0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try runBatchInner(target, targetName, changes, watermark, tieBreakers)
+    finally changes.unpersist()
+  }
+
+  private def runBatchInner(target: ParquetTarget, targetName: String, changes: DataFrame,
+                            watermark: Watermark, tieBreakers: Seq[Column]): Unit = {
     // T11 empty-batch short-circuit: commit only the watermark.
     if (changes.isEmpty) {
       commitWatermark(targetName, watermark)
       return
     }
+    GraftMetrics.inc(GraftMetrics.RowsIncoming, changes.count())
     // P1/P2 field filtering (columns prune into the scan)
     val filtered0 =
       if (cfg.includeColumns.nonEmpty)
