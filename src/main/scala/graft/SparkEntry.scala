@@ -337,6 +337,17 @@ object SparkEntry {
         .orderBy(col("shard"))
     }),
 
+    // S7: JSON pointer extraction over a semi-structured column
+    "s7_json_pointer" -> ((s, dir) => {
+      t(s, dir, "events")
+        .withColumn("k", graft.sources.JsonShape.extractString(col("props"), "/k").cast("long"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).cast("long").as("n_events"),
+          sum(col("k")).cast("long").as("sum_k"),
+          round(avg(col("k")), 4).as("avg_k"))
+        .orderBy(col("event_type"))
+    }),
+
     // ================= LLM-pipeline operators (SURVEY §7.5) ================
 
     // exact dedup: one survivor per identical text (hash-grouped)
@@ -716,6 +727,15 @@ object SparkEntry {
           |FROM lineitem
           |GROUP BY 1
           |ORDER BY 1""".stripMargin,
+
+      "s7_json_pointer" ->
+        """SELECT event_type,
+          |  CAST(count(*) AS BIGINT) AS n_events,
+          |  CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+          |  round(avg(CAST(json_extract(props, '$.k') AS BIGINT)), 4) AS avg_k
+          |FROM events
+          |GROUP BY event_type
+          |ORDER BY event_type""".stripMargin,
 
       "dedup_exact" ->
         """SELECT doc_id, n_chars

@@ -85,6 +85,44 @@ final class ParquetTarget(spark: SparkSession, dir: String) {
     orphans
   }
 
+  /** Statistics collection (maintenance X4 analog of `ANALYZE TABLE ...
+    * COMPUTE STATISTICS`): row count + per-column null counts and min/max
+    * for atomic columns, persisted as a `_STATS.json` sidecar the way the
+    * reference stores stats with the table. Returns the stats map.
+    */
+  def analyze(columns: Seq[String] = Nil): Map[String, String] = {
+    import org.apache.spark.sql.functions._
+    val df = read()
+    import org.apache.spark.sql.types._
+    val atomic: DataType => Boolean = {
+      case _: ArrayType | _: StructType | _: MapType | BinaryType => false
+      case _ => true
+    }
+    val cols = if (columns.nonEmpty) columns
+      else df.schema.fields.filter(f => atomic(f.dataType)).map(_.name).toSeq
+    val aggs = count(lit(1)).as("__rows") +:
+      cols.flatMap(c => Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nulls:$c"),
+        min(col(c)).cast("string").as(s"min:$c"),
+        max(col(c)).cast("string").as(s"max:$c")))
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val stats = row.schema.fieldNames.zipWithIndex.map { case (n, i) =>
+      (if (n == "__rows") "rows" else n) -> Option(row.get(i)).map(_.toString).getOrElse("null")
+    }.toMap
+    val json = stats.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""${k.replace("\"", "")}": "${v.replace("\"", "")}"""" }
+      .mkString("{", ", ", "}")
+    Files.createDirectories(base)
+    Files.write(base.resolve("_STATS.json"), json.getBytes(StandardCharsets.UTF_8))
+    stats
+  }
+
+  def readStats(): Option[String] = {
+    val p = base.resolve("_STATS.json")
+    if (Files.exists(p)) Some(new String(Files.readAllBytes(p), StandardCharsets.UTF_8))
+    else None
+  }
+
   private def listVersions(): Seq[Int] =
     if (!Files.exists(base)) Nil
     else {

@@ -55,3 +55,30 @@ class BootstrapSpec extends SparkSpec {
     assert(snap("arcane.stream.watermark.age") == 1234)
   }
 }
+
+class MaintenanceSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("analyze computes rows, null counts, min/max and persists sidecar") {
+    val dir = java.nio.file.Files.createTempDirectory("ana").toString
+    val t = new ParquetTarget(spark, dir)
+    t.commit(Seq((1L, Some("a")), (2L, None), (3L, Some("c"))).toDF("id", "v"))
+    val stats = t.analyze()
+    assert(stats("rows") == "3")
+    assert(stats("nulls:v") == "1")
+    assert(stats("min:id") == "1" && stats("max:id") == "3")
+    assert(t.readStats().exists(_.contains("\"rows\": \"3\"")))
+  }
+
+  test("adaptive trigger sizing: row estimate, cap, partition clamp") {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("s", org.apache.spark.sql.types.StringType)))
+    val rowBytes = AdaptiveTrigger.estimateRowBytes(schema, avgStringLen = 100)
+    assert(rowBytes == 8 + 8 + 108)
+    val cap = AdaptiveTrigger.maxRowsPerTrigger(1L << 30, rowBytes, cutoff = 0.6)
+    assert(cap > 0 && cap < (1L << 30))
+    assert(AdaptiveTrigger.commitPartitions(32) == 16)
+    assert(AdaptiveTrigger.commitPartitions(1) == 1)
+  }
+}
