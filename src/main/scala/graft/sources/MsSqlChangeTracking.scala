@@ -83,6 +83,27 @@ object MsSqlChangeTracking {
     spark.read.jdbc(jdbcUrl, q, shardPredicates(pkColumns, numShards), props)
   }
 
+  /** Version ↔ time bridge queries (reference MsSqlStreamingSource.scala:
+    * 222-267, QueryProvider.scala:200-207): map a backfill start timestamp
+    * to the first change-tracking version at-or-after it, with the
+    * documented caveat that `sys.dm_tran_commit_table` can lag — callers
+    * fall back to the current version when the scalar comes back NULL.
+    */
+  def timestampToVersionQuery(isoTimestamp: String): String =
+    s"""SELECT MIN(commit_ts) FROM sys.dm_tran_commit_table
+       |WHERE commit_time >= '$isoTimestamp'""".stripMargin
+
+  def versionToTimestampQuery(version: Long): String =
+    s"""SELECT MIN(commit_time) FROM sys.dm_tran_commit_table
+       |WHERE commit_ts >= $version""".stripMargin
+
+  /** `TOP 1` change-existence probe (reference hasChanges,
+    * MsSqlStreamingSource.scala:333-337): cheap guard before planning a
+    * batch pull.
+    */
+  def hasChangesQuery(schema: String, table: String, fromVersion: Long): String =
+    s"SELECT TOP 1 1 FROM CHANGETABLE(CHANGES [$schema].[$table], $fromVersion) AS ct"
+
   /** Delta read for one micro-batch (changes in (fromVersion, toVersion]). */
   def readDelta(spark: SparkSession, jdbcUrl: String, props: java.util.Properties,
                 schema: String, table: String, pkColumns: Seq[String],

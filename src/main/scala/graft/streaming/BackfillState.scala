@@ -1,0 +1,78 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Resumable sharded-backfill state (reference B3,
+  * services/backfill/DefaultBackfillStateManager.scala:17-112): shard
+  * lifecycle PENDING → STAGED → COMBINED, persisted so an interrupted
+  * backfill resumes from the last completed shard instead of restarting.
+  *
+  * The reference keeps shard state in Iceberg table properties; here it is a
+  * tiny versioned parquet state table keyed (backfillId, shardId) — same
+  * payloads, atomic via ParquetTarget's pointer commit. At 1000 shards the
+  * state table is 1000 rows; the cost of a state commit is noise next to a
+  * shard pull.
+  */
+final case class ShardState(backfillId: String, shardId: Int, status: String,
+                            watermarkJson: String)
+
+object BackfillState {
+  val Pending = "PENDING"
+  val Staged = "STAGED"
+  val Combined = "COMBINED"
+}
+
+final class BackfillStateManager(spark: SparkSession, stateDir: String) {
+  import spark.implicits._
+  private val table = new ParquetTarget(spark, stateDir)
+
+  private def emptyState: DataFrame =
+    Seq.empty[ShardState].toDF()
+
+  def read(backfillId: String): Map[Int, ShardState] = {
+    if (!table.exists) return Map.empty
+    table.read().as[ShardState].collect()
+      .filter(_.backfillId == backfillId)
+      .map(s => s.shardId -> s).toMap
+  }
+
+  /** Initialize (or resume) a backfill: creates missing shard rows as
+    * PENDING, retains existing states. Returns the shard ids still needing
+    * work (not COMBINED).
+    */
+  def begin(backfillId: String, numShards: Int): Seq[Int] = {
+    val existing = read(backfillId)
+    val rows = (0 until numShards).map { i =>
+      existing.getOrElse(i, ShardState(backfillId, i, BackfillState.Pending, ""))
+    }
+    commitStates(backfillId, rows)
+    rows.filterNot(_.status == BackfillState.Combined).map(_.shardId)
+  }
+
+  def markStaged(backfillId: String, shardId: Int, watermarkJson: String = ""): Unit =
+    updateShard(backfillId, shardId, BackfillState.Staged, watermarkJson)
+
+  def markCombined(backfillId: String, shardId: Int): Unit =
+    updateShard(backfillId, shardId, BackfillState.Combined, "")
+
+  def isComplete(backfillId: String): Boolean = {
+    val st = read(backfillId)
+    st.nonEmpty && st.values.forall(_.status == BackfillState.Combined)
+  }
+
+  private def updateShard(backfillId: String, shardId: Int, status: String,
+                          wm: String): Unit = {
+    val updated = read(backfillId).values.toSeq
+      .filterNot(_.shardId == shardId) :+ ShardState(backfillId, shardId, status, wm)
+    commitStates(backfillId, updated)
+  }
+
+  private def commitStates(backfillId: String, states: Seq[ShardState]): Unit = {
+    val others =
+      if (table.exists) table.read().as[ShardState].collect().toSeq
+        .filterNot(_.backfillId == backfillId)
+      else Nil
+    table.commit((others ++ states).toDF(), partitions = Some(1))
+  }
+}

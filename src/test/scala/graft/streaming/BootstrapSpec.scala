@@ -82,3 +82,40 @@ class MaintenanceSpec extends SparkSpec {
     assert(AdaptiveTrigger.commitPartitions(1) == 1)
   }
 }
+
+class BackfillStateSpec extends SparkSpec {
+
+  test("begin creates pending shards; resume skips combined ones") {
+    val dir = java.nio.file.Files.createTempDirectory("bfstate").toString
+    val mgr = new BackfillStateManager(spark, dir)
+    assert(mgr.begin("b1", 4) == Seq(0, 1, 2, 3))
+    mgr.markStaged("b1", 0, """{"v":1}""")
+    mgr.markCombined("b1", 0)
+    mgr.markStaged("b1", 2)
+    // resume: shard 0 done, shards 1-3 remain (2 is STAGED, needs combining)
+    assert(mgr.begin("b1", 4).sorted == Seq(1, 2, 3))
+    assert(!mgr.isComplete("b1"))
+    Seq(1, 2, 3).foreach(mgr.markCombined("b1", _))
+    assert(mgr.isComplete("b1"))
+  }
+
+  test("state isolates backfill ids; fresh manager resumes from disk") {
+    val dir = java.nio.file.Files.createTempDirectory("bfstate2").toString
+    val mgr = new BackfillStateManager(spark, dir)
+    mgr.begin("b1", 2)
+    mgr.markCombined("b1", 0)
+    mgr.begin("b2", 2)
+    val mgr2 = new BackfillStateManager(spark, dir) // fresh process
+    assert(mgr2.begin("b1", 2) == Seq(1))
+    assert(mgr2.read("b2").size == 2)
+  }
+
+  test("mssql version-time bridge and probe query shapes") {
+    import graft.sources.MsSqlChangeTracking
+    assert(MsSqlChangeTracking.timestampToVersionQuery("2024-01-01T00:00:00")
+      .contains("MIN(commit_ts)"))
+    assert(MsSqlChangeTracking.versionToTimestampQuery(42L).contains("commit_ts >= 42"))
+    assert(MsSqlChangeTracking.hasChangesQuery("dbo", "t", 7)
+      == "SELECT TOP 1 1 FROM CHANGETABLE(CHANGES [dbo].[t], 7) AS ct")
+  }
+}
