@@ -26,6 +26,12 @@ object Naming {
   def shardTable(streamId: String, backfillId: String, shardId: Int): String =
     s"${backfillTable(streamId, backfillId)}__shard__$shardId"
 
+  /** camelCase → snake_case (reference StringExtensions.scala:15-18), used
+    * when mapping CDM/entity attribute names onto warehouse columns.
+    */
+  def camelCaseToSnakeCase(s: String): String =
+    s.replaceAll("([a-z0-9])([A-Z])", "$1_$2").toLowerCase
+
   def isStagingFor(streamId: String, tableName: String): Boolean =
     tableName.startsWith(stagingPrefix(streamId))
 

@@ -74,6 +74,28 @@ final class InMemoryWatermarkStore extends WatermarkStore {
   override def set(target: String, wm: Watermark): Unit = state.put(target, wm)
 }
 
+/** Catalog-table-property store — the reference's actual mechanism (K7/T3:
+  * watermark JSON in the Iceberg table `comment`/property,
+  * IcebergTablePropertyManager.scala:40-61) via Spark SQL
+  * `ALTER TABLE ... SET TBLPROPERTIES`. Works against any session-catalog or
+  * Iceberg/Delta table; `target` is the catalog table name.
+  */
+final class TablePropertyWatermarkStore(spark: org.apache.spark.sql.SparkSession,
+                                        propertyKey: String = "graft.watermark")
+    extends WatermarkStore {
+
+  override def get(target: String): Option[Watermark] = {
+    val props = spark.sql(s"SHOW TBLPROPERTIES $target").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    props.get(propertyKey).flatMap(Watermark.fromJson)
+  }
+
+  override def set(target: String, wm: Watermark): Unit = {
+    val json = wm.toJson.replace("'", "''")
+    spark.sql(s"ALTER TABLE $target SET TBLPROPERTIES ('$propertyKey' = '$json')")
+  }
+}
+
 /** Sidecar-file store: `<dir>/_graft_watermark.json`, written atomically
   * (tmp + move) so a crash mid-commit leaves the previous watermark intact —
   * the version-guarded merge makes the resulting replay a no-op.

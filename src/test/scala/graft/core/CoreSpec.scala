@@ -102,3 +102,27 @@ class WatermarkSpec extends SparkSpec {
     assert(Naming.shardTable("s", "b1", 3) == "backfill__s__b1__shard__3")
   }
 }
+
+class TablePropertyWatermarkSpec extends SparkSpec {
+
+  test("watermark round-trips through ALTER TABLE SET TBLPROPERTIES") {
+    val wh = java.nio.file.Files.createTempDirectory("wmwh").toString
+    spark.sql(s"CREATE TABLE wm_t (id BIGINT) USING parquet LOCATION '$wh/wm_t'")
+    try {
+      val store = new TablePropertyWatermarkStore(spark)
+      assert(store.get("wm_t").isEmpty)
+      val wm = Watermark.mssql(42L)
+      store.set("wm_t", wm)
+      assert(store.get("wm_t").contains(wm))
+      val wm2 = Watermark.mssql(43L)
+      store.set("wm_t", wm2) // overwrite
+      assert(store.get("wm_t").contains(wm2))
+    } finally spark.sql("DROP TABLE wm_t")
+  }
+
+  test("camelCase to snake_case") {
+    assert(Naming.camelCaseToSnakeCase("SinkCreatedOn") == "sink_created_on")
+    assert(Naming.camelCaseToSnakeCase("versionnumber") == "versionnumber")
+    assert(Naming.camelCaseToSnakeCase("myField2X") == "my_field2_x")
+  }
+}

@@ -100,8 +100,6 @@ class StructuredStreamingSpec extends SparkSpec {
 
   test("events hourly agg runs identically under Structured Streaming") {
     val schema = spark.read.parquet(s"$sf/events.parquet").schema
-    val stream = spark.readStream.schema(schema).parquet(s"$sf")
-    // note: reads all tables' dirs would clash — point to a dedicated dir
     val dir = Files.createTempDirectory("stream").toString
     spark.read.parquet(s"$sf/events.parquet").write.parquet(s"$dir/in")
     val in = spark.readStream.schema(schema).parquet(s"$dir/in")
