@@ -435,6 +435,13 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rnk"))
     }),
 
+    // exact cosine threshold self-join (embedding near-dup detection)
+    "vec_threshold_join" -> ((s, dir) => {
+      VectorSimilarity.thresholdJoin(
+        t(s, dir, "embeddings").filter(col("vec_id") < 500), minCosine = 0.4)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // multimodal: opaque binary payload + typed metadata plumbing
     "mm_media_meta" -> ((s, dir) => {
       val media = Multimodal.synthesizeMedia(t(s, dir, "documents"), "doc_id", "text")
@@ -828,6 +835,15 @@ object SparkEntry {
           |FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id) AS rn FROM s)
           |WHERE rn <= 5
           |ORDER BY query_id, rnk""".stripMargin,
+
+      "vec_threshold_join" ->
+        """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+          |           FROM embeddings WHERE vec_id < 500)
+          |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+          |  round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+          |FROM e a JOIN e b ON a.vec_id < b.vec_id
+          |WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4
+          |ORDER BY id_a, id_b""".stripMargin,
 
       "mm_media_meta" ->
         """SELECT doc_id AS media_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes

@@ -68,6 +68,23 @@ object VectorSimilarity {
       .select(col("query_id"), col("corpus_id"), col("cosine"), col("__rn").as("rank"))
   }
 
+  /** Exact cosine threshold join: all (a, b) pairs with similarity >=
+    * `minCosine`, a.id < b.id. The self-join is a broadcast of ids+vectors
+    * against the streaming corpus side when one side is small, else a
+    * cartesian handled by Spark's block-nested join — use the LSH variant
+    * ([[lshTopK]] buckets) to prefilter at corpus scale; this exact form is
+    * the verification kernel and the small-side path.
+    */
+  def thresholdJoin(df: DataFrame, minCosine: Double,
+                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("__va"))
+    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("__vb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cosine", round(cosine(col("__va"), col("__vb")), 6))
+      .filter(col("cosine") >= minCosine)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+
   /** Random-hyperplane LSH bucket id: `nbits` sign bits of dot products with
     * deterministic pseudo-random hyperplanes. Component j of plane p is
     * derived from xxhash64(p, j), scaled to [-1, 1] — fully reproducible

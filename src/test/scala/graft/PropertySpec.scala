@@ -1,0 +1,93 @@
+package graft
+
+import graft.core.SchemaEvolution
+import graft.operators.{CdcMerge, Dedup, UpsertBlobDialect}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property-based invariants over the core operators. Generators are small
+  * (Spark jobs per case are expensive) but the properties are the
+  * load-bearing ones: evolution algebra, dedup cardinality, merge
+  * idempotence/commutativity-with-replay.
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Deterministic sampling in place of the scalatestplus bridge (not on
+    * the offline classpath): 10 seeded samples per property.
+    */
+  private def forAllSampled[A](gen: Gen[A], n: Int = 10)(body: A => Unit): Unit =
+    (0 until n).foreach { i =>
+      body(gen.pureApply(Gen.Parameters.default, Seed(1000L + i)))
+    }
+
+  private def forAllSampled2[A, B](ga: Gen[A], gb: Gen[B], n: Int = 10)(body: (A, B) => Unit): Unit =
+    (0 until n).foreach { i =>
+      body(ga.pureApply(Gen.Parameters.default, Seed(2000L + i)),
+        gb.pureApply(Gen.Parameters.default, Seed(3000L + i)))
+    }
+
+  private val fieldGen: Gen[StructField] = for {
+    name <- Gen.oneOf("a", "B", "c", "Dd", "e1")
+    dt <- Gen.oneOf[DataType](IntegerType, ShortType, LongType, StringType, DoubleType)
+  } yield StructField(name, dt)
+
+  private val schemaGen: Gen[StructType] =
+    Gen.listOfN(4, fieldGen)
+      .map(fs => StructType(fs.groupBy(_.name.toLowerCase).map(_._2.head).toArray))
+
+  test("evolution is idempotent and monotone (schema algebra, no Spark jobs)") {
+    forAllSampled2(schemaGen, schemaGen) { (target: StructType, source: StructType) =>
+      val once = SchemaEvolution.evolve(target, source)
+      val twice = SchemaEvolution.evolve(once, source)
+      // idempotent
+      assert(SchemaEvolution.schemaEquals(once, twice))
+      // monotone: every target and source field name is present after evolve
+      val names = once.fieldNames.map(_.toLowerCase).toSet
+      assert(target.fieldNames.forall(n => names.contains(n.toLowerCase)))
+      assert(source.fieldNames.forall(n => names.contains(n.toLowerCase)))
+      // no duplicates (case-insensitive)
+      assert(names.size == once.fields.length)
+    }
+  }
+
+  private val rowsGen: Gen[List[(String, Long, String)]] =
+    Gen.listOfN(12, for {
+      k <- Gen.oneOf("k1", "k2", "k3")
+      v <- Gen.chooseNum(1L, 6L)
+      p <- Gen.alphaLowerStr.map(_.take(4))
+    } yield (k, v, p))
+
+  test("dedup-latest yields exactly one row per key with the max version") {
+    forAllSampled(rowsGen) { rows =>
+      if (rows.nonEmpty) {
+        val df = rows.toDF("ARCANE_MERGE_KEY", "createdon", "payload")
+        val out = Dedup.latestByKey(df, col("ARCANE_MERGE_KEY"),
+          Seq(col("createdon")), Seq(col("payload"))).collect()
+        val expected = rows.groupBy(_._1).view.mapValues(_.map(_._2).max).toMap
+        assert(out.length == expected.size)
+        out.foreach(r => assert(r.getLong(1) == expected(r.getString(0))))
+      }
+    }
+  }
+
+  test("upsert merge: replay of the same batch is always a no-op") {
+    forAllSampled2(rowsGen, rowsGen) { (tRows, cRows) =>
+      if (tRows.nonEmpty && cRows.nonEmpty) {
+        val target = Dedup.latestByKey(
+          tRows.toDF("ARCANE_MERGE_KEY", "createdon", "payload"),
+          col("ARCANE_MERGE_KEY"), Seq(col("createdon")), Seq(col("payload")))
+        val changes = Dedup.latestByKey(
+          cRows.toDF("ARCANE_MERGE_KEY", "createdon", "payload"),
+          col("ARCANE_MERGE_KEY"), Seq(col("createdon")), Seq(col("payload")))
+        val once = CdcMerge.applyChanges(target, changes, "ARCANE_MERGE_KEY", UpsertBlobDialect)
+        val twice = CdcMerge.applyChanges(once, changes, "ARCANE_MERGE_KEY", UpsertBlobDialect)
+        val a = once.orderBy("ARCANE_MERGE_KEY", "createdon", "payload").collect().toSeq
+        val b = twice.orderBy("ARCANE_MERGE_KEY", "createdon", "payload").collect().toSeq
+        assert(a == b)
+      }
+    }
+  }
+}
