@@ -146,6 +146,49 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // join + group + top-k: revenue lost to returned items per customer
+    "q10_returned_items" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01") && col("o_orderdate") < lit("1997-01-01"))
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      l.join(broadcast(o), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("c_custkey") === col("o_custkey"))
+        .join(broadcast(n), col("n_nationkey") === col("c_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    }),
+
+    // conditional aggregation over a joined pair (CASE inside SUM)
+    "q12_priority_shipping" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01") && col("l_shipdate") < lit("1997-01-01"))
+      val o = t(s, dir, "orders")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_linestatus"))
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L))
+            .cast("long").as("high_line_count"),
+          sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L))
+            .cast("long").as("low_line_count"))
+        .orderBy(col("l_linestatus"))
+    }),
+
+    // ratio-of-conditional-sums with a broadcast dimension join
+    "q14_promo_revenue" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01") && col("l_shipdate") < lit("1997-07-01"))
+      val p = t(s, dir, "part")
+      l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .agg(round(
+          sum(when(col("p_type").startsWith("PROMO"),
+            col("l_extendedprice") * (lit(1) - col("l_discount"))).otherwise(0.0)) * 100.0 /
+          sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("promo_revenue_pct"))
+    }),
+
     // semi-join (EXISTS): orders with at least one late lineitem
     "q4_order_priority" -> ((s, dir) => {
       val o = t(s, dir, "orders")
@@ -596,6 +639,39 @@ object SparkEntry {
           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_value
           |FROM events
           |ORDER BY event_id""".stripMargin,
+
+      "q10_returned_items" ->
+        """SELECT c_custkey, c_name, c_acctbal, n_name,
+          |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+          |FROM lineitem
+          |JOIN orders ON l_orderkey = o_orderkey
+          |JOIN customer ON c_custkey = o_custkey
+          |JOIN nation ON n_nationkey = c_nationkey
+          |WHERE l_returnflag = 'R'
+          |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+          |GROUP BY c_custkey, c_name, c_acctbal, n_name
+          |ORDER BY revenue DESC, c_custkey
+          |LIMIT 20""".stripMargin,
+
+      "q12_priority_shipping" ->
+        """SELECT l_linestatus,
+          |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+          |  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+          |GROUP BY l_linestatus
+          |ORDER BY l_linestatus""".stripMargin,
+
+      "q14_promo_revenue" ->
+        """SELECT round(
+          |  sum(CASE WHEN p_type LIKE 'PROMO%'
+          |      THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END) * 100.0 /
+          |  sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue_pct
+          |FROM lineitem JOIN part ON l_partkey = p_partkey
+          |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          |  AND l_shipdate < TIMESTAMP '1997-07-01 00:00:00'""".stripMargin,
 
       "q4_order_priority" ->
         """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
