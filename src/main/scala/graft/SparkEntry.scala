@@ -409,10 +409,11 @@ object SparkEntry {
         .orderBy(col("keep_id"))
     }),
 
-    // MinHash + LSH near-dup pairs, verified with exact Jaccard (char-5 shingles)
+    // MinHash + LSH near-dup pairs, verified with exact Jaccard (char-5
+    // shingles, fused hash expression — shingle strings never materialize)
     "dedup_minhash_lsh" -> ((s, dir) => {
-      MinHashLsh.nearDupPairs(t(s, dir, "documents"), "doc_id",
-        TextFunctions.charShingles(col("text"), 5),
+      MinHashLsh.nearDupPairsHashed(t(s, dir, "documents"), "doc_id",
+        TextFunctions.shingleHashes(col("text"), 5),
         numHashes = 64, bands = 16, threshold = 0.8)
         .orderBy(col("id_a"), col("id_b"))
     }),

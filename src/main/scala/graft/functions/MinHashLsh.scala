@@ -117,6 +117,54 @@ object MinHashLsh {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** [[nearDupPairs]] over pre-hashed shingles (`array<long>` from
+    * [[TextFunctions.shingleHashes]]): same three-stage funnel, but the
+    * signature aggregation consumes hash longs directly (no per-shingle
+    * string allocation anywhere) and exact verification intersects long
+    * arrays. Jaccard equals the string-set value up to 64-bit collisions.
+    */
+  def nearDupPairsHashed(df: DataFrame, idCol: String, shingleHashes: Column,
+                         numHashes: Int = 64, bands: Int = 16,
+                         threshold: Double = 0.8, minBands: Int = 2): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    val exploded = df
+      .select(col(idCol).as("__id"), explode(shingleHashes).as("__h"))
+    val aggs = (0 until numHashes).map(i => min(xxhash64(lit(i), col("__h"))).as(s"__mh$i"))
+    val sigs = exploded.groupBy(col("__id")).agg(aggs.head, aggs.tail: _*)
+      .withColumn("__sig", array((0 until numHashes).map(i => col(s"__mh$i")): _*))
+      .select(col("__id"), col("__sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = sigs.select(col("__id"),
+      posexplode(bandBuckets(col("__sig"), bands, r)).as(Seq("__band", "__bucket")))
+    val cand = banded.as("l").join(banded.as("r"),
+        col("l.__band") === col("r.__band") &&
+        col("l.__bucket") === col("r.__bucket") &&
+        col("l.__id") < col("r.__id"))
+      .groupBy(col("l.__id").as("id_a"), col("r.__id").as("id_b"))
+      .agg(count(lit(1)).as("__nbands"))
+      .filter(col("__nbands") >= math.min(minBands, bands))
+      .select(col("id_a"), col("id_b"))
+    val estimated = cand
+      .join(sigs.select(col("__id").as("id_a"), col("__sig").as("sig_a")), "id_a")
+      .join(sigs.select(col("__id").as("id_b"), col("__sig").as("sig_b")), "id_b")
+      .withColumn("__est",
+        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), p => p))
+          .cast("double") / numHashes)
+      .filter(col("__est") >= threshold - 0.2)
+      .select(col("id_a"), col("id_b"))
+    val candIds = estimated
+      .select(explode(array(col("id_a"), col("id_b"))).as("__cid")).distinct()
+    val candSh = df.join(candIds, col(idCol) === col("__cid"), "left_semi")
+      .select(col(idCol).as("__id"), shingleHashes.as("__sh"))
+    estimated
+      .join(candSh.select(col("__id").as("id_a"), col("__sh").as("sh_a")), "id_a")
+      .join(candSh.select(col("__id").as("id_b"), col("__sh").as("sh_b")), "id_b")
+      .withColumn("jaccard", round(TextFunctions.jaccard(col("sh_a"), col("sh_b")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
   /** Dedup a corpus by near-duplicate clustering: drop every document that
     * has a near-dup with a smaller id (cheap transitive-lite survivor rule —
     * one pass, no iterative connected components; adequate for dedup where

@@ -117,6 +117,15 @@ object TextFunctions {
           sequence(lit(1), length(t) - (k - 1)),
           i => t.substr(i, lit(k)))))))
 
+  /** Distinct hashes of the normalized k-shingles as `array<long>` — the
+    * fused single-pass expression ([[expressions.ShingleHashesExpr]]). The
+    * MinHash fast path: shingle strings are never materialized.
+    */
+  def shingleHashes(text: Column, k: Int): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(expressions.ShingleHashesExpr(ColumnBridge.expression(text), k))
+  }
+
   /** Word n-grams of the normalized text (for n-gram Jaccard dedup).
     * Token array let-bound like [[charShingles]].
     */

@@ -1,0 +1,88 @@
+package graft.functions.expressions
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Distinct 64-bit hashes of the character k-shingles of normalized text,
+  * fused into one expression: lowercase → strip non-alphanumerics to single
+  * spaces → trim → slide a k-window → xxhash-style hash per shingle →
+  * distinct — all in a single pass with no intermediate shingle strings.
+  *
+  * Replaces the composed built-ins route (`array_distinct(transform(
+  * sequence(...), substr))` + per-element hashing), which allocates one
+  * string per shingle and walks the text through interpreted lambdas. For
+  * MinHash the shingle strings themselves are never needed — only their
+  * hashes — so this emits `array<long>` directly. Normalization matches
+  * [[graft.functions.TextFunctions.normalized]] exactly (same separator
+  * classes), keeping hash-set Jaccard equal to string-set Jaccard up to
+  * 64-bit collisions (~n²/2⁶⁵ per document pair — negligible).
+  *
+  * Hashing: FNV-1a over the shingle's chars with avalanche finish —
+  * deterministic, seedable downstream via xxhash64(seed, h).
+  */
+case class ShingleHashesExpr(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(k >= 1, "shingle size must be >= 1")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    // normalization pass (identical classes to TextFunctions.normalized)
+    val sb = new java.lang.StringBuilder(s.length)
+    var pendingSpace = false
+    var i = 0
+    while (i < s.length) {
+      val c = Character.toLowerCase(s.charAt(i))
+      if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) {
+        if (pendingSpace && sb.length > 0) sb.append(' ')
+        pendingSpace = false
+        sb.append(c)
+      } else {
+        pendingSpace = true
+      }
+      i += 1
+    }
+    val norm = sb
+    val n = norm.length
+    val out = new java.util.HashSet[java.lang.Long]()
+    if (n < k) {
+      out.add(hashRange(norm, 0, n))
+    } else {
+      var start = 0
+      while (start + k <= n) {
+        out.add(hashRange(norm, start, start + k))
+        start += 1
+      }
+    }
+    val arr = new Array[Any](out.size)
+    val it = out.iterator()
+    var j = 0
+    while (it.hasNext) { arr(j) = it.next().longValue(); j += 1 }
+    new GenericArrayData(arr)
+  }
+
+  /** FNV-1a 64 over chars [from, until) with a splitmix64 finish. */
+  private def hashRange(sb: java.lang.StringBuilder, from: Int, until: Int): Long = {
+    var h = 0xCBF29CE484222325L
+    var i = from
+    while (i < until) {
+      h ^= sb.charAt(i).toLong
+      h *= 0x100000001B3L
+      i += 1
+    }
+    var z = h + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "shingle_hashes"
+}

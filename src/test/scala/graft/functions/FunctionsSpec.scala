@@ -177,3 +177,36 @@ class VectorExprSpec extends SparkSpec {
     assert(df.select(VectorSimilarity.dot($"a", $"b")).head().getDouble(0) == 32.0)
   }
 }
+
+class ShingleHashesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hash-set size equals distinct string-shingle count; deterministic") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet").limit(50)
+    val both = docs.select(
+      size(TextFunctions.charShingles($"text", 5)).as("ns"),
+      size(TextFunctions.shingleHashes($"text", 5)).as("nh")).collect()
+    both.foreach(r => assert(r.getInt(0) == r.getInt(1)))
+    val h1 = docs.select(TextFunctions.shingleHashes($"text", 5)).collect()
+    val h2 = docs.select(TextFunctions.shingleHashes($"text", 5)).collect()
+    h1.zip(h2).foreach { case (a, b) =>
+      assert(a.getSeq[Long](0).sorted == b.getSeq[Long](0).sorted) }
+  }
+
+  test("short and empty text fall back to whole-string hash") {
+    val out = Seq("ab", "", "  !! ").toDF("t")
+      .select(size(TextFunctions.shingleHashes($"t", 5))).collect()
+    out.foreach(r => assert(r.getInt(0) == 1))
+  }
+
+  test("hashed near-dup pairs match string-shingle near-dup pairs") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val viaStrings = MinHashLsh.nearDupPairs(docs, "doc_id",
+      TextFunctions.charShingles($"text", 5), 64, 16, 0.8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaHashes = MinHashLsh.nearDupPairsHashed(docs, "doc_id",
+      TextFunctions.shingleHashes($"text", 5), 64, 16, 0.8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaHashes == viaStrings)
+  }
+}
