@@ -418,17 +418,18 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
-    // SimHash near-dup pairs via pigeonhole chunk join (word shingles)
+    // SimHash near-dup pairs via pigeonhole chunk join (hashed word bigrams)
     "dedup_simhash" -> ((s, dir) => {
       SimHash.nearDupPairs(t(s, dir, "documents"), "doc_id",
-        TextFunctions.wordNgrams(col("text"), 2), maxDist = 8)
+        TextFunctions.wordNgramHashes(col("text"), 2), maxDist = 8)
         .orderBy(col("id_a"), col("id_b"))
     }),
 
-    // exact n-gram Jaccard pairs via inverted-index join (word 3-grams)
+    // exact n-gram Jaccard pairs via inverted-index join (hashed word
+    // 3-grams — posting lists of 8-byte keys, gram strings never shuffle)
     "dedup_ngram_jaccard" -> ((s, dir) => {
       NgramJaccard.pairs(t(s, dir, "documents"), "doc_id",
-        TextFunctions.wordNgrams(col("text"), 3), threshold = 0.8)
+        TextFunctions.wordNgramHashes(col("text"), 3), threshold = 0.8)
         .orderBy(col("id_a"), col("id_b"))
     }),
 

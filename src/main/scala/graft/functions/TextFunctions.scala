@@ -126,6 +126,14 @@ object TextFunctions {
     ColumnBridge.column(expressions.ShingleHashesExpr(ColumnBridge.expression(text), k))
   }
 
+  /** Distinct hashes of the word n-grams as `array<long>` — fused
+    * single-pass expression ([[expressions.WordNgramHashesExpr]]).
+    */
+  def wordNgramHashes(text: Column, n: Int): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(expressions.WordNgramHashesExpr(ColumnBridge.expression(text), n))
+  }
+
   /** Word n-grams of the normalized text (for n-gram Jaccard dedup).
     * Token array let-bound like [[charShingles]].
     */

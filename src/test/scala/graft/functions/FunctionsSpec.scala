@@ -210,3 +210,35 @@ class ShingleHashesSpec extends SparkSpec {
     assert(viaHashes == viaStrings)
   }
 }
+
+class WordNgramHashesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hash count equals distinct string-ngram count on real docs") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet").limit(50)
+    val both = docs.select(
+      size(TextFunctions.wordNgrams($"text", 3)).as("ns"),
+      size(TextFunctions.wordNgramHashes($"text", 3)).as("nh")).collect()
+    both.foreach(r => assert(r.getInt(0) == r.getInt(1)))
+  }
+
+  test("order sensitivity: 'a b' != 'b a' bigram hash") {
+    val out = Seq(("x y z", "z y x")).toDF("a", "b")
+      .select(TextFunctions.wordNgramHashes($"a", 2).as("ha"),
+        TextFunctions.wordNgramHashes($"b", 2).as("hb")).head()
+    assert(out.getSeq[Long](0).toSet.intersect(out.getSeq[Long](1).toSet).isEmpty)
+  }
+
+  test("hashed ngram jaccard pairs equal string ngram jaccard pairs") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val viaStrings = NgramJaccard.pairs(docs, "doc_id",
+      TextFunctions.wordNgrams($"text", 3), 0.8)
+      .select("id_a", "id_b", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val viaHashes = NgramJaccard.pairs(docs, "doc_id",
+      TextFunctions.wordNgramHashes($"text", 3), 0.8)
+      .select("id_a", "id_b", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(viaHashes == viaStrings)
+  }
+}
