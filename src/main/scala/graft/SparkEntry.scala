@@ -409,6 +409,18 @@ object SparkEntry {
         .orderBy(col("keep_id"))
     }),
 
+    // quality-aware dedup survivor: best-quality doc per fingerprint cluster
+    "dedup_keep_best" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("fingerprint", TextFunctions.fingerprint(col("text")))
+        .withColumn("quality", TextFunctions.qualityScore(col("text")))
+      // highest quality wins; doc_id ascending breaks ties (desc of -doc_id)
+      Dedup.latestByKey(docs, col("fingerprint"),
+        Seq(col("quality")), Seq(-col("doc_id")))
+        .select(col("fingerprint"), col("doc_id"), col("quality"))
+        .orderBy(col("doc_id"))
+    }),
+
     // MinHash + LSH near-dup pairs, verified with exact Jaccard (char-5
     // shingles, fused hash expression — shingle strings never materialize)
     "dedup_minhash_lsh" -> ((s, dir) => {
@@ -834,6 +846,23 @@ object SparkEntry {
            |FROM documents
            |GROUP BY 1
            |ORDER BY keep_id""".stripMargin,
+
+      "dedup_keep_best" ->
+        s"""WITH scored AS (
+           |  SELECT doc_id, md5($normText) AS fingerprint,
+           |    round(((CASE WHEN length(text) BETWEEN 20 AND 20000 THEN 1.0 ELSE 0.0 END)
+           |      + (CASE WHEN (CASE WHEN length(text) = 0 THEN 0.0
+           |           ELSE len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) * 1.0 / length(text) END) < 0.2
+           |           THEN 1.0 ELSE 0.0 END)
+           |      + (CASE WHEN (CASE WHEN length(trim(text)) = 0 THEN 0.0
+           |           ELSE length(regexp_replace(text, '\\s+', '', 'g')) * 1.0
+           |                / len(regexp_split_to_array(trim(text), '\\s+')) END) BETWEEN 2.0 AND 12.0
+           |           THEN 1.0 ELSE 0.0 END)) / 3.0, 4) AS quality
+           |  FROM documents)
+           |SELECT fingerprint, doc_id, quality
+           |FROM scored
+           |QUALIFY row_number() OVER (PARTITION BY fingerprint ORDER BY quality DESC, doc_id) = 1
+           |ORDER BY doc_id""".stripMargin,
 
       "dedup_minhash_lsh" ->
         s"""WITH t AS (SELECT doc_id, $normText AS norm FROM documents),
