@@ -76,6 +76,48 @@ object Multimodal {
     }(enc).toDF()
   }
 
+  /** Frame-sampling stage: split each media payload into fixed-size chunks
+    * ("frames") and keep every `everyN`-th — the video/audio frame-sample
+    * plumbing with a byte-chunker standing in for the codec's frame index.
+    * Emits (media_id, frame_no, frame_bytes); downstream feature extraction
+    * consumes frames exactly like whole payloads.
+    */
+  val frameSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("frame_no", IntegerType, nullable = false),
+    StructField("frame", BinaryType, nullable = true)))
+
+  def sampleFrames(media: DataFrame, frameBytes: Int, everyN: Int,
+                   idCol: String = "media_id", payloadCol: String = "payload"): DataFrame = {
+    require(frameBytes > 0 && everyN > 0)
+    val enc = RowEncoder.encoderFor(frameSchema)
+    media.select(col(idCol).cast("long"), col(payloadCol))
+      .flatMap { r =>
+        val id = r.getLong(0)
+        val bytes = if (r.isNullAt(1)) Array.empty[Byte] else r.getAs[Array[Byte]](1)
+        // ??? <- real demuxer/frame index goes here; byte chunking below
+        val frames = bytes.grouped(frameBytes).zipWithIndex
+        frames.collect { case (chunk, i) if i % everyN == 0 => Row(id, i, chunk) }
+      }(enc).toDF()
+  }
+
+  /** Resize stage stub: deterministic downsample of a payload to
+    * `targetBytes` by stride sampling — the image-resize slot (real impl:
+    * decode → scale → re-encode); plumbing, schema and batch shape are real.
+    */
+  def resizePayload(media: DataFrame, targetBytes: Int,
+                    idCol: String = "media_id", payloadCol: String = "payload"): DataFrame = {
+    val resize = udf { bytes: Array[Byte] =>
+      if (bytes == null || bytes.length <= targetBytes) bytes
+      else {
+        // ??? <- real scaler goes here; stride sampling below
+        val stride = bytes.length.toDouble / targetBytes
+        Array.tabulate(targetBytes)(i => bytes((i * stride).toInt))
+      }
+    }
+    media.withColumn(payloadCol, resize(col(payloadCol)))
+  }
+
   /** Synthesize a media frame from any table (test/demo path): payload bytes
     * derive deterministically from a source column, exercising the full
     * plumbing without codec libraries.

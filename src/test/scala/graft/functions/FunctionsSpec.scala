@@ -242,3 +242,38 @@ class WordNgramHashesSpec extends SparkSpec {
     assert(viaHashes == viaStrings)
   }
 }
+
+class MultimodalStagesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def media = Multimodal.synthesizeMedia(
+    spark.read.parquet(s"$sf/documents.parquet").limit(5), "doc_id", "text")
+
+  test("frame sampling: fixed-size chunks, every Nth kept, ids preserved") {
+    val frames = Multimodal.sampleFrames(media, frameBytes = 50, everyN = 2).collect()
+    assert(frames.nonEmpty)
+    assert(frames.forall(_.getAs[Array[Byte]]("frame").length <= 50))
+    assert(frames.forall(_.getInt(1) % 2 == 0)) // only even frame numbers
+    assert(frames.map(_.getLong(0)).toSet.subsetOf(
+      media.select("media_id").as[Long].collect().toSet))
+  }
+
+  test("resize caps payload size deterministically") {
+    val resized = Multimodal.resizePayload(media, targetBytes = 16)
+    val sizes = resized.select(length($"payload")).as[Int].collect()
+    assert(sizes.forall(_ <= 16))
+    val a = resized.select($"payload").collect().map(_.getAs[Array[Byte]](0).toSeq)
+    val b = Multimodal.resizePayload(media, 16).select($"payload").collect()
+      .map(_.getAs[Array[Byte]](0).toSeq)
+    assert(a.toSeq == b.toSeq)
+  }
+
+  test("frames flow into feature extraction unchanged") {
+    val frames = Multimodal.sampleFrames(media, 64, 1)
+      .withColumnRenamed("frame", "payload")
+      .withColumn("media_id", $"media_id" * 1000 + $"frame_no")
+    val feats = Multimodal.extractFeatures(frames, dim = 4)
+    assert(feats.count() == frames.count())
+    assert(feats.select("features").head().getSeq[Float](0).length == 4)
+  }
+}
