@@ -83,8 +83,12 @@ object CdcMerge {
                    dialect: MergeDialect,
                    extraMatch: Option[(String => Column, String => Column) => Column] = None): DataFrame = {
     val outSchema = SchemaEvolution.evolve(target.schema, changes.schema)
-    val t = alignTo(target, outSchema).as("t")
-    val s = alignTo(changes, outSchema).as("s")
+    // Literal presence flags, not key-null checks: a row whose merge key is
+    // NULL (possible when callers feed raw PKs rather than computed hashes)
+    // must still read as "present" on its own side, or it would surface as
+    // an all-null output row after the full-outer join.
+    val t = alignTo(target, outSchema).withColumn("__t_present", lit(true)).as("t")
+    val s = alignTo(changes, outSchema).withColumn("__s_present", lit(true)).as("s")
     def tc(n: String): Column = col(s"t.`$n`")
     def sc(n: String): Column = col(s"s.`$n`")
 
@@ -93,8 +97,8 @@ object CdcMerge {
     }
     val joined = t.join(s, onExpr, "full_outer")
 
-    val sPresent = sc(keyCol).isNotNull
-    val tPresent = tc(keyCol).isNotNull
+    val sPresent = coalesce(sc("__s_present"), lit(false))
+    val tPresent = coalesce(tc("__t_present"), lit(false))
     val del = dialect.isDelete(sc)
     val newer = dialect.versionOrder(sc).zip(dialect.versionOrder(tc))
       .map { case (sv, tv) => sv > tv }

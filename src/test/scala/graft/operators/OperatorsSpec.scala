@@ -163,3 +163,22 @@ class MergeSqlBuilderSpec extends SparkSpec {
     spark.sessionState.sqlParser.parsePlan(sql)
   }
 }
+
+class CdcMergeNullKeySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("null merge keys survive as their own rows, never all-null output") {
+    val target = Seq((Option("k1"), 10L, "old"), (None, 10L, "tnull"))
+      .toDF("ARCANE_MERGE_KEY", "createdon", "payload")
+    val changes = Seq((Option("k1"), 20L, "new"), (None, 20L, "snull"))
+      .toDF("ARCANE_MERGE_KEY", "createdon", "payload")
+    val out = CdcMerge.applyChanges(target, changes, "ARCANE_MERGE_KEY", UpsertBlobDialect)
+      .select("ARCANE_MERGE_KEY", "payload").collect()
+    // k1 updated; the two null-key rows both survive independently (null
+    // never equi-joins null), and no fabricated all-null row appears
+    val payloads = out.map(r => (Option(r.getString(0)), r.getString(1))).toSet
+    assert(payloads == Set(
+      (Some("k1"), "new"), (None, "tnull"), (None, "snull")))
+    assert(out.forall(_.getString(1) != null))
+  }
+}
