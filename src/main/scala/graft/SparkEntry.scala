@@ -189,6 +189,24 @@ object SparkEntry {
           sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 4).as("promo_revenue_pct"))
     }),
 
+    // yearly revenue share of one supplier nation (ratio of conditional sums
+    // per group — the q8 market-share shape)
+    "q8_market_share" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val sup = t(s, dir, "supplier")
+      val n = t(s, dir, "nation")
+      l.join(broadcast(o), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n), col("n_nationkey") === col("s_nationkey"))
+        .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(round(
+          sum(when(col("n_name") === "NATION_7",
+            col("l_extendedprice") * (lit(1) - col("l_discount"))).otherwise(0.0)) /
+          sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 6).as("mkt_share"))
+        .orderBy(col("o_year"))
+    }),
+
     // semi-join (EXISTS): orders with at least one late lineitem
     "q4_order_priority" -> ((s, dir) => {
       val o = t(s, dir, "orders")
@@ -653,6 +671,19 @@ object SparkEntry {
           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_value
           |FROM events
           |ORDER BY event_id""".stripMargin,
+
+      "q8_market_share" ->
+        """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+          |  round(
+          |    sum(CASE WHEN n_name = 'NATION_7'
+          |        THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END) /
+          |    sum(l_extendedprice * (1 - l_discount)), 6) AS mkt_share
+          |FROM lineitem
+          |JOIN orders ON l_orderkey = o_orderkey
+          |JOIN supplier ON l_suppkey = s_suppkey
+          |JOIN nation ON n_nationkey = s_nationkey
+          |GROUP BY 1
+          |ORDER BY 1""".stripMargin,
 
       "q10_returned_items" ->
         """SELECT c_custkey, c_name, c_acctbal, n_name,

@@ -182,3 +182,26 @@ class CdcMergeNullKeySpec extends SparkSpec {
     assert(out.forall(_.getString(1) != null))
   }
 }
+
+class SkewJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("salted join equals plain join result and spreads hot keys") {
+    // 1000 rows of one hot key + a cold tail
+    val big = ((1 to 1000).map(i => ("hot", i.toLong)) ++
+      (1 to 50).map(i => (s"cold$i", i.toLong))).toDF("key", "row_id")
+    val small = (Seq(("hot", "H")) ++ (1 to 50).map(i => (s"cold$i", s"C$i")))
+      .toDF("key", "dim")
+    val plain = big.join(small, "key").orderBy("key", "row_id").collect()
+    val salted = SkewJoin.saltedJoin(big, small, "key", "row_id", factor = 8)
+      .orderBy("key", "row_id").collect()
+    assert(salted.length == plain.length)
+    assert(salted.map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSeq ==
+      plain.map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSeq)
+    // salts actually spread the hot key across sub-keys
+    val saltSpread = big.filter($"key" === "hot")
+      .withColumn("s", pmod(xxhash64($"key", $"row_id"), lit(8)))
+      .select("s").distinct().count()
+    assert(saltSpread > 4)
+  }
+}

@@ -118,3 +118,38 @@ class StructuredStreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 }
+
+class EventTimeWatermarkSpec extends SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+  test("append-mode windowed agg finalizes windows past the watermark, drops late data") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, Long)]
+    val agg = input.toDF().toDF("ts", "v")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window($"ts", "5 minutes"))
+      .agg(sum($"v").as("total"))
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("wm_out")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("wmckpt").toString)
+      .start()
+    def ts(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    try {
+      input.addData((ts(0), 1L), (ts(2), 2L))    // window [10:00,10:05)
+      q.processAllAvailable()
+      assert(spark.table("wm_out").count() == 0)  // not finalized yet
+      input.addData((ts(30), 5L))                 // advances watermark to 10:20
+      q.processAllAvailable()
+      input.addData((ts(31), 1L))                 // trigger another batch to emit
+      q.processAllAvailable()
+      val done = spark.table("wm_out").select($"total").as[Long].collect().toSet
+      assert(done.contains(3L))                   // [10:00,10:05) finalized with 1+2
+      input.addData((ts(1), 100L))                // LATE: before watermark → dropped
+      q.processAllAvailable()
+      val after = spark.table("wm_out").select($"total").as[Long].collect().toSet
+      assert(!after.contains(100L) && !after.contains(103L))
+    } finally q.stop()
+  }
+}
