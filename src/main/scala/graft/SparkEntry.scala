@@ -505,7 +505,7 @@ object SparkEntry {
     "ann_lsh_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       VectorSimilarity.lshTopK(emb, emb.filter(col("vec_id") < 10), k = 5,
-        nbits = 4, dim = 64)
+        nbits = 4, dim = 64, tables = 16)
         .withColumnRenamed("rank", "rnk")
         .orderBy(col("query_id"), col("rnk"))
     }),

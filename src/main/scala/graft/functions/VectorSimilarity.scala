@@ -100,18 +100,36 @@ object VectorSimilarity {
       when(proj > 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
 
-  /** Approximate top-k: candidates restricted to queries' LSH buckets, then
-    * exact cosine rank within the bucket. One equi-join shuffle on bucket id;
-    * recall tunes with `nbits` (fewer bits → bigger buckets → higher recall).
+  /** Bucket ids for `tables` independent hash tables — fused expression
+    * ([[expressions.HyperplaneBucketsExpr]]): one pass over the vector for
+    * all tables × planes, plane components precomputed per executor.
+    */
+  def hyperplaneBuckets(vec: Column, nbits: Int, dim: Int, tables: Int): Column =
+    ExpressionUtils.column(expressions.HyperplaneBucketsExpr(
+      ExpressionUtils.expression(vec), nbits, dim, tables))
+
+  /** Approximate top-k: candidates are the union of the queries' buckets
+    * across `tables` independent hash tables, then exact cosine rank. One
+    * equi-join shuffle on (table, bucket). Recall rises with `tables`
+    * (union of independent chances) and falls with `nbits` (finer buckets):
+    * measured on 64-dim unclustered embeddings, 1 table × 4 bits ≈ 0.14
+    * recall@5 vs 8 tables × 4 bits ≈ 0.8 — multi-table is not optional.
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, nbits: Int, dim: Int,
-              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("__cv"))
-      .withColumn("__bucket", hyperplaneBucket(col("__cv"), nbits, dim))
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
-      .withColumn("__bucket", hyperplaneBucket(col("__qv"), nbits, dim))
-    val scored = c.join(q, Seq("__bucket"))
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              tables: Int = 8): DataFrame = {
+    def banded(df: DataFrame, id: String, vec: String): DataFrame =
+      df.select(col(idCol).as(id), col(vecCol).as(vec))
+        .select(col(id), col(vec),
+          posexplode(hyperplaneBuckets(col(vec), nbits, dim, tables))
+            .as(Seq("__table", "__bucket")))
+    val c = banded(corpus, "corpus_id", "__cv")
+    val q = banded(queries, "query_id", "__qv")
+    val cand = c.join(q, Seq("__table", "__bucket"))
       .filter(col("corpus_id") =!= col("query_id"))
+      .select(col("query_id"), col("corpus_id"), col("__cv"), col("__qv"))
+      .dropDuplicates("query_id", "corpus_id")
+    val scored = cand
       .withColumn("cosine", round(cosine(col("__cv"), col("__qv")), 6))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("corpus_id").asc)

@@ -277,3 +277,30 @@ class MultimodalStagesSpec extends SparkSpec {
     assert(feats.select("features").head().getSeq[Float](0).length == 4)
   }
 }
+
+class AnnRecallSpec extends SparkSpec {
+  import org.apache.spark.sql.DataFrame
+
+  private lazy val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+  private lazy val queries = emb.filter(col("vec_id") < 30)
+  private lazy val exact =
+    VectorSimilarity.bruteForceTopK(emb, queries, 5)
+      .select("query_id", "corpus_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  private def recallOf(df: DataFrame): Double = {
+    val got = df.select("query_id", "corpus_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    got.intersect(exact).size.toDouble / exact.size
+  }
+
+  test("multi-table LSH recall floor (regression guard, not a tuning target)") {
+    val r = recallOf(VectorSimilarity.lshTopK(emb, queries, 5, 4, 64, tables = 16))
+    assert(r >= 0.5, s"lsh recall@5 degraded to $r")
+  }
+
+  test("IVF recall floor at nprobe=8") {
+    val r = recallOf(VectorSimilarity.ivfTopK(emb, queries, 5, stride = 25, nprobe = 8))
+    assert(r >= 0.4, s"ivf recall@5 degraded to $r")
+  }
+}
