@@ -1,8 +1,8 @@
 package graft.functions.expressions
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -22,16 +22,39 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Hashing: FNV-1a over the shingle's chars with avalanche finish —
   * deterministic, seedable downstream via xxhash64(seed, h).
+  *
+  * Codegen: emits a direct static call to [[ShingleHashesExpr.compute]], so
+  * the expression participates in whole-stage codegen (no interpreted
+  * per-row `eval` dispatch, no stage split) while the tight char loop stays
+  * a single JIT-friendly method.
   */
 case class ShingleHashesExpr(child: Expression, k: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   require(k >= 1, "shingle size must be >= 1")
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String].toString
+  override protected def nullSafeEval(input: Any): Any =
+    ShingleHashesExpr.compute(input.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.expressions.ShingleHashesExpr.compute($c, $k);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "shingle_hashes"
+}
+
+object ShingleHashesExpr {
+
+  /** Single-pass normalize + shingle + hash + distinct. Static so generated
+    * code calls it directly (monomorphic, inlinable call site).
+    */
+  def compute(input: UTF8String, k: Int): ArrayData = {
+    val s = input.toString
     // normalization pass (identical classes to TextFunctions.normalized)
     val sb = new java.lang.StringBuilder(s.length)
     var pendingSpace = false
@@ -80,9 +103,4 @@ case class ShingleHashesExpr(child: Expression, k: Int)
     z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
     z ^ (z >>> 31)
   }
-
-  override protected def withNewChildInternal(newChild: Expression): Expression =
-    copy(child = newChild)
-
-  override def prettyName: String = "shingle_hashes"
 }

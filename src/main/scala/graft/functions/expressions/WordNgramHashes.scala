@@ -1,8 +1,8 @@
 package graft.functions.expressions
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -15,16 +15,35 @@ import org.apache.spark.unsafe.types.UTF8String
   * (n-gram Jaccard, SimHash): downstream treats the output as an opaque
   * element set, so hash equality stands in for string equality up to 64-bit
   * collisions.
+  *
+  * Codegen: direct static call to [[WordNgramHashesExpr.compute]] — stays
+  * inside whole-stage codegen like [[ShingleHashesExpr]].
   */
 case class WordNgramHashesExpr(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   require(n >= 1, "ngram size must be >= 1")
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String].toString
+  override protected def nullSafeEval(input: Any): Any =
+    WordNgramHashesExpr.compute(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.expressions.WordNgramHashesExpr.compute($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "word_ngram_hashes"
+}
+
+object WordNgramHashesExpr {
+
+  /** Single-pass tokenize + n-gram + hash + distinct; static for codegen. */
+  def compute(input: UTF8String, n: Int): ArrayData = {
+    val s = input.toString
     // tokenize directly: alnum runs are words (same classes as normalized())
     val wordHashes = new java.util.ArrayList[java.lang.Long]()
     var h = 0xCBF29CE484222325L
@@ -85,9 +104,4 @@ case class WordNgramHashesExpr(child: Expression, n: Int)
     z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
     z ^ (z >>> 31)
   }
-
-  override protected def withNewChildInternal(newChild: Expression): Expression =
-    copy(child = newChild)
-
-  override def prettyName: String = "word_ngram_hashes"
 }
