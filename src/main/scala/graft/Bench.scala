@@ -28,11 +28,23 @@ object Bench {
       .map(_.split(",").map(_.trim).toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
+    // Time a noop-sink write, not .count(): count() lets Catalyst prune
+    // columns and drop sorts, so it times a thinner plan than users run —
+    // the noop sink executes the full physical plan and discards rows.
+    // Failures are loud (stack trace on stderr) and recorded as -1.
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      val n = try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
-      val sec = (System.nanoTime() - t0) / 1e9
-      System.err.println(f"[bench] $name%-32s $sec%8.2f s  ($n rows)")
+      val ok = try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        true
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] FAILED $name: $e")
+          e.printStackTrace()
+          false
+      }
+      val sec = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      System.err.println(f"[bench] $name%-32s $sec%8.2f s")
       name -> sec
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }

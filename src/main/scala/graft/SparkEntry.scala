@@ -74,13 +74,16 @@ object SparkEntry {
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     }),
 
-    // broadcast-joined selective aggregation (small dims broadcast, big fact streams)
+    // selective aggregation over joined facts: no broadcast hints on inputs
+    // whose size scales with the fact tables (orders, customer) — AQE picks
+    // broadcast at small SF from runtime stats and shuffle-hash at 100 TB,
+    // where a forced broadcast would OOM driver and executors alike
     "q3_shipping_priority" -> ((s, dir) => {
       val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
       val o = t(s, dir, "orders").filter(col("o_orderdate") < lit("1998-06-01"))
       val l = t(s, dir, "lineitem").filter(col("l_shipdate") > lit("1998-06-01"))
-      l.join(broadcast(o), col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
         .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
         .orderBy(col("revenue").desc, col("l_orderkey"))
@@ -96,9 +99,11 @@ object SparkEntry {
       val o = t(s, dir, "orders")
         .filter(col("o_orderdate") >= lit("1996-01-01") && col("o_orderdate") < lit("1999-01-01"))
       val l = t(s, dir, "lineitem")
+      // customer scales with the fact tables — no hint (AQE decides);
+      // supplier/nation/region are true dims, safe to broadcast at any SF
       l.join(o, col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
-        .join(broadcast(c), col("o_custkey") === col("c_custkey") &&
+        .join(c, col("o_custkey") === col("c_custkey") &&
           col("c_nationkey") === col("s_nationkey"))
         .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
         .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
@@ -153,8 +158,9 @@ object SparkEntry {
         .filter(col("o_orderdate") >= lit("1996-01-01") && col("o_orderdate") < lit("1997-01-01"))
       val c = t(s, dir, "customer")
       val n = t(s, dir, "nation")
-      l.join(broadcast(o), col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(c), col("c_custkey") === col("o_custkey"))
+      // orders/customer scale with the facts — AQE decides those joins
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("c_custkey") === col("o_custkey"))
         .join(broadcast(n), col("n_nationkey") === col("c_nationkey"))
         .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
         .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
@@ -181,8 +187,9 @@ object SparkEntry {
     "q14_promo_revenue" -> ((s, dir) => {
       val l = t(s, dir, "lineitem")
         .filter(col("l_shipdate") >= lit("1997-01-01") && col("l_shipdate") < lit("1997-07-01"))
+      // part cardinality scales with SF — leave the join strategy to AQE
       val p = t(s, dir, "part")
-      l.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      l.join(p, col("l_partkey") === col("p_partkey"))
         .agg(round(
           sum(when(col("p_type").startsWith("PROMO"),
             col("l_extendedprice") * (lit(1) - col("l_discount"))).otherwise(0.0)) * 100.0 /
@@ -196,7 +203,8 @@ object SparkEntry {
       val o = t(s, dir, "orders")
       val sup = t(s, dir, "supplier")
       val n = t(s, dir, "nation")
-      l.join(broadcast(o), col("l_orderkey") === col("o_orderkey"))
+      // orders is a fact table — forcing its broadcast would OOM at scale
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
         .join(broadcast(n), col("n_nationkey") === col("s_nationkey"))
         .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
@@ -234,9 +242,10 @@ object SparkEntry {
     // correlated-aggregate join: lineitems below 20% of the part's avg qty
     "q17_small_quantity" -> ((s, dir) => {
       val l = t(s, dir, "lineitem")
+      // the per-partkey aggregate is ∝ part cardinality — shuffle join it
       val avgQty = l.groupBy(col("l_partkey").as("ap_partkey"))
         .agg((avg(col("l_quantity")) * 0.2).as("avg20"))
-      l.join(broadcast(avgQty), col("l_partkey") === col("ap_partkey"))
+      l.join(avgQty, col("l_partkey") === col("ap_partkey"))
         .filter(col("l_quantity") < col("avg20"))
         .agg(round(sum(col("l_extendedprice")) / 7.0, 2).as("avg_yearly"))
     }),
@@ -249,22 +258,27 @@ object SparkEntry {
         .filter(col("sum_qty") > 150)
       val o = t(s, dir, "orders")
       val c = t(s, dir, "customer")
-      o.join(broadcast(big), col("o_orderkey") === col("big_orderkey"))
-        .join(broadcast(c), col("c_custkey") === col("o_custkey"))
+      // `big` is ∝ qualifying orders and customer ∝ SF — AQE decides both
+      o.join(big, col("o_orderkey") === col("big_orderkey"))
+        .join(c, col("c_custkey") === col("o_custkey"))
         .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
           col("o_orderdate"), col("o_totalprice"), round(col("sum_qty"), 2).as("sum_qty"))
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
         .limit(20)
     }),
 
-    // set operations: intersect/except over key sets
+    // set semantics (INTERSECT/EXCEPT over user keys) via one conditional
+    // aggregation: a single shuffle on user_id classifies every user, where
+    // the literal intersect+except form scanned events four times and
+    // shuffled twice per set operator
     "setop_users" -> ((s, dir) => {
       val ev = t(s, dir, "events")
-      val early = ev.filter(col("event_id") < 5000).select(col("user_id"))
-      val late = ev.filter(col("event_id") >= 5000).select(col("user_id"))
-      val both = early.intersect(late).withColumn("kind", lit("both"))
-      val onlyEarly = early.except(late).withColumn("kind", lit("only_early"))
-      both.unionByName(onlyEarly)
+      ev.groupBy(col("user_id"))
+        .agg(max(when(col("event_id") < 5000, 1).otherwise(0)).as("has_early"),
+          max(when(col("event_id") >= 5000, 1).otherwise(0)).as("has_late"))
+        .filter(col("has_early") === 1)
+        .withColumn("kind",
+          when(col("has_late") === 1, "both").otherwise("only_early"))
         .groupBy(col("kind")).agg(count(lit(1)).cast("long").as("n_users"))
         .orderBy(col("kind"))
     }),
@@ -456,10 +470,13 @@ object SparkEntry {
     }),
 
     // exact n-gram Jaccard pairs via inverted-index join (hashed word
-    // 3-grams — posting lists of 8-byte keys, gram strings never shuffle)
+    // 3-grams — posting lists of 8-byte keys, gram strings never shuffle);
+    // stop-gram guard on: grams in >100 documents are excluded from the
+    // posting-list join (mirrored in the oracle SQL)
     "dedup_ngram_jaccard" -> ((s, dir) => {
       NgramJaccard.pairs(t(s, dir, "documents"), "doc_id",
-        TextFunctions.wordNgramHashes(col("text"), 3), threshold = 0.8)
+        TextFunctions.wordNgramHashes(col("text"), 3), threshold = 0.8,
+        maxDocFreq = 100L)
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -910,10 +927,12 @@ object SparkEntry {
       "dedup_ngram_jaccard" ->
         s"""WITH t AS (SELECT doc_id, $normText AS norm FROM documents),
            |tk AS (SELECT doc_id, regexp_split_to_array(norm, ' ') AS toks FROM t),
-           |g AS (SELECT DISTINCT doc_id,
+           |g0 AS (SELECT DISTINCT doc_id,
            |        CASE WHEN len(toks) < 3 THEN array_to_string(toks, ' ')
            |             ELSE array_to_string(toks[i:i+2], ' ') END AS gram
            |      FROM tk, LATERAL (SELECT unnest(range(1, greatest(len(toks) - 1, 2))) AS i) r),
+           |g AS (SELECT doc_id, gram FROM g0
+           |      WHERE gram NOT IN (SELECT gram FROM g0 GROUP BY gram HAVING count(*) > 100)),
            |cnt AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
            |inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS i
            |          FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id GROUP BY 1, 2)

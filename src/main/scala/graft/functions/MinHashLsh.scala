@@ -2,52 +2,41 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.ColumnBridge
+import graft.functions.expressions.MinHashSignatureExpr
 
 /** MinHash + LSH near-duplicate detection at corpus scale.
   *
-  * Shape: shingle → base-hash each shingle ONCE → k affine hash families
-  * folded as codegen'd `min` aggregates over the exploded shingles → band the
-  * signature → one shuffle on (band, bucket-hash) to find candidate pairs →
-  * verify candidates with exact Jaccard. Only candidate pairs ever get
-  * compared, so cost is O(corpus + collisions), never O(n²) — the property
-  * that lets this run over a 100 TB document set.
+  * Shape: shingle-hash each document (fused expression, no shingle strings)
+  * → k-family MinHash signature as a NARROW per-row projection (a signature
+  * is a closed-form function of the shingle set, so no explode and no
+  * shuffle) → band the signature → one shuffle on (band, bucket-hash) to
+  * find candidate pairs → estimate via signature agreement → verify the few
+  * survivors with exact Jaccard. Only candidate pairs are ever compared, so
+  * cost is O(corpus + collisions), never O(n²) — the property that lets this
+  * run over a 100 TB document set.
   *
-  * Implementation note (measured): computing signatures with higher-order
-  * array functions (`transform`/`array_min` per hash family) re-walks each
-  * document's shingle array k times through interpreted lambdas — 99 s for
-  * 5k docs. The explode → groupBy(id).agg(k × min(a·h+b)) form below runs the
-  * same math inside whole-stage codegen in ~2 s and scales out: the exploded
-  * shingles flow through a hash aggregate with partial (map-side) combine.
+  * Measured history (sf0.1, 5k docs): the original explode → groupBy(id)
+  * with k=64 separate `min(xxhash64(i,h))` aggregates shuffled ~1M exploded
+  * shingle rows and compiled a 64-column generated aggregate; it was the
+  * largest stage of the funnel. [[MinHashSignatureExpr]] computes identical
+  * signatures (same xxhash64 family, bit-for-bit) in one pass per row,
+  * removing that shuffle entirely.
   */
 object MinHashLsh {
 
-  /** Per-document MinHash signature columns `__mh0..__mh{k-1}` via exploded
-    * shingles + codegen'd min aggregates. Family i re-hashes the base hash
-    * with seed i (`xxhash64(i, h)`): cheap fixed-width hashing, no ANSI
-    * overflow, k independent families. Returns (id, __mh0.., __sh) with the
-    * original shingle array retained for exact verification.
+  /** k-element MinHash signature over a pre-hashed shingle column
+    * (`array<long>`), as one `array<long>` column. Narrow, codegen'd,
+    * identical values to `min(xxhash64(i, h))` per family i.
     */
-  private def signatures(df: DataFrame, idCol: String, shingles: Column, k: Int): DataFrame = {
-    val base = df.select(col(idCol).as("__id"), shingles.as("__sh"))
-    val exploded = base
-      .select(col("__id"), explode(col("__sh")).as("__s"))
-      .withColumn("__h", xxhash64(col("__s")))
-    val aggs = (0 until k).map { i =>
-      min(xxhash64(lit(i), col("__h"))).as(s"__mh$i")
-    }
-    exploded.groupBy(col("__id")).agg(aggs.head, aggs.tail: _*)
-  }
+  def signatureOfHashes(shingleHashes: Column, k: Int): Column =
+    ColumnBridge.column(MinHashSignatureExpr(ColumnBridge.expression(shingleHashes), k))
 
-  /** k-element MinHash signature over an array-of-string column, as a single
-    * array column. Expression-only form for ad-hoc use on small arrays; the
-    * corpus-scale path is [[nearDupPairs]]'s aggregate form.
+  /** k-element MinHash signature over an array-of-string shingle column:
+    * base-hash each shingle with xxhash64, then [[signatureOfHashes]].
     */
-  def signature(shingles: Column, k: Int): Column = {
-    val hashes = transform(shingles, s => xxhash64(s))
-    array((0 until k).map { i =>
-      array_min(transform(hashes, h => xxhash64(lit(i), h)))
-    }: _*)
-  }
+  def signature(shingles: Column, k: Int): Column =
+    signatureOfHashes(transform(shingles, s => xxhash64(s)), k)
 
   /** Per-band bucket keys: hash of each r-length signature slice. Two
     * documents collide in a band iff that slice matches exactly.
@@ -70,89 +59,68 @@ object MinHashLsh {
     *   3. exact Jaccard on the surviving few, which is what the caller gets.
     * The wide shingle arrays enter only at stage 3, so the shuffles move
     * kilobytes of keys/signatures per document, never the corpus text.
+    *
+    * Resource lifecycle: the signature frame feeds three plan branches
+    * (banding + both sides of the estimate join), so it is persisted for the
+    * duration of the candidate search — ~0.5 KB/doc, ~50 GB cluster-wide for
+    * a 100M-doc corpus — then explicitly unpersisted once the (small)
+    * estimate-survivor set has been materialized via `localCheckpoint`.
+    * The returned frame therefore holds no cached state: downstream actions
+    * re-read only the candidate documents' shingles (semi-join pushdown),
+    * never the full corpus. The call does eager work proportional to
+    * corpus + collisions; the exact-verify stage stays lazy.
     */
   def nearDupPairs(df: DataFrame, idCol: String, shingles: Column,
                    numHashes: Int = 64, bands: Int = 16,
-                   threshold: Double = 0.8, minBands: Int = 2): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
-    val r = numHashes / bands
-    // The signature frame feeds three plan branches (banding + both sides of
-    // the estimate join); persist it so the explode+aggregate runs once.
-    // ~0.5 KB/doc — a 100M-doc corpus holds ~50 GB cluster-wide, well inside
-    // executor storage at that scale.
-    val sigs = signatures(df, idCol, shingles, numHashes)
-      .withColumn("__sig", array((0 until numHashes).map(i => col(s"__mh$i")): _*))
-      .select(col("__id"), col("__sig"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val banded = sigs
-      .select(col("__id"),
-        posexplode(bandBuckets(col("__sig"), bands, r)).as(Seq("__band", "__bucket")))
-    val cand = banded.as("l").join(banded.as("r"),
-        col("l.__band") === col("r.__band") &&
-        col("l.__bucket") === col("r.__bucket") &&
-        col("l.__id") < col("r.__id"))
-      .groupBy(col("l.__id").as("id_a"), col("r.__id").as("id_b"))
-      .agg(count(lit(1)).as("__nbands"))
-      .filter(col("__nbands") >= math.min(minBands, bands))
-      .select(col("id_a"), col("id_b"))
-    val estimated = cand
-      .join(sigs.select(col("__id").as("id_a"), col("__sig").as("sig_a")), "id_a")
-      .join(sigs.select(col("__id").as("id_b"), col("__sig").as("sig_b")), "id_b")
-      .withColumn("__est",
-        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), p => p))
-          .cast("double") / numHashes)
-      .filter(col("__est") >= threshold - 0.2)
-      .select(col("id_a"), col("id_b"))
-    // Exact verification touches only candidate documents: semi-join the ids
-    // first so shingling cost is ∝ candidates, not corpus size.
-    val candIds = estimated
-      .select(explode(array(col("id_a"), col("id_b"))).as("__cid")).distinct()
-    val candSh = df.join(candIds, col(idCol) === col("__cid"), "left_semi")
-      .select(col(idCol).as("__id"), shingles.as("__sh"))
-    estimated
-      .join(candSh.select(col("__id").as("id_a"), col("__sh").as("sh_a")), "id_a")
-      .join(candSh.select(col("__id").as("id_b"), col("__sh").as("sh_b")), "id_b")
-      .withColumn("jaccard", round(TextFunctions.jaccard(col("sh_a"), col("sh_b")), 4))
-      .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
-  }
+                   threshold: Double = 0.8, minBands: Int = 2): DataFrame =
+    nearDupPairsHashed(df, idCol, transform(shingles, s => xxhash64(s)),
+      numHashes, bands, threshold, minBands)
 
   /** [[nearDupPairs]] over pre-hashed shingles (`array<long>` from
-    * [[TextFunctions.shingleHashes]]): same three-stage funnel, but the
-    * signature aggregation consumes hash longs directly (no per-shingle
-    * string allocation anywhere) and exact verification intersects long
-    * arrays. Jaccard equals the string-set value up to 64-bit collisions.
+    * [[TextFunctions.shingleHashes]]): the signature aggregation consumes
+    * hash longs directly (no per-shingle string allocation anywhere) and
+    * exact verification intersects long arrays. Jaccard equals the
+    * string-set value up to 64-bit collisions.
     */
   def nearDupPairsHashed(df: DataFrame, idCol: String, shingleHashes: Column,
                          numHashes: Int = 64, bands: Int = 16,
                          threshold: Double = 0.8, minBands: Int = 2): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    val exploded = df
-      .select(col(idCol).as("__id"), explode(shingleHashes).as("__h"))
-    val aggs = (0 until numHashes).map(i => min(xxhash64(lit(i), col("__h"))).as(s"__mh$i"))
-    val sigs = exploded.groupBy(col("__id")).agg(aggs.head, aggs.tail: _*)
-      .withColumn("__sig", array((0 until numHashes).map(i => col(s"__mh$i")): _*))
-      .select(col("__id"), col("__sig"))
+    val sigs = df
+      .select(col(idCol).as("__id"), signatureOfHashes(shingleHashes, numHashes).as("__sig"))
+      // null shingle arrays never produced exploded rows in the aggregate
+      // formulation; keep those documents out of the banding here too
+      .filter(col("__sig").isNotNull)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val banded = sigs.select(col("__id"),
-      posexplode(bandBuckets(col("__sig"), bands, r)).as(Seq("__band", "__bucket")))
-    val cand = banded.as("l").join(banded.as("r"),
-        col("l.__band") === col("r.__band") &&
-        col("l.__bucket") === col("r.__bucket") &&
-        col("l.__id") < col("r.__id"))
-      .groupBy(col("l.__id").as("id_a"), col("r.__id").as("id_b"))
-      .agg(count(lit(1)).as("__nbands"))
-      .filter(col("__nbands") >= math.min(minBands, bands))
-      .select(col("id_a"), col("id_b"))
-    val estimated = cand
-      .join(sigs.select(col("__id").as("id_a"), col("__sig").as("sig_a")), "id_a")
-      .join(sigs.select(col("__id").as("id_b"), col("__sig").as("sig_b")), "id_b")
-      .withColumn("__est",
-        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), p => p))
-          .cast("double") / numHashes)
-      .filter(col("__est") >= threshold - 0.2)
-      .select(col("id_a"), col("id_b"))
+    val estimated = try {
+      val banded = sigs.select(col("__id"),
+        posexplode(bandBuckets(col("__sig"), bands, r)).as(Seq("__band", "__bucket")))
+      val cand = banded.as("l").join(banded.as("r"),
+          col("l.__band") === col("r.__band") &&
+          col("l.__bucket") === col("r.__bucket") &&
+          col("l.__id") < col("r.__id"))
+        .groupBy(col("l.__id").as("id_a"), col("r.__id").as("id_b"))
+        .agg(count(lit(1)).as("__nbands"))
+        .filter(col("__nbands") >= math.min(minBands, bands))
+        .select(col("id_a"), col("id_b"))
+      cand
+        .join(sigs.select(col("__id").as("id_a"), col("__sig").as("sig_a")), "id_a")
+        .join(sigs.select(col("__id").as("id_b"), col("__sig").as("sig_b")), "id_b")
+        .withColumn("__est",
+          size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), p => p))
+            .cast("double") / numHashes)
+        .filter(col("__est") >= threshold - 0.2)
+        .select(col("id_a"), col("id_b"))
+        // materialize the survivor set (∝ near-dup pairs, tiny vs corpus) and
+        // truncate lineage so the signature cache can be released now instead
+        // of leaking past the call
+        .localCheckpoint()
+    } finally {
+      sigs.unpersist(false)
+    }
+    // Exact verification touches only candidate documents: semi-join the ids
+    // first so shingling cost is ∝ candidates, not corpus size.
     val candIds = estimated
       .select(explode(array(col("id_a"), col("id_b"))).as("__cid")).distinct()
     val candSh = df.join(candIds, col(idCol) === col("__cid"), "left_semi")

@@ -17,19 +17,31 @@ object NgramJaccard {
     *
     * @param maxDocFreq drop grams occurring in more than this many documents
     *                   (stop-gram skew guard: a gram in half the corpus would
-    *                   otherwise quadratically dominate the join). 0 = no cap;
-    *                   capped runs are still exact for pairs whose similarity
-    *                   is carried by rarer grams — the standard trade-off.
+    *                   otherwise quadratically dominate the join — the
+    *                   posting-list join costs Σ df(gram)², so one uncapped
+    *                   stop-gram is the whole bill). Capped runs are still
+    *                   exact for pairs whose similarity is carried by rarer
+    *                   grams — the standard trade-off. Defaults to auto:
+    *                   max(1000, 1% of corpus documents), so the guard is on
+    *                   at any corpus size without tuning. Pass 0 to disable
+    *                   (exact-verification kernel use only — never at scale).
     */
   def pairs(df: DataFrame, idCol: String, ngrams: Column,
-            threshold: Double, maxDocFreq: Long = 0L): DataFrame = {
+            threshold: Double, maxDocFreq: Long = -1L): DataFrame = {
     val g0 = df.select(col(idCol).as("__id"), explode(ngrams).as("__gram"))
+    val cap =
+      if (maxDocFreq >= 0) maxDocFreq
+      else math.max(1000L, df.count() / 100)
     val g =
-      if (maxDocFreq <= 0) g0
+      if (cap == 0) g0
       else {
-        val rare = g0.groupBy("__gram").agg(count("*").as("__df"))
-          .filter(col("__df") <= maxDocFreq).select("__gram")
-        g0.join(broadcast(rare), "__gram")
+        // anti-join against the stop grams (few by construction: only grams
+        // above the cap), not an inner join against all rare grams — the
+        // rare set is ∝ distinct grams and could never broadcast at corpus
+        // scale, while the stop set stays small enough for AQE to broadcast
+        val stop = g0.groupBy("__gram").agg(count("*").as("__df"))
+          .filter(col("__df") > cap).select("__gram")
+        g0.join(stop, Seq("__gram"), "left_anti")
       }
     val cnt = g.groupBy(col("__id")).agg(count("*").as("__n"))
     val inter = g.as("a").join(g.as("b"),

@@ -104,6 +104,27 @@ class MinHashSpec extends SparkSpec {
       TextFunctions.wordNgrams($"text", 3), threshold = 0.8).collect()
     assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((0L, 1L)))
   }
+
+  test("ngram jaccard doc-frequency cap prunes a synthetic stop-gram") {
+    // every doc shares the stop gram; docs 10/11 share nothing else.
+    // Uncapped, the stop gram alone makes (10,11) similar at threshold 0.5;
+    // with the cap (df > 3 pruned) the pair disappears while the genuine
+    // near-dup pair (12,13), carried by rare grams, survives.
+    val d = Seq(
+      (10L, "common shared gram alpha"),
+      (11L, "common shared gram delta"),
+      (12L, "common shared gram unique payload text here"),
+      (13L, "common shared gram unique payload text here too")
+    ).toDF("doc_id", "text")
+    val grams = TextFunctions.wordNgrams($"text", 3)
+    val uncapped = NgramJaccard.pairs(d, "doc_id", grams, threshold = 0.3, maxDocFreq = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = NgramJaccard.pairs(d, "doc_id", grams, threshold = 0.3, maxDocFreq = 3L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.contains((10L, 11L)), s"stop gram should link 10-11 uncapped: $uncapped")
+    assert(!capped.contains((10L, 11L)), s"cap should prune the stop-gram link: $capped")
+    assert(capped.contains((12L, 13L)), s"rare-gram pair must survive the cap: $capped")
+  }
 }
 
 class VectorSimilaritySpec extends SparkSpec {
