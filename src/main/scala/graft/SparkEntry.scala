@@ -513,7 +513,7 @@ object SparkEntry {
     "ann_ivf_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       VectorSimilarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), k = 5,
-        stride = 25, nprobe = 4)
+        nprobe = 4, maxCentroids = 64)
         .withColumnRenamed("rank", "rnk")
         .orderBy(col("query_id"), col("rnk"))
     }),
@@ -531,6 +531,17 @@ object SparkEntry {
     "vec_threshold_join" -> ((s, dir) => {
       VectorSimilarity.thresholdJoin(
         t(s, dir, "embeddings").filter(col("vec_id") < 500), minCosine = 0.4)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // LSH-prefiltered threshold join: same exact answer as the cartesian
+    // form (miss probability ~9e-8 per qualifying pair at these params), but
+    // candidates come from a bucket equi-join — the 100 TB path; shares
+    // vec_threshold_join's exact-join oracle
+    "vec_threshold_lsh" -> ((s, dir) => {
+      VectorSimilarity.thresholdJoinLsh(
+        t(s, dir, "embeddings").filter(col("vec_id") < 500), minCosine = 0.4,
+        dim = 64)
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -994,6 +1005,15 @@ object SparkEntry {
           |ORDER BY query_id, rnk""".stripMargin,
 
       "vec_threshold_join" ->
+        """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+          |           FROM embeddings WHERE vec_id < 500)
+          |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+          |  round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+          |FROM e a JOIN e b ON a.vec_id < b.vec_id
+          |WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4
+          |ORDER BY id_a, id_b""".stripMargin,
+
+      "vec_threshold_lsh" ->
         """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
           |           FROM embeddings WHERE vec_id < 500)
           |SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -85,6 +85,42 @@ object VectorSimilarity {
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
 
+  /** LSH-prefiltered cosine threshold self-join — the corpus-scale variant
+    * of [[thresholdJoin]]: candidate pairs come from a multi-table
+    * hyperplane-bucket equi-join (keys only: id + table + bucket shuffle,
+    * vectors join back by id afterwards), then the exact cosine filter
+    * verifies. No cartesian/nested-loop node anywhere in the plan.
+    *
+    * Recall: a pair with cosine >= `minCosine` collides in one table with
+    * probability p^nbits where p = 1 - arccos(minCosine)/π, so the miss
+    * probability is (1 - p^nbits)^tables — at the defaults (2 bits,
+    * 32 tables) a pair at cosine 0.4 is missed with probability ~9e-8, and
+    * anything more similar even less often. Fewer bits = more recall but
+    * bigger buckets; more tables buys recall at linear candidate cost. The
+    * defaults favor exactness at moderate thresholds; raise `nbits` for
+    * high-threshold near-dup workloads at corpus scale.
+    */
+  def thresholdJoinLsh(df: DataFrame, minCosine: Double, dim: Int,
+                       nbits: Int = 2, tables: Int = 32,
+                       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val base = df.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+    val banded = base.select(col("__id"),
+      posexplode(hyperplaneBuckets(col("__v"), nbits, dim, tables))
+        .as(Seq("__table", "__bucket")))
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.__table") === col("b.__table") &&
+        col("a.__bucket") === col("b.__bucket") &&
+        col("a.__id") < col("b.__id"))
+      .select(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    cand
+      .join(base.select(col("__id").as("id_a"), col("__v").as("__va")), "id_a")
+      .join(base.select(col("__id").as("id_b"), col("__v").as("__vb")), "id_b")
+      .withColumn("cosine", round(cosine(col("__va"), col("__vb")), 6))
+      .filter(col("cosine") >= minCosine)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+
   /** Random-hyperplane LSH bucket id: `nbits` sign bits of dot products with
     * deterministic pseudo-random hyperplanes. Component j of plane p is
     * derived from xxhash64(p, j), scaled to [-1, 1] — fully reproducible
@@ -138,30 +174,45 @@ object VectorSimilarity {
       .select(col("query_id"), col("corpus_id"), col("cosine"), col("__rn").as("rank"))
   }
 
-  /** IVF-style coarse search: centroids = every `stride`-th corpus vector
-    * (deterministic coarse codebook); vectors are assigned to their nearest
-    * centroid once (broadcast argmin — the "index build"); queries probe the
-    * `nprobe` nearest centroid cells only. Corpus-side work per query drops
-    * by ~|cells|/nprobe versus brute force.
+  /** Deterministic fixed-size coarse codebook: up to `maxCentroids` corpus
+    * vectors selected by smallest `xxhash64(id)` — a uniform pseudo-random
+    * sample whose SIZE is independent of corpus cardinality (the previous
+    * every-`stride`-th-vector codebook grew linearly with the corpus, so at
+    * 100× scale the "broadcast" side was gigabytes). TakeOrdered keeps the
+    * selection at O(maxCentroids) memory per partition; the collected
+    * codebook is ~1 MB at the 4096 × 64-dim default. Returned in id order
+    * for a reproducible centroid indexing.
     */
-  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, stride: Int, nprobe: Int,
+  private[functions] def sampleCodebook(corpus: DataFrame, maxCentroids: Int,
+                                        idCol: String, vecCol: String): Array[Array[Float]] =
+    corpus.select(col(idCol).as("__id"), col(vecCol).cast("array<float>").as("__v"))
+      .orderBy(xxhash64(col("__id")), col("__id"))
+      .limit(maxCentroids)
+      .orderBy(col("__id"))
+      .collect()
+      .map(_.getSeq[Float](1).toArray)
+
+  /** IVF-style coarse search: a fixed-size sampled codebook (≤ `maxCentroids`
+    * centroids regardless of corpus size); vectors are assigned to their
+    * nearest centroid MAP-SIDE via [[expressions.NearestCentroidsExpr]] (the
+    * codebook ships inside the expression — no crossJoin blow-up, no per-id
+    * window shuffle); queries probe the `nprobe` nearest cells only. One
+    * equi-join shuffle on the cell id, then an exact cosine rank. Corpus-side
+    * work per query drops by ~|cells|/nprobe versus brute force.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, nprobe: Int,
+              maxCentroids: Int = 4096,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val cents = corpus.filter(pmod(col(idCol), lit(stride)) === 0)
-      .select(col(idCol).as("cent_id"), col(vecCol).as("__cent"))
-    def nearestCells(df: DataFrame, id: String, vec: String, n: Int, out: String): DataFrame = {
-      val w = Window.partitionBy(col(id)).orderBy(col("__csim").desc, col("cent_id").asc)
-      df.crossJoin(broadcast(cents))
-        .withColumn("__csim", cosine(col(vec), col("__cent")))
-        .withColumn("__crn", row_number().over(w))
-        .filter(col("__crn") <= n)
-        .select(col(id), col(vec), col("cent_id").as(out))
-    }
-    val assigned = nearestCells(
-      corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("__cv")),
-      "corpus_id", "__cv", 1, "cell")
-    val probes = nearestCells(
-      queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv")),
-      "query_id", "__qv", nprobe, "cell")
+    require(maxCentroids >= 1 && maxCentroids <= 65536,
+      "codebook must be small enough to ship to executors")
+    val codebook = sampleCodebook(corpus, maxCentroids, idCol, vecCol)
+    def cells(vec: Column, n: Int): Column =
+      ExpressionUtils.column(expressions.NearestCentroidsExpr(
+        ExpressionUtils.expression(vec), codebook, n))
+    val assigned = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("__cv"))
+      .withColumn("cell", element_at(cells(col("__cv"), 1), 1))
+    val probes = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+      .withColumn("cell", explode(cells(col("__qv"), nprobe)))
     val scored = assigned.join(probes, Seq("cell"))
       .filter(col("corpus_id") =!= col("query_id"))
       .withColumn("cosine", round(cosine(col("__cv"), col("__qv")), 6))

@@ -72,6 +72,39 @@ object CdmSource {
         try_to_timestamp(c))
   }
 
+  /** The batch folder currently being written, from
+    * `Changelog/changelog.info` under the container root — the writer
+    * updates this file to the name of the folder it is filling, so every
+    * folder strictly before it is complete and safe to read
+    * (ref SynapseAzureBlobReaderExtensions.scala:85-116: eligible dates are
+    * `>= startFrom` and `< parse(changelog.info)`). Returns None when the
+    * file is absent (no batch in progress / legacy layout), in which case
+    * all listed folders are eligible.
+    */
+  def readInProgressFolder(spark: SparkSession, root: String): Option[String] = {
+    val p = new Path(root, "Changelog/changelog.info")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val content = new String(
+          org.apache.hadoop.io.IOUtils.readFullyToByteArray(in),
+          java.nio.charset.StandardCharsets.UTF_8).trim
+        if (content.isEmpty) None else Some(content)
+      } finally in.close()
+    }
+  }
+
+  /** Complete (safe-to-read) batch folders after `afterFolder`: lists the
+    * root and excludes the in-progress folder announced by
+    * `Changelog/changelog.info` — the torn-batch guard every production
+    * Synapse reader needs.
+    */
+  def listCompleteBatchFolders(spark: SparkSession, root: String,
+                               afterFolder: Option[String]): Seq[String] =
+    listBatchFolders(spark, root, afterFolder, readInProgressFolder(spark, root))
+
   /** Batch folders under `root` with names in (afterFolder, beforeFolder],
     * sorted ascending — `yyyy-MM-ddTHH.mm.ssZ` names sort chronologically as
     * strings, which is exactly how the reference prunes by hour prefix.

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.encoders.{ExpressionEncoder, RowEncoder}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -94,12 +94,52 @@ final case class ChangeShardPartition(source: VersionedChangeSource,
                                       from: Long, to: Long,
                                       shard: Int, numShards: Int) extends InputPartition
 
+/** @param maxVersionsPerTrigger admission cap: at most this many source
+  *   versions are admitted into one micro-batch (change-tracking versions
+  *   advance once per transaction, so versions bound rows from above give
+  *   or take multi-row transactions). Without the cap, a stream resuming
+  *   after downtime would plan a single micro-batch over the entire backlog
+  *   — the failure mode the reference's throughput shaper exists to prevent
+  *   (ref services/streaming/throughput/ThroughputShaper.scala:22-40).
+  *   Defaults to the adaptive memory-derived bound; see
+  *   [[VersionedStreamProvider]].
+  */
 class VersionedMicroBatchStream(schema: StructType, source: VersionedChangeSource,
-                                numShards: Int, startVersion: Long = 0L)
-    extends MicroBatchStream {
+                                numShards: Int, startVersion: Long = 0L,
+                                maxVersionsPerTrigger: Long = Long.MaxValue)
+    extends MicroBatchStream with SupportsAdmissionControl {
 
   override def initialOffset(): Offset = VersionOffset(startVersion)
-  override def latestOffset(): Offset = VersionOffset(source.currentVersion())
+
+  // the engine consults the SupportsAdmissionControl overload below when a
+  // source implements it; the no-arg form exists only for the base trait
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) should be called instead of this method")
+
+  override def getDefaultReadLimit: ReadLimit =
+    if (maxVersionsPerTrigger == Long.MaxValue) ReadLimit.allAvailable()
+    else ReadLimit.maxRows(maxVersionsPerTrigger)
+
+  /** Admission-controlled poll: advance at most `maxRows` versions past the
+    * last committed offset, so a backlog of M versions is consumed over
+    * ⌈M/maxRows⌉ bounded micro-batches instead of one unbounded one.
+    */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[VersionOffset].version
+    val current = source.currentVersion()
+    val capped = limit match {
+      case r: ReadMaxRows if r.maxRows() < current - s => s + r.maxRows()
+      case _ => current
+    }
+    VersionOffset(capped)
+  }
+
+  /** True source high-water mark, for lag metrics (may be ahead of the
+    * admitted offset when the cap is throttling a backlog).
+    */
+  override def reportLatestOffset(): Offset = VersionOffset(source.currentVersion())
+
   override def deserializeOffset(json: String): Offset = VersionOffset(json.toLong)
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
@@ -143,9 +183,18 @@ class VersionedStreamProvider extends TableProvider {
     throw new IllegalArgumentException("versioned stream requires explicit .schema(...)")
   override def getTable(tableSchema: StructType, partitioning: Array[Transform],
                         properties: java.util.Map[String, String]): Table = {
-    val sourceName = Option(properties.get("source.name")).getOrElse(
+    val opts = new CaseInsensitiveStringMap(properties)
+    val sourceName = Option(opts.get("source.name")).getOrElse(
       throw new IllegalArgumentException("option 'source.name' is required"))
-    val shards = Option(properties.get("source.shards")).map(_.toInt).getOrElse(1)
+    val shards = Option(opts.get("source.shards")).map(_.toInt).getOrElse(1)
+    // Admission cap (versions per trigger): explicit option wins; otherwise
+    // derive the bound from executor memory and the schema's row-size
+    // estimate so a post-downtime backlog never plans one unbounded batch.
+    val maxVersions = Option(opts.get("source.maxVersionsPerTrigger"))
+      .map(_.toLong)
+      .getOrElse(AdaptiveTrigger.maxRowsPerTrigger(
+        Runtime.getRuntime.maxMemory(),
+        AdaptiveTrigger.estimateRowBytes(tableSchema)))
     val src = VersionedStreamRegistry.get(sourceName)
     new Table with SupportsRead {
       override def name(): String = s"graft-versioned($sourceName)"
@@ -156,7 +205,8 @@ class VersionedStreamProvider extends TableProvider {
         () => new Scan {
           override def readSchema(): StructType = tableSchema
           override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-            new VersionedMicroBatchStream(tableSchema, src, shards)
+            new VersionedMicroBatchStream(tableSchema, src, shards,
+              maxVersionsPerTrigger = maxVersions)
         }
     }
   }

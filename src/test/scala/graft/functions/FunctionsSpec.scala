@@ -320,8 +320,28 @@ class AnnRecallSpec extends SparkSpec {
     assert(r >= 0.5, s"lsh recall@5 degraded to $r")
   }
 
-  test("IVF recall floor at nprobe=8") {
-    val r = recallOf(VectorSimilarity.ivfTopK(emb, queries, 5, stride = 25, nprobe = 8))
+  test("IVF recall floor at nprobe=8 with a fixed-size codebook") {
+    val r = recallOf(VectorSimilarity.ivfTopK(emb, queries, 5, nprobe = 8, maxCentroids = 64))
     assert(r >= 0.4, s"ivf recall@5 degraded to $r")
+  }
+
+  test("LSH threshold join matches the exact cartesian join, with no BNLJ/cartesian node") {
+    val sub = emb.filter(col("vec_id") < 200)
+    val exactPairs = VectorSimilarity.thresholdJoin(sub, minCosine = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val lsh = VectorSimilarity.thresholdJoinLsh(sub, minCosine = 0.4, dim = 64)
+    val lshPairs = lsh.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(lshPairs == exactPairs,
+      s"missing=${exactPairs.diff(lshPairs)} extra=${lshPairs.diff(exactPairs)}")
+    val plan = lsh.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"LSH threshold join must not plan a nested-loop/cartesian node:\n$plan")
+  }
+
+  test("IVF codebook size is capped regardless of corpus rows") {
+    val cb = VectorSimilarity.sampleCodebook(emb, 16, "vec_id", "embedding")
+    assert(cb.length == 16)
+    val r = recallOf(VectorSimilarity.ivfTopK(emb, queries, 5, nprobe = 8, maxCentroids = 16))
+    assert(r >= 0.4, s"ivf recall@5 with 16-cell codebook degraded to $r")
   }
 }

@@ -103,6 +103,27 @@ class CdmSourceSpec extends SparkSpec {
       inProgress = Some("2024-01-01T02.00.00Z"))
     assert(got == Seq("2024-01-01T01.00.00Z"))
   }
+
+  test("changelog.info gates the in-progress folder until the writer advances it") {
+    val dir = Files.createTempDirectory("cdmroot2").toString
+    Seq("2024-01-01T00.00.00Z", "2024-01-01T01.00.00Z")
+      .foreach(n => Files.createDirectories(Paths.get(dir, n)))
+    // writer announces 01.00.00Z as in progress
+    Files.createDirectories(Paths.get(dir, "Changelog"))
+    Files.writeString(Paths.get(dir, "Changelog", "changelog.info"), "2024-01-01T01.00.00Z\n")
+    assert(CdmSource.readInProgressFolder(spark, dir).contains("2024-01-01T01.00.00Z"))
+    assert(CdmSource.listCompleteBatchFolders(spark, dir, None)
+      == Seq("2024-01-01T00.00.00Z"), "in-progress folder must be excluded")
+    // writer finishes the batch and moves on to the next hour
+    Files.writeString(Paths.get(dir, "Changelog", "changelog.info"), "2024-01-01T02.00.00Z")
+    assert(CdmSource.listCompleteBatchFolders(spark, dir, None)
+      == Seq("2024-01-01T00.00.00Z", "2024-01-01T01.00.00Z"),
+      "folder becomes eligible once the changelog advances past it")
+    // no changelog file → everything listed is eligible
+    Files.delete(Paths.get(dir, "Changelog", "changelog.info"))
+    assert(CdmSource.listCompleteBatchFolders(spark, dir, None)
+      == Seq("2024-01-01T00.00.00Z", "2024-01-01T01.00.00Z"))
+  }
 }
 
 class BlobListingSpec extends SparkSpec {

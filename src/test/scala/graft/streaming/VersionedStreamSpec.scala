@@ -7,6 +7,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import java.nio.file.Files
+import scala.jdk.CollectionConverters._
 
 /** Deterministic feed: version v carries row key "k{v%3}" payload "p{v}";
   * version 5 is a delete of k1. Top-level class: partition objects serialize
@@ -81,6 +82,35 @@ class VersionedStreamSpec extends SparkSpec {
       // v5 delete and v7 re-insert are in the SAME batch: dedup-latest keeps
       // v7 (the newest change per key), so k1 survives as p7
       assert(afterSecond == Map("k1" -> "p7", "k2" -> "p2", "k0" -> "p6"))
+    } finally q.stop()
+  }
+
+  test("admission cap: a backlog of M versions is consumed over ceil(M/N) micro-batches") {
+    val feed = new TestFeed
+    VersionedStreamRegistry.register("test-feed-cap", feed)
+    val batchSizes = new java.util.concurrent.CopyOnWriteArrayList[Long]()
+    val stream = spark.readStream
+      .format(classOf[VersionedStreamProvider].getName)
+      .option("source.name", "test-feed-cap")
+      .option("source.shards", "2")
+      .option("source.maxVersionsPerTrigger", "3")
+      .schema(schema)
+      .load()
+    val q = stream.writeStream
+      .option("checkpointLocation", Files.createTempDirectory("vckpt3").toString)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val n = batch.count()
+        if (n > 0) batchSizes.add(n)
+        ()
+      }
+      .start()
+    try {
+      feed.version = 10 // backlog of 10 versions, cap 3 → 4 batches: 3,3,3,1
+      q.processAllAvailable()
+      val sizes = batchSizes.asScala.toList
+      assert(sizes.sum == 10, s"every backlog version consumed exactly once: $sizes")
+      assert(sizes.length == 4, s"ceil(10/3)=4 bounded micro-batches, got: $sizes")
+      assert(sizes.forall(_ <= 3), s"no batch may exceed the cap: $sizes")
     } finally q.stop()
   }
 
