@@ -1,7 +1,7 @@
 package graft.functions.expressions
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
@@ -17,7 +17,7 @@ import org.apache.spark.sql.types._
   * VectorSimilarity.hyperplaneBucket, different hash constants).
   */
 case class HyperplaneBucketsExpr(child: Expression, nbits: Int, dim: Int, tables: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   require(nbits >= 1 && nbits <= 63 && dim >= 1 && tables >= 1)
 
@@ -42,8 +42,10 @@ case class HyperplaneBucketsExpr(child: Expression, nbits: Int, dim: Int, tables
     out
   }
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  /** Instance method so generated code can call through a reference object
+    * and share the per-executor cached plane components.
+    */
+  def computeRow(arr: ArrayData): ArrayData = {
     val n = math.min(dim, arr.numElements())
     val vec = new Array[Double](n)
     val isF = elemIsFloat
@@ -69,6 +71,15 @@ case class HyperplaneBucketsExpr(child: Expression, nbits: Int, dim: Int, tables
       t += 1
     }
     new GenericArrayData(out)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    computeRow(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("hyperplaneBuckets", this,
+      classOf[HyperplaneBucketsExpr].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.computeRow($c);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

@@ -63,6 +63,59 @@ object MsSqlChangeTracking {
     else math.min(1000, math.max(1, (1.0 + math.pow(math.log(cost), 3)).toInt))
   }
 
+  /** Optimizer-cost probe: `SET STATISTICS PROFILE` around a `TOP 1` scan
+    * (ref QueryProvider.scala:163-167). The caller sums the plan rows'
+    * EstimateIO + EstimateCPU columns into the `cost` fed to
+    * [[costToShardSize]] / [[physicalStatsQuery]].
+    */
+  def statsProfileQuery(schema: String, table: String): String =
+    s"""EXEC('
+       | SET STATISTICS PROFILE ON;
+       | SELECT TOP 1 * FROM [$schema].[$table];
+       | SET STATISTICS PROFILE OFF')""".stripMargin
+
+  /** Target shard size in MiB from optimizer cost — the reference's
+    * `costToSize`: clamp(1 + ln(cost)³, 1, 1000) (QueryProvider.scala:169-174).
+    * Cheaper plans → smaller clamp → more, smaller shards is avoided; pricier
+    * plans cap at 1000 MiB shards.
+    */
+  def costToShardSize(cost: Double): Double = {
+    val c = 1.0 + math.pow(math.log(cost), 3)
+    if (c < 0) 1.0 else if (c > 1000) 1000.0 else c
+  }
+
+  /** Physical-stats query over the clustered index leaf level
+    * (`sys.dm_db_index_physical_stats ... index_level = 0`, ref
+    * QueryProvider.scala:176-186): total size in GiB, shard count at the
+    * cost-derived shard size, and records per shard — the inputs the
+    * reference's shard creator reads before backfilling.
+    */
+  def physicalStatsQuery(schema: String, table: String, cost: Double): String =
+    physicalStatsQuerySized(schema, table, costToShardSize(cost))
+
+  /** [[physicalStatsQuery]] with an explicit shard size in MiB (ref
+    * QueryProvider.scala:188-196 — the operator-override path).
+    */
+  def physicalStatsQuerySized(schema: String, table: String, shardSizeMib: Double): String =
+    s"""SELECT
+       |    (page_count * 8.0) / 1024 / 1024 as total_size_gib,
+       |    ceiling((page_count * 8.0) / 1024 / $shardSizeMib) as shards,
+       |    record_count / ceiling((page_count * 8.0) / 1024 / $shardSizeMib) as records_per_shard
+       |FROM
+       |    sys.dm_db_index_physical_stats(DB_ID(), OBJECT_ID('$schema.$table'), 1, NULL, 'DETAILED')
+       |where index_level = 0""".stripMargin
+
+  /** Client-side mirror of [[physicalStatsQuery]]'s shards column, for
+    * callers that already hold leaf page counts (8 KiB pages): shard count
+    * at the cost-derived size, clamped to [1, 1000] like the server-side
+    * ceiling path.
+    */
+  def shardCountFromStats(leafPageCount: Long, cost: Double): Int = {
+    val sizeMib = leafPageCount * 8.0 / 1024
+    val n = math.ceil(sizeMib / costToShardSize(cost)).toInt
+    math.min(1000, math.max(1, n))
+  }
+
   /** Per-shard JDBC predicates (`%N=i` over PK checksum) — one Spark input
     * partition each; the server evaluates the checksum, the rows never
     * co-locate on one connection.

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import graft.core.{SchemaEvolution, Watermark, WatermarkStore}
+import graft.core.{RetryPolicy, SchemaEvolution, Watermark, WatermarkStore}
 import graft.operators.{CdcMerge, Dedup, FieldFilter, MergeDialect}
 import graft.sources.{BlobListingSource, BlobSourceConfig}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -27,12 +27,17 @@ final case class PipelineConfig(
     targetPartitions: Option[Int] = None)   // clamp files per commit
 
 final class CdcPipeline(spark: SparkSession, dialect: MergeDialect,
-                        cfg: PipelineConfig, watermarks: WatermarkStore) {
+                        cfg: PipelineConfig, watermarks: WatermarkStore,
+                        retry: RetryPolicy = RetryPolicy()) {
 
   @volatile private var batchCount: Long = 0L
 
+  // Watermark commits go to an external store (table property / catalog);
+  // a transient failure AFTER a successful merge must not kill the stream —
+  // the merge is version-guarded, but restarting re-pulls and re-merges the
+  // whole batch for nothing (ref JdbcMergeServiceClient.scala:38-58).
   private def commitWatermark(targetName: String, wm: Watermark): Unit = {
-    watermarks.set(targetName, wm)
+    retry(watermarks.set(targetName, wm))
     GraftMetrics.inc(GraftMetrics.WatermarkUpdates)
     GraftMetrics.gauge(GraftMetrics.WatermarkAge, wm.ageMillis(System.currentTimeMillis()))
   }

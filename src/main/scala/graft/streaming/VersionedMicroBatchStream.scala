@@ -103,10 +103,14 @@ final case class ChangeShardPartition(source: VersionedChangeSource,
   *   (ref services/streaming/throughput/ThroughputShaper.scala:22-40).
   *   Defaults to the adaptive memory-derived bound; see
   *   [[VersionedStreamProvider]].
+  * @param retry policy around the driver-side `currentVersion()` scalar
+  *   poll — one transient network/deadlock error must not kill the stream
+  *   (ref JdbcMergeServiceClient.scala:38-58).
   */
 class VersionedMicroBatchStream(schema: StructType, source: VersionedChangeSource,
                                 numShards: Int, startVersion: Long = 0L,
-                                maxVersionsPerTrigger: Long = Long.MaxValue)
+                                maxVersionsPerTrigger: Long = Long.MaxValue,
+                                retry: graft.core.RetryPolicy = graft.core.RetryPolicy())
     extends MicroBatchStream with SupportsAdmissionControl {
 
   override def initialOffset(): Offset = VersionOffset(startVersion)
@@ -127,7 +131,7 @@ class VersionedMicroBatchStream(schema: StructType, source: VersionedChangeSourc
     */
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val s = start.asInstanceOf[VersionOffset].version
-    val current = source.currentVersion()
+    val current = retry(source.currentVersion())
     val capped = limit match {
       case r: ReadMaxRows if r.maxRows() < current - s => s + r.maxRows()
       case _ => current
@@ -138,7 +142,7 @@ class VersionedMicroBatchStream(schema: StructType, source: VersionedChangeSourc
   /** True source high-water mark, for lag metrics (may be ahead of the
     * admitted offset when the cap is throttling a backlog).
     */
-  override def reportLatestOffset(): Offset = VersionOffset(source.currentVersion())
+  override def reportLatestOffset(): Offset = VersionOffset(retry(source.currentVersion()))
 
   override def deserializeOffset(json: String): Offset = VersionOffset(json.toLong)
   override def commit(end: Offset): Unit = ()

@@ -157,6 +157,25 @@ class VectorSimilaritySpec extends SparkSpec {
     assert(b1.map(_.getLong(0)).toSeq == b2.map(_.getLong(0)).toSeq)
   }
 
+  test("multi-table bucket expression: codegen and interpreted eval agree") {
+    import graft.functions.expressions.HyperplaneBucketsExpr
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet").limit(50)
+    // df path runs through whole-stage codegen (doGenCode)
+    val viaCodegen = emb
+      .select($"vec_id", VectorSimilarity.hyperplaneBuckets($"embedding", 3, 64, 8).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    // direct eval path (interpreted)
+    val expr = HyperplaneBucketsExpr(org.apache.spark.sql.catalyst.expressions.Literal(
+      null, org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)), 3, 64, 8)
+    val rows = emb.select($"vec_id", $"embedding").collect()
+    rows.foreach { r =>
+      val in = ArrayData.toArrayData(r.getSeq[Float](1).toArray)
+      val got = expr.computeRow(in).toLongArray.toSeq
+      assert(got == viaCodegen(r.getLong(0)), s"vec ${r.getLong(0)}")
+    }
+  }
+
   test("multimodal feature extraction preserves ids and emits fixed-width vectors") {
     val docs = spark.read.parquet(s"$sf/documents.parquet").limit(10)
     val media = Multimodal.synthesizeMedia(docs, "doc_id", "text")

@@ -33,6 +33,54 @@ class MsSqlChangeTrackingSpec extends SparkSpec {
     assert(preds.length == 3)
     assert(preds(0) == "ABS(CAST(CHECKSUM([x], [y]) AS BIGINT)) % 3 = 0")
   }
+
+  test("stats-profile probe wraps a TOP 1 scan in SET STATISTICS PROFILE") {
+    val q = MsSqlChangeTracking.statsProfileQuery("dbo", "t")
+    assert(q.contains("SET STATISTICS PROFILE ON;"))
+    assert(q.contains("SELECT TOP 1 * FROM [dbo].[t];"))
+    assert(q.contains("SET STATISTICS PROFILE OFF"))
+    assert(q.startsWith("EXEC('"))
+  }
+
+  test("physical-stats query derives shards from leaf pages at the cost-sized divisor") {
+    val q = MsSqlChangeTracking.physicalStatsQuery("dbo", "t", cost = math.exp(2))
+    // costToShardSize(e^2) = 1 + 2^3 = 9 MiB per shard
+    assert(q.contains("ceiling((page_count * 8.0) / 1024 / 9.0) as shards"))
+    assert(q.contains("sys.dm_db_index_physical_stats(DB_ID(), OBJECT_ID('dbo.t'), 1, NULL, 'DETAILED')"))
+    assert(q.contains("index_level = 0"))
+    assert(MsSqlChangeTracking.costToShardSize(0.1) == 1.0)   // 1+ln³ < 0 clamps to 1
+    assert(math.abs(MsSqlChangeTracking.costToShardSize(0.5) - (1 + math.pow(math.log(0.5), 3))) < 1e-12)
+    assert(MsSqlChangeTracking.costToShardSize(1e60) == 1000.0)
+  }
+
+  test("client-side shard count mirrors the server ceiling") {
+    // 9216 leaf pages = 72 MiB; at e^2 cost → 9 MiB shards → 8 shards
+    assert(MsSqlChangeTracking.shardCountFromStats(9216, math.exp(2)) == 8)
+    assert(MsSqlChangeTracking.shardCountFromStats(0, 10.0) == 1)      // clamp low
+    assert(MsSqlChangeTracking.shardCountFromStats(Long.MaxValue / 16, 1.1) == 1000) // clamp high
+  }
+}
+
+class JdbcTypeMapSpec extends SparkSpec {
+  import java.sql.Types
+
+  test("MSSQL TIME maps to Spark TimeType with capped precision") {
+    assert(JdbcTypeMap.toSparkType(Types.TIME, precision = 7) == TimeType(6))
+    assert(JdbcTypeMap.toSparkType(Types.TIME, precision = 3) == TimeType(3))
+  }
+
+  test("reference type table parity") {
+    assert(JdbcTypeMap.toSparkType(Types.BIGINT) == LongType)
+    assert(JdbcTypeMap.toSparkType(Types.BIT) == BooleanType)
+    assert(JdbcTypeMap.toSparkType(Types.LONGNVARCHAR) == StringType) // ntext
+    assert(JdbcTypeMap.toSparkType(Types.TIMESTAMP) == TimestampNTZType)
+    assert(JdbcTypeMap.toSparkType(Types.TIMESTAMP_WITH_TIMEZONE) == TimestampType)
+    assert(JdbcTypeMap.toSparkType(Types.NUMERIC, 10, 2) == DecimalType(10, 2))
+    assert(JdbcTypeMap.toSparkType(Types.REAL) == FloatType)
+    assert(JdbcTypeMap.toSparkType(Types.TINYINT) == ShortType)
+    assert(JdbcTypeMap.toSparkType(Types.VARBINARY) == BinaryType)
+    intercept[IllegalArgumentException](JdbcTypeMap.toSparkType(Types.SQLXML))
+  }
 }
 
 class CdmSourceSpec extends SparkSpec {
