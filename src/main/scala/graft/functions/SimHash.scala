@@ -2,6 +2,8 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.ColumnBridge
+import graft.functions.expressions.SimHash64Expr
 
 /** 64-bit SimHash fingerprints + Hamming-distance near-dup detection.
   *
@@ -12,27 +14,23 @@ import org.apache.spark.sql.functions._
   * fingerprints within `maxDist` bits must agree exactly on at least one
   * chunk — giving an equi-join on chunk values (one shuffle, no n²).
   *
-  * Like [[MinHashLsh]], the corpus-scale fingerprint path is explode →
-  * codegen'd sum aggregates (one xxhash per token, 64 cheap bit-vote sums),
-  * not per-row higher-order lambdas.
+  * Like [[MinHashLsh]], the corpus-scale fingerprint path is a NARROW
+  * per-row projection ([[SimHash64Expr]]): a fingerprint is a closed-form
+  * function of the token multiset, so no explode and no shuffle — the
+  * earlier explode → 65-aggregate groupBy moved |corpus tokens| rows
+  * through an exchange for values computable map-side.
   */
 object SimHash {
 
-  /** (id, __simhash) per document via exploded tokens + bit-vote aggregates. */
-  def fingerprints(df: DataFrame, idCol: String, tokens: Column): DataFrame = {
-    val exploded = df.select(col(idCol).as("__id"), explode(tokens).as("__t"))
-      .withColumn("__h", xxhash64(col("__t")))
-    // per bit: vote +1 if set else -1  ==  2*count(set) - count(*)
-    val votes = (0 until 64).map { i =>
-      sum(shiftright(col("__h"), i).bitwiseAND(1)).as(s"__b$i")
-    }
-    val n = count(lit(1)).as("__n")
-    exploded.groupBy(col("__id")).agg(votes.head, (votes.tail :+ n): _*)
-      .select(col("__id"),
-        (0 until 64).map { i =>
-          when(col(s"__b$i") * 2 > col("__n"), shiftleft(lit(1L), i)).otherwise(lit(0L))
-        }.reduce((a, b) => a.bitwiseOR(b)).as("__simhash"))
-  }
+  /** (id, __simhash) per document, map-side. Documents with null/empty token
+    * arrays are dropped — identical to the exploded formulation, where they
+    * produced no rows to aggregate.
+    */
+  def fingerprints(df: DataFrame, idCol: String, tokens: Column): DataFrame =
+    df.filter(size(tokens) > 0)
+      .select(col(idCol).as("__id"),
+        ColumnBridge.column(SimHash64Expr(ColumnBridge.expression(
+          transform(tokens, t => xxhash64(t))))).as("__simhash"))
 
   /** Expression form for small arrays / tests (interpreted; prefer
     * [[fingerprints]] for corpus scans).
