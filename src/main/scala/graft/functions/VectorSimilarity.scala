@@ -187,9 +187,9 @@ object VectorSimilarity {
                                         idCol: String, vecCol: String): Array[Array[Float]] =
     corpus.select(col(idCol).as("__id"), col(vecCol).cast("array<float>").as("__v"))
       .orderBy(xxhash64(col("__id")), col("__id"))
-      .limit(maxCentroids)
-      .orderBy(col("__id"))
+      .limit(maxCentroids)      // TakeOrdered: per-partition top-k, no full sort shuffle
       .collect()
+      .sortBy(_.getLong(0))     // id order for reproducible centroid indexing — 64 rows, driver-side
       .map(_.getSeq[Float](1).toArray)
 
   /** IVF-style coarse search: a fixed-size sampled codebook (≤ `maxCentroids`
