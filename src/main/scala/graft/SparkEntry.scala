@@ -469,6 +469,21 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // MOSS-style partial-overlap detection: winnowed rolling-hash
+    // fingerprints, inverted-index join, containment-style overlap ratio
+    // (no SQL oracle by nature — selection depends on the hash family;
+    // pinned by WinnowSpec's guarantees instead)
+    "dedup_winnow" -> ((s, dir) => {
+      WinnowOverlap.pairs(t(s, dir, "documents"), "doc_id", col("text"),
+        k = 5, w = 8, minShared = 3, maxDocFreq = 50L)
+        // this corpus's background similarity puts unrelated pairs at
+        // overlap ~0.55; genuine shared-passage pairs sit >= 0.8. The tight
+        // df cap (50) cuts the boilerplate posting lists that background
+        // similarity would otherwise square (Σ df² join cost)
+        .filter(col("overlap") >= 0.8)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // exact n-gram Jaccard pairs via inverted-index join (hashed word
     // 3-grams — posting lists of 8-byte keys, gram strings never shuffle);
     // stop-gram guard on: grams in >100 documents are excluded from the
@@ -543,6 +558,22 @@ object SparkEntry {
         t(s, dir, "embeddings").filter(col("vec_id") < 500), minCosine = 0.4,
         dim = 64)
         .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // embedding-cosine near-dup dedup: keep-first survivors after dropping
+    // every vector with a >= 0.4-cosine neighbor of smaller id; candidates
+    // from the LSH bucket join (miss prob ~9e-8/pair), exact-verified —
+    // shares the exact self-join oracle. Same 500-vector slice as
+    // vec_threshold_lsh: 0.4 is a LOW threshold (p^nbits = 0.4 per table),
+    // so exactness-grade LSH needs wide buckets — at dedup-typical
+    // thresholds (>= 0.9) the buckets sharpen and the same operator runs
+    // corpus-scale (see thresholdJoinLsh recall math)
+    "dedup_embedding" -> ((s, dir) => {
+      VectorSimilarity.dedupByEmbedding(
+        t(s, dir, "embeddings").filter(col("vec_id") < 500),
+        minCosine = 0.4, dim = 64)
+        .select(col("vec_id"))
+        .orderBy(col("vec_id"))
     }),
 
     // multimodal: opaque binary payload + typed metadata plumbing
@@ -1021,6 +1052,14 @@ object SparkEntry {
           |FROM e a JOIN e b ON a.vec_id < b.vec_id
           |WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4
           |ORDER BY id_a, id_b""".stripMargin,
+
+      "dedup_embedding" ->
+        """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+          |           FROM embeddings WHERE vec_id < 500),
+          |d AS (SELECT DISTINCT b.vec_id FROM e a JOIN e b ON a.vec_id < b.vec_id
+          |      WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4)
+          |SELECT vec_id FROM e WHERE vec_id NOT IN (SELECT vec_id FROM d)
+          |ORDER BY vec_id""".stripMargin,
 
       "mm_media_meta" ->
         """SELECT doc_id AS media_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes

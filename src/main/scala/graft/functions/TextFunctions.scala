@@ -126,6 +126,21 @@ object TextFunctions {
     ColumnBridge.column(expressions.ShingleHashesExpr(ColumnBridge.expression(text), k))
   }
 
+  /** Winnowing fingerprints (Schleimer et al., SIGMOD 2003): rolling k-gram
+    * hashes of the normalized text, thinned to each w-window's minimum
+    * (rightmost ties, consecutive repeats dropped) — `array<long>`, density
+    * ~2/(w+1) of the shingle count. Any shared substring of length
+    * >= w + k - 1 between two documents yields at least one shared
+    * fingerprint, so grouping/joining on the exploded fingerprints finds
+    * partial-overlap near-dups that whole-document hashing misses.
+    * One fused per-row pass ([[expressions.WinnowExpr]]); no shuffle.
+    */
+  def winnowedFingerprints(text: Column, k: Int, w: Int): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(expressions.WinnowExpr(
+      expressions.ShingleHashesExpr(ColumnBridge.expression(text), k, distinct = false), w))
+  }
+
   /** Distinct hashes of the word n-grams as `array<long>` — fused
     * single-pass expression ([[expressions.WordNgramHashesExpr]]).
     */

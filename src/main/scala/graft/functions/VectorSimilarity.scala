@@ -121,6 +121,21 @@ object VectorSimilarity {
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
 
+  /** Embedding-cosine near-duplicate dedup: drop every vector that has a
+    * neighbor with cosine >= `minCosine` and a smaller id (keep-first
+    * survivor rule, same contract as [[MinHashLsh.dedupKeepFirst]] on text).
+    * Candidates come from [[thresholdJoinLsh]]'s bucket equi-join, so the
+    * pipeline is corpus-scale: no cartesian node, shuffles move ids +
+    * buckets, and the exact cosine verify touches candidate pairs only.
+    */
+  def dedupByEmbedding(df: DataFrame, minCosine: Double, dim: Int,
+                       nbits: Int = 2, tables: Int = 32,
+                       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val dupIds = thresholdJoinLsh(df, minCosine, dim, nbits, tables, idCol, vecCol)
+      .select(col("id_b").as(idCol)).distinct()
+    df.join(dupIds, Seq(idCol), "left_anti")
+  }
+
   /** Random-hyperplane LSH bucket id: `nbits` sign bits of dot products with
     * deterministic pseudo-random hyperplanes. Component j of plane p is
     * derived from xxhash64(p, j), scaled to [-1, 1] — fully reproducible

@@ -1,0 +1,63 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Partial-overlap near-dup detection via winnowing fingerprints
+  * (MOSS-style): two documents that share any run of >= w + k - 1
+  * normalized characters share at least one fingerprint, so an
+  * inverted-index join over the (sparse) fingerprint sets finds documents
+  * with copied/overlapping passages — the case whole-document fingerprints
+  * (md5) and global-similarity measures (MinHash Jaccard at high threshold)
+  * both miss.
+  *
+  * Same scale shape as [[NgramJaccard]]: documents meet only through shared
+  * fingerprints (cost Σ df(fp)², df-capped), but the posting lists are
+  * ~w/2× shorter than shingle posting lists because winnowing thins the
+  * hash stream to density 2/(w+1) — the standard trick that makes
+  * substring-level matching affordable at corpus scale.
+  */
+object WinnowOverlap {
+
+  /** Pairs (id_a < id_b) sharing >= `minShared` distinct winnowed
+    * fingerprints, with the shared count and the containment-style overlap
+    * ratio shared / min(|fp_a|, |fp_b|) (1.0 = one document's fingerprint
+    * set is fully contained in the other's).
+    *
+    * @param maxDocFreq stop-fingerprint cap, as in [[NgramJaccard.pairs]]:
+    *   fingerprints in more than this many documents (boilerplate headers,
+    *   license blocks) are excluded from the join; -1 = auto
+    *   (max(1000, 1% of corpus)), 0 = uncapped.
+    */
+  def pairs(df: DataFrame, idCol: String, text: Column,
+            k: Int = 5, w: Int = 8, minShared: Int = 3,
+            maxDocFreq: Long = -1L): DataFrame = {
+    val fps = df.select(col(idCol).as("__id"),
+      array_distinct(TextFunctions.winnowedFingerprints(text, k, w)).as("__fp"))
+    val ex0 = fps.select(col("__id"), explode(col("__fp")).as("__f"))
+    val cap =
+      if (maxDocFreq >= 0) maxDocFreq
+      else math.max(1000L, df.count() / 100)
+    val ex =
+      if (cap == 0) ex0
+      else {
+        val stop = ex0.groupBy("__f").agg(count("*").as("__df"))
+          .filter(col("__df") > cap).select("__f")
+        ex0.join(stop, Seq("__f"), "left_anti")
+      }
+    // denominators over the same capped fingerprint sets as the numerator:
+    // a stop fingerprint (excluded from the join) must not dilute the ratio
+    // of the informative ones, or boilerplate-heavy docs can never match
+    val cnt = ex.groupBy(col("__id")).agg(count("*").as("__n"))
+    val shared = ex.as("a").join(ex.as("b"),
+        col("a.__f") === col("b.__f") && col("a.__id") < col("b.__id"))
+      .groupBy(col("a.__id").as("id_a"), col("b.__id").as("id_b"))
+      .agg(count("*").as("shared"))
+      .filter(col("shared") >= minShared)
+    shared
+      .join(cnt.as("ca"), col("id_a") === col("ca.__id"))
+      .join(cnt.as("cb"), col("id_b") === col("cb.__id"))
+      .withColumn("overlap", round(col("shared") / least(col("ca.__n"), col("cb.__n")), 4))
+      .select(col("id_a"), col("id_b"), col("shared"), col("overlap"))
+  }
+}

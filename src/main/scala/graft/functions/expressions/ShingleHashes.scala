@@ -28,7 +28,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * per-row `eval` dispatch, no stage split) while the tight char loop stays
   * a single JIT-friendly method.
   */
-case class ShingleHashesExpr(child: Expression, k: Int)
+case class ShingleHashesExpr(child: Expression, k: Int, distinct: Boolean = true)
     extends UnaryExpression {
 
   require(k >= 1, "shingle size must be >= 1")
@@ -36,11 +36,11 @@ case class ShingleHashesExpr(child: Expression, k: Int)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
   override protected def nullSafeEval(input: Any): Any =
-    ShingleHashesExpr.compute(input.asInstanceOf[UTF8String], k)
+    ShingleHashesExpr.compute(input.asInstanceOf[UTF8String], k, distinct)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.functions.expressions.ShingleHashesExpr.compute($c, $k);")
+      s"${ev.value} = graft.functions.expressions.ShingleHashesExpr.compute($c, $k, $distinct);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -50,10 +50,15 @@ case class ShingleHashesExpr(child: Expression, k: Int)
 
 object ShingleHashesExpr {
 
-  /** Single-pass normalize + shingle + hash + distinct. Static so generated
-    * code calls it directly (monomorphic, inlinable call site).
+  /** Single-pass normalize + shingle + hash (+ distinct). Static so generated
+    * code calls it directly (monomorphic, inlinable call site). With
+    * `distinct = false` the hashes come back in POSITION ORDER with repeats
+    * kept — the form winnowing ([[WinnowExpr]]) needs; set semantics
+    * (MinHash/Jaccard) use the default distinct form.
     */
-  def compute(input: UTF8String, k: Int): ArrayData = {
+  def compute(input: UTF8String, k: Int): ArrayData = compute(input, k, distinct = true)
+
+  def compute(input: UTF8String, k: Int, distinct: Boolean): ArrayData = {
     val s = input.toString
     // normalization pass (identical classes to TextFunctions.normalized)
     val sb = new java.lang.StringBuilder(s.length)
@@ -72,21 +77,35 @@ object ShingleHashesExpr {
     }
     val norm = sb
     val n = norm.length
-    val out = new java.util.HashSet[java.lang.Long]()
-    if (n < k) {
-      out.add(hashRange(norm, 0, n))
+    if (distinct) {
+      val out = new java.util.HashSet[java.lang.Long]()
+      if (n < k) {
+        out.add(hashRange(norm, 0, n))
+      } else {
+        var start = 0
+        while (start + k <= n) {
+          out.add(hashRange(norm, start, start + k))
+          start += 1
+        }
+      }
+      val arr = new Array[Any](out.size)
+      val it = out.iterator()
+      var j = 0
+      while (it.hasNext) { arr(j) = it.next().longValue(); j += 1 }
+      new GenericArrayData(arr)
     } else {
-      var start = 0
-      while (start + k <= n) {
-        out.add(hashRange(norm, start, start + k))
-        start += 1
+      if (n < k) {
+        new GenericArrayData(Array[Any](hashRange(norm, 0, n)))
+      } else {
+        val arr = new Array[Any](n - k + 1)
+        var start = 0
+        while (start + k <= n) {
+          arr(start) = hashRange(norm, start, start + k)
+          start += 1
+        }
+        new GenericArrayData(arr)
       }
     }
-    val arr = new Array[Any](out.size)
-    val it = out.iterator()
-    var j = 0
-    while (it.hasNext) { arr(j) = it.next().longValue(); j += 1 }
-    new GenericArrayData(arr)
   }
 
   /** FNV-1a 64 over chars [from, until) with a splitmix64 finish. */

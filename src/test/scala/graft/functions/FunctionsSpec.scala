@@ -364,3 +364,85 @@ class AnnRecallSpec extends SparkSpec {
     assert(r >= 0.4, s"ivf recall@5 with 16-cell codebook degraded to $r")
   }
 }
+
+class WinnowSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.functions.expressions.WinnowExpr
+  import org.apache.spark.sql.catalyst.util.ArrayData
+  import org.apache.spark.sql.functions._
+
+  private def winnow(hashes: Seq[Long], w: Int): Seq[Long] =
+    WinnowExpr.compute(ArrayData.toArrayData(hashes.toArray), w).toLongArray.toSeq
+
+  test("selects each window's minimum, rightmost ties, consecutive repeats dropped") {
+    // paper-style example: windows of 4 over a known sequence
+    assert(winnow(Seq(77, 74, 42, 17, 98, 50, 17, 98, 8, 88, 67, 39, 77, 74, 42, 17, 98), 4)
+      == Seq(17, 17, 8, 39, 17))
+  }
+
+  test("every window of w hashes contains a selected position (coverage guarantee)") {
+    val rnd = new scala.util.Random(7)
+    val hashes = Seq.fill(500)(rnd.nextLong())
+    val w = 8
+    val selected = winnow(hashes, w).toSet
+    // reconstruct selected positions: every w-window must contain at least
+    // one position whose hash is in the selected set
+    hashes.sliding(w).zipWithIndex.foreach { case (win, i) =>
+      assert(win.exists(selected.contains), s"window at $i has no fingerprint")
+    }
+  }
+
+  test("density is ~2/(w+1) of the input") {
+    val rnd = new scala.util.Random(13)
+    val hashes = Seq.fill(10000)(rnd.nextLong())
+    val n = winnow(hashes, 9).size
+    assert(n > 10000 * 2 / 10 / 2 && n < 10000 * 2 * 2 / 10, s"density off: $n")
+  }
+
+  test("short sequences winnow to the global minimum; empty stays empty") {
+    assert(winnow(Seq(5L, 3L, 9L), 10) == Seq(3L))
+    assert(winnow(Nil, 4) == Nil)
+  }
+
+  test("a shared passage of >= w+k-1 chars yields a shared fingerprint; overlap pairs find it") {
+    val passage = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val docs = Seq(
+      (1L, s"first document unique preamble aaa bbb ccc. $passage. distinct tail one"),
+      (2L, s"zzz yyy xxx completely different opening here. $passage. other ending text"),
+      (3L, "unrelated third document with no shared content at all whatsoever qqq www")
+    ).toDF("doc_id", "text")
+    val fp1 = docs.filter($"doc_id" === 1)
+      .select(TextFunctions.winnowedFingerprints($"text", 5, 8)).collect()(0).getSeq[Long](0).toSet
+    val fp2 = docs.filter($"doc_id" === 2)
+      .select(TextFunctions.winnowedFingerprints($"text", 5, 8)).collect()(0).getSeq[Long](0).toSet
+    assert((fp1 & fp2).nonEmpty, "shared passage must share a fingerprint")
+
+    val pairs = WinnowOverlap.pairs(docs, "doc_id", $"text", k = 5, w = 8, minShared = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), "overlapping docs detected")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), "unrelated doc stays out")
+  }
+
+  test("winnow overlap plan has no cartesian/nested-loop node") {
+    val sf = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val q = WinnowOverlap.pairs(docs, "doc_id", col("text"), minShared = 3)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
+  }
+}
+
+class EmbeddingDedupSpec extends SparkSpec {
+  import org.apache.spark.sql.functions._
+
+  test("dedupByEmbedding keeps exactly the ids with no smaller-id neighbor") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val exactDups = VectorSimilarity.thresholdJoin(emb, minCosine = 0.4)
+      .select(col("id_b")).distinct().collect().map(_.getLong(0)).toSet
+    val all = emb.select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    val survivors = VectorSimilarity.dedupByEmbedding(emb, minCosine = 0.4, dim = 64)
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    assert(survivors == all.diff(exactDups))
+  }
+}
