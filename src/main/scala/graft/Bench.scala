@@ -20,8 +20,23 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // one warmup action so JVM/codegen startup doesn't land on the first query
-    spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+    // Warm the engine paths every query shares — parquet scan, shuffle
+    // exchange, sort, hash join, window, HOF/codegen pipeline — so one-time
+    // JVM/Janino/JIT startup doesn't land on whichever query runs first
+    // (queries run alphabetically; without this the first one absorbs
+    // seconds of session startup that belong to no query).
+    {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet").limit(10000)
+      val agg = li.groupBy("l_returnflag").agg(sum("l_quantity").as("q"))
+      val w = Window.partitionBy(col("l_returnflag")).orderBy(col("q"))
+      agg.join(agg.withColumnRenamed("q", "q2"), "l_returnflag")
+        .withColumn("rn", row_number().over(w))
+        .withColumn("arr", transform(sequence(lit(1), lit(3)), i => xxhash64(i)))
+        .orderBy(col("rn"))
+        .write.format("noop").mode("overwrite").save()
+    }
 
     // SPARK_GRAFT_BENCH_ONLY=a,b,c limits the run (local iteration aid)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")

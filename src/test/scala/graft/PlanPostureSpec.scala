@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, ResolvedHint}
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+
+/** 100 TB plan-posture guard over EVERY SparkEntry query: the physical plan
+  * properties that stay true at any scale factor are asserted here, at
+  * sf0.001, so a regression (someone reintroduces a fact-side broadcast
+  * hint or an accidental cartesian) fails fast in CI instead of surfacing
+  * as an OOM on a cluster.
+  *
+  * Two checks:
+  *   1. No cartesian / broadcast-nested-loop node, except for the declared
+  *      exact-verification kernels whose non-equi self-join IS the
+  *      semantics (`vec_threshold_join`) or whose broadcast side is a
+  *      bounded query batch (`knn_cosine_topk` — brute-force baseline with
+  *      a =!= predicate).
+  *   2. No broadcast HINT (logical-plan ResolvedHint) whose subtree reads a
+  *      fact table (lineitem/orders/events) without a prior aggregation:
+  *      hints on such inputs are scale bugs even when they survive at test
+  *      size. AQE's own runtime choices are exempt — deciding to broadcast
+  *      a frame it MEASURED as small is exactly what we want at every
+  *      scale, so the check reads the logical plan where only explicit
+  *      hints appear.
+  */
+class PlanPostureSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  // exact kernels / bounded-broadcast baselines where a nested-loop node is
+  // the declared semantics, not an accident
+  private val nestedLoopAllowed = Set("vec_threshold_join", "knn_cosine_topk")
+
+  private def collectNodes(p: SparkPlan): Seq[SparkPlan] = {
+    val self = p match {
+      case a: AdaptiveSparkPlanExec => collectNodes(a.executedPlan)
+      case other => Seq(other)
+    }
+    self ++ p.children.flatMap(collectNodes) ++
+      p.subqueries.flatMap(collectNodes)
+  }
+
+  test("negative control: the detector fires on a hinted un-aggregated fact scan") {
+    import org.apache.spark.sql.functions._
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val ord = spark.read.parquet(s"$sfDir/orders.parquet")
+    val bad = li.join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
+    def logicalNodes(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan):
+        Seq[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan] =
+      p +: p.children.flatMap(logicalNodes)
+    val hinted = logicalNodes(bad.queryExecution.analyzed)
+      .collect { case h: ResolvedHint if h.hints.strategy.isDefined => h }
+      .filter(h => logicalNodes(h.child).exists(n =>
+        n.nodeName.contains("Relation") && n.toString.contains("orders")))
+    assert(hinted.nonEmpty, "a broadcast(orders) hint must be visible to the detector")
+  }
+
+  for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+    test(s"$name: no accidental cartesian/BNLJ; no fact-scan broadcast hint") {
+      val df = fn(spark, sfDir)
+      df.write.format("noop").mode("overwrite").save() // finalize AQE plan
+      val nodes = collectNodes(df.queryExecution.executedPlan)
+
+      if (!nestedLoopAllowed(name)) {
+        val bad = nodes.filter(n =>
+          n.isInstanceOf[CartesianProductExec] || n.isInstanceOf[BroadcastNestedLoopJoinExec])
+        assert(bad.isEmpty,
+          s"unexpected non-equi join nodes: ${bad.map(_.nodeName).mkString(", ")}")
+      }
+
+      // A broadcast HINT over a subtree that reads a fact table with no
+      // aggregate below the hint means someone pinned a build side whose
+      // size scales with the data — an OOM at 100× regardless of today's
+      // numbers. Only explicit hints appear as ResolvedHint in the
+      // ANALYZED logical plan (the optimizer folds them into JoinHint); AQE runtime broadcasts never do.
+      val factScans = Set("lineitem", "orders", "events")
+      def logicalNodes(p: LogicalPlan): Seq[LogicalPlan] =
+        p +: p.children.flatMap(logicalNodes)
+      logicalNodes(df.queryExecution.analyzed)
+        .collect { case h: ResolvedHint if h.hints.strategy.isDefined => h }
+        .foreach { h =>
+          val sub = logicalNodes(h.child)
+          val readsFact = sub.exists(n =>
+            n.nodeName.contains("Relation") && factScans.exists(t => n.toString.contains(t)))
+          val aggregatedFirst = sub.exists(_.isInstanceOf[Aggregate])
+          assert(!readsFact || aggregatedFirst,
+            s"broadcast hint over un-aggregated fact-table subtree:\n${h.treeString}")
+        }
+    }
+  }
+}
