@@ -495,17 +495,30 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
-    // text quality/statistics battery (all codegen'd built-ins)
+    // text quality/statistics battery — ONE fused pass per document
+    // (TextStatsExpr struct; ratios/score derive arithmetically from the
+    // counts, identical values to the composed regexp forms)
     "text_stats" -> ((s, dir) => {
-      val txt = col("text")
+      val st = TextFunctions.textStats(col("text"))
+      val nChars = st.getField("n_chars")
+      val nTokens = st.getField("n_tokens")
+      val punctRaw = when(nChars === 0, lit(0.0))
+        .otherwise(st.getField("n_punct").cast("double") / nChars)
+      val digitRaw = when(nChars === 0, lit(0.0))
+        .otherwise(st.getField("n_digit").cast("double") / nChars)
+      val meanRaw = when(nTokens === 0, lit(0.0))
+        .otherwise(st.getField("n_nonws").cast("double") / nTokens)
+      val lenOk = when(nChars.between(20, 20000), lit(1.0)).otherwise(lit(0.0))
+      val punctOk = when(punctRaw < 0.2, lit(1.0)).otherwise(lit(0.0))
+      val tokOk = when(meanRaw.between(2.0, 12.0), lit(1.0)).otherwise(lit(0.0))
       t(s, dir, "documents").select(
         col("doc_id"),
-        TextFunctions.tokenCount(txt).cast("long").as("n_tokens"),
-        TextFunctions.bpeTokenCount(txt).cast("long").as("n_bpe_tokens"),
-        round(TextFunctions.punctRatio(txt), 4).as("punct_ratio"),
-        round(TextFunctions.digitRatio(txt), 4).as("digit_ratio"),
-        round(TextFunctions.meanTokenLength(txt), 4).as("mean_token_len"),
-        TextFunctions.qualityScore(txt).as("quality"))
+        nTokens.cast("long").as("n_tokens"),
+        st.getField("n_bpe").cast("long").as("n_bpe_tokens"),
+        round(punctRaw, 4).as("punct_ratio"),
+        round(digitRaw, 4).as("digit_ratio"),
+        round(meanRaw, 4).as("mean_token_len"),
+        round((lenOk + punctOk + tokOk) / 3.0, 4).as("quality"))
         .orderBy(col("doc_id"))
     }),
 

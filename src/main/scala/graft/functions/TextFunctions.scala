@@ -45,6 +45,18 @@ object TextFunctions {
       .otherwise(length(regexp_replace(text, "\\s+", "")).cast("double") / toks)
   }
 
+  /** All scalar stats in one fused pass ([[expressions.TextStatsExpr]]):
+    * struct(n_tokens, n_bpe, n_punct, n_digit, n_nonws, n_chars). Read
+    * multiple fields off one reference — subexpression elimination keeps it
+    * a single text walk per row, versus one regexp scan per stat in the
+    * composed forms above (kept for API compatibility and as the parity
+    * oracle for this expression).
+    */
+  def textStats(text: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(expressions.TextStatsExpr(ColumnBridge.expression(text)))
+  }
+
   private val stopwords: Map[String, Seq[String]] = Map(
     "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "with"),
     "de" -> Seq("der", "die", "und", "das", "ist", "mit", "von", "nicht"),

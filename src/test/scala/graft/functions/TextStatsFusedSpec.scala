@@ -1,0 +1,64 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextStatsFusedSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val edgeCases = Seq(
+    "", " ", "   ", "\t", "\n\n", "\ta b\n", "a", "a b c", "  padded  ",
+    "digits 123 and 4!", "all!!!punct###", "word", "mixed\t tabs\nand lines",
+    "ünïcödé tëxt with áccents", "emoji \uD83D\uDE00 here", "1 2 3",
+    "trailing space ", " leading", "a  double  spaces", "xy\fz")
+
+  test("fused TextStatsExpr matches the composed regexp forms on corpus + edge cases") {
+    val corpus = spark.read.parquet(s"$sf/documents.parquet").select($"text")
+      .as[String].collect().toSeq
+    val df = (corpus ++ edgeCases).toDF("text")
+    val st = TextFunctions.textStats($"text")
+    val rows = df.select(
+      // composed (regexp) forms — the parity oracle
+      TextFunctions.tokenCount($"text").cast("int").as("c_tokens"),
+      TextFunctions.bpeTokenCount($"text").cast("int").as("c_bpe"),
+      regexp_count($"text", lit("[^A-Za-z0-9\\s]")).cast("int").as("c_punct"),
+      regexp_count($"text", lit("[0-9]")).cast("int").as("c_digit"),
+      length(regexp_replace($"text", "\\s+", "")).cast("int").as("c_nonws"),
+      length($"text").cast("int").as("c_chars"),
+      // fused single-pass struct
+      st.getField("n_tokens").as("f_tokens"),
+      st.getField("n_bpe").as("f_bpe"),
+      st.getField("n_punct").as("f_punct"),
+      st.getField("n_digit").as("f_digit"),
+      st.getField("n_nonws").as("f_nonws"),
+      st.getField("n_chars").as("f_chars"),
+      $"text").collect()
+    val names = Seq("tokens", "bpe", "punct", "digit", "nonws", "chars")
+    rows.foreach { r =>
+      val txt = r.getString(12).take(40).replace("\n", "\\n").replace("\t", "\\t")
+      names.zipWithIndex.foreach { case (name, i) =>
+        assert(r.getInt(i) == r.getInt(i + 6),
+          s"$name mismatch on '$txt': composed=${r.getInt(i)} fused=${r.getInt(i + 6)}")
+      }
+    }
+  }
+
+  test("derived ratios from the fused struct equal the composed scalar functions") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet").limit(200)
+    val st = TextFunctions.textStats($"text")
+    val nChars = st.getField("n_chars")
+    val nTokens = st.getField("n_tokens")
+    val rows = docs.select(
+      round(TextFunctions.punctRatio($"text"), 6).as("c_p"),
+      round(when(nChars === 0, lit(0.0))
+        .otherwise(st.getField("n_punct").cast("double") / nChars), 6).as("f_p"),
+      round(TextFunctions.meanTokenLength($"text"), 6).as("c_m"),
+      round(when(nTokens === 0, lit(0.0))
+        .otherwise(st.getField("n_nonws").cast("double") / nTokens), 6).as("f_m"),
+      TextFunctions.qualityScore($"text").as("c_q")).collect()
+    rows.foreach { r =>
+      assert(r.getDouble(0) == r.getDouble(1), "punct ratio")
+      assert(r.getDouble(2) == r.getDouble(3), "mean token length")
+    }
+  }
+}
