@@ -57,11 +57,10 @@ object TextFunctions {
     ColumnBridge.column(expressions.TextStatsExpr(ColumnBridge.expression(text)))
   }
 
-  private val stopwords: Map[String, Seq[String]] = Map(
-    "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "with"),
-    "de" -> Seq("der", "die", "und", "das", "ist", "mit", "von", "nicht"),
-    "fr" -> Seq("le", "la", "et", "les", "des", "est", "dans", "pour"),
-    "es" -> Seq("el", "los", "las", "de", "que", "es", "con", "para"))
+  // single authoritative lexicon copy lives in LangIdExpr (the fused
+  // expression) so the two language-ID forms can never drift
+  private val stopwords: Map[String, Seq[String]] =
+    expressions.LangIdExpr.lexicons.map { case (l, ws) => l -> ws.toSeq.sorted }.toMap
 
   private def wordPattern(words: Seq[String]): String =
     words.mkString("\\b(", "|", ")\\b")
@@ -80,9 +79,17 @@ object TextFunctions {
   }
 
   /** N-gram-heuristic language ID: the language whose stopword lexicon hits
-    * most, ties broken alphabetically; "und" (undetermined) when nothing hits.
+    * most (equal hits resolve to the greatest language code); "und"
+    * (undetermined) when nothing hits. ONE fused tokenize-and-count pass
+    * ([[expressions.LangIdExpr]]) instead of |languages| regexp scans.
     */
   def langId(text: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(expressions.LangIdExpr(ColumnBridge.expression(text)))
+  }
+
+  /** Composed-builtins language ID — the parity oracle for [[langId]]. */
+  private[graft] def langIdComposed(text: Column): Column = {
     val hits = stopwords.keys.toSeq.sorted.map(l => struct(
       stopwordHits(text, l).as("hits"), lit(l).as("lang")))
     val best = array_max(array(hits: _*))

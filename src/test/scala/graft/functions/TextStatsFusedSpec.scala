@@ -43,6 +43,21 @@ class TextStatsFusedSpec extends SparkSpec {
     }
   }
 
+  test("fused LangIdExpr matches the composed regexp form on corpus + edge cases") {
+    val corpus = spark.read.parquet(s"$sf/documents.parquet").select($"text")
+      .as[String].collect().toSeq
+    val extra = Seq("", "the und der die", "de de de el los", "word_the_glued",
+      "THE AND OF IS", "le la et les des", "no stopwords here at all",
+      "that that that nicht nicht nicht")
+    val rows = (corpus ++ extra).toDF("text")
+      .select(TextFunctions.langId($"text").as("fused"),
+        TextFunctions.langIdComposed($"text").as("composed"), $"text").collect()
+    rows.foreach { r =>
+      assert(r.getString(0) == r.getString(1),
+        s"langid mismatch on '${r.getString(2).take(40)}': fused=${r.getString(0)} composed=${r.getString(1)}")
+    }
+  }
+
   test("derived ratios from the fused struct equal the composed scalar functions") {
     val docs = spark.read.parquet(s"$sf/documents.parquet").limit(200)
     val st = TextFunctions.textStats($"text")
