@@ -110,7 +110,13 @@ object TextFunctions {
   /** Canonical text normalization for fingerprinting: lowercase, strip
     * non-alphanumerics to spaces, collapse runs, trim.
     */
-  def normalized(text: Column): Column =
+  def normalized(text: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(expressions.NormalizedTextExpr(ColumnBridge.expression(text)))
+  }
+
+  /** Composed-builtins normalization — the parity oracle for [[normalized]]. */
+  private[graft] def normalizedComposed(text: Column): Column =
     trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9]+", " "), "\\s+", " "))
 
   /** Content fingerprint = MD5 of the normalized text: whitespace/punct/case

@@ -58,6 +58,21 @@ class TextStatsFusedSpec extends SparkSpec {
     }
   }
 
+  test("fused NormalizedTextExpr matches the composed regexp form on corpus + edge cases") {
+    val corpus = spark.read.parquet(s"$sf/documents.parquet").select($"text")
+      .as[String].collect().toSeq
+    val extra = Seq("", "   ", "!!!", "Hello, WORLD!", "a--b__c  d",
+      "ünïcödé ÁÉ düß", "MiXeD123cAsE", "\ttabs\nand\nnewlines\t",
+      "trailing punct...", "...leading punct")
+    val rows = (corpus ++ extra).toDF("text")
+      .select(TextFunctions.normalized($"text").as("fused"),
+        TextFunctions.normalizedComposed($"text").as("composed"), $"text").collect()
+    rows.foreach { r =>
+      assert(r.getString(0) == r.getString(1),
+        s"normalize mismatch on '${r.getString(2).take(40)}': fused='${r.getString(0)}' composed='${r.getString(1)}'")
+    }
+  }
+
   test("derived ratios from the fused struct equal the composed scalar functions") {
     val docs = spark.read.parquet(s"$sf/documents.parquet").limit(200)
     val st = TextFunctions.textStats($"text")
