@@ -529,6 +529,58 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // deterministic hash-bucket train/val/test assignment: reproducible and
+    // partition-independent (md5 bucket of doc_id, not rand()), so growing
+    // the corpus never moves an existing document across splits
+    "doc_split_assign" -> ((s, dir) => {
+      t(s, dir, "documents").select(col("doc_id"),
+        Sampling.assignSplit(col("doc_id"),
+          Seq("test" -> 0.05, "val" -> 0.05)).as("split"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // per-source mixture weighting: one map-side deterministic filter
+    // re-weights a multi-source corpus toward a target mixture
+    "doc_mixture_sample" -> ((s, dir) => {
+      Sampling.mixtureSample(t(s, dir, "documents"), col("doc_id"), col("source"),
+        Map("src0" -> 1.0, "src1" -> 0.5, "src2" -> 0.25), defaultRate = 0.1)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // C4-style quality gate: length band + punctuation sanity + token-shape
+    // sanity + digit-ratio cap, all map-side over the fused stats struct
+    "doc_quality_filter" -> ((s, dir) => {
+      val st = TextFunctions.textStats(col("text"))
+      val nChars = st.getField("n_chars")
+      val nTokens = st.getField("n_tokens")
+      val punct = when(nChars === 0, lit(0.0))
+        .otherwise(st.getField("n_punct").cast("double") / nChars)
+      val digit = when(nChars === 0, lit(0.0))
+        .otherwise(st.getField("n_digit").cast("double") / nChars)
+      val meanTok = when(nTokens === 0, lit(0.0))
+        .otherwise(st.getField("n_nonws").cast("double") / nTokens)
+      t(s, dir, "documents")
+        .select(col("doc_id"), nTokens.cast("long").as("n_tokens"),
+          TextFunctions.langId(col("text")).as("lang_id"),
+          nChars.as("__nc"), punct.as("__p"), digit.as("__d"), meanTok.as("__m"))
+        .filter(col("lang_id") =!= "und" &&
+          col("__nc").between(20, 20000) && col("__p") < 0.2 &&
+          col("__m").between(2.0, 12.0) && col("__d") < 0.25)
+        .select(col("doc_id"), col("lang_id"), col("n_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // corpus token histogram (vocabulary building): explode + partial-agg
+    // count, top 100 with total tie-order
+    "text_token_histogram" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(explode(split(trim(lower(col("text"))), "\\s+")).as("token"))
+        .filter(col("token") =!= "")
+        .groupBy(col("token")).agg(count(lit(1)).cast("long").as("n"))
+        .orderBy(col("n").desc, col("token")).limit(100)
+    }),
+
     // brute-force cosine top-k (exact ANN baseline)
     "knn_cosine_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -1035,6 +1087,63 @@ object SparkEntry {
            |       ELSE 'de' END AS lang_id
            |FROM h
            |ORDER BY doc_id""".stripMargin,
+
+      "doc_split_assign" ->
+        s"""SELECT doc_id,
+           |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '${Sampling.thresholdHex(0.05)}' THEN 'test'
+           |       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '${Sampling.thresholdHex(0.10)}' THEN 'val'
+           |       ELSE 'train' END AS split
+           |FROM documents
+           |ORDER BY doc_id""".stripMargin,
+
+      "doc_mixture_sample" ->
+        s"""SELECT doc_id, source
+           |FROM documents
+           |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+           |  CASE source WHEN 'src0' THEN '${Sampling.thresholdHex(1.0)}'
+           |              WHEN 'src1' THEN '${Sampling.thresholdHex(0.5)}'
+           |              WHEN 'src2' THEN '${Sampling.thresholdHex(0.25)}'
+           |              ELSE '${Sampling.thresholdHex(0.1)}' END
+           |ORDER BY doc_id""".stripMargin,
+
+      "doc_quality_filter" ->
+        s"""WITH s AS (
+           |  SELECT doc_id,
+           |    length(text) AS nc,
+           |    CASE WHEN length(trim(text)) = 0 THEN 0
+           |         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS ntok,
+           |    CASE WHEN length(text) = 0 THEN 0.0
+           |         ELSE len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) * 1.0 / length(text) END AS p,
+           |    CASE WHEN length(text) = 0 THEN 0.0
+           |         ELSE len(regexp_extract_all(text, '[0-9]')) * 1.0 / length(text) END AS d,
+           |    CASE WHEN length(trim(text)) = 0 THEN 0.0
+           |         ELSE length(regexp_replace(text, '\\s+', '', 'g')) * 1.0
+           |              / len(regexp_split_to_array(trim(text), '\\s+')) END AS m,
+           |    len(regexp_extract_all(lower(text), '$stopEn')) AS h_en,
+           |    len(regexp_extract_all(lower(text), '$stopDe')) AS h_de,
+           |    len(regexp_extract_all(lower(text), '$stopFr')) AS h_fr,
+           |    len(regexp_extract_all(lower(text), '$stopEs')) AS h_es
+           |  FROM documents)
+           |SELECT doc_id,
+           |  CASE WHEN h_fr = greatest(h_en, h_de, h_fr, h_es) THEN 'fr'
+           |       WHEN h_es = greatest(h_en, h_de, h_fr, h_es) THEN 'es'
+           |       WHEN h_en = greatest(h_en, h_de, h_fr, h_es) THEN 'en'
+           |       ELSE 'de' END AS lang_id,
+           |  CAST(ntok AS BIGINT) AS n_tokens
+           |FROM s
+           |WHERE greatest(h_en, h_de, h_fr, h_es) > 0
+           |  AND nc BETWEEN 20 AND 20000 AND p < 0.2
+           |  AND m BETWEEN 2.0 AND 12.0 AND d < 0.25
+           |ORDER BY doc_id""".stripMargin,
+
+      "text_token_histogram" ->
+        """SELECT token, CAST(count(*) AS BIGINT) AS n
+          |FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+          |      FROM documents)
+          |WHERE token != ''
+          |GROUP BY token
+          |ORDER BY n DESC, token
+          |LIMIT 100""".stripMargin,
 
       "knn_cosine_topk" ->
         """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
