@@ -571,6 +571,22 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // benchmark decontamination: drop train-split docs with near-dup n-gram
+    // overlap (Jaccard >= 0.8) against the held-out test split — the
+    // bipartite posting-list funnel, never train × test
+    "doc_decontaminate" -> ((s, dir) => {
+      val withSplit = t(s, dir, "documents").withColumn("split",
+        Sampling.assignSplit(col("doc_id"), Seq("test" -> 0.05, "val" -> 0.05)))
+      val train = withSplit.filter(col("split") === "train")
+      val testDocs = withSplit.filter(col("split") === "test")
+      val contaminated = NgramJaccard.bipartitePairs(train, testDocs, "doc_id",
+          TextFunctions.wordNgramHashes(col("text"), 3), threshold = 0.8,
+          maxDocFreq = 100L)
+        .select(col("id_left").as("doc_id")).distinct()
+      train.join(contaminated, Seq("doc_id"), "left_anti")
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }),
+
     // corpus token histogram (vocabulary building): explode + partial-agg
     // count, top 100 with total tie-order
     "text_token_histogram" -> ((s, dir) => {
@@ -1134,6 +1150,32 @@ object SparkEntry {
            |WHERE greatest(h_en, h_de, h_fr, h_es) > 0
            |  AND nc BETWEEN 20 AND 20000 AND p < 0.2
            |  AND m BETWEEN 2.0 AND 12.0 AND d < 0.25
+           |ORDER BY doc_id""".stripMargin,
+
+      "doc_decontaminate" ->
+        s"""WITH t AS (SELECT doc_id, $normText AS norm,
+           |    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '${Sampling.thresholdHex(0.05)}' THEN 'test'
+           |         WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '${Sampling.thresholdHex(0.10)}' THEN 'val'
+           |         ELSE 'train' END AS split
+           |  FROM documents),
+           |tk AS (SELECT doc_id, split, regexp_split_to_array(norm, ' ') AS toks
+           |       FROM t WHERE split != 'val'),
+           |g0 AS (SELECT DISTINCT doc_id, split,
+           |        CASE WHEN len(toks) < 3 THEN array_to_string(toks, ' ')
+           |             ELSE array_to_string(toks[i:i+2], ' ') END AS gram
+           |      FROM tk, LATERAL (SELECT unnest(range(1, greatest(len(toks) - 1, 2))) AS i) r),
+           |g AS (SELECT doc_id, split, gram FROM g0
+           |      WHERE gram NOT IN (SELECT gram FROM g0 GROUP BY gram HAVING count(*) > 100)),
+           |cnt AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
+           |inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS i
+           |          FROM g a JOIN g b ON a.gram = b.gram
+           |          WHERE a.split = 'train' AND b.split = 'test'
+           |          GROUP BY 1, 2),
+           |bad AS (SELECT DISTINCT ia FROM inter
+           |        JOIN cnt ca ON ca.doc_id = ia JOIN cnt cb ON cb.doc_id = ib
+           |        WHERE round(i * 1.0 / (ca.n + cb.n - i), 4) >= 0.8)
+           |SELECT doc_id FROM t
+           |WHERE split = 'train' AND doc_id NOT IN (SELECT ia FROM bad)
            |ORDER BY doc_id""".stripMargin,
 
       "text_token_histogram" ->

@@ -56,4 +56,44 @@ object NgramJaccard {
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
+
+  /** Bipartite variant: (id_left, id_right) pairs ACROSS two corpora with
+    * Jaccard >= `threshold` — cross-corpus near-dup detection and benchmark
+    * decontamination (drop training docs overlapping a held-out set). Same
+    * funnel as [[pairs]]: stop-gram cap (document frequency computed over
+    * both inputs), posting-list equi-join — left and right docs meet only
+    * through shared grams, never n² — then exact verify on candidate
+    * intersections. The inputs are assumed document-disjoint (a doc in both
+    * would double-count toward the df cap).
+    */
+  def bipartitePairs(left: DataFrame, right: DataFrame, idCol: String,
+                     ngrams: Column, threshold: Double,
+                     maxDocFreq: Long = -1L): DataFrame = {
+    val gl0 = left.select(col(idCol).as("__lid"), explode(ngrams).as("__gram"))
+    val gr0 = right.select(col(idCol).as("__rid"), explode(ngrams).as("__gram"))
+    val cap =
+      if (maxDocFreq >= 0) maxDocFreq
+      else math.max(1000L, (left.count() + right.count()) / 100)
+    val (gl, gr) =
+      if (cap == 0) (gl0, gr0)
+      else {
+        val all = gl0.select(col("__gram"))
+          .unionByName(gr0.select(col("__gram")))
+        val stop = all.groupBy("__gram").agg(count("*").as("__df"))
+          .filter(col("__df") > cap).select("__gram")
+        (gl0.join(stop, Seq("__gram"), "left_anti"),
+          gr0.join(stop, Seq("__gram"), "left_anti"))
+      }
+    val cl = gl.groupBy(col("__lid")).agg(count("*").as("__nl"))
+    val cr = gr.groupBy(col("__rid")).agg(count("*").as("__nr"))
+    val inter = gl.join(gr, "__gram")
+      .groupBy(col("__lid"), col("__rid")).agg(count("*").as("__i"))
+    inter
+      .join(cl, "__lid").join(cr, "__rid")
+      .withColumn("jaccard",
+        round(col("__i") / (col("__nl") + col("__nr") - col("__i")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("__lid").as("id_left"), col("__rid").as("id_right"),
+        col("jaccard"))
+  }
 }
