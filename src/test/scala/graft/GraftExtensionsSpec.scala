@@ -1,0 +1,53 @@
+package graft
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.functions._
+
+class GraftExtensionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  GraftExtensions.register(spark)
+
+  test("SQL functions resolve and match the DataFrame API on the corpus") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    docs.createOrReplaceTempView("ext_docs")
+    val viaSql = spark.sql(
+      """SELECT doc_id, graft_lang_id(text) AS lang_id,
+        |  graft_fingerprint(text) AS fp,
+        |  graft_text_stats(text).n_tokens AS n_tokens
+        |FROM ext_docs""".stripMargin)
+    val viaDf = docs.select($"doc_id",
+      TextFunctions.langId($"text").as("lang_id"),
+      TextFunctions.fingerprint($"text").as("fp"),
+      TextFunctions.textStats($"text").getField("n_tokens").as("n_tokens"))
+    assert(viaSql.exceptAll(viaDf).isEmpty && viaDf.exceptAll(viaSql).isEmpty)
+  }
+
+  test("parameterized functions take integer literals; vectors work in SQL") {
+    val r = spark.sql(
+      """SELECT size(graft_word_ngram_hashes('a b c d e', 3)) AS ngrams,
+        |  size(graft_minhash_signature(graft_shingle_hashes('abcdefgh', 5), 16)) AS sig,
+        |  graft_cosine_similarity(array(1.0F, 0.0F), array(1.0F, 0.0F)) AS cos_same,
+        |  graft_dot_product(array(1.0F, 2.0F), array(3.0F, 4.0F)) AS dot
+        |FROM range(1)""".stripMargin).head()
+    assert(r.getInt(0) == 3)
+    assert(r.getInt(1) == 16)
+    assert(r.getDouble(2) == 1.0)
+    assert(r.getDouble(3) == 11.0)
+  }
+
+  test("non-literal size argument is rejected with a clear error") {
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_shingle_hashes('abc', id + 1) FROM range(1)").collect()
+    }
+    assert(e.getMessage.contains("integer literal") ||
+      e.getMessage.contains("graft_shingle_hashes"))
+  }
+
+  test("extension class injects the same function set") {
+    // unit-level: the injector enumerates every name register() provides
+    assert(GraftExtensions.functions.map(_._1).distinct.size ==
+      GraftExtensions.functions.size)
+    assert(GraftExtensions.functions.map(_._1).forall(_.startsWith("graft_")))
+  }
+}
