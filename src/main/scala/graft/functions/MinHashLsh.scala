@@ -72,9 +72,10 @@ object MinHashLsh {
     */
   def nearDupPairs(df: DataFrame, idCol: String, shingles: Column,
                    numHashes: Int = 64, bands: Int = 16,
-                   threshold: Double = 0.8, minBands: Int = 2): DataFrame =
+                   threshold: Double = 0.8, minBands: Int = 2,
+                   maxBucketSize: Long = 4096L): DataFrame =
     nearDupPairsHashed(df, idCol, transform(shingles, s => xxhash64(s)),
-      numHashes, bands, threshold, minBands)
+      numHashes, bands, threshold, minBands, maxBucketSize)
 
   /** [[nearDupPairs]] over pre-hashed shingles (`array<long>` from
     * [[TextFunctions.shingleHashes]]): the signature aggregation consumes
@@ -84,7 +85,8 @@ object MinHashLsh {
     */
   def nearDupPairsHashed(df: DataFrame, idCol: String, shingleHashes: Column,
                          numHashes: Int = 64, bands: Int = 16,
-                         threshold: Double = 0.8, minBands: Int = 2): DataFrame = {
+                         threshold: Double = 0.8, minBands: Int = 2,
+                         maxBucketSize: Long = 4096L): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
     val sigs = df
@@ -94,8 +96,26 @@ object MinHashLsh {
       .filter(col("__sig").isNotNull)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val estimated = try {
-      val banded = sigs.select(col("__id"),
+      val banded0 = sigs.select(col("__id"),
         posexplode(bandBuckets(col("__sig"), bands, r)).as(Seq("__band", "__bucket")))
+      // Hot-bucket guard: a bucket of B documents emits B²/2 candidate rows,
+      // so ONE boilerplate cluster (licenses, templated pages) in a 100 TB
+      // corpus can dominate the whole join. Buckets above the cap are
+      // excluded via anti-join against the (small by construction) hot set.
+      // Recall-safe for genuine near-dups: a pair at j >= threshold collides
+      // in ~j^r · bands independent bands (≈6.6 of 16 at the defaults), so
+      // it still meets `minBands` unless EVERY shared bucket is a
+      // mega-cluster — i.e. the pair is boilerplate, which exact/fingerprint
+      // dedup upstream catches at a fraction of the cost. 0 disables.
+      val banded =
+        if (maxBucketSize <= 0L) banded0
+        else {
+          val hot = banded0.groupBy(col("__band"), col("__bucket"))
+            .agg(count(lit(1)).as("__bsz"))
+            .filter(col("__bsz") > maxBucketSize)
+            .select(col("__band"), col("__bucket"))
+          banded0.join(hot, Seq("__band", "__bucket"), "left_anti")
+        }
       val cand = banded.as("l").join(banded.as("r"),
           col("l.__band") === col("r.__band") &&
           col("l.__bucket") === col("r.__bucket") &&

@@ -49,18 +49,35 @@ object SimHash {
 
   /** Near-dup pairs (idA < idB) with Hamming distance <= maxDist, via
     * pigeonhole chunk join over `maxDist+1` 64/(maxDist+1)-bit chunks.
+    *
+    * `maxChunkDocs` is the hot-value guard: a chunk value shared by B
+    * documents emits B²/2 candidate rows, so one boilerplate cluster can
+    * dominate the join at corpus scale. Values above the cap are excluded
+    * (anti-join against the small hot set); a genuine near-dup pair within
+    * `maxDist` bits still agrees on at least one of the REMAINING chunks
+    * unless every agreeing chunk is a mega-cluster value — boilerplate that
+    * exact dedup upstream removes more cheaply. 0 disables.
     */
   def nearDupPairs(df: DataFrame, idCol: String, tokens: Column,
-                   maxDist: Int = 3): DataFrame = {
+                   maxDist: Int = 3, maxChunkDocs: Long = 4096L): DataFrame = {
     val chunks = maxDist + 1
     val bitsPer = 64 / chunks
     val base = fingerprints(df, idCol, tokens)
       .select(col("__id"), col("__simhash").as("__sh"))
-    val chunked = base.select(col("__id"), col("__sh"),
+    val chunked0 = base.select(col("__id"), col("__sh"),
       posexplode(array((0 until chunks).map { c =>
         shiftright(col("__sh"), c * bitsPer)
           .bitwiseAND((1L << bitsPer) - 1)
       }: _*)).as(Seq("__chunk", "__val")))
+    val chunked =
+      if (maxChunkDocs <= 0L) chunked0
+      else {
+        val hot = chunked0.groupBy(col("__chunk"), col("__val"))
+          .agg(count(lit(1)).as("__csz"))
+          .filter(col("__csz") > maxChunkDocs)
+          .select(col("__chunk"), col("__val"))
+        chunked0.join(hot, Seq("__chunk", "__val"), "left_anti")
+      }
     val l = chunked.as("l")
     val r = chunked.as("r")
     l.join(r,
