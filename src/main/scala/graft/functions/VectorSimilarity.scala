@@ -102,11 +102,27 @@ object VectorSimilarity {
     */
   def thresholdJoinLsh(df: DataFrame, minCosine: Double, dim: Int,
                        nbits: Int = 2, tables: Int = 32,
-                       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+                       idCol: String = "vec_id", vecCol: String = "embedding",
+                       maxBucketSize: Long = 65536L): DataFrame = {
     val base = df.select(col(idCol).as("__id"), col(vecCol).as("__v"))
-    val banded = base.select(col("__id"),
+    val banded0 = base.select(col("__id"),
       posexplode(hyperplaneBuckets(col("__v"), nbits, dim, tables))
         .as(Seq("__table", "__bucket")))
+    // Hot-bucket guard (same rationale as MinHashLsh): a bucket of B vectors
+    // emits B²/2 candidate rows, so a dense embedding cluster — or
+    // under-sized `nbits` (see [[recommendedBits]]) — degrades toward the
+    // cartesian this variant exists to avoid. Table redundancy keeps recall:
+    // a qualifying pair collides in ~p^nbits · tables independent tables, so
+    // excluding one table's hot bucket leaves the others. 0 disables.
+    val banded =
+      if (maxBucketSize <= 0L) banded0
+      else {
+        val hot = banded0.groupBy(col("__table"), col("__bucket"))
+          .agg(count(lit(1)).as("__bsz"))
+          .filter(col("__bsz") > maxBucketSize)
+          .select(col("__table"), col("__bucket"))
+        banded0.join(hot, Seq("__table", "__bucket"), "left_anti")
+      }
     val cand = banded.as("a").join(banded.as("b"),
         col("a.__table") === col("b.__table") &&
         col("a.__bucket") === col("b.__bucket") &&
@@ -130,10 +146,27 @@ object VectorSimilarity {
     */
   def dedupByEmbedding(df: DataFrame, minCosine: Double, dim: Int,
                        nbits: Int = 2, tables: Int = 32,
-                       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val dupIds = thresholdJoinLsh(df, minCosine, dim, nbits, tables, idCol, vecCol)
+                       idCol: String = "vec_id", vecCol: String = "embedding",
+                       maxBucketSize: Long = 65536L): DataFrame = {
+    val dupIds = thresholdJoinLsh(df, minCosine, dim, nbits, tables, idCol,
+        vecCol, maxBucketSize)
       .select(col("id_b").as(idCol)).distinct()
     df.join(dupIds, Seq(idCol), "left_anti")
+  }
+
+  /** Hyperplane-bucket width that keeps EXPECTED bucket occupancy near
+    * `targetBucketSize` for a corpus of `corpusRows`: random hyperplanes
+    * split roughly evenly, so occupancy ≈ rows / 2^nbits. Candidate volume
+    * per table is then ~rows · targetBucketSize / 2 instead of quadratic.
+    * Size `tables` for recall afterwards (collision probability per table is
+    * p^nbits, p = 1 - arccos(minCosine)/π — more bits need more tables).
+    * The `maxBucketSize` cap on [[thresholdJoinLsh]] handles residual skew
+    * (dense clusters) that expected-case sizing cannot.
+    */
+  def recommendedBits(corpusRows: Long, targetBucketSize: Long = 4096L): Int = {
+    require(corpusRows > 0 && targetBucketSize > 0)
+    math.max(1, math.ceil(
+      math.log(corpusRows.toDouble / targetBucketSize) / math.log(2.0)).toInt)
   }
 
   /** Random-hyperplane LSH bucket id: `nbits` sign bits of dot products with

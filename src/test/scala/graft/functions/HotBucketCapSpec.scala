@@ -45,6 +45,35 @@ class HotBucketCapSpec extends SparkSpec {
     assert(uncapped.count { case (a, b) => a >= 100L && b >= 100L } == 30 * 29 / 2)
   }
 
+  test("vector LSH: cap excludes a dense embedding cluster, keeps the pair") {
+    // 20 identical vectors land in the same bucket of EVERY table; a genuine
+    // near pair and an orthogonal vector stay in small buckets
+    val dense = (100L until 120L).map(i => (i, Array(1.0f, 0.0f, 0.0f, 0.0f)))
+    val vecs = (dense ++ Seq(
+      (1L, Array(0.0f, 1.0f, 0.1f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.12f, 0.0f)),
+      (50L, Array(0.0f, 0.0f, 0.0f, 1.0f))
+    )).toDF("vec_id", "embedding")
+    def pairs(cap: Long) = VectorSimilarity.thresholdJoinLsh(vecs,
+      minCosine = 0.9, dim = 4, nbits = 2, tables = 8, maxBucketSize = cap)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val capped = pairs(10L)
+    assert(capped.contains((1L, 2L)), "genuine near pair survives the cap")
+    assert(!capped.exists { case (a, b) => a >= 100L && b >= 100L })
+    val uncapped = pairs(0L)
+    assert(uncapped.count { case (a, b) => a >= 100L && b >= 100L } == 20 * 19 / 2)
+  }
+
+  test("recommendedBits keeps expected occupancy near the target") {
+    assert(VectorSimilarity.recommendedBits(100000000L, 4096L) == 15)
+    assert(VectorSimilarity.recommendedBits(4096L, 4096L) == 1)
+    assert(VectorSimilarity.recommendedBits(1L, 4096L) == 1)
+    // occupancy at the recommendation is within 2x of target
+    val bits = VectorSimilarity.recommendedBits(1000000L, 1000L)
+    val occupancy = 1000000.0 / math.pow(2, bits)
+    assert(occupancy <= 1000.0 && occupancy > 250.0)
+  }
+
   test("default cap is invisible on a normal corpus (no hot buckets)") {
     val corpus = spark.read.parquet(s"$sf/documents.parquet")
     val sh = TextFunctions.shingleHashes(col("text"), 5)
