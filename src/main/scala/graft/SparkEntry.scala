@@ -571,6 +571,18 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // the one-call corpus-preparation chain: quality gate → fingerprint
+    // dedup → split → decontaminate → mixture (minhash stage off so the
+    // whole composition stays exactly oracle-expressible)
+    "corpus_prepare" -> ((s, dir) => {
+      CorpusPipeline.prepare(t(s, dir, "documents"),
+        CorpusPipeline.Config(
+          nearDupThreshold = None,
+          mixtureRates = Map("src0" -> 1.0, "src1" -> 0.5),
+          defaultRate = 0.8))
+        .select(col("doc_id"), col("split")).orderBy(col("doc_id"))
+    }),
+
     // benchmark decontamination: drop train-split docs with near-dup n-gram
     // overlap (Jaccard >= 0.8) against the held-out test split — the
     // bipartite posting-list funnel, never train × test
@@ -1150,6 +1162,56 @@ object SparkEntry {
            |WHERE greatest(h_en, h_de, h_fr, h_es) > 0
            |  AND nc BETWEEN 20 AND 20000 AND p < 0.2
            |  AND m BETWEEN 2.0 AND 12.0 AND d < 0.25
+           |ORDER BY doc_id""".stripMargin,
+
+      "corpus_prepare" ->
+        s"""WITH base AS (
+           |  SELECT doc_id, source, $normText AS norm,
+           |    length(text) AS nc,
+           |    CASE WHEN length(text) = 0 THEN 0.0
+           |         ELSE len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) * 1.0 / length(text) END AS p,
+           |    CASE WHEN length(text) = 0 THEN 0.0
+           |         ELSE len(regexp_extract_all(text, '[0-9]')) * 1.0 / length(text) END AS d,
+           |    CASE WHEN length(trim(text)) = 0 THEN 0.0
+           |         ELSE length(regexp_replace(text, '\\s+', '', 'g')) * 1.0
+           |              / len(regexp_split_to_array(trim(text), '\\s+')) END AS m,
+           |    len(regexp_extract_all(lower(text), '$stopEn')) AS h_en,
+           |    len(regexp_extract_all(lower(text), '$stopDe')) AS h_de,
+           |    len(regexp_extract_all(lower(text), '$stopFr')) AS h_fr,
+           |    len(regexp_extract_all(lower(text), '$stopEs')) AS h_es
+           |  FROM documents),
+           |q AS (SELECT * FROM base
+           |      WHERE greatest(h_en, h_de, h_fr, h_es) > 0
+           |        AND nc BETWEEN 20 AND 20000 AND p < 0.2
+           |        AND m BETWEEN 2.0 AND 12.0 AND d < 0.25),
+           |keep AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY md5(norm)),
+           |sp AS (SELECT q.doc_id, q.source, q.norm,
+           |    CASE WHEN substr(md5(CAST(q.doc_id AS VARCHAR)), 1, 4) < '${Sampling.thresholdHex(0.05)}' THEN 'test'
+           |         WHEN substr(md5(CAST(q.doc_id AS VARCHAR)), 1, 4) < '${Sampling.thresholdHex(0.10)}' THEN 'val'
+           |         ELSE 'train' END AS split
+           |  FROM q JOIN keep USING (doc_id)),
+           |tk AS (SELECT doc_id, split, regexp_split_to_array(norm, ' ') AS toks
+           |       FROM sp WHERE split != 'val'),
+           |g0 AS (SELECT DISTINCT doc_id, split,
+           |        CASE WHEN len(toks) < 3 THEN array_to_string(toks, ' ')
+           |             ELSE array_to_string(toks[i:i+2], ' ') END AS gram
+           |      FROM tk, LATERAL (SELECT unnest(range(1, greatest(len(toks) - 1, 2))) AS i) r),
+           |g AS (SELECT doc_id, split, gram FROM g0
+           |      WHERE gram NOT IN (SELECT gram FROM g0 GROUP BY gram HAVING count(*) > 100)),
+           |cnt AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
+           |inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS i
+           |          FROM g a JOIN g b ON a.gram = b.gram
+           |          WHERE a.split = 'train' AND b.split = 'test'
+           |          GROUP BY 1, 2),
+           |bad AS (SELECT DISTINCT ia FROM inter
+           |        JOIN cnt ca ON ca.doc_id = ia JOIN cnt cb ON cb.doc_id = ib
+           |        WHERE round(i * 1.0 / (ca.n + cb.n - i), 4) >= 0.8)
+           |SELECT doc_id, split FROM sp
+           |WHERE NOT (split = 'train' AND doc_id IN (SELECT ia FROM bad))
+           |  AND substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+           |    CASE source WHEN 'src0' THEN '${Sampling.thresholdHex(1.0)}'
+           |                WHEN 'src1' THEN '${Sampling.thresholdHex(0.5)}'
+           |                ELSE '${Sampling.thresholdHex(0.8)}' END
            |ORDER BY doc_id""".stripMargin,
 
       "doc_decontaminate" ->

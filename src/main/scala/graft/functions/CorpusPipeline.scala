@@ -1,0 +1,104 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** One-call training-corpus preparation: the canonical chain a 100 TB text
+  * pipeline runs before tokenization, composed from the engine's oracle-
+  * checked primitives in the order that minimizes work at scale —
+  *
+  *   1. quality gate (map-side, cheapest first: shrinks everything after),
+  *   2. exact/fingerprint dedup keep-first (one hash-key shuffle; removes
+  *      the boilerplate mega-clusters the near-dup caps assume are gone),
+  *   3. optional MinHash near-dup dedup (LSH funnel, candidate-bounded),
+  *   4. deterministic split assignment (map-side, partition-independent),
+  *   5. optional decontamination: drop train docs with n-gram overlap
+  *      against the held-out test split (bipartite posting-list funnel),
+  *   6. optional per-source mixture re-weighting (map-side filter).
+  *
+  * Every stage is a narrow projection or a keys-only shuffle; corpus text
+  * never moves except into the candidate-bounded verify joins.
+  */
+object CorpusPipeline {
+
+  /** @param nearDupThreshold       MinHash-LSH Jaccard threshold; None skips
+    * @param decontamThreshold      bipartite n-gram Jaccard threshold vs the
+    *                               test split; None skips
+    * @param mixtureRates           per-source keep rates; empty skips
+    * @param maxGramDocFreq         stop-gram cap for the decontamination join
+    */
+  final case class Config(
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      sourceCol: String = "source",
+      minChars: Int = 20,
+      maxChars: Int = 20000,
+      maxPunctRatio: Double = 0.2,
+      maxDigitRatio: Double = 0.25,
+      minMeanTokenLen: Double = 2.0,
+      maxMeanTokenLen: Double = 12.0,
+      requireKnownLang: Boolean = true,
+      nearDupThreshold: Option[Double] = Some(0.8),
+      splits: Seq[(String, Double)] = Seq("test" -> 0.05, "val" -> 0.05),
+      decontamThreshold: Option[Double] = Some(0.8),
+      maxGramDocFreq: Long = 100L,
+      mixtureRates: Map[String, Double] = Map.empty,
+      defaultRate: Double = 1.0)
+
+  /** Prepared corpus: the input rows that survive every configured stage,
+    * plus a `split` column. Deterministic end to end — same input, same
+    * output, on any partitioning.
+    */
+  def prepare(docs: DataFrame, cfg: Config = Config()): DataFrame = {
+    val id = col(cfg.idCol)
+    val text = col(cfg.textCol)
+
+    // 1. quality gate — all map-side over the fused stats struct
+    val st = TextFunctions.textStats(text)
+    val nChars = st.getField("n_chars")
+    val nTokens = st.getField("n_tokens")
+    val punct = when(nChars === 0, lit(0.0))
+      .otherwise(st.getField("n_punct").cast("double") / nChars)
+    val digit = when(nChars === 0, lit(0.0))
+      .otherwise(st.getField("n_digit").cast("double") / nChars)
+    val meanTok = when(nTokens === 0, lit(0.0))
+      .otherwise(st.getField("n_nonws").cast("double") / nTokens)
+    val numericGate = nChars.between(cfg.minChars, cfg.maxChars) &&
+      punct < cfg.maxPunctRatio && digit < cfg.maxDigitRatio &&
+      meanTok.between(cfg.minMeanTokenLen, cfg.maxMeanTokenLen)
+    val gate =
+      if (cfg.requireKnownLang) numericGate && TextFunctions.langId(text) =!= "und"
+      else numericGate
+    val quality = docs.filter(gate)
+
+    // 2. fingerprint dedup keep-first: min id per md5(normalized text)
+    val fp = TextFunctions.fingerprint(text)
+    val keepIds = quality.groupBy(fp.as("__fp")).agg(min(id).as(cfg.idCol))
+      .select(cfg.idCol)
+    val exactDeduped = quality.join(keepIds, Seq(cfg.idCol), "left_semi")
+
+    // 3. optional near-dup dedup (keep-first survivor rule)
+    val deduped = cfg.nearDupThreshold.fold(exactDeduped) { th =>
+      MinHashLsh.dedupKeepFirst(exactDeduped, cfg.idCol,
+        TextFunctions.charShingles(text, 5), threshold = th)
+    }
+
+    // 4. deterministic split assignment
+    val withSplit = deduped.withColumn("split", Sampling.assignSplit(id, cfg.splits))
+
+    // 5. optional decontamination of train against the test split
+    val decontaminated = cfg.decontamThreshold.fold(withSplit) { th =>
+      val train = withSplit.filter(col("split") === "train")
+      val heldOut = withSplit.filter(col("split") === "test")
+      val contaminated = NgramJaccard.bipartitePairs(train, heldOut, cfg.idCol,
+          TextFunctions.wordNgramHashes(text, 3), th, cfg.maxGramDocFreq)
+        .select(col("id_left").as(cfg.idCol)).distinct()
+      withSplit.join(contaminated, Seq(cfg.idCol), "left_anti")
+    }
+
+    // 6. optional mixture re-weighting
+    if (cfg.mixtureRates.isEmpty) decontaminated
+    else Sampling.mixtureSample(decontaminated, id, col(cfg.sourceCol),
+      cfg.mixtureRates, cfg.defaultRate)
+  }
+}

@@ -1,0 +1,64 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class CorpusPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  // id 27 hashes into the test split, 6 into val, the rest below into train
+  // (md5-prefix thresholds 0ccd/199a — see Sampling.assignSplit)
+  private val heldOutText =
+    "the evaluation set contains documents about language models and their " +
+    "training pipelines with tokens embeddings and careful measurement of " +
+    "quality that we hold out from the training corpus to detect " +
+    "contamination in the data preparation flow today"
+
+  test("gate, fingerprint dedup, split, decontamination compose end to end") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and runs to the river with great speed", "src0"),
+      (2L, "the quick brown fox jumps over the lazy dog and runs to the river with great speed", "src0"), // exact dup of 1
+      (4L, "a completely original essay on the design of distributed analytics engines and their shuffles", "src0"),
+      (5L, "!!! ??? !!! ??? !!!", "src0"), // gate: punct + no stopwords
+      (8L, heldOutText.replace("today", "now"), "src0"),  // near-dup of the held-out doc -> contaminated train
+      (9L, "this document is about different topics such as cooking recipes and kitchen equipment with pans of steel that is all", "src0"),
+      (27L, heldOutText, "src0") // lands in the test split
+    ).toDF("doc_id", "text", "source")
+    val out = CorpusPipeline.prepare(docs, CorpusPipeline.Config(
+      nearDupThreshold = None, decontamThreshold = Some(0.8)))
+      .select($"doc_id", $"split").as[(Long, String)].collect().toMap
+    assert(out.keySet == Set(1L, 4L, 9L, 27L),
+      s"survivors were ${out.keySet}: 2 fp-dup, 5 gated, 8 contaminated must drop")
+    assert(out(27L) == "test")
+    assert(Set(1L, 4L, 9L).forall(out(_) == "train"))
+  }
+
+  test("minhash near-dup stage drops the later near-duplicate") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and runs to the river with great speed in the morning", "src0"),
+      (3L, "the quick brown fox jumps over the lazy dog and runs to the river with great speed in the mornings", "src0"),
+      (4L, "a completely original essay on the design of distributed analytics engines and their shuffles", "src0")
+    ).toDF("doc_id", "text", "source")
+    val out = CorpusPipeline.prepare(docs, CorpusPipeline.Config(
+      nearDupThreshold = Some(0.8), decontamThreshold = None))
+      .select($"doc_id").as[Long].collect().toSet
+    assert(out == Set(1L, 4L))
+  }
+
+  test("mixture stage re-weights sources deterministically") {
+    val docs = (0L until 400L).map { i =>
+      (i, s"the number $i document talks of things that are in the set with detail", if (i % 2 == 0) "keepall" else "droptest")
+    }.toDF("doc_id", "text", "source")
+    val cfg = CorpusPipeline.Config(
+      nearDupThreshold = None, decontamThreshold = None,
+      maxDigitRatio = 1.0,
+      mixtureRates = Map("keepall" -> 1.0, "droptest" -> 0.0))
+    val out = CorpusPipeline.prepare(docs, cfg)
+    assert(out.filter($"source" === "droptest").count() == 0)
+    assert(out.filter($"source" === "keepall").count() == 200)
+    // determinism: identical membership on re-run
+    val a = out.select("doc_id").as[Long].collect().toSet
+    val b = CorpusPipeline.prepare(docs, cfg).select("doc_id").as[Long].collect().toSet
+    assert(a == b)
+  }
+}
