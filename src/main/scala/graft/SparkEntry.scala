@@ -571,6 +571,33 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // per-source corpus audit (mixture reporting): one partial-agg pass
+    "corpus_source_stats" -> ((s, dir) => {
+      val st = TextFunctions.textStats(col("text"))
+      t(s, dir, "documents")
+        .select(col("source"), col("lang"),
+          st.getField("n_tokens").cast("long").as("__tok"),
+          st.getField("n_chars").cast("long").as("__chars"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(col("__tok")).as("n_tokens"),
+          sum(col("__chars")).as("n_chars"),
+          countDistinct(col("lang")).cast("long").as("n_langs"))
+        .orderBy(col("source"))
+    }),
+
+    // balanced eval sets: deterministic top-N per language in md5-hash
+    // order — partition-independent, reproducible stratified sampling
+    "doc_sample_stratified" -> ((s, dir) => {
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(Sampling.hashKey(col("doc_id")), col("doc_id"))
+      t(s, dir, "documents")
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= 10)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
+
     // the one-call corpus-preparation chain: quality gate → fingerprint
     // dedup → split → decontaminate → mixture (minhash stage off so the
     // whole composition stays exactly oracle-expressible)
@@ -1163,6 +1190,25 @@ object SparkEntry {
            |  AND nc BETWEEN 20 AND 20000 AND p < 0.2
            |  AND m BETWEEN 2.0 AND 12.0 AND d < 0.25
            |ORDER BY doc_id""".stripMargin,
+
+      "corpus_source_stats" ->
+        """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+          |  CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+          |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END) AS BIGINT) AS n_tokens,
+          |  CAST(sum(length(text)) AS BIGINT) AS n_chars,
+          |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+          |FROM documents
+          |GROUP BY source
+          |ORDER BY source""".stripMargin,
+
+      "doc_sample_stratified" ->
+        """SELECT doc_id, lang FROM (
+          |  SELECT doc_id, lang,
+          |    row_number() OVER (PARTITION BY lang
+          |      ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 4), doc_id) AS rn
+          |  FROM documents)
+          |WHERE rn <= 10
+          |ORDER BY doc_id""".stripMargin,
 
       "corpus_prepare" ->
         s"""WITH base AS (
