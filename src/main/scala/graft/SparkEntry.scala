@@ -571,6 +571,25 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // backward as-of join: each click enriched with the user's latest view
+    // at or before it — union + running-last window, one shuffle, no
+    // range-pair expansion (inner-asof via the null filter)
+    "asof_click_view" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"), col("ts"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("event_id").as("view_id"),
+          col("value").as("view_value"))
+      AsofJoin.asofBackward(clicks, views, Seq("user_id"), "ts", "ts",
+          Seq("view_id", "view_value"))
+        .filter(col("asof_view_id").isNotNull)
+        .select(col("click_id"), col("user_id"),
+          col("asof_view_id").as("view_id"),
+          round(col("asof_view_value"), 2).as("view_value"))
+        .orderBy(col("click_id"))
+    }),
+
     // per-source corpus audit (mixture reporting): one partial-agg pass
     "corpus_source_stats" -> ((s, dir) => {
       val st = TextFunctions.textStats(col("text"))
@@ -1190,6 +1209,13 @@ object SparkEntry {
            |  AND nc BETWEEN 20 AND 20000 AND p < 0.2
            |  AND m BETWEEN 2.0 AND 12.0 AND d < 0.25
            |ORDER BY doc_id""".stripMargin,
+
+      "asof_click_view" ->
+        """WITH c AS (SELECT event_id AS click_id, user_id, ts FROM events WHERE event_type = 'click'),
+          |v AS (SELECT event_id AS view_id, user_id, ts, value FROM events WHERE event_type = 'view')
+          |SELECT c.click_id, c.user_id, v.view_id, round(v.value, 2) AS view_value
+          |FROM c ASOF JOIN v ON c.user_id = v.user_id AND v.ts <= c.ts
+          |ORDER BY click_id""".stripMargin,
 
       "corpus_source_stats" ->
         """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,

@@ -1,0 +1,57 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class AsofJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val left = Seq(
+    (1L, 100L, 10L), // before any right row for key 1
+    (2L, 100L, 25L), // between right rows at 20 and 30
+    (3L, 100L, 30L), // exactly equal to a right timestamp
+    (4L, 100L, 99L), // after every right row
+    (5L, 200L, 50L)  // key with no right rows at all
+  ).toDF("id", "k", "t")
+
+  private val right = Seq(
+    (901L, 100L, 20L, 2.0),
+    (902L, 100L, 30L, 3.0),
+    (903L, 100L, 40L, 4.0)
+  ).toDF("rid", "k", "t", "rv")
+
+  test("backward as-of picks the latest right row at or before each left row") {
+    val out = AsofJoin.asofBackward(left, right, Seq("k"), "t", "t",
+      Seq("rid", "rv"))
+      .select($"id", $"asof_rid", $"asof_rv")
+      .as[(Long, Option[Long], Option[Double])].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) == ((None, None)), "no right row at or before t=10")
+    assert(out(2L) == ((Some(901L), Some(2.0))))
+    assert(out(3L) == ((Some(902L), Some(3.0))), "equal timestamp is included")
+    assert(out(4L) == ((Some(903L), Some(4.0))))
+    assert(out(5L) == ((None, None)), "unmatched key carries nulls (left-asof)")
+  }
+
+  test("left columns pass through untouched; row count is |left|") {
+    val out = AsofJoin.asofBackward(left, right, Seq("k"), "t", "t", Seq("rv"))
+    assert(out.count() == 5)
+    assert(out.columns.toSeq == Seq("id", "k", "t", "asof_rv"))
+  }
+
+  test("matches a window-free reference computed per row") {
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .withColumn("ts", col("ts").cast("long"))
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"event_id".as("cid"), $"user_id", $"ts")
+    val views = ev.filter($"event_type" === "view")
+      .select($"user_id", $"ts", $"event_id".as("vid"))
+    val fast = AsofJoin.asofBackward(clicks, views, Seq("user_id"), "ts", "ts", Seq("vid"))
+      .select($"cid", $"asof_vid").as[(Long, Option[Long])].collect().toMap
+    // reference: max-ts view <= click ts via plain join + groupBy (small sf)
+    val ref = clicks.as("c").join(views.as("v"),
+        $"c.user_id" === $"v.user_id" && $"v.ts" <= $"c.ts", "left")
+      .groupBy($"cid").agg(max_by($"vid", $"v.ts").as("vid"))
+      .as[(Long, Option[Long])].collect().toMap
+    assert(fast == ref)
+  }
+}
