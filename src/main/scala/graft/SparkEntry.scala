@@ -590,6 +590,22 @@ object SparkEntry {
         .orderBy(col("click_id"))
     }),
 
+    // band/range join via window-sized bins: each error paired with the
+    // same user's events in the preceding 30 minutes — equi-join on
+    // (user, bin), exact interval filter on candidates, no BNLJ/cartesian
+    "range_error_context" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("error_id"), col("user_id"),
+          col("ts").as("error_ts"))
+      val context = ev.select(col("user_id"), col("ts"),
+        col("event_id").as("ctx_id"), col("event_type").as("ctx_type"))
+      RangeJoin.precedingWindow(errors, context, Seq("user_id"),
+          "error_ts", "ts", windowSec = 1800L)
+        .select(col("error_id"), col("ctx_id"), col("ctx_type"))
+        .orderBy(col("error_id"), col("ctx_id"))
+    }),
+
     // per-source corpus audit (mixture reporting): one partial-agg pass
     "corpus_source_stats" -> ((s, dir) => {
       val st = TextFunctions.textStats(col("text"))
@@ -1216,6 +1232,15 @@ object SparkEntry {
           |SELECT c.click_id, c.user_id, v.view_id, round(v.value, 2) AS view_value
           |FROM c ASOF JOIN v ON c.user_id = v.user_id AND v.ts <= c.ts
           |ORDER BY click_id""".stripMargin,
+
+      "range_error_context" ->
+        """WITH err AS (SELECT event_id AS error_id, user_id, ts AS error_ts
+          |             FROM events WHERE event_type = 'error')
+          |SELECT err.error_id, e.event_id AS ctx_id, e.event_type AS ctx_type
+          |FROM err JOIN events e ON err.user_id = e.user_id
+          |  AND e.ts >= err.error_ts - INTERVAL 30 MINUTE
+          |  AND e.ts < err.error_ts
+          |ORDER BY error_id, ctx_id""".stripMargin,
 
       "corpus_source_stats" ->
         """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
