@@ -77,22 +77,42 @@ object CorpusPipeline {
       .select(cfg.idCol)
     val exactDeduped = quality.join(keepIds, Seq(cfg.idCol), "left_semi")
 
-    // 3. optional near-dup dedup (keep-first survivor rule)
+    // 3. optional near-dup dedup (keep-first survivor rule). Cached while
+    // the small dropped-id set materializes — the LSH funnel reads its
+    // input from three branches (signatures, candidate shingles, anti-join)
     val deduped = cfg.nearDupThreshold.fold(exactDeduped) { th =>
-      MinHashLsh.dedupKeepFirst(exactDeduped, cfg.idCol,
-        TextFunctions.charShingles(text, 5), threshold = th)
+      val cached = exactDeduped
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val dupIds = try {
+        MinHashLsh.nearDupPairs(cached, cfg.idCol,
+            TextFunctions.charShingles(text, 5), threshold = th)
+          .select(col("id_b").as(cfg.idCol)).distinct()
+          .localCheckpoint()
+      } finally cached.unpersist(false)
+      exactDeduped.join(dupIds, Seq(cfg.idCol), "left_anti")
     }
 
     // 4. deterministic split assignment
     val withSplit = deduped.withColumn("split", Sampling.assignSplit(id, cfg.splits))
 
-    // 5. optional decontamination of train against the test split
+    // 5. optional decontamination of train against the test split. The
+    // bipartite funnel reads the prepared corpus from several plan branches
+    // (train grams, test grams, per-doc counts), each of which would
+    // re-derive gate + dedup from the raw scan — so the intermediate is
+    // cached only while the (tiny) contaminated-id set is materialized,
+    // then released; the final anti-join holds no cached state
+    // (same lifecycle as MinHashLsh's signature cache).
     val decontaminated = cfg.decontamThreshold.fold(withSplit) { th =>
-      val train = withSplit.filter(col("split") === "train")
-      val heldOut = withSplit.filter(col("split") === "test")
-      val contaminated = NgramJaccard.bipartitePairs(train, heldOut, cfg.idCol,
-          TextFunctions.wordNgramHashes(text, 3), th, cfg.maxGramDocFreq)
-        .select(col("id_left").as(cfg.idCol)).distinct()
+      val cached = withSplit
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val contaminated = try {
+        NgramJaccard.bipartitePairs(
+            cached.filter(col("split") === "train"),
+            cached.filter(col("split") === "test"), cfg.idCol,
+            TextFunctions.wordNgramHashes(text, 3), th, cfg.maxGramDocFreq)
+          .select(col("id_left").as(cfg.idCol)).distinct()
+          .localCheckpoint()
+      } finally cached.unpersist(false)
       withSplit.join(contaminated, Seq(cfg.idCol), "left_anti")
     }
 
