@@ -661,6 +661,18 @@ object SparkEntry {
         .select(col("doc_id")).orderBy(col("doc_id"))
     }),
 
+    // context chunking for embedding/RAG prep: 32-token windows with
+    // 8-token overlap, map-side explode — no shuffle before the sink
+    "doc_chunks" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(TextFunctions.tokenChunks(col("text"), 32, 8))
+            .as(Seq("chunk_idx", "chunk")))
+        .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+          col("chunk"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    }),
+
     // corpus token histogram (vocabulary building): explode + partial-agg
     // count, top 100 with total tie-order
     "text_token_histogram" -> ((s, dir) => {
@@ -1336,6 +1348,18 @@ object SparkEntry {
            |SELECT doc_id FROM t
            |WHERE split = 'train' AND doc_id NOT IN (SELECT ia FROM bad)
            |ORDER BY doc_id""".stripMargin,
+
+      "doc_chunks" ->
+        """WITH tk AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+          |            FROM documents WHERE length(trim(text)) > 0),
+          |n AS (SELECT doc_id, toks, len(toks) AS n FROM tk),
+          |c AS (SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+          |        array_to_string(toks[i*24+1 : i*24+32], ' ') AS chunk
+          |      FROM n, LATERAL (SELECT unnest(range(0,
+          |        CASE WHEN n <= 32 THEN 1
+          |             ELSE CAST(ceil((n - 32) / 24.0) AS BIGINT) + 1 END)) AS i) r)
+          |SELECT doc_id, chunk_idx, chunk FROM c
+          |ORDER BY doc_id, chunk_idx""".stripMargin,
 
       "text_token_histogram" ->
         """SELECT token, CAST(count(*) AS BIGINT) AS n

@@ -184,6 +184,26 @@ object TextFunctions {
           sequence(lit(0), size(toks) - n),
           i => concat_ws(" ", slice(toks, i + 1, lit(n))))))))
 
+  /** Fixed-size overlapping token windows (context chunking for embedding /
+    * RAG pipelines): chunk i covers tokens `[i·step + 1, i·step + size]`
+    * with `step = size - overlap`; the last chunk may be shorter but a
+    * chunk is only emitted if the previous one did not already reach the
+    * end of the document (no fully-redundant tail windows). Map-side,
+    * deterministic, one pass — explode the result for (doc, chunk) rows.
+    */
+  def tokenChunks(text: Column, chunkSize: Int, overlap: Int): Column = {
+    require(chunkSize > 0 && overlap >= 0 && overlap < chunkSize,
+      "need 0 <= overlap < chunkSize")
+    val step = chunkSize - overlap
+    val toks = split(trim(text), "\\s+")
+    val n = size(toks)
+    val nChunks = when(n <= chunkSize, lit(1)).otherwise(
+      ceil((n - lit(chunkSize)).cast("double") / step).cast("int") + 1)
+    when(length(trim(text)) === 0, array().cast("array<string>")).otherwise(
+      transform(sequence(lit(0), nChunks - 1),
+        i => concat_ws(" ", slice(toks, i * step + 1, lit(chunkSize)))))
+  }
+
   /** Exact Jaccard similarity of two array columns. */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")
