@@ -462,6 +462,18 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // near-dup CLUSTERS: the pairwise detections transitive-closed via
+    // min-label connected components — each doc labeled with its cluster's
+    // smallest id (the survivor a cluster-canonical dedup keeps)
+    "dedup_minhash_clusters" -> ((s, dir) => {
+      val pairs = MinHashLsh.nearDupPairsHashed(t(s, dir, "documents"), "doc_id",
+        TextFunctions.shingleHashes(col("text"), 5),
+        numHashes = 64, bands = 16, threshold = 0.8)
+      ConnectedComponents.minLabel(pairs)
+        .select(col("id").as("doc_id"), col("comp").as("cluster_rep"))
+        .orderBy(col("doc_id"))
+    }),
+
     // SimHash near-dup pairs via pigeonhole chunk join (hashed word bigrams)
     "dedup_simhash" -> ((s, dir) => {
       SimHash.nearDupPairs(t(s, dir, "documents"), "doc_id",
@@ -1132,6 +1144,25 @@ object SparkEntry {
            |FROM inter JOIN cnt ca ON ca.doc_id = ia JOIN cnt cb ON cb.doc_id = ib
            |WHERE round(i * 1.0 / (ca.n + cb.n - i), 4) >= 0.8
            |ORDER BY id_a, id_b""".stripMargin,
+
+      "dedup_minhash_clusters" ->
+        s"""WITH RECURSIVE t AS (SELECT doc_id, $normText AS norm FROM documents),
+           |g AS (SELECT DISTINCT doc_id, CASE WHEN len(norm) < 5 THEN norm ELSE norm[i:i+4] END AS sh
+           |      FROM t, LATERAL (SELECT unnest(range(1, greatest(len(norm) - 3, 2))) AS i) r),
+           |cnt AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
+           |inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS i
+           |          FROM g a JOIN g b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
+           |p AS (SELECT ia, ib
+           |      FROM inter JOIN cnt ca ON ca.doc_id = ia JOIN cnt cb ON cb.doc_id = ib
+           |      WHERE round(i * 1.0 / (ca.n + cb.n - i), 4) >= 0.8),
+           |e AS (SELECT ia AS a, ib AS b FROM p UNION SELECT ib, ia FROM p),
+           |reach AS (
+           |  SELECT a, b FROM e
+           |  UNION
+           |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a)
+           |SELECT a AS doc_id, least(a, min(b)) AS cluster_rep
+           |FROM reach GROUP BY a
+           |ORDER BY doc_id""".stripMargin,
 
       "dedup_ngram_jaccard" ->
         s"""WITH t AS (SELECT doc_id, $normText AS norm FROM documents),
