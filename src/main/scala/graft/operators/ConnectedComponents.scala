@@ -22,11 +22,23 @@ object ConnectedComponents {
 
   /** (id, comp) for every vertex appearing in `edges`; `comp` is the
     * smallest vertex id in the component. Deterministic.
+    *
+    * Adaptive: an edge list at or under `driverMaxEdges` (16 MB of longs at
+    * the default) is solved with path-compressed union-find on the driver —
+    * near-dup pair sets are usually minuscule relative to the corpus that
+    * produced them, and a handful of distributed iterations would cost more
+    * in job scheduling than the whole graph costs locally. Larger graphs
+    * take the distributed label-propagation path. Both paths produce
+    * identical labels.
     */
   def minLabel(edges: DataFrame, idA: String = "id_a", idB: String = "id_b",
-               maxIter: Int = 25): DataFrame = {
-    val adj = edges.select(col(idA).as("src"), col(idB).as("dst"))
-      .union(edges.select(col(idB).as("src"), col(idA).as("dst")))
+               maxIter: Int = 25, driverMaxEdges: Long = 1L << 20): DataFrame = {
+    val pairs = edges
+      .select(col(idA).cast("long").as("a"), col(idB).cast("long").as("b"))
+      .localCheckpoint()
+    if (pairs.count() <= driverMaxEdges) return unionFindLocal(pairs)
+    val adj = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .union(pairs.select(col("b").as("src"), col("a").as("dst")))
       .localCheckpoint()
     var labels = adj.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id"))
@@ -48,5 +60,35 @@ object ConnectedComponents {
       iter += 1
     }
     labels
+  }
+
+  /** Path-compressed, rank-free union-find toward the smaller root —
+    * keeping the smaller id as root makes the final label the component
+    * minimum with no second pass.
+    */
+  private def unionFindLocal(pairs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.get(r) != r) r = parent.get(r)
+      var c = x
+      while (c != r) { val n = parent.get(c); parent.put(c, r); c = n }
+      r
+    }
+    pairs.collect().foreach { row =>
+      val (a, b) = (row.getLong(0), row.getLong(1))
+      if (!parent.containsKey(a)) parent.put(a, a)
+      if (!parent.containsKey(b)) parent.put(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb) }
+    }
+    val rows = new scala.collection.mutable.ArrayBuffer[Row](parent.size)
+    parent.keySet.forEach(id => rows += Row(id.toLong, find(id)))
+    pairs.sparkSession.createDataFrame(
+      pairs.sparkSession.sparkContext.parallelize(rows.toSeq, 1),
+      StructType(Seq(StructField("id", LongType, nullable = false),
+        StructField("comp", LongType, nullable = false))))
   }
 }

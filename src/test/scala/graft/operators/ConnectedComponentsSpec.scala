@@ -28,4 +28,14 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(m.values.toSet == Set(1L))
     assert(m.keySet == Set(1L, 3L, 5L, 9L))
   }
+
+  test("distributed path produces identical labels to the local path") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
+      (10L, 12L), (20L, 21L), (30L, 7L), (7L, 40L)).toDF("id_a", "id_b")
+    val local = ConnectedComponents.minLabel(edges)
+      .as[(Long, Long)].collect().toMap
+    val distributed = ConnectedComponents.minLabel(edges, driverMaxEdges = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(local == distributed)
+  }
 }
