@@ -1,0 +1,58 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.functions.{Sampling, TextFunctions}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** The corpus-preparation MAP-SIDE stages (quality gate, language gate,
+  * deterministic split assignment) are stateless projections/filters, so
+  * the same Column expressions run unchanged inside a Structured Streaming
+  * query — continuous ingest gets the identical gate + split semantics the
+  * batch pipeline applies, row by row, with no state store.
+  */
+case class CorpusDoc(doc_id: Long, text: String)
+
+class StreamingCorpusSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.streaming.{CorpusDoc => Doc}
+
+  private def gateAndSplit(df: DataFrame): DataFrame = {
+    val st = TextFunctions.textStats(col("text"))
+    df.filter(st.getField("n_chars").between(20, 20000) &&
+        TextFunctions.langId(col("text")) =!= "und")
+      .withColumn("split",
+        Sampling.assignSplit(col("doc_id"), Seq("test" -> 0.05, "val" -> 0.05)))
+  }
+
+  test("gate + split run identically under streaming and batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Doc]
+    val q = gateAndSplit(input.toDS().toDF())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("corpus_stream_out")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("csckpt").toString)
+      .start()
+    val docs = Seq(
+      Doc(1L, "the quick brown fox jumps over the lazy dog and runs to the river"),
+      Doc(2L, "!!!"), // gated: short + no stopwords
+      Doc(6L, "a document with the usual english stopwords in it for the gate"),
+      Doc(27L, "another ordinary document that is full of the and of and with"))
+    try {
+      input.addData(docs.take(2): _*)
+      q.processAllAvailable()
+      input.addData(docs.drop(2): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("corpus_stream_out")
+        .select($"doc_id", $"split").as[(Long, String)].collect().toMap
+      val batch = gateAndSplit(docs.toDF())
+        .select($"doc_id", $"split").as[(Long, String)].collect().toMap
+      assert(streamed == batch)
+      assert(streamed.keySet == Set(1L, 6L, 27L), "doc 2 gated in both modes")
+      assert(streamed(27L) == "test" && streamed(6L) == "val" && streamed(1L) == "train",
+        "split assignment is the same deterministic function under streaming")
+    } finally q.stop()
+  }
+}
