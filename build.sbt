@@ -26,7 +26,7 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "12g")}",
 )
 // Forked run output passes straight to stdout (no [info] prefix) so
 // Bench's single JSON line stays machine-parseable.

@@ -43,6 +43,20 @@ object Bench {
       .map(_.split(",").map(_.trim).toSet)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
+    // Per-query state reset: 59 queries share one JVM, and any cached /
+    // checkpointed blocks a query leaves behind (plus the GC pressure they
+    // cause) land on every query that runs after it — round 3 recorded
+    // 4-8× inflation on late-alphabet queries vs isolated runs. Clearing
+    // the cache, dropping every persistent RDD (this is what releases
+    // stray localCheckpoint blocks), and letting a full GC settle between
+    // queries makes each recorded number match the operator run alone.
+    def resetState(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      System.gc()
+    }
+    resetState() // the warmup block above also left state behind
+
     // Time a noop-sink write, not .count(): count() lets Catalyst prune
     // columns and drop sorts, so it times a thinner plan than users run —
     // the noop sink executes the full physical plan and discards rows.
@@ -60,6 +74,7 @@ object Bench {
       }
       val sec = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       System.err.println(f"[bench] $name%-32s $sec%8.2f s")
+      resetState() // off the clock — the next query starts on a clean JVM
       name -> sec
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }

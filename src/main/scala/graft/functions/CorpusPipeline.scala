@@ -2,6 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.core.Checkpoints
 
 /** One-call training-corpus preparation: the canonical chain a 100 TB text
   * pipeline runs before tokenization, composed from the engine's oracle-
@@ -84,10 +85,10 @@ object CorpusPipeline {
       val cached = exactDeduped
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val dupIds = try {
-        MinHashLsh.nearDupPairs(cached, cfg.idCol,
-            TextFunctions.charShingles(text, 5), threshold = th)
-          .select(col("id_b").as(cfg.idCol)).distinct()
-          .localCheckpoint()
+        Checkpoints.localize(
+          MinHashLsh.nearDupPairs(cached, cfg.idCol,
+              TextFunctions.charShingles(text, 5), threshold = th)
+            .select(col("id_b").as(cfg.idCol)).distinct())
       } finally cached.unpersist(false)
       exactDeduped.join(dupIds, Seq(cfg.idCol), "left_anti")
     }
@@ -106,12 +107,12 @@ object CorpusPipeline {
       val cached = withSplit
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val contaminated = try {
-        NgramJaccard.bipartitePairs(
-            cached.filter(col("split") === "train"),
-            cached.filter(col("split") === "test"), cfg.idCol,
-            TextFunctions.wordNgramHashes(text, 3), th, cfg.maxGramDocFreq)
-          .select(col("id_left").as(cfg.idCol)).distinct()
-          .localCheckpoint()
+        Checkpoints.localize(
+          NgramJaccard.bipartitePairs(
+              cached.filter(col("split") === "train"),
+              cached.filter(col("split") === "test"), cfg.idCol,
+              TextFunctions.wordNgramHashes(text, 3), th, cfg.maxGramDocFreq)
+            .select(col("id_left").as(cfg.idCol)).distinct())
       } finally cached.unpersist(false)
       withSplit.join(contaminated, Seq(cfg.idCol), "left_anti")
     }

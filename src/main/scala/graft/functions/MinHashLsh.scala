@@ -3,6 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.ColumnBridge
+import graft.core.Checkpoints
 import graft.functions.expressions.MinHashSignatureExpr
 
 /** MinHash + LSH near-duplicate detection at corpus scale.
@@ -64,7 +65,9 @@ object MinHashLsh {
     * (banding + both sides of the estimate join), so it is persisted for the
     * duration of the candidate search — ~0.5 KB/doc, ~50 GB cluster-wide for
     * a 100M-doc corpus — then explicitly unpersisted once the (small)
-    * estimate-survivor set has been materialized via `localCheckpoint`.
+    * estimate-survivor set has been materialized into a driver-local
+    * relation ([[graft.core.Checkpoints.localize]], scratch blocks freed
+    * before return).
     * The returned frame therefore holds no cached state: downstream actions
     * re-read only the candidate documents' shingles (semi-join pushdown),
     * never the full corpus. The call does eager work proportional to
@@ -95,7 +98,7 @@ object MinHashLsh {
       // formulation; keep those documents out of the banding here too
       .filter(col("__sig").isNotNull)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val estimated = try {
+    val estimated = {
       val banded0 = sigs.select(col("__id"),
         posexplode(bandBuckets(col("__sig"), bands, r)).as(Seq("__band", "__bucket")))
       // Hot-bucket guard: a bucket of B documents emits B²/2 candidate rows,
@@ -124,7 +127,7 @@ object MinHashLsh {
         .agg(count(lit(1)).as("__nbands"))
         .filter(col("__nbands") >= math.min(minBands, bands))
         .select(col("id_a"), col("id_b"))
-      cand
+      val survivors = cand
         .join(sigs.select(col("__id").as("id_a"), col("__sig").as("sig_a")), "id_a")
         .join(sigs.select(col("__id").as("id_b"), col("__sig").as("sig_b")), "id_b")
         .withColumn("__est",
@@ -132,12 +135,13 @@ object MinHashLsh {
             .cast("double") / numHashes)
         .filter(col("__est") >= threshold - 0.2)
         .select(col("id_a"), col("id_b"))
-        // materialize the survivor set (∝ near-dup pairs, tiny vs corpus) and
-        // truncate lineage so the signature cache can be released now instead
-        // of leaking past the call
-        .localCheckpoint()
-    } finally {
-      sigs.unpersist(false)
+      // materialize the survivor set (∝ near-dup pairs, tiny vs corpus) so
+      // the signature cache can be released now instead of leaking past the
+      // call; `localize` hands back a driver-local relation with ZERO
+      // block-store footprint (checkpoint blocks freed before return),
+      // falling back to a plain checkpoint only above its 4M-pair guard
+      try Checkpoints.localize(survivors)
+      finally sigs.unpersist(false)
     }
     // Exact verification touches only candidate documents: semi-join the ids
     // first so shingling cost is ∝ candidates, not corpus size.

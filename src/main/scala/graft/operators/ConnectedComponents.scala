@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.core.Checkpoints
 
 /** Connected components over an undirected edge list — the cluster step
   * that turns pairwise near-dup detections into duplicate CLUSTERS, so the
@@ -30,16 +31,28 @@ object ConnectedComponents {
     * in job scheduling than the whole graph costs locally. Larger graphs
     * take the distributed label-propagation path. Both paths produce
     * identical labels.
+    *
+    * Block lifecycle: every scratch checkpoint (edges, adjacency, each
+    * superseded round's labels) is released before return; on the
+    * distributed path only the RETURNED frame's final-label blocks remain,
+    * and the caller may free those with [[graft.core.Checkpoints.release]]
+    * once consumed. The driver path returns a plain local collection with
+    * no block-store state.
     */
   def minLabel(edges: DataFrame, idA: String = "id_a", idB: String = "id_b",
                maxIter: Int = 25, driverMaxEdges: Long = 1L << 20): DataFrame = {
     val pairs = edges
       .select(col(idA).cast("long").as("a"), col(idB).cast("long").as("b"))
       .localCheckpoint()
-    if (pairs.count() <= driverMaxEdges) return unionFindLocal(pairs)
+    if (pairs.count() <= driverMaxEdges) {
+      // union-find collects eagerly, so the edge blocks can go right away
+      val out = try unionFindLocal(pairs) finally Checkpoints.release(pairs)
+      return out
+    }
     val adj = pairs.select(col("a").as("src"), col("b").as("dst"))
       .union(pairs.select(col("b").as("src"), col("a").as("dst")))
       .localCheckpoint()
+    Checkpoints.release(pairs) // adj is materialized; the raw edges are done
     var labels = adj.select(col("src").as("id")).distinct()
       .withColumn("comp", col("id"))
       .localCheckpoint()
@@ -56,9 +69,11 @@ object ConnectedComponents {
       // labels only ever decrease, so one strict comparison detects change
       done = next.as("n").join(labels.as("o"), "id")
         .filter(col("n.comp") < col("o.comp")).isEmpty
+      Checkpoints.release(labels) // superseded round — blocks freed each iter
       labels = next
       iter += 1
     }
+    Checkpoints.release(adj)
     labels
   }
 

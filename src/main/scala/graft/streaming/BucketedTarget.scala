@@ -48,7 +48,7 @@ final class BucketedTarget(spark: SparkSession, val tableName: String,
       keyColumn, dialect)
     // materialize before the table swap (can't overwrite a table being read)
     val staged = merged.localCheckpoint(eager = true)
-    overwrite(staged)
+    try overwrite(staged) finally graft.core.Checkpoints.release(staged)
   }
 }
 

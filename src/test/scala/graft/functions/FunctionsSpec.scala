@@ -83,6 +83,16 @@ class MinHashSpec extends SparkSpec {
     assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((0L, 1L)))
   }
 
+  test("nearDupPairs leaves zero block-store state after the result is consumed") {
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet.toSet
+    MinHashLsh.nearDupPairs(docs, "doc_id",
+      TextFunctions.charShingles($"text", 5), numHashes = 32, bands = 8, threshold = 0.8)
+      .count()
+    assert((sc.getPersistentRDDs.keySet.toSet -- before).isEmpty,
+      "the signature cache and the survivor checkpoint must both be released")
+  }
+
   test("dedupKeepFirst drops the higher id of a dup pair") {
     val kept = MinHashLsh.dedupKeepFirst(docs, "doc_id",
       TextFunctions.charShingles($"text", 5), numHashes = 32, bands = 8, threshold = 0.8)

@@ -29,6 +29,26 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(m.keySet == Set(1L, 3L, 5L, 9L))
   }
 
+  test("both paths release every scratch checkpoint (block-store hygiene)") {
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet.toSet
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+
+    val localOut = ConnectedComponents.minLabel(edges)
+    localOut.count()
+    assert((sc.getPersistentRDDs.keySet.toSet -- before).isEmpty,
+      "driver path must leave zero block-store state")
+
+    val distOut = ConnectedComponents.minLabel(edges, driverMaxEdges = 0L)
+    distOut.count()
+    val leaked = sc.getPersistentRDDs.keySet.toSet -- before
+    assert(leaked.size <= 1,
+      s"distributed path may keep only the returned labels' blocks, leaked: $leaked")
+    graft.core.Checkpoints.release(distOut)
+    assert((sc.getPersistentRDDs.keySet.toSet -- before).isEmpty,
+      "releasing the returned frame must free the last blocks")
+  }
+
   test("distributed path produces identical labels to the local path") {
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
       (10L, 12L), (20L, 21L), (30L, 7L), (7L, 40L)).toDF("id_a", "id_b")
