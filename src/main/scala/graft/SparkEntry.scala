@@ -346,6 +346,24 @@ object SparkEntry {
         .orderBy(col("user_id"))
     }),
 
+    // K2 via the SQL surface: the MergeSqlBuilder statement is parsed by
+    // Spark and EXECUTED by MergeSqlExecutor against temp views — same
+    // fixtures and oracle as m2, so the SQL text path is hash-checked too
+    "m2_merge_sql_executed" -> ((s, dir) => {
+      val target = mergeTarget(s, dir, "SYS_CHANGE_VERSION")
+      val changes = mergeChanges(s, dir, "SYS_CHANGE_VERSION")
+        .withColumn("SYS_CHANGE_OPERATION",
+          when(col("event_type") === "error", "D").otherwise("U"))
+      target.createOrReplaceTempView("__m2_sql_target")
+      changes.createOrReplaceTempView("__m2_sql_staged")
+      val sql = MergeSqlBuilder.mssqlCt("__m2_sql_target",
+        MergeSqlBuilder.dedupSubquery("__m2_sql_staged", "user_id", "SYS_CHANGE_VERSION"),
+        target.columns.toSeq :+ MsSqlCtDialect.operationColumn, keyCol = "user_id")
+      MergeSqlExecutor.merged(s, sql)
+        .select(mergeOutCols.map(col): _*)
+        .orderBy(col("user_id"))
+    }),
+
     // M3: CDC merge, soft-delete dialect (Synapse Link)
     "m3_merge_synapse_softdelete" -> ((s, dir) => {
       val target = mergeTarget(s, dir, "versionnumber")
@@ -1054,6 +1072,9 @@ object SparkEntry {
           |ORDER BY user_id, event_id""".stripMargin,
 
       "m2_merge_mssql_ct" ->
+        mergeOracle("(event_type = 'error')", "event_id", whereDeletes = true),
+
+      "m2_merge_sql_executed" ->
         mergeOracle("(event_type = 'error')", "event_id", whereDeletes = true),
 
       "m3_merge_synapse_softdelete" ->

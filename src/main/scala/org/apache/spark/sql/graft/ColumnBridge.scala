@@ -14,3 +14,15 @@ object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 }
+
+/** Bridge into `private[sql]` Dataset construction from a logical plan, so
+  * engine components that PARSE SQL (e.g. the MERGE INTO interpreter) can
+  * turn sub-plans back into DataFrames and let the analyzer resolve temp
+  * views and expressions the normal way.
+  */
+object PlanBridge {
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+             plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+}
