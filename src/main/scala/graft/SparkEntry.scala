@@ -703,6 +703,32 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("chunk_idx"))
     }),
 
+    // BPE token budget (bytes vocabulary): the merge-table tokenizer's byte
+    // foundation is oracle-checkable — zero merges means token count ==
+    // UTF-8 length, which DuckDB computes as strlen. Trained-merge behavior
+    // (compression, round-trip, known merge sequences) is pinned in BpeSpec.
+    "text_bpe_count_base" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          Bpe.tokenCount(col("text"), BpeVocab.bytes).cast("long").as("n_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // BPE-budgeted context chunking through the full encode -> window-slice
+    // -> decode path. Restricted to single-byte (printable-ASCII) docs so
+    // the DuckDB oracle can express the same windows with substr; multi-byte
+    // and trained-merge chunking is spec-pinned (reconstruction-exact).
+    "doc_chunks_bpe" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .filter(col("text").rlike("^[ -~]*$") && length(col("text")) > 0)
+        .select(col("doc_id"),
+          posexplode(Bpe.tokenChunks(col("text"), BpeVocab.bytes, 32, 8))
+            .as(Seq("chunk_idx", "chunk")))
+        .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+          col("chunk"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    }),
+
     // corpus token histogram (vocabulary building): explode + partial-agg
     // count, top 100 with total tie-order
     "text_token_histogram" -> ((s, dir) => {
@@ -1408,6 +1434,22 @@ object SparkEntry {
           |c AS (SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
           |        array_to_string(toks[i*24+1 : i*24+32], ' ') AS chunk
           |      FROM n, LATERAL (SELECT unnest(range(0,
+          |        CASE WHEN n <= 32 THEN 1
+          |             ELSE CAST(ceil((n - 32) / 24.0) AS BIGINT) + 1 END)) AS i) r)
+          |SELECT doc_id, chunk_idx, chunk FROM c
+          |ORDER BY doc_id, chunk_idx""".stripMargin,
+
+      "text_bpe_count_base" ->
+        """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_tokens
+          |FROM documents
+          |ORDER BY doc_id""".stripMargin,
+
+      "doc_chunks_bpe" ->
+        """WITH d AS (SELECT doc_id, text, strlen(text) AS n FROM documents
+          |           WHERE regexp_matches(text, '^[ -~]*$') AND strlen(text) > 0),
+          |c AS (SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+          |        substr(text, CAST(i*24+1 AS INT), 32) AS chunk
+          |      FROM d, LATERAL (SELECT unnest(range(0,
           |        CASE WHEN n <= 32 THEN 1
           |             ELSE CAST(ceil((n - 32) / 24.0) AS BIGINT) + 1 END)) AS i) r)
           |SELECT doc_id, chunk_idx, chunk FROM c

@@ -1,0 +1,96 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val samples = Seq(
+    "the quick brown fox jumps over the lazy dog",
+    "Hello, world! It's 2026.",
+    "naïve café — résumé",                 // multi-byte UTF-8
+    "日本語のテキストと emoji 🚀🔥",          // CJK + surrogate pairs
+    "  leading and   irregular   spaces  ",
+    "line\nbreaks\r\nand\ttabs",
+    "")
+
+  private lazy val trained = Bpe.train(samples ++ samples, 64)
+
+  test("byte-level round trip: decode(encode(s)) == s for every string") {
+    for (vocab <- Seq(BpeVocab.bytes, trained)) {
+      val out = samples.toDF("s")
+        .select($"s", Bpe.decode(Bpe.encode($"s", vocab), vocab).as("rt"))
+        .collect()
+      out.foreach(r => assert(r.getString(1) == r.getString(0),
+        s"round trip broke for '${r.getString(0)}'"))
+    }
+  }
+
+  test("classic BPE example trains the known merge sequence") {
+    // aaabdaaabac: aa (freq 4), then ab (tie broken lexicographically),
+    // then aa+ab — the textbook Sennrich et al. walk-through
+    val v = Bpe.train(Seq("aaabdaaabac"), 3)
+    assert(v.merges == Vector(("a", "a"), ("a", "b"), ("aa", "ab")))
+    val ids = Seq("aaabdaaabac").toDF("s")
+      .select(Bpe.encode($"s", v)).as[Seq[Int]].head()
+    // aaab d aaab a c
+    assert(ids.length == 5)
+    assert(ids.head == 256 + 2 && ids(2) == 256 + 2, "merged token id = 256 + rank")
+  }
+
+  test("training is deterministic and merges.txt round-trips") {
+    val a = Bpe.train(samples, 32)
+    val b = Bpe.train(samples.reverse, 32) // corpus order must not matter
+    assert(a.merges == b.merges)
+    assert(BpeVocab.fromMergesText(a.toMergesText).merges == a.merges)
+    assert(BpeVocab.fromMergesText("#version 1\n\n" + a.toMergesText).merges == a.merges)
+  }
+
+  test("token counts: bytes vocab counts UTF-8 bytes; merges only shrink counts") {
+    val df = samples.filter(_.nonEmpty).toDF("s").select(
+      octet_length($"s").as("bytes"),
+      Bpe.tokenCount($"s", BpeVocab.bytes).as("base"),
+      Bpe.tokenCount($"s", trained).as("merged"),
+      size(Bpe.encode($"s", trained)).as("viaEncode"))
+    df.collect().foreach { r =>
+      assert(r.getAs[Int]("base") == r.getAs[Int]("bytes"))
+      assert(r.getAs[Int]("merged") <= r.getAs[Int]("base"))
+      assert(r.getAs[Int]("merged") == r.getAs[Int]("viaEncode"),
+        "count expression must agree with size(encode)")
+    }
+    // the trained vocab actually compresses the corpus it saw
+    val totals = samples.filter(_.nonEmpty).toDF("s").select(
+      sum(Bpe.tokenCount($"s", BpeVocab.bytes)).cast("long").as("b"),
+      sum(Bpe.tokenCount($"s", trained)).cast("long").as("m")).head()
+    assert(totals.getLong(1) < totals.getLong(0))
+  }
+
+  test("token chunks reconstruct the document exactly at overlap 0") {
+    for (vocab <- Seq(BpeVocab.bytes, trained)) {
+      val out = samples.filter(_.nonEmpty).toDF("s")
+        .select($"s", concat_ws("", Bpe.tokenChunks($"s", vocab, 8, 0)).as("joined"))
+        .collect()
+      out.foreach(r => assert(r.getString(1) == r.getString(0)))
+    }
+  }
+
+  test("overlapping chunks respect window size and tail suppression") {
+    val text = "abcdefghijklmnopqrstuvwxyz" // 26 byte tokens
+    val chunks = Seq(text).toDF("s")
+      .select(Bpe.tokenChunks($"s", BpeVocab.bytes, 10, 4)).as[Seq[String]].head()
+    // step 6: [1..10], [7..16], [13..22], [19..26] -> 4 chunks
+    assert(chunks == Seq("abcdefghij", "ghijklmnop", "mnopqrstuv", "stuvwxyz"))
+    val empty = Seq("").toDF("s")
+      .select(Bpe.tokenChunks($"s", BpeVocab.bytes, 10, 4)).as[Seq[String]].head()
+    assert(empty.isEmpty)
+  }
+
+  test("trainFromDataFrame is bounded and deterministic across partitioning") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet").select("text")
+    val v1 = Bpe.trainFromDataFrame(docs, "text", 16, maxSampleRows = 256)
+    val v2 = Bpe.trainFromDataFrame(docs.repartition(7), "text", 16, maxSampleRows = 256)
+    assert(v1.merges == v2.merges, "sample must be partition-independent")
+    assert(v1.merges.size == 16)
+  }
+}
