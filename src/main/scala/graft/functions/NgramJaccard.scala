@@ -29,18 +29,28 @@ object NgramJaccard {
   def pairs(df: DataFrame, idCol: String, ngrams: Column,
             threshold: Double, maxDocFreq: Long = -1L): DataFrame = {
     val g0 = df.select(col(idCol).as("__id"), explode(ngrams).as("__gram"))
-    val cap =
-      if (maxDocFreq >= 0) maxDocFreq
-      else math.max(1000L, df.count() / 100)
     val g =
-      if (cap == 0) g0
+      if (maxDocFreq == 0) g0
       else {
         // anti-join against the stop grams (few by construction: only grams
         // above the cap), not an inner join against all rare grams — the
         // rare set is ∝ distinct grams and could never broadcast at corpus
-        // scale, while the stop set stays small enough for AQE to broadcast
-        val stop = g0.groupBy("__gram").agg(count("*").as("__df"))
-          .filter(col("__df") > cap).select("__gram")
+        // scale, while the stop set stays small enough for AQE to broadcast.
+        // The auto cap (max(1000, 1% of corpus)) derives the corpus size
+        // INSIDE the plan — a one-row broadcast from an id-only scan — so
+        // building the query launches no eager count job (callers compose
+        // this lazily; an extra full-input job per call was the round-3
+        // finding). Explicit caps skip that branch entirely.
+        val capCol =
+          if (maxDocFreq > 0) lit(maxDocFreq)
+          else col("__cap")
+        val stop0 = g0.groupBy("__gram").agg(count("*").as("__df"))
+        val stop =
+          (if (maxDocFreq > 0) stop0
+           else stop0.crossJoin(broadcast(df.select(
+             greatest(lit(1000L), approx_count_distinct(col(idCol)) / 100)
+               .cast("long").as("__cap")))))
+            .filter(col("__df") > capCol).select("__gram")
         g0.join(stop, Seq("__gram"), "left_anti")
       }
     val cnt = g.groupBy(col("__id")).agg(count("*").as("__n"))
@@ -71,16 +81,25 @@ object NgramJaccard {
                      maxDocFreq: Long = -1L): DataFrame = {
     val gl0 = left.select(col(idCol).as("__lid"), explode(ngrams).as("__gram"))
     val gr0 = right.select(col(idCol).as("__rid"), explode(ngrams).as("__gram"))
-    val cap =
-      if (maxDocFreq >= 0) maxDocFreq
-      else math.max(1000L, (left.count() + right.count()) / 100)
     val (gl, gr) =
-      if (cap == 0) (gl0, gr0)
+      if (maxDocFreq == 0) (gl0, gr0)
       else {
         val all = gl0.select(col("__gram"))
           .unionByName(gr0.select(col("__gram")))
-        val stop = all.groupBy("__gram").agg(count("*").as("__df"))
-          .filter(col("__df") > cap).select("__gram")
+        // same lazy in-plan auto cap as [[pairs]]: corpus size from id-only
+        // scans of both inputs, broadcast as one row — no eager count jobs
+        val capCol = if (maxDocFreq > 0) lit(maxDocFreq) else col("__cap")
+        val stop0 = all.groupBy("__gram").agg(count("*").as("__df"))
+        val stop =
+          (if (maxDocFreq > 0) stop0
+           else {
+             val ids = left.select(col(idCol).as("__docid"))
+               .unionByName(right.select(col(idCol).as("__docid")))
+             stop0.crossJoin(broadcast(ids.select(
+               greatest(lit(1000L), approx_count_distinct(col("__docid")) / 100)
+                 .cast("long").as("__cap"))))
+           })
+            .filter(col("__df") > capCol).select("__gram")
         (gl0.join(stop, Seq("__gram"), "left_anti"),
           gr0.join(stop, Seq("__gram"), "left_anti"))
       }

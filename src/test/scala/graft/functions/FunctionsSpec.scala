@@ -115,6 +115,27 @@ class MinHashSpec extends SparkSpec {
     assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((0L, 1L)))
   }
 
+  test("ngram auto-cap derives corpus size in-plan: no eager job at build time") {
+    val sc = spark.sparkContext
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    sc.addSparkListener(listener)
+    try {
+      val plan = NgramJaccard.pairs(docs, "doc_id",
+        TextFunctions.wordNgrams($"text", 3), threshold = 0.8) // auto cap
+      Thread.sleep(500) // listener bus is async; give a stray job time to surface
+      assert(jobs.get() == 0,
+        "building the pairs plan must not launch jobs (the old df.count() did)")
+      // and the auto-capped plan still computes the right answer when run
+      val out = plan.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(out == Set((0L, 1L)))
+    } finally sc.removeSparkListener(listener)
+  }
+
   test("ngram jaccard doc-frequency cap prunes a synthetic stop-gram") {
     // every doc shares the stop gram; docs 10/11 share nothing else.
     // Uncapped, the stop gram alone makes (10,11) similar at threshold 0.5;
