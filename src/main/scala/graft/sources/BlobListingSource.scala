@@ -25,7 +25,15 @@ final case class BlobSourceConfig(
     path: String,
     format: String = "parquet",           // parquet | json | csv
     pkColumns: Seq[String] = Nil,          // merge key = base64 sha256 of these
-    readerOptions: Map[String, String] = Map.empty)
+    readerOptions: Map[String, String] = Map.empty,
+    // Pre-configured source schema (reference
+    // BlobListingParquetStreamingSource.scala:43-49): when set, the scan
+    // uses it instead of footer/sample inference — the reference's own docs
+    // warn that inference "can cause data corruption or stream failure if
+    // source is empty". Supply a StructType directly, a Spark DDL string
+    // ("a INT, b STRING"), or the reference's wire format: Base64 of a
+    // parquet file whose footer carries the schema (BlobSchema helpers).
+    sourceSchema: Option[org.apache.spark.sql.types.StructType] = None)
 
 object BlobListingSource {
 
@@ -60,7 +68,10 @@ object BlobListingSource {
     val (files, maxMod) = listNewFiles(spark, cfg.path, after)
     if (files.isEmpty) None
     else {
-      val reader = spark.read.options(cfg.readerOptions)
+      val reader0 = spark.read.options(cfg.readerOptions)
+      // a pre-configured schema also skips the inference pass over the
+      // listing — one fewer full-file-set touch per micro-batch at scale
+      val reader = cfg.sourceSchema.fold(reader0)(reader0.schema)
       val df = cfg.format match {
         case "parquet" => reader.parquet(files: _*)
         case "json" => reader.json(files: _*)
@@ -68,6 +79,27 @@ object BlobListingSource {
         case other => throw new IllegalArgumentException(s"unsupported format: $other")
       }
       Some((enrich(df, cfg.pkColumns), Watermark.blob(maxMod)))
+    }
+  }
+
+  /** Pre-configured schema constructors for [[BlobSourceConfig.sourceSchema]]. */
+  object BlobSchema {
+
+    /** Spark DDL, e.g. `"id BIGINT, name STRING"`. */
+    def fromDdl(ddl: String): org.apache.spark.sql.types.StructType =
+      org.apache.spark.sql.types.StructType.fromDDL(ddl)
+
+    /** The reference's wire format: Base64 of a parquet file; the schema is
+      * read from its footer (reference decodes the same payload through its
+      * ParquetScanner, BlobListingParquetStreamingSource.scala:43-46).
+      */
+    def fromBase64Parquet(spark: SparkSession, b64: String): org.apache.spark.sql.types.StructType = {
+      val bytes = java.util.Base64.getDecoder.decode(b64)
+      val tmp = java.nio.file.Files.createTempFile("graft-schema", ".parquet")
+      try {
+        java.nio.file.Files.write(tmp, bytes)
+        spark.read.parquet(tmp.toString).schema
+      } finally java.nio.file.Files.deleteIfExists(tmp)
     }
   }
 

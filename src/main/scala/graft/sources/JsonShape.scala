@@ -47,4 +47,41 @@ object JsonShape {
     */
   def extractString(jsonCol: Column, pointer: String): Column =
     get_json_object(jsonCol, "$." + pointerToPath(pointer))
+
+  // ---- Variant catch-all (reference SchemaConversions.scala:50: unknown /
+  // ObjectType nodes map to VariantType). Spark 4's VARIANT is the native
+  // analog: a binary-encoded semi-structured value that tolerates
+  // heterogeneous payloads (object here, array there, scalar elsewhere)
+  // without schema drift failures, while staying queryable (variant_get
+  // with a path + target type) and shreddable by the parquet writer. ----
+
+  /** Parse a JSON string column as VARIANT — the schema-less catch-all for
+    * irregular producers. Malformed documents become NULL (`try_parse_json`)
+    * rather than failing the stream, matching the tolerance the reference
+    * gains from its Variant mapping.
+    */
+  def parseVariant(jsonCol: Column): Column = try_parse_json(jsonCol)
+
+  /** Typed extraction from a VARIANT document: pointer + Spark DDL type,
+    * e.g. `variantGet(doc, "/a/b", "bigint")`. NULL when the path is absent
+    * or the value can't cast (`try_variant_get`).
+    */
+  def variantGet(doc: Column, pointer: String, ddlType: String): Column = {
+    val path = pointerToPath(pointer)
+    try_variant_get(doc, if (path.isEmpty) "$" else "$." + path, ddlType)
+  }
+
+  /** Replace the named top-level fields of a from_json schema with
+    * VariantType — declare exactly which subtrees are irregular and keep
+    * strict typing everywhere else (the reference's per-node ObjectType →
+    * Variant mapping, field-granular).
+    */
+  def schemaWithVariantFields(schema: StructType, variantFields: Set[String]): StructType = {
+    val lower = variantFields.map(_.toLowerCase)
+    StructType(schema.fields.map { f =>
+      if (lower.contains(f.name.toLowerCase))
+        f.copy(dataType = org.apache.spark.sql.types.VariantType)
+      else f
+    })
+  }
 }

@@ -186,4 +186,32 @@ class BlobListingSpec extends SparkSpec {
     val (none, sameMod) = BlobListingSource.listNewFiles(spark, dir, maxMod)
     assert(none.isEmpty && sameMod == maxMod)
   }
+
+  test("pre-configured schema overrides footer inference on mismatched files") {
+    val dir = Files.createTempDirectory("blobs-override").toString
+    // producer drift: first file lacks the `extra` column the stream declares
+    Seq((1L, "a")).toDF("id", "v").write.parquet(s"$dir/d1")
+    Seq((2L, "b", 9L)).toDF("id", "v", "extra").write.parquet(s"$dir/d2")
+
+    val declared = BlobListingSource.BlobSchema.fromDdl("id BIGINT, v STRING, extra BIGINT")
+    val cfg = BlobSourceConfig(dir, pkColumns = Seq("id"), sourceSchema = Some(declared))
+    val Some((batch, _)) = BlobListingSource.nextBatch(spark, cfg, None)
+    val rows = batch.select("id", "v", "extra").orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getString(1), Option(r.get(2))))
+    assert(rows.toSeq == Seq((1L, "a", None), (2L, "b", Some(9L))),
+      "missing columns must read as NULL under the declared schema")
+    assert(batch.schema("extra").dataType == LongType)
+  }
+
+  test("Base64-parquet schema payload decodes to the footer schema") {
+    val dir = Files.createTempDirectory("blobs-b64").toString
+    Seq((1L, "x", 2.5)).toDF("id", "name", "score").write.parquet(s"$dir/sample")
+    val parquetFile = Files.list(Paths.get(s"$dir/sample")).toArray
+      .map(_.toString).filter(_.endsWith(".parquet")).head
+    val b64 = java.util.Base64.getEncoder.encodeToString(
+      Files.readAllBytes(Paths.get(parquetFile)))
+    val schema = BlobListingSource.BlobSchema.fromBase64Parquet(spark, b64)
+    assert(schema.fieldNames.toSeq == Seq("id", "name", "score"))
+    assert(schema("score").dataType == DoubleType)
+  }
 }
