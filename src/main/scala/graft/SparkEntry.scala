@@ -620,6 +620,36 @@ object SparkEntry {
         .orderBy(col("click_id"))
     }),
 
+    // forward as-of with tolerance: next view at-or-after each click, but
+    // only within 2 hours (DuckDB ASOF >= + interval filter is the oracle)
+    "asof_forward_tolerance" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"), col("ts"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("event_id").as("view_id"))
+      AsofJoin.asofForward(clicks, views, Seq("user_id"), "ts", "ts",
+          Seq("view_id"), tolerance = Some(expr("INTERVAL 2 HOURS")))
+        .filter(col("asof_view_id").isNotNull)
+        .select(col("click_id"), col("user_id"), col("asof_view_id").as("view_id"))
+        .orderBy(col("click_id"))
+    }),
+
+    // nearest as-of: closer of the backward/forward matches, ties backward
+    // (oracle: two DuckDB ASOF joins + interval-delta CASE)
+    "asof_nearest" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"), col("ts"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("event_id").as("view_id"))
+      AsofJoin.asofNearest(clicks, views, Seq("user_id"), "ts", "ts",
+          Seq("view_id"))
+        .filter(col("asof_view_id").isNotNull)
+        .select(col("click_id"), col("user_id"), col("asof_view_id").as("view_id"))
+        .orderBy(col("click_id"))
+    }),
+
     // band/range join via window-sized bins: each error paired with the
     // same user's events in the preceding 30 minutes — equi-join on
     // (user, bin), exact interval filter on candidates, no BNLJ/cartesian
@@ -1321,6 +1351,29 @@ object SparkEntry {
           |v AS (SELECT event_id AS view_id, user_id, ts, value FROM events WHERE event_type = 'view')
           |SELECT c.click_id, c.user_id, v.view_id, round(v.value, 2) AS view_value
           |FROM c ASOF JOIN v ON c.user_id = v.user_id AND v.ts <= c.ts
+          |ORDER BY click_id""".stripMargin,
+
+      "asof_forward_tolerance" ->
+        """WITH c AS (SELECT event_id AS click_id, user_id, ts FROM events WHERE event_type = 'click'),
+          |v AS (SELECT event_id AS view_id, user_id, ts FROM events WHERE event_type = 'view')
+          |SELECT c.click_id, c.user_id, v.view_id
+          |FROM c ASOF JOIN v ON c.user_id = v.user_id AND v.ts >= c.ts
+          |WHERE v.ts - c.ts <= INTERVAL 2 HOUR
+          |ORDER BY click_id""".stripMargin,
+
+      "asof_nearest" ->
+        """WITH c AS (SELECT event_id AS click_id, user_id, ts FROM events WHERE event_type = 'click'),
+          |v AS (SELECT event_id AS view_id, user_id, ts FROM events WHERE event_type = 'view'),
+          |b AS (SELECT c.click_id, c.user_id, c.ts AS cts, v.view_id AS b_id, v.ts AS b_ts
+          |      FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND v.ts <= c.ts),
+          |f AS (SELECT c.click_id AS fcid, v.view_id AS f_id, v.ts AS f_ts
+          |      FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND v.ts >= c.ts),
+          |n AS (SELECT b.click_id, b.user_id,
+          |        CASE WHEN b_id IS NOT NULL AND (f_id IS NULL OR (cts - b_ts) <= (f_ts - cts))
+          |             THEN b_id ELSE f_id END AS view_id
+          |      FROM b JOIN f ON b.click_id = f.fcid)
+          |SELECT click_id, user_id, view_id FROM n
+          |WHERE view_id IS NOT NULL
           |ORDER BY click_id""".stripMargin,
 
       "range_error_context" ->

@@ -38,6 +38,63 @@ class AsofJoinSpec extends SparkSpec {
     assert(out.columns.toSeq == Seq("id", "k", "t", "asof_rv"))
   }
 
+  test("forward as-of picks the earliest right row at or after each left row") {
+    val out = AsofJoin.asofForward(left, right, Seq("k"), "t", "t",
+      Seq("rid", "rv"))
+      .select($"id", $"asof_rid", $"asof_rv")
+      .as[(Long, Option[Long], Option[Double])].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) == ((Some(901L), Some(2.0))), "t=10 sees the t=20 row ahead")
+    assert(out(2L) == ((Some(902L), Some(3.0))))
+    assert(out(3L) == ((Some(902L), Some(3.0))), "equal timestamp is included")
+    assert(out(4L) == ((None, None)), "no right row at or after t=99")
+    assert(out(5L) == ((None, None)))
+  }
+
+  test("tolerance nulls out matches farther than the bound") {
+    val b = AsofJoin.asofBackward(left, right, Seq("k"), "t", "t", Seq("rid"),
+        tolerance = Some(lit(5L)))
+      .select($"id", $"asof_rid").as[(Long, Option[Long])].collect().toMap
+    assert(b(2L) == Some(901L), "t=25 to t=20 is within 5")
+    assert(b(3L) == Some(902L), "exact match has delta 0")
+    assert(b(4L) == None, "t=99 to t=40 exceeds the bound")
+    val f = AsofJoin.asofForward(left, right, Seq("k"), "t", "t", Seq("rid"),
+        tolerance = Some(lit(5L)))
+      .select($"id", $"asof_rid").as[(Long, Option[Long])].collect().toMap
+    assert(f(2L) == Some(902L), "t=25 to t=30 is within 5")
+    assert(f(1L) == None, "t=10 to t=20 exceeds the bound")
+  }
+
+  test("nearest picks the closer side and breaks ties backward") {
+    val out = AsofJoin.asofNearest(left, right, Seq("k"), "t", "t", Seq("rid"))
+      .select($"id", $"asof_rid").as[(Long, Option[Long])].collect().toMap
+    assert(out(1L) == Some(901L), "only a forward match exists at t=10")
+    assert(out(2L) == Some(901L), "t=25: backward 20 and forward 30 tie -> backward")
+    assert(out(3L) == Some(902L), "exact match wins")
+    assert(out(4L) == Some(903L), "only a backward match exists at t=99")
+    assert(out(5L) == None)
+    val tol = AsofJoin.asofNearest(left, right, Seq("k"), "t", "t", Seq("rid"),
+        tolerance = Some(lit(5L)))
+      .select($"id", $"asof_rid").as[(Long, Option[Long])].collect().toMap
+    assert(tol(1L) == None, "nearest match at delta 10 is outside tolerance 5")
+    assert(tol(2L) == Some(901L))
+  }
+
+  test("forward matches a window-free reference on real data") {
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .withColumn("ts", col("ts").cast("long"))
+    val clicks = ev.filter($"event_type" === "click")
+      .select($"event_id".as("cid"), $"user_id", $"ts")
+    val views = ev.filter($"event_type" === "view")
+      .select($"user_id", $"ts", $"event_id".as("vid"))
+    val fast = AsofJoin.asofForward(clicks, views, Seq("user_id"), "ts", "ts", Seq("vid"))
+      .select($"cid", $"asof_vid").as[(Long, Option[Long])].collect().toMap
+    val ref = clicks.as("c").join(views.as("v"),
+        $"c.user_id" === $"v.user_id" && $"v.ts" >= $"c.ts", "left")
+      .groupBy($"cid").agg(min_by($"vid", $"v.ts").as("vid"))
+      .as[(Long, Option[Long])].collect().toMap
+    assert(fast == ref)
+  }
+
   test("matches a window-free reference computed per row") {
     val ev = spark.read.parquet(s"$sf/events.parquet")
       .withColumn("ts", col("ts").cast("long"))
