@@ -240,8 +240,82 @@ object VectorSimilarity {
       .sortBy(_.getLong(0))     // id order for reproducible centroid indexing — 64 rows, driver-side
       .map(_.getSeq[Float](1).toArray)
 
+  /** Lloyd (spherical k-means) refinement of a sampled codebook: a few
+    * assignment/recentering rounds over a BOUNDED deterministic sample,
+    * driver-side. Raw sampled centroids inherit the corpus density —
+    * crowded regions get redundant cells while sparse regions share one,
+    * which is exactly what hurts recall at a fixed nprobe; a handful of
+    * Lloyd rounds spreads the cells toward the k-means optimum and
+    * balances cell populations.
+    *
+    * Deterministic by construction: the sample is the hash-ordered prefix
+    * (same device as [[sampleCodebook]]), assignment is parallel but
+    * output-indexed, accumulation runs in sample order, and empty cells
+    * keep their previous centroid. Cost is
+    * O(iters × sample × centroids × dim) spread across driver cores —
+    * bounded by the parameters, independent of corpus size; the 100 TB
+    * corpus contributes only the sample scan.
+    */
+  private[functions] def refineCodebook(corpus: DataFrame,
+                                        codebook: Array[Array[Float]],
+                                        iters: Int, sampleRows: Int,
+                                        idCol: String, vecCol: String): Array[Array[Float]] = {
+    if (iters <= 0 || codebook.isEmpty) return codebook
+    def unit(v: Array[Float]): Array[Float] = {
+      var s = 0.0; var i = 0
+      while (i < v.length) { s += v(i).toDouble * v(i); i += 1 }
+      val n = math.sqrt(s)
+      if (n == 0.0) v else v.map(x => (x / n).toFloat)
+    }
+    val data = corpus
+      .select(col(idCol).as("__id"), col(vecCol).cast("array<float>").as("__v"))
+      .orderBy(xxhash64(col("__id")), col("__id"))
+      .limit(sampleRows)
+      .collect().map(r => unit(r.getSeq[Float](1).toArray))
+    if (data.isEmpty) return codebook
+    val dim = codebook(0).length
+    var cents = codebook.map(unit)
+    var it = 0
+    while (it < iters) {
+      val assign = new Array[Int](data.length)
+      java.util.stream.IntStream.range(0, data.length).parallel().forEach { i =>
+        val v = data(i)
+        var best = 0; var bestDot = Double.NegativeInfinity
+        var c = 0
+        while (c < cents.length) {
+          val cent = cents(c)
+          var dot = 0.0; var j = 0
+          val d = math.min(dim, v.length)
+          while (j < d) { dot += v(j).toDouble * cent(j); j += 1 }
+          if (dot > bestDot) { bestDot = dot; best = c }
+          c += 1
+        }
+        assign(i) = best
+      }
+      val sums = Array.ofDim[Double](cents.length, dim)
+      val counts = new Array[Int](cents.length)
+      var i = 0
+      while (i < data.length) {
+        val c = assign(i); val v = data(i)
+        counts(c) += 1
+        var j = 0
+        val d = math.min(dim, v.length)
+        while (j < d) { sums(c)(j) += v(j); j += 1 }
+        i += 1
+      }
+      cents = cents.zipWithIndex.map { case (old, c) =>
+        if (counts(c) == 0) old
+        else unit(sums(c).map(_.toFloat))
+      }
+      it += 1
+    }
+    cents
+  }
+
   /** IVF-style coarse search: a fixed-size sampled codebook (≤ `maxCentroids`
-    * centroids regardless of corpus size); vectors are assigned to their
+    * centroids regardless of corpus size), Lloyd-refined over a bounded
+    * sample ([[refineCodebook]], `refineIters = 0` restores raw sampling);
+    * vectors are assigned to their
     * nearest centroid MAP-SIDE via [[expressions.NearestCentroidsExpr]] (the
     * codebook ships inside the expression — no crossJoin blow-up, no per-id
     * window shuffle); queries probe the `nprobe` nearest cells only. One
@@ -250,10 +324,13 @@ object VectorSimilarity {
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, nprobe: Int,
               maxCentroids: Int = 4096,
-              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              refineIters: Int = 3, refineSampleRows: Int = 32768): DataFrame = {
     require(maxCentroids >= 1 && maxCentroids <= 65536,
       "codebook must be small enough to ship to executors")
-    val codebook = sampleCodebook(corpus, maxCentroids, idCol, vecCol)
+    val codebook = refineCodebook(corpus,
+      sampleCodebook(corpus, maxCentroids, idCol, vecCol),
+      refineIters, refineSampleRows, idCol, vecCol)
     def cells(vec: Column, n: Int): Column =
       ExpressionUtils.column(expressions.NearestCentroidsExpr(
         ExpressionUtils.expression(vec), codebook, n))
