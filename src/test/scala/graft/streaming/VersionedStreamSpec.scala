@@ -26,6 +26,23 @@ class TestFeed(capVersion: Long = Long.MaxValue) extends VersionedChangeSource {
       }
 }
 
+/** [[TestFeed]] whose driver-side version poll fails transiently: every
+  * third `currentVersion()` call throws IOException — the
+  * deadlock/connection-reset shape the retry policy exists for. Top-level
+  * for the same serialization reason as [[TestFeed]].
+  */
+class FlakyTestFeed extends TestFeed {
+  val polls = new java.util.concurrent.atomic.AtomicLong(0L)
+  val failures = new java.util.concurrent.atomic.AtomicLong(0L)
+  override def currentVersion(): Long = {
+    if (polls.incrementAndGet() % 3 == 0) {
+      failures.incrementAndGet()
+      throw new java.io.IOException("transient: connection reset by test")
+    }
+    super.currentVersion()
+  }
+}
+
 /** In-memory versioned change feed driving the custom MicroBatchStream:
   * the full reference loop — poll version, pull sharded changeset, dedup,
   * version-guarded merge in foreachBatch — under Spark's checkpointed
@@ -111,6 +128,50 @@ class VersionedStreamSpec extends SparkSpec {
       assert(sizes.sum == 10, s"every backlog version consumed exactly once: $sizes")
       assert(sizes.length == 4, s"ceil(10/3)=4 bounded micro-batches, got: $sizes")
       assert(sizes.forall(_ <= 3), s"no batch may exceed the cap: $sizes")
+    } finally q.stop()
+  }
+
+  test("backlog >> cap: memory-bounded batches, exact consumption, transient poll failures survived") {
+    // the cap comes from the memory model, not a magic number: a budget of
+    // ~500 KB at this schema's estimated row size admits ~1100 versions per
+    // trigger, so a 25k-version backlog must arrive as ceil(25000/cap)
+    // batches each bounded by cap rows (= cap × rowBytes ≤ budget/2 bytes)
+    val rowBytes = AdaptiveTrigger.estimateRowBytes(schema)
+    val budgetBytes = 500L * 1024
+    val cap = AdaptiveTrigger.maxRowsPerTrigger(budgetBytes, rowBytes)
+    assert(cap > 100 && cap < 25000, s"test precondition: cap=$cap")
+
+    val feed = new FlakyTestFeed
+    VersionedStreamRegistry.register("test-feed-backlog", feed)
+    val batchSizes = new java.util.concurrent.CopyOnWriteArrayList[Long]()
+    val stream = spark.readStream
+      .format(classOf[VersionedStreamProvider].getName)
+      .option("source.name", "test-feed-backlog")
+      .option("source.shards", "4")
+      .option("source.maxVersionsPerTrigger", cap.toString)
+      .schema(schema)
+      .load()
+    val q = stream.writeStream
+      .option("checkpointLocation", Files.createTempDirectory("vckpt-backlog").toString)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val n = batch.count()
+        if (n > 0) batchSizes.add(n)
+        ()
+      }
+      .start()
+    try {
+      val backlog = 25000L
+      feed.version = backlog // resume-after-downtime: the whole backlog at once
+      q.processAllAvailable()
+      val sizes = batchSizes.asScala.toList
+      assert(sizes.sum == backlog, s"every version exactly once: sum=${sizes.sum}")
+      assert(sizes.length == ((backlog + cap - 1) / cap).toInt,
+        s"ceil(backlog/cap) bounded micro-batches, got ${sizes.length} of sizes $sizes")
+      assert(sizes.forall(_ <= cap), s"no batch may exceed the admission cap: ${sizes.max}")
+      assert(sizes.max * rowBytes <= budgetBytes / 2,
+        "peak batch bytes stay inside the memory budget with copy headroom")
+      assert(feed.failures.get() > 0,
+        "test must actually have injected transient poll failures")
     } finally q.stop()
   }
 
