@@ -267,6 +267,193 @@ object SparkEntry {
         .limit(20)
     }),
 
+    // correlated max-per-group subquery (TPC-H q2 shape, adapted to the
+    // reduced schema: lineitem's distinct (part, supplier) pairs stand in
+    // for partsupp, s_acctbal for supply cost): for each size-10 part, the
+    // EUROPE supplier(s) with the region-wide best account balance. The
+    // correlation is the classic aggregate-then-join-back — one shuffle on
+    // partkey for the max, one equi-join back, no per-row subquery.
+    "q2_best_supplier" -> ((s, dir) => {
+      val ps = t(s, dir, "lineitem").select(col("l_partkey"), col("l_suppkey")).distinct()
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region").filter(col("r_name") === "EUROPE")
+      val supEu = t(s, dir, "supplier")
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      // `ps` is ∝ lineitem's key diversity — shuffle join; supEu is a dim
+      val cand = ps.join(broadcast(supEu), col("l_suppkey") === col("s_suppkey"))
+      val best = cand.groupBy(col("l_partkey").as("bp_partkey"))
+        .agg(max(col("s_acctbal")).as("best_bal"))
+      cand.join(best, col("l_partkey") === col("bp_partkey") &&
+          col("s_acctbal") === col("best_bal"))
+        .join(t(s, dir, "part").filter(col("p_size") === 10),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("s_acctbal"), col("s_name"), col("n_name"), col("p_partkey"), col("p_type"))
+        .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"), col("p_partkey"))
+        .limit(100)
+    }),
+
+    // two-sided dimension correlation (TPC-H q7): the SAME nation table
+    // joins twice under different roles (supplier's vs customer's nation) —
+    // both arms broadcast, facts shuffle once on their join keys
+    "q7_nation_volume" -> ((s, dir) => {
+      val picked = Seq("NATION_1", "NATION_2")
+      val n1 = t(s, dir, "nation").filter(col("n_name").isin(picked: _*))
+        .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+      val n2 = t(s, dir, "nation").filter(col("n_name").isin(picked: _*))
+        .select(col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation"))
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("sn_key"))
+        .join(broadcast(n2), col("c_nationkey") === col("cn_key"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("long").as("l_year"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+    }),
+
+    // wide multi-join with a computed measure (TPC-H q9, p_retailprice as
+    // the cost proxy — the reduced schema has no partsupp): profit per
+    // supplier nation per order year over a name-sliced part subset
+    "q9_product_profit" -> ((s, dir) => {
+      val p = t(s, dir, "part").filter(col("p_name").like("%bolt%"))
+      t(s, dir, "lineitem")
+        .join(p, col("l_partkey") === col("p_partkey")) // sliced but ∝ SF — AQE decides
+        .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) -
+          col("p_retailprice") * lit(0.1) * col("l_quantity")), 2).as("sum_profit"))
+        .orderBy(col("nation"), col("o_year").desc)
+    }),
+
+    // HAVING against a scalar aggregate of the same grouped frame (TPC-H
+    // q11): per-part value within one nation, kept only above a fraction of
+    // the nation-wide total. The total is a one-row aggregate attached via
+    // a constant-key broadcast hash join — no driver collect, no BNLJ.
+    "q11_important_parts" -> ((s, dir) => {
+      val n = t(s, dir, "nation").filter(col("n_name") === "NATION_3")
+      val supN = t(s, dir, "supplier")
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      val grouped = t(s, dir, "lineitem")
+        .join(broadcast(supN), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("l_partkey"))
+        .agg(sum(col("l_extendedprice")).as("value0"))
+      val total = grouped.agg((sum(col("value0")) * lit(0.001)).as("threshold"))
+        .withColumn("jk", lit(1))
+      grouped.withColumn("jk", lit(1))
+        .join(broadcast(total), "jk")
+        .filter(col("value0") > col("threshold"))
+        .select(col("l_partkey"), round(col("value0"), 2).as("value"))
+        .orderBy(col("value").desc, col("l_partkey"))
+    }),
+
+    // argmax via scalar subquery (TPC-H q15): quarterly revenue per
+    // supplier, suppliers tied at the maximum — max attached the same
+    // constant-key broadcast way, equality on identically-rounded values
+    "q15_top_supplier" -> ((s, dir) => {
+      val rev = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1997-01-01") && col("l_shipdate") < lit("1997-04-01"))
+        .groupBy(col("l_suppkey"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("total_revenue"))
+      val maxRev = rev.agg(max(col("total_revenue")).as("max_rev")).withColumn("jk", lit(1))
+      rev.withColumn("jk", lit(1))
+        .join(broadcast(maxRev), "jk")
+        .filter(col("total_revenue") === col("max_rev"))
+        .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+        .orderBy(col("s_suppkey"))
+    }),
+
+    // NOT IN as a broadcast anti-join + count distinct (TPC-H q16):
+    // supplier diversity per part attribute, excluding flagged suppliers
+    "q16_part_supplier_counts" -> ((s, dir) => {
+      val p = t(s, dir, "part").filter(col("p_brand") =!= "Brand#1" &&
+        col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35, 40, 45))
+      val flagged = t(s, dir, "supplier").filter(col("s_acctbal") < 0)
+        .select(col("s_suppkey").as("bad_suppkey"))
+      t(s, dir, "lineitem")
+        .join(p, col("l_partkey") === col("p_partkey"))
+        .join(broadcast(flagged), col("l_suppkey") === col("bad_suppkey"), "left_anti")
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).cast("long").as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+    }),
+
+    // OR-of-ANDs predicate across both join sides (TPC-H q19): stays one
+    // hash equi-join on partkey with the disjunction as a post-join filter
+    // Catalyst can partially push to both scans (brand/size to part,
+    // quantity bounds to lineitem)
+    "q19_or_predicate_revenue" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "part"), col("l_partkey") === col("p_partkey") && (
+          (col("p_brand") === "Brand#2" && col("p_size").between(1, 5) &&
+            col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#3" && col("p_size").between(1, 10) &&
+            col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#4" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(20, 30))))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+    }),
+
+    // nested IN chain as aggregate + semi join (TPC-H q20): suppliers who
+    // moved real volume of a name-sliced part family
+    "q20_volume_suppliers" -> ((s, dir) => {
+      val p = t(s, dir, "part").filter(col("p_name").like("small%")).select(col("p_partkey"))
+      val qty = t(s, dir, "lineitem")
+        .join(p, col("l_partkey") === col("p_partkey")) // sliced part ∝ SF — AQE decides
+        .groupBy(col("l_suppkey"))
+        .agg(sum(col("l_quantity")).as("tot_qty"))
+        .filter(col("tot_qty") > 2000)
+      t(s, dir, "supplier")
+        .join(qty, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select(col("s_suppkey"), col("s_name"), col("s_acctbal"))
+        .orderBy(col("s_suppkey"))
+    }),
+
+    // EXISTS + NOT EXISTS against the same fact (TPC-H q21, returnflag
+    // standing in for the missing commit/receipt dates): the sole supplier
+    // whose line was returned on a multi-supplier finalized order. Both
+    // subqueries are hash joins on orderkey with the inequality as the
+    // join residual — semi and anti respectively, no row expansion
+    "q21_waiting_suppliers" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem")
+      val l1 = l.filter(col("l_returnflag") === "R")
+      val others = l.select(col("l_orderkey").as("k2"), col("l_suppkey").as("s2"))
+      val othersR = l.filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey").as("k3"), col("l_suppkey").as("s3"))
+      l1.join(t(s, dir, "orders").filter(col("o_orderstatus") === "F"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(others, col("k2") === col("l_orderkey") && col("s2") =!= col("l_suppkey"), "left_semi")
+        .join(othersR, col("k3") === col("l_orderkey") && col("s3") =!= col("l_suppkey"), "left_anti")
+        .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).cast("long").as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(100)
+    }),
+
+    // anti join + scalar aggregate threshold (TPC-H q22): well-funded
+    // customers who never ordered, bucketed by a nation-derived code
+    "q22_idle_customers" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val avgBal = c.filter(col("c_acctbal") > 0)
+        .agg(avg(col("c_acctbal")).as("avg_bal")).withColumn("jk", lit(1))
+      c.withColumn("jk", lit(1))
+        .join(broadcast(avgBal), "jk")
+        .filter(col("c_acctbal") > col("avg_bal"))
+        .join(t(s, dir, "orders").select(col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy((col("c_nationkey") % 5).cast("long").as("cntrycode"))
+        .agg(count(lit(1)).cast("long").as("numcust"),
+          round(sum(col("c_acctbal")), 2).as("totacctbal"))
+        .orderBy(col("cntrycode"))
+    }),
+
     // set semantics (INTERSECT/EXCEPT over user keys) via one conditional
     // aggregation: a single shuffle on user_id classifies every user, where
     // the literal intersect+except form scanned events four times and
@@ -1066,6 +1253,134 @@ object SparkEntry {
           |JOIN customer ON c_custkey = o_custkey
           |ORDER BY o_totalprice DESC, o_orderkey
           |LIMIT 20""".stripMargin,
+
+      "q2_best_supplier" ->
+        """WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+          |cand AS (
+          |  SELECT l_partkey, s_acctbal, s_name, n_name
+          |  FROM ps JOIN supplier ON l_suppkey = s_suppkey
+          |  JOIN nation ON s_nationkey = n_nationkey
+          |  JOIN region ON n_regionkey = r_regionkey AND r_name = 'EUROPE'),
+          |best AS (SELECT l_partkey AS bp_partkey, max(s_acctbal) AS best_bal
+          |         FROM cand GROUP BY 1)
+          |SELECT s_acctbal, s_name, n_name, p_partkey, p_type
+          |FROM cand JOIN best ON l_partkey = bp_partkey AND s_acctbal = best_bal
+          |JOIN part ON l_partkey = p_partkey AND p_size = 10
+          |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+          |LIMIT 100""".stripMargin,
+
+      "q7_nation_volume" ->
+        """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+          |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+          |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+          |FROM lineitem
+          |JOIN orders ON l_orderkey = o_orderkey
+          |JOIN customer ON o_custkey = c_custkey
+          |JOIN supplier ON l_suppkey = s_suppkey
+          |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+          |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+          |WHERE n1.n_name IN ('NATION_1', 'NATION_2')
+          |  AND n2.n_name IN ('NATION_1', 'NATION_2')
+          |  AND n1.n_name <> n2.n_name
+          |GROUP BY 1, 2, 3
+          |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+
+      "q9_product_profit" ->
+        """SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+          |  round(sum(l_extendedprice * (1 - l_discount)
+          |            - p_retailprice * 0.1 * l_quantity), 2) AS sum_profit
+          |FROM lineitem
+          |JOIN part ON l_partkey = p_partkey
+          |JOIN supplier ON l_suppkey = s_suppkey
+          |JOIN orders ON l_orderkey = o_orderkey
+          |JOIN nation ON s_nationkey = n_nationkey
+          |WHERE p_name LIKE '%bolt%'
+          |GROUP BY 1, 2
+          |ORDER BY nation, o_year DESC""".stripMargin,
+
+      "q11_important_parts" ->
+        """WITH grouped AS (
+          |  SELECT l_partkey, sum(l_extendedprice) AS value0
+          |  FROM lineitem
+          |  JOIN supplier ON l_suppkey = s_suppkey
+          |  JOIN nation ON s_nationkey = n_nationkey
+          |  WHERE n_name = 'NATION_3'
+          |  GROUP BY l_partkey)
+          |SELECT l_partkey, round(value0, 2) AS value
+          |FROM grouped
+          |WHERE value0 > (SELECT sum(value0) * 0.001 FROM grouped)
+          |ORDER BY value DESC, l_partkey""".stripMargin,
+
+      "q15_top_supplier" ->
+        """WITH revenue AS (
+          |  SELECT l_suppkey,
+          |    round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+          |  FROM lineitem
+          |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          |    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+          |  GROUP BY l_suppkey)
+          |SELECT s_suppkey, s_name, total_revenue
+          |FROM supplier JOIN revenue ON s_suppkey = l_suppkey
+          |WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+          |ORDER BY s_suppkey""".stripMargin,
+
+      "q16_part_supplier_counts" ->
+        """SELECT p_brand, p_type, p_size,
+          |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+          |FROM lineitem JOIN part ON p_partkey = l_partkey
+          |WHERE p_brand <> 'Brand#1'
+          |  AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35, 40, 45)
+          |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+          |GROUP BY 1, 2, 3
+          |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+
+      "q19_or_predicate_revenue" ->
+        """SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+          |FROM lineitem JOIN part ON p_partkey = l_partkey
+          |WHERE (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 5
+          |       AND l_quantity BETWEEN 1 AND 11)
+          |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 10
+          |       AND l_quantity BETWEEN 10 AND 20)
+          |   OR (p_brand = 'Brand#4' AND p_size BETWEEN 1 AND 15
+          |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+
+      "q20_volume_suppliers" ->
+        """SELECT s_suppkey, s_name, s_acctbal
+          |FROM supplier
+          |WHERE s_suppkey IN (
+          |  SELECT l_suppkey
+          |  FROM lineitem JOIN part ON l_partkey = p_partkey
+          |  WHERE p_name LIKE 'small%'
+          |  GROUP BY l_suppkey
+          |  HAVING sum(l_quantity) > 2000)
+          |ORDER BY s_suppkey""".stripMargin,
+
+      "q21_waiting_suppliers" ->
+        """SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+          |FROM lineitem l1
+          |JOIN orders ON o_orderkey = l1.l_orderkey AND o_orderstatus = 'F'
+          |JOIN supplier ON s_suppkey = l1.l_suppkey
+          |WHERE l1.l_returnflag = 'R'
+          |  AND EXISTS (SELECT 1 FROM lineitem l2
+          |              WHERE l2.l_orderkey = l1.l_orderkey
+          |                AND l2.l_suppkey <> l1.l_suppkey)
+          |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+          |                  WHERE l3.l_orderkey = l1.l_orderkey
+          |                    AND l3.l_suppkey <> l1.l_suppkey
+          |                    AND l3.l_returnflag = 'R')
+          |GROUP BY s_name
+          |ORDER BY numwait DESC, s_name
+          |LIMIT 100""".stripMargin,
+
+      "q22_idle_customers" ->
+        """SELECT CAST(c_nationkey % 5 AS BIGINT) AS cntrycode,
+          |  CAST(count(*) AS BIGINT) AS numcust,
+          |  round(sum(c_acctbal), 2) AS totacctbal
+          |FROM customer
+          |WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+          |  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+          |GROUP BY 1
+          |ORDER BY cntrycode""".stripMargin,
 
       "setop_users" ->
         """WITH early AS (SELECT DISTINCT user_id FROM events WHERE event_id < 5000),

@@ -1,8 +1,11 @@
 package graft
 
+import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan, ResolvedHint}
-import org.apache.spark.sql.execution.SparkPlan
-import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.{FilterExec, InputAdapter, ProjectExec, SparkPlan, WholeStageCodegenExec}
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, BroadcastQueryStageExec}
+import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ReusedExchangeExec}
 import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
 
 /** 100 TB plan-posture guard over EVERY SparkEntry query: the physical plan
@@ -33,6 +36,34 @@ class PlanPostureSpec extends SparkSpec {
   // the declared semantics, not an accident
   private val nestedLoopAllowed = Set("vec_threshold_join", "knn_cosine_topk")
 
+  /** A BNLJ is scale-safe iff its broadcast side is guaranteed ≤1 row: the
+    * scalar-attach idiom (constant-key join against a global aggregate,
+    * which Catalyst constant-folds into a nested loop). Strip the wrappers
+    * that preserve row count (exchange, stage, codegen, project, filter)
+    * and require a no-grouping aggregate underneath — anything else (a
+    * scan, a join, a grouped aggregate) can grow with the data and stays
+    * banned. */
+  private def isScalarBroadcast(j: BroadcastNestedLoopJoinExec): Boolean = {
+    val buildPlan = j.buildSide match {
+      case BuildLeft  => j.left
+      case BuildRight => j.right
+    }
+    def strip(p: SparkPlan): SparkPlan = p match {
+      case e: BroadcastExchangeExec   => strip(e.child)
+      case q: BroadcastQueryStageExec => strip(q.plan)
+      case r: ReusedExchangeExec      => strip(r.child)
+      case w: WholeStageCodegenExec   => strip(w.child)
+      case i: InputAdapter            => strip(i.child)
+      case p2: ProjectExec            => strip(p2.child)
+      case f: FilterExec              => strip(f.child)
+      case other                      => other
+    }
+    strip(buildPlan) match {
+      case a: BaseAggregateExec => a.groupingExpressions.isEmpty
+      case _                    => false
+    }
+  }
+
   private def collectNodes(p: SparkPlan): Seq[SparkPlan] = {
     val self = p match {
       case a: AdaptiveSparkPlanExec => collectNodes(a.executedPlan)
@@ -57,6 +88,32 @@ class PlanPostureSpec extends SparkSpec {
     assert(hinted.nonEmpty, "a broadcast(orders) hint must be visible to the detector")
   }
 
+  test("negative control: scalar-broadcast exemption rejects a multi-row BNLJ, accepts a global-agg one") {
+    import org.apache.spark.sql.functions._
+    val cust = spark.read.parquet(s"$sfDir/customer.parquet")
+    val nat = spark.read.parquet(s"$sfDir/nation.parquet")
+
+    // multi-row broadcast side (a scan) — must stay banned
+    val crossDf = cust.crossJoin(broadcast(nat))
+    crossDf.write.format("noop").mode("overwrite").save()
+    val crossBnlj = collectNodes(crossDf.queryExecution.executedPlan)
+      .collect { case j: BroadcastNestedLoopJoinExec => j }
+    assert(crossBnlj.nonEmpty, "cross join should plan a BNLJ for this control to be meaningful")
+    assert(crossBnlj.forall(!isScalarBroadcast(_)),
+      "a scan-fed BNLJ must NOT qualify for the scalar exemption")
+
+    // one-row broadcast side (global aggregate) — the scalar-attach idiom
+    val avgBal = cust.agg(avg(col("c_acctbal")).as("avg_bal")).withColumn("jk", lit(1))
+    val scalarDf = cust.withColumn("jk", lit(1)).join(broadcast(avgBal), "jk")
+      .filter(col("c_acctbal") > col("avg_bal"))
+    scalarDf.write.format("noop").mode("overwrite").save()
+    val scalarBnlj = collectNodes(scalarDf.queryExecution.executedPlan)
+      .collect { case j: BroadcastNestedLoopJoinExec => j }
+    assert(scalarBnlj.nonEmpty, "constant-key scalar attach should fold to a BNLJ")
+    assert(scalarBnlj.forall(isScalarBroadcast),
+      "a global-aggregate broadcast side must qualify for the scalar exemption")
+  }
+
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
     test(s"$name: no accidental cartesian/BNLJ; no fact-scan broadcast hint") {
       val df = fn(spark, sfDir)
@@ -64,8 +121,11 @@ class PlanPostureSpec extends SparkSpec {
       val nodes = collectNodes(df.queryExecution.executedPlan)
 
       if (!nestedLoopAllowed(name)) {
-        val bad = nodes.filter(n =>
-          n.isInstanceOf[CartesianProductExec] || n.isInstanceOf[BroadcastNestedLoopJoinExec])
+        val bad = nodes.filter {
+          case _: CartesianProductExec          => true
+          case j: BroadcastNestedLoopJoinExec   => !isScalarBroadcast(j)
+          case _                                => false
+        }
         assert(bad.isEmpty,
           s"unexpected non-equi join nodes: ${bad.map(_.nodeName).mkString(", ")}")
       }
