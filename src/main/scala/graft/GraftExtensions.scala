@@ -64,6 +64,9 @@ object GraftExtensions {
     "graft_text_stats" -> { args =>
       arity(args, 1, "graft_text_stats"); TextStatsExpr(args.head)
     },
+    "graft_repetition_stats" -> { args =>
+      arity(args, 1, "graft_repetition_stats"); RepetitionStatsExpr(args.head)
+    },
     "graft_simhash64" -> { args =>
       arity(args, 1, "graft_simhash64"); SimHash64Expr(args.head)
     },

@@ -739,6 +739,25 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Gopher-style repetition quality signals (Rae et al. 2021 A1.1) —
+    // ONE fused pass per document (RepetitionStatsExpr), map-side: no
+    // explode, no shuffle, so the cost at 100 TB is one text scan
+    "doc_repetition_stats" -> ((s, dir) => {
+      val st = TextFunctions.repetitionStats(col("text"))
+      t(s, dir, "documents").select(
+        col("doc_id"),
+        st.getField("word_cnt").cast("long").as("word_cnt"),
+        round(st.getField("dup_word_frac"), 4).as("dup_word_frac"),
+        round(st.getField("top2_frac"), 4).as("top2_frac"),
+        round(st.getField("top3_frac"), 4).as("top3_frac"),
+        round(st.getField("top4_frac"), 4).as("top4_frac"),
+        round(st.getField("dup5_frac"), 4).as("dup5_frac"),
+        st.getField("line_cnt").cast("long").as("line_cnt"),
+        round(st.getField("dup_line_frac"), 4).as("dup_line_frac"),
+        round(st.getField("dup_line_char_frac"), 4).as("dup_line_char_frac"))
+        .orderBy(col("doc_id"))
+    }),
+
     // stopword-lexicon language ID
     "text_langid" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -1595,6 +1614,52 @@ object SparkEntry {
           |            THEN 1.0 ELSE 0.0 END)) / 3.0, 4) AS quality
           |FROM documents
           |ORDER BY doc_id""".stripMargin,
+
+      "doc_repetition_stats" ->
+        """WITH w AS (
+          |  SELECT doc_id, text,
+          |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS ws
+          |  FROM documents),
+          |base AS (
+          |  SELECT doc_id, ws, len(ws) AS nw,
+          |    length(array_to_string(ws, ' ')) AS norm_len,
+          |    len(list_distinct(ws)) AS dw
+          |  FROM w),
+          |g AS (
+          |  SELECT doc_id, n,
+          |    unnest(list_transform(range(1, greatest(nw - n + 1, 0) + 1),
+          |      i -> array_to_string(ws[i:i+n-1], ' '))) AS gram
+          |  FROM base, (VALUES (2),(3),(4),(5)) t(n)),
+          |gc AS (SELECT doc_id, n, gram, count(*) AS c FROM g GROUP BY 1, 2, 3),
+          |agg AS (
+          |  SELECT doc_id,
+          |    max(CASE WHEN n = 2 THEN c * length(gram) END) AS top2,
+          |    max(CASE WHEN n = 3 THEN c * length(gram) END) AS top3,
+          |    max(CASE WHEN n = 4 THEN c * length(gram) END) AS top4,
+          |    sum(CASE WHEN n = 5 AND c > 1 THEN c * length(gram) ELSE 0 END) AS dup5
+          |  FROM gc GROUP BY 1),
+          |lc AS (
+          |  SELECT doc_id, line, count(*) AS c
+          |  FROM (SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM w)
+          |  GROUP BY 1, 2),
+          |lagg AS (
+          |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS line_cnt, count(*) AS dist_lines,
+          |    sum(c * length(line)) AS tot_line_chars,
+          |    sum(CASE WHEN c > 1 THEN c * length(line) ELSE 0 END) AS dup_line_chars
+          |  FROM lc GROUP BY 1)
+          |SELECT b.doc_id,
+          |  CAST(b.nw AS BIGINT) AS word_cnt,
+          |  round(CASE WHEN b.nw = 0 THEN 0.0 ELSE (b.nw - b.dw) * 1.0 / b.nw END, 4) AS dup_word_frac,
+          |  round(CASE WHEN b.norm_len = 0 THEN 0.0 ELSE coalesce(a.top2, 0) * 1.0 / b.norm_len END, 4) AS top2_frac,
+          |  round(CASE WHEN b.norm_len = 0 THEN 0.0 ELSE coalesce(a.top3, 0) * 1.0 / b.norm_len END, 4) AS top3_frac,
+          |  round(CASE WHEN b.norm_len = 0 THEN 0.0 ELSE coalesce(a.top4, 0) * 1.0 / b.norm_len END, 4) AS top4_frac,
+          |  round(CASE WHEN b.norm_len = 0 THEN 0.0 ELSE coalesce(a.dup5, 0) * 1.0 / b.norm_len END, 4) AS dup5_frac,
+          |  l.line_cnt,
+          |  round(CASE WHEN l.line_cnt = 0 THEN 0.0 ELSE (l.line_cnt - l.dist_lines) * 1.0 / l.line_cnt END, 4) AS dup_line_frac,
+          |  round(CASE WHEN l.tot_line_chars = 0 THEN 0.0 ELSE l.dup_line_chars * 1.0 / l.tot_line_chars END, 4) AS dup_line_char_frac
+          |FROM base b LEFT JOIN agg a ON b.doc_id = a.doc_id
+          |LEFT JOIN lagg l ON b.doc_id = l.doc_id
+          |ORDER BY b.doc_id""".stripMargin,
 
       "text_langid" ->
         s"""WITH h AS (

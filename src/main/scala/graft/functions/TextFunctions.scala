@@ -57,6 +57,18 @@ object TextFunctions {
     ColumnBridge.column(expressions.TextStatsExpr(ColumnBridge.expression(text)))
   }
 
+  /** Gopher-style repetition signals in one fused pass
+    * ([[expressions.RepetitionStatsExpr]]): struct(word_cnt, dup_word_frac,
+    * top2_frac, top3_frac, top4_frac, dup5_frac, line_cnt, dup_line_frac,
+    * dup_line_char_frac). Map-side per-document — the standard
+    * repetitive-document filters of corpus curation without an explode or
+    * a shuffle.
+    */
+  def repetitionStats(text: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(expressions.RepetitionStatsExpr(ColumnBridge.expression(text)))
+  }
+
   // single authoritative lexicon copy lives in LangIdExpr (the fused
   // expression) so the two language-ID forms can never drift
   private val stopwords: Map[String, Seq[String]] =

@@ -1,0 +1,153 @@
+package graft.functions.expressions
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Gopher-style repetition quality signals in one pass per document
+  * (Rae et al. 2021, "Scaling Language Models: ... Gopher", appendix A1.1 —
+  * public paper; these are the standard repetitive-document filters of
+  * large-scale corpus curation, also used by RefinedWeb / Dolma).
+  *
+  * Everything is per-row and map-side: no shuffle, no explode — at 100 TB
+  * the signals cost one text scan per document, the same posture as
+  * [[TextStatsExpr]].
+  *
+  * Definitions (chosen to be exactly replicable as a DuckDB oracle over
+  * list functions — fractions, not filters, so callers pick thresholds):
+  *
+  *   - `words` = `\s+`-split tokens with empty tokens dropped;
+  *     `norm_len` = length of the single-space re-join (the denominator
+  *     for all n-gram fractions).
+  *   - `dup_word_frac` = (word_cnt − distinct words) / word_cnt.
+  *   - `top{2,3,4}_frac` = max over word n-grams g of count(g)·len(g),
+  *     divided by norm_len: the character share of the single most
+  *     repeated n-gram (every occurrence counted; ties resolve
+  *     identically on both sides because the max is over the product,
+  *     not over grams).
+  *   - `dup5_frac` = Σ over 5-grams with count>1 of count·len(g) /
+  *     norm_len. Overlapping occurrences are all counted (documented
+  *     simplification vs Gopher's non-double-counting variant, which is
+  *     order-dependent and not expressible as a plain aggregate); the
+  *     value can exceed 1 for highly repetitive text — thresholds are
+  *     calibrated against this definition.
+  *   - `lines` = `\n`-split segments, empties kept (DuckDB
+  *     `string_split(text, chr(10))` semantics); `dup_line_frac` =
+  *     (line_cnt − distinct lines) / line_cnt; `dup_line_char_frac` =
+  *     chars in lines occurring more than once / total line chars.
+  *
+  * Character counts are UTF-16 units (= code points = bytes on the ASCII
+  * corpora these thresholds are tuned for; same caveat as TextStatsExpr).
+  */
+case class RepetitionStatsExpr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = RepetitionStatsExpr.schema
+
+  override protected def nullSafeEval(input: Any): Any =
+    RepetitionStatsExpr.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.expressions.RepetitionStatsExpr.compute($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "repetition_stats"
+}
+
+object RepetitionStatsExpr {
+
+  val schema: StructType = StructType(Seq(
+    StructField("word_cnt", IntegerType, nullable = false),
+    StructField("dup_word_frac", DoubleType, nullable = false),
+    StructField("top2_frac", DoubleType, nullable = false),
+    StructField("top3_frac", DoubleType, nullable = false),
+    StructField("top4_frac", DoubleType, nullable = false),
+    StructField("dup5_frac", DoubleType, nullable = false),
+    StructField("line_cnt", IntegerType, nullable = false),
+    StructField("dup_line_frac", DoubleType, nullable = false),
+    StructField("dup_line_char_frac", DoubleType, nullable = false)))
+
+  /** max over n-grams of count·charLen, and Σ over repeated n-grams of
+    * count·charLen, for word n-grams joined by single spaces. Gram
+    * identity via a rolling join is exact (words are compared by
+    * content); charLen = Σ word lens + (n−1). */
+  private def ngramStats(words: Array[String], n: Int): (Long, Long) = {
+    val m = words.length - n + 1
+    if (m <= 0) return (0L, 0L)
+    val counts = new mutable.HashMap[String, (Int, Int)]() // gram -> (count, charLen)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < m) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(words(i + j))
+        j += 1
+      }
+      val g = sb.toString
+      counts.get(g) match {
+        case Some((c, l)) => counts.update(g, (c + 1, l))
+        case None         => counts.update(g, (1, g.length))
+      }
+      i += 1
+    }
+    var top = 0L
+    var dup = 0L
+    counts.valuesIterator.foreach { case (c, l) =>
+      val covered = c.toLong * l
+      if (covered > top) top = covered
+      if (c > 1) dup += covered
+    }
+    (top, dup)
+  }
+
+  /** Static single pass; called directly from generated code. */
+  def compute(input: UTF8String): InternalRow = {
+    val s = input.toString
+
+    // words: \s+ split, empties dropped (== DuckDB list_filter over
+    // string_split_regex) — avoids trim-semantics differences entirely
+    val words = s.split("\\s+").filter(_.nonEmpty)
+    val wordCnt = words.length
+    var wordChars = 0L
+    val distinctWords = new mutable.HashSet[String]()
+    words.foreach { w => wordChars += w.length; distinctWords += w }
+    val normLen = wordChars + math.max(0, wordCnt - 1)
+
+    val dupWordFrac =
+      if (wordCnt == 0) 0.0 else (wordCnt - distinctWords.size).toDouble / wordCnt
+
+    def frac(v: Long): Double = if (normLen == 0) 0.0 else v.toDouble / normLen
+    val (top2, _) = ngramStats(words, 2)
+    val (top3, _) = ngramStats(words, 3)
+    val (top4, _) = ngramStats(words, 4)
+    val (_, dup5) = ngramStats(words, 5)
+
+    // lines: every \n is a separator, empty segments kept (limit -1)
+    val lines = s.split("\n", -1)
+    val lineCnt = lines.length
+    val lineCounts = new mutable.HashMap[String, Int]()
+    var lineChars = 0L
+    lines.foreach { l =>
+      lineChars += l.length
+      lineCounts.update(l, lineCounts.getOrElse(l, 0) + 1)
+    }
+    val dupLineFrac =
+      if (lineCnt == 0) 0.0 else (lineCnt - lineCounts.size).toDouble / lineCnt
+    var dupLineChars = 0L
+    lineCounts.foreach { case (l, c) => if (c > 1) dupLineChars += c.toLong * l.length }
+    val dupLineCharFrac = if (lineChars == 0) 0.0 else dupLineChars.toDouble / lineChars
+
+    new GenericInternalRow(Array[Any](
+      wordCnt, dupWordFrac, frac(top2), frac(top3), frac(top4), frac(dup5),
+      lineCnt, dupLineFrac, dupLineCharFrac))
+  }
+}
