@@ -67,6 +67,10 @@ object GraftExtensions {
     "graft_repetition_stats" -> { args =>
       arity(args, 1, "graft_repetition_stats"); RepetitionStatsExpr(args.head)
     },
+    "graft_misra_gries" -> { args =>
+      arity(args, 2, "graft_misra_gries")
+      MisraGriesAgg(args.head, intLit(args, 1, "graft_misra_gries"))
+    },
     "graft_simhash64" -> { args =>
       arity(args, 1, "graft_simhash64"); SimHash64Expr(args.head)
     },

@@ -69,6 +69,20 @@ object TextFunctions {
     ColumnBridge.column(expressions.RepetitionStatsExpr(ColumnBridge.expression(text)))
   }
 
+  /** Misra–Gries frequent-items aggregate ([[expressions.MisraGriesAgg]]):
+    * array<struct<token, est_count>> of at most `capacity` entries, built
+    * with bounded memory map-side and merged pairwise — the full token
+    * histogram is never shuffled. Estimates are within N/capacity of the
+    * truth and every token with frequency > N/capacity is present; recount
+    * the candidates for exact heavy hitters.
+    */
+  def misraGries(token: Column, capacity: Int): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(
+      expressions.MisraGriesAgg(ColumnBridge.expression(token), capacity)
+        .toAggregateExpression())
+  }
+
   // single authoritative lexicon copy lives in LangIdExpr (the fused
   // expression) so the two language-ID forms can never drift
   private val stopwords: Map[String, Seq[String]] =
