@@ -975,6 +975,33 @@ object SparkEntry {
         .orderBy(col("n").desc, col("token")).limit(100)
     }),
 
+    // Misra–Gries heavy hitters with exact recount — the scale path for
+    // "tokens with frequency > N/k" over corpora whose full histogram can't
+    // shuffle (SURVEY §2.5 vocabulary-build class). Bounded map-side
+    // summaries merge to ≤capacity candidates (a guaranteed superset of
+    // every token with freq > N/capacity); the candidates are broadcast
+    // back for an exact recount, so the MG *estimate* never reaches the
+    // output and plain GROUP BY/HAVING oracles the result. capacity=30 is
+    // deliberately below the corpus vocabulary so the decrement path runs.
+    "text_heavy_hitters" -> ((s, dir) => {
+      val cap = 30
+      val toks = t(s, dir, "documents")
+        .select(explode(split(trim(lower(col("text"))), "\\s+")).as("token"))
+        .filter(col("token") =!= "")
+      val summary = toks.agg(
+        TextFunctions.misraGries(col("token"), cap).as("mg"),
+        count(lit(1)).as("n_total"))
+      val cands = summary
+        .select(explode(col("mg")).as("e"), col("n_total"))
+        .select(col("e.token").as("token"), col("n_total"))
+      toks.join(broadcast(cands), Seq("token"))
+        .groupBy(col("token"), col("n_total"))
+        .agg(count(lit(1)).cast("long").as("n"))
+        .filter(col("n") > col("n_total") / lit(30.0))
+        .select(col("token"), col("n"))
+        .orderBy(col("n").desc, col("token"))
+    }),
+
     // brute-force cosine top-k (exact ANN baseline)
     "knn_cosine_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -1896,6 +1923,18 @@ object SparkEntry {
           |GROUP BY token
           |ORDER BY n DESC, token
           |LIMIT 100""".stripMargin,
+
+      "text_heavy_hitters" ->
+        """WITH toks AS (
+          |  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+          |  FROM documents),
+          |t2 AS (SELECT token FROM toks WHERE token != ''),
+          |tot AS (SELECT count(*) AS n_total FROM t2)
+          |SELECT token, CAST(count(*) AS BIGINT) AS n
+          |FROM t2, tot
+          |GROUP BY token, n_total
+          |HAVING count(*) > n_total / 30.0
+          |ORDER BY n DESC, token""".stripMargin,
 
       "knn_cosine_topk" ->
         """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
