@@ -758,6 +758,21 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Gopher repetition gate (Rae et al. 2021 table A1): drop documents
+    // where any repetition signal exceeds its cap — the fused stats struct
+    // is computed ONCE per row (repetitionGateOn over the projected
+    // struct), map-side, no shuffle. Output keeps only integer columns so
+    // the oracle compare is float-free.
+    "doc_repetition_filter" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.repetitionStats(col("text")).as("st"))
+        .filter(CorpusPipeline.repetitionGateOn(col("st")))
+        .select(col("doc_id"),
+          col("st.word_cnt").cast("long").as("word_cnt"),
+          col("st.line_cnt").cast("long").as("line_cnt"))
+        .orderBy(col("doc_id"))
+    }),
+
     // stopword-lexicon language ID
     "text_langid" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -1686,6 +1701,48 @@ object SparkEntry {
           |  round(CASE WHEN l.tot_line_chars = 0 THEN 0.0 ELSE l.dup_line_chars * 1.0 / l.tot_line_chars END, 4) AS dup_line_char_frac
           |FROM base b LEFT JOIN agg a ON b.doc_id = a.doc_id
           |LEFT JOIN lagg l ON b.doc_id = l.doc_id
+          |ORDER BY b.doc_id""".stripMargin,
+
+      "doc_repetition_filter" ->
+        """WITH w AS (
+          |  SELECT doc_id, text,
+          |    list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS ws
+          |  FROM documents),
+          |base AS (
+          |  SELECT doc_id, ws, len(ws) AS nw,
+          |    length(array_to_string(ws, ' ')) AS norm_len
+          |  FROM w),
+          |g AS (
+          |  SELECT doc_id, n,
+          |    unnest(list_transform(range(1, greatest(nw - n + 1, 0) + 1),
+          |      i -> array_to_string(ws[i:i+n-1], ' '))) AS gram
+          |  FROM base, (VALUES (2),(3),(4),(5)) t(n)),
+          |gc AS (SELECT doc_id, n, gram, count(*) AS c FROM g GROUP BY 1, 2, 3),
+          |agg AS (
+          |  SELECT doc_id,
+          |    max(CASE WHEN n = 2 THEN c * length(gram) END) AS top2,
+          |    max(CASE WHEN n = 3 THEN c * length(gram) END) AS top3,
+          |    max(CASE WHEN n = 4 THEN c * length(gram) END) AS top4,
+          |    sum(CASE WHEN n = 5 AND c > 1 THEN c * length(gram) ELSE 0 END) AS dup5
+          |  FROM gc GROUP BY 1),
+          |lc AS (
+          |  SELECT doc_id, line, count(*) AS c
+          |  FROM (SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM w)
+          |  GROUP BY 1, 2),
+          |lagg AS (
+          |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS line_cnt, count(*) AS dist_lines,
+          |    sum(c * length(line)) AS tot_line_chars,
+          |    sum(CASE WHEN c > 1 THEN c * length(line) ELSE 0 END) AS dup_line_chars
+          |  FROM lc GROUP BY 1)
+          |SELECT b.doc_id, CAST(b.nw AS BIGINT) AS word_cnt, l.line_cnt
+          |FROM base b LEFT JOIN agg a ON b.doc_id = a.doc_id
+          |LEFT JOIN lagg l ON b.doc_id = l.doc_id
+          |WHERE (CASE WHEN l.line_cnt = 0 THEN 0.0 ELSE (l.line_cnt - l.dist_lines) * 1.0 / l.line_cnt END) <= 0.30
+          |  AND (CASE WHEN l.tot_line_chars = 0 THEN 0.0 ELSE l.dup_line_chars * 1.0 / l.tot_line_chars END) <= 0.20
+          |  AND (CASE WHEN b.norm_len = 0 THEN 0.0 ELSE coalesce(a.top2, 0) * 1.0 / b.norm_len END) <= 0.20
+          |  AND (CASE WHEN b.norm_len = 0 THEN 0.0 ELSE coalesce(a.top3, 0) * 1.0 / b.norm_len END) <= 0.18
+          |  AND (CASE WHEN b.norm_len = 0 THEN 0.0 ELSE coalesce(a.top4, 0) * 1.0 / b.norm_len END) <= 0.16
+          |  AND (CASE WHEN b.norm_len = 0 THEN 0.0 ELSE coalesce(a.dup5, 0) * 1.0 / b.norm_len END) <= 0.15
           |ORDER BY b.doc_id""".stripMargin,
 
       "text_langid" ->

@@ -22,6 +22,36 @@ import graft.core.Checkpoints
   */
 object CorpusPipeline {
 
+  /** Gopher-style repetition caps (Rae et al. 2021, table A1) over the
+    * fused [[TextFunctions.repetitionStats]] struct. A document is dropped
+    * when ANY signal exceeds its cap.
+    */
+  final case class RepetitionThresholds(
+      maxDupLineFrac: Double = 0.30,
+      maxDupLineCharFrac: Double = 0.20,
+      maxTop2Frac: Double = 0.20,
+      maxTop3Frac: Double = 0.18,
+      maxTop4Frac: Double = 0.16,
+      maxDup5Frac: Double = 0.15)
+
+  /** Keep-predicate for the repetition caps — one fused map-side pass, the
+    * same Column under batch and Structured Streaming (stateless, so
+    * continuous ingest gets identical gate semantics row by row).
+    */
+  def repetitionGate(text: Column, th: RepetitionThresholds = RepetitionThresholds()): Column =
+    repetitionGateOn(TextFunctions.repetitionStats(text), th)
+
+  /** Same predicate over an already-computed repetition-stats struct — lets
+    * a query that also projects the stats evaluate the fused pass once.
+    */
+  def repetitionGateOn(stats: Column, th: RepetitionThresholds = RepetitionThresholds()): Column =
+    stats.getField("dup_line_frac") <= th.maxDupLineFrac &&
+      stats.getField("dup_line_char_frac") <= th.maxDupLineCharFrac &&
+      stats.getField("top2_frac") <= th.maxTop2Frac &&
+      stats.getField("top3_frac") <= th.maxTop3Frac &&
+      stats.getField("top4_frac") <= th.maxTop4Frac &&
+      stats.getField("dup5_frac") <= th.maxDup5Frac
+
   /** @param nearDupThreshold       MinHash-LSH Jaccard threshold; None skips
     * @param decontamThreshold      bipartite n-gram Jaccard threshold vs the
     *                               test split; None skips
@@ -44,7 +74,8 @@ object CorpusPipeline {
       decontamThreshold: Option[Double] = Some(0.8),
       maxGramDocFreq: Long = 100L,
       mixtureRates: Map[String, Double] = Map.empty,
-      defaultRate: Double = 1.0)
+      defaultRate: Double = 1.0,
+      repetition: Option[RepetitionThresholds] = None)
 
   /** Prepared corpus: the input rows that survive every configured stage,
     * plus a `split` column. Deterministic end to end — same input, same
@@ -67,9 +98,10 @@ object CorpusPipeline {
     val numericGate = nChars.between(cfg.minChars, cfg.maxChars) &&
       punct < cfg.maxPunctRatio && digit < cfg.maxDigitRatio &&
       meanTok.between(cfg.minMeanTokenLen, cfg.maxMeanTokenLen)
-    val gate =
+    val langGate =
       if (cfg.requireKnownLang) numericGate && TextFunctions.langId(text) =!= "und"
       else numericGate
+    val gate = cfg.repetition.fold(langGate)(th => langGate && repetitionGate(text, th))
     val quality = docs.filter(gate)
 
     // 2. fingerprint dedup keep-first: min id per md5(normalized text)

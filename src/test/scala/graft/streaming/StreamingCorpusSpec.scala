@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.SparkSpec
-import graft.functions.{Sampling, TextFunctions}
+import graft.functions.{CorpusPipeline, Sampling, TextFunctions}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
@@ -54,5 +54,60 @@ class StreamingCorpusSpec extends SparkSpec {
       assert(streamed(27L) == "test" && streamed(6L) == "val" && streamed(1L) == "train",
         "split assignment is the same deterministic function under streaming")
     } finally q.stop()
+  }
+
+  // The Gopher repetition gate is the same stateless Column expression
+  // (fused RepetitionStatsExpr, map-side) in both modes, so a continuous
+  // ingest pipeline applies the identical caps the batch gate applies.
+  test("repetition gate runs identically under streaming and batch") {
+    implicit val sqlCtx = spark.sqlContext
+
+    def gated(df: DataFrame): DataFrame =
+      df.filter(CorpusPipeline.repetitionGate(col("text")))
+
+    val line = "the cat sat on the mat by the door"
+    val docs = Seq(
+      // clean: distinct lines, varied vocabulary — survives
+      Doc(1L, "the quick brown fox jumps over the lazy dog\nand then runs away to the river bank"),
+      // duplicate lines: 5 identical lines → dup_line_frac 0.8 > 0.30
+      Doc(2L, Seq.fill(5)(line).mkString("\n")),
+      // one dominating repeated 2-gram → top2_frac over the 0.20 cap
+      Doc(3L, "buy now " * 30 + "and save big today"),
+      // clean multi-line document — survives
+      Doc(4L, "a first line about the weather\na second line about the harvest\na third line about the road"))
+    val input = MemoryStream[Doc]
+    val q = gated(input.toDS().toDF())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("repetition_stream_out")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("repckpt").toString)
+      .start()
+    try {
+      input.addData(docs.take(2): _*)
+      q.processAllAvailable()
+      input.addData(docs.drop(2): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("repetition_stream_out")
+        .select($"doc_id").as[Long].collect().toSet
+      val batch = gated(docs.toDF()).select($"doc_id").as[Long].collect().toSet
+      assert(streamed == batch)
+      assert(streamed == Set(1L, 4L), "repetitive docs 2 and 3 gated in both modes")
+    } finally q.stop()
+  }
+
+  test("CorpusPipeline.prepare applies the repetition caps when configured") {
+    val docs = Seq(
+      Doc(1L, "the quick brown fox jumps over the lazy dog and runs to the river"),
+      Doc(2L, Seq.fill(5)("the cat sat on the mat by the door").mkString("\n")))
+      .toDF().withColumn("source", lit("src0"))
+    val base = CorpusPipeline.Config(
+      nearDupThreshold = None, decontamThreshold = None)
+    val without = CorpusPipeline.prepare(docs, base)
+      .select($"doc_id").as[Long].collect().toSet
+    val withCaps = CorpusPipeline.prepare(docs,
+        base.copy(repetition = Some(CorpusPipeline.RepetitionThresholds())))
+      .select($"doc_id").as[Long].collect().toSet
+    assert(without == Set(1L, 2L) && withCaps == Set(1L),
+      "caps off keeps both; caps on drops the duplicate-line document")
   }
 }
