@@ -1012,7 +1012,7 @@ object SparkEntry {
       toks.join(broadcast(cands), Seq("token"))
         .groupBy(col("token"), col("n_total"))
         .agg(count(lit(1)).cast("long").as("n"))
-        .filter(col("n") > col("n_total") / lit(30.0))
+        .filter(col("n") > col("n_total") / lit(cap.toDouble))
         .select(col("token"), col("n"))
         .orderBy(col("n").desc, col("token"))
     }),
@@ -1675,9 +1675,9 @@ object SparkEntry {
           |gc AS (SELECT doc_id, n, gram, count(*) AS c FROM g GROUP BY 1, 2, 3),
           |agg AS (
           |  SELECT doc_id,
-          |    max(CASE WHEN n = 2 THEN c * length(gram) END) AS top2,
-          |    max(CASE WHEN n = 3 THEN c * length(gram) END) AS top3,
-          |    max(CASE WHEN n = 4 THEN c * length(gram) END) AS top4,
+          |    max(CASE WHEN n = 2 AND c > 1 THEN c * length(gram) END) AS top2,
+          |    max(CASE WHEN n = 3 AND c > 1 THEN c * length(gram) END) AS top3,
+          |    max(CASE WHEN n = 4 AND c > 1 THEN c * length(gram) END) AS top4,
           |    sum(CASE WHEN n = 5 AND c > 1 THEN c * length(gram) ELSE 0 END) AS dup5
           |  FROM gc GROUP BY 1),
           |lc AS (
@@ -1720,9 +1720,9 @@ object SparkEntry {
           |gc AS (SELECT doc_id, n, gram, count(*) AS c FROM g GROUP BY 1, 2, 3),
           |agg AS (
           |  SELECT doc_id,
-          |    max(CASE WHEN n = 2 THEN c * length(gram) END) AS top2,
-          |    max(CASE WHEN n = 3 THEN c * length(gram) END) AS top3,
-          |    max(CASE WHEN n = 4 THEN c * length(gram) END) AS top4,
+          |    max(CASE WHEN n = 2 AND c > 1 THEN c * length(gram) END) AS top2,
+          |    max(CASE WHEN n = 3 AND c > 1 THEN c * length(gram) END) AS top3,
+          |    max(CASE WHEN n = 4 AND c > 1 THEN c * length(gram) END) AS top4,
           |    sum(CASE WHEN n = 5 AND c > 1 THEN c * length(gram) ELSE 0 END) AS dup5
           |  FROM gc GROUP BY 1),
           |lc AS (

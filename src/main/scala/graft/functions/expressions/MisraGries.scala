@@ -96,7 +96,15 @@ case class MisraGriesAgg(
     val out = new DataOutputStream(bos)
     out.writeInt(buffer.capacity)
     out.writeInt(buffer.counts.size)
-    buffer.counts.foreach { case (k, v) => out.writeUTF(k); out.writeLong(v) }
+    // length-prefixed raw UTF-8, not writeUTF: modified-UTF-8 caps entries
+    // at 65535 bytes and one pathological whitespace-free token would fail
+    // the whole aggregation at shuffle time
+    buffer.counts.foreach { case (k, v) =>
+      val bytes = k.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(bytes.length)
+      out.write(bytes)
+      out.writeLong(v)
+    }
     out.flush()
     bos.toByteArray
   }
@@ -106,7 +114,14 @@ case class MisraGriesAgg(
     val s = new MgSummary(in.readInt())
     val n = in.readInt()
     var i = 0
-    while (i < n) { s.counts.update(in.readUTF(), in.readLong()); i += 1 }
+    while (i < n) {
+      val len = in.readInt()
+      val bytes = new Array[Byte](len)
+      in.readFully(bytes)
+      s.counts.update(
+        new String(bytes, java.nio.charset.StandardCharsets.UTF_8), in.readLong())
+      i += 1
+    }
     s
   }
 

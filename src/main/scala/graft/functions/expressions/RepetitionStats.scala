@@ -25,11 +25,15 @@ import org.apache.spark.unsafe.types.UTF8String
   *     `norm_len` = length of the single-space re-join (the denominator
   *     for all n-gram fractions).
   *   - `dup_word_frac` = (word_cnt − distinct words) / word_cnt.
-  *   - `top{2,3,4}_frac` = max over word n-grams g of count(g)·len(g),
-  *     divided by norm_len: the character share of the single most
-  *     repeated n-gram (every occurrence counted; ties resolve
-  *     identically on both sides because the max is over the product,
-  *     not over grams).
+  *   - `top{2,3,4}_frac` = max over word n-grams g **with count(g) ≥ 2**
+  *     of count(g)·len(g), divided by norm_len: the character share of
+  *     the single most repeated n-gram (every occurrence counted; ties
+  *     resolve identically on both sides because the max is over the
+  *     product, not over grams). Singleton grams are excluded — a gram
+  *     that occurs once is not repetition, and counting it would gate
+  *     every document shorter than ~1/cap grams (a single-occurrence
+  *     4-gram in a 25-word doc already exceeds a 0.16 cap). 0.0 when no
+  *     n-gram repeats.
   *   - `dup5_frac` = Σ over 5-grams with count>1 of count·len(g) /
   *     norm_len. Overlapping occurrences are all counted (documented
   *     simplification vs Gopher's non-double-counting variant, which is
@@ -74,10 +78,10 @@ object RepetitionStatsExpr {
     StructField("dup_line_frac", DoubleType, nullable = false),
     StructField("dup_line_char_frac", DoubleType, nullable = false)))
 
-  /** max over n-grams of count·charLen, and Σ over repeated n-grams of
-    * count·charLen, for word n-grams joined by single spaces. Gram
-    * identity via a rolling join is exact (words are compared by
-    * content); charLen = Σ word lens + (n−1). */
+  /** max over REPEATED n-grams (count ≥ 2) of count·charLen, and Σ over
+    * repeated n-grams of count·charLen, for word n-grams joined by single
+    * spaces. Gram identity via a rolling join is exact (words are
+    * compared by content); charLen = Σ word lens + (n−1). */
   private def ngramStats(words: Array[String], n: Int): (Long, Long) = {
     val m = words.length - n + 1
     if (m <= 0) return (0L, 0L)
@@ -102,9 +106,11 @@ object RepetitionStatsExpr {
     var top = 0L
     var dup = 0L
     counts.valuesIterator.foreach { case (c, l) =>
-      val covered = c.toLong * l
-      if (covered > top) top = covered
-      if (c > 1) dup += covered
+      if (c > 1) {
+        val covered = c.toLong * l
+        if (covered > top) top = covered
+        dup += covered
+      }
     }
     (top, dup)
   }

@@ -27,8 +27,8 @@ class RepetitionStatsSpec extends SparkSpec {
     assert(wc == 4 && lc == 1)
     assert(dupW == 0.5)
     assert(math.abs(top2 - 6.0 / 7) < 1e-12)  // "a b" ×2, len 3
-    assert(math.abs(top3 - 5.0 / 7) < 1e-12)  // "a b a" ×1, len 5
-    assert(top4 == 1.0)                       // the whole text, once
+    assert(top3 == 0.0)                       // "a b a" occurs once → excluded
+    assert(top4 == 0.0)                       // the whole text, once → excluded
     assert(dup5 == 0.0 && dupL == 0.0 && dupLc == 0.0)
   }
 

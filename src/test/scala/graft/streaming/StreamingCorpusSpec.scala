@@ -73,8 +73,8 @@ class StreamingCorpusSpec extends SparkSpec {
       Doc(2L, Seq.fill(5)(line).mkString("\n")),
       // one dominating repeated 2-gram → top2_frac over the 0.20 cap
       Doc(3L, "buy now " * 30 + "and save big today"),
-      // clean multi-line document — survives
-      Doc(4L, "a first line about the weather\na second line about the harvest\na third line about the road"))
+      // clean multi-line document, no repeated n-gram anywhere — survives
+      Doc(4L, "morning sunlight crossed the quiet valley\nfarmers gathered ripe apples before noon\nchildren walked home along dusty roads"))
     val input = MemoryStream[Doc]
     val q = gated(input.toDS().toDF())
       .writeStream.outputMode("append")
