@@ -94,6 +94,10 @@ case class MisraGriesAgg(
   override def serialize(buffer: MgSummary): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
+    // format version byte: today the buffer only lives in in-flight shuffle
+    // bytes, but if a summary ever lands in persisted streaming state the
+    // tag is what lets a later format change remain readable
+    out.writeByte(MisraGriesAgg.FormatV1)
     out.writeInt(buffer.capacity)
     out.writeInt(buffer.counts.size)
     // length-prefixed raw UTF-8, not writeUTF: modified-UTF-8 caps entries
@@ -111,11 +115,21 @@ case class MisraGriesAgg(
 
   override def deserialize(storage: Array[Byte]): MgSummary = {
     val in = new DataInputStream(new ByteArrayInputStream(storage))
+    val version = in.readByte()
+    if (version != MisraGriesAgg.FormatV1) {
+      throw new IllegalStateException(
+        s"misra_gries: unknown summary format version $version")
+    }
     val s = new MgSummary(in.readInt())
     val n = in.readInt()
     var i = 0
     while (i < n) {
       val len = in.readInt()
+      if (len < 0 || len > storage.length) {
+        throw new IllegalStateException(
+          s"misra_gries: corrupt summary — token length $len out of bounds " +
+            s"(buffer ${storage.length} bytes)")
+      }
       val bytes = new Array[Byte](len)
       in.readFully(bytes)
       s.counts.update(
@@ -141,4 +155,9 @@ case class MisraGriesAgg(
     copy(child = newChild)
 
   override def prettyName: String = "misra_gries"
+}
+
+object MisraGriesAgg {
+  /** Serialized-summary format tag (see `serialize`). */
+  final val FormatV1: Byte = 1
 }

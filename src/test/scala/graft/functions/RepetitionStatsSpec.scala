@@ -32,6 +32,20 @@ class RepetitionStatsSpec extends SparkSpec {
     assert(dup5 == 0.0 && dupL == 0.0 && dupLc == 0.0)
   }
 
+  test("genuinely repeated 3- and 4-grams yield NONZERO top3/top4 fractions") {
+    // "a b c" ×3: 9 words, normLen = 9 + 8 = 17
+    //   3-grams: "a b c" ×3 (len 5) → top3 = 15/17; "b c a"/"c a b" ×2 → 10
+    //   4-grams: "a b c a"/"b c a b"/"c a b c" all ×2 (len 7) → top4 = 14/17
+    //   2-grams: "a b"/"b c" ×3 (len 3) → top2 = 9/17
+    val (wc, _, top2, top3, top4, _, _, _, _) = stats("a b c a b c a b c")
+    assert(wc == 9)
+    assert(math.abs(top2 - 9.0 / 17) < 1e-12)
+    assert(math.abs(top3 - 15.0 / 17) < 1e-12)
+    assert(math.abs(top4 - 14.0 / 17) < 1e-12)
+    assert(top3 > 0.0 && top4 > 0.0,
+      "count>=2 n-grams must still contribute — only singletons are excluded")
+  }
+
   test("dup5 counts every occurrence of repeated 5-grams (can exceed 1)") {
     // "x y z w v" ×3: 11 sliding 5-grams, all repeated (one ×3, four ×2),
     // each 9 chars → dup5 = (3 + 2·4)·9 / norm_len 29
