@@ -679,20 +679,30 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
-    // SimHash near-dup pairs via pigeonhole chunk join (hashed word bigrams)
+    // SimHash near-dup pairs via pigeonhole chunk join. Hash family is the
+    // SQL-expressible md5Hash60 so the DuckDB oracle replays the ENTIRE
+    // funnel bit-for-bit — bigram hash → 64-bit majority-vote fingerprint →
+    // hamming <= 8 pairs (oracle joins all-pairs; Spark side keeps the
+    // pigeonhole equi-join, so candidate completeness is what's checked).
+    // The fused xxhash64-family kernel stays the pure-Spark scale path
+    // (WordNgramHashesExpr, pinned by SimHashSpec).
     "dedup_simhash" -> ((s, dir) => {
-      SimHash.nearDupPairs(t(s, dir, "documents"), "doc_id",
-        TextFunctions.wordNgramHashes(col("text"), 2), maxDist = 8)
+      SimHash.nearDupPairsHashed(t(s, dir, "documents"), "doc_id",
+        TextFunctions.wordBigramHashes60(col("text")), maxDist = 8)
+        .withColumn("hamming", col("hamming").cast("long"))
         .orderBy(col("id_a"), col("id_b"))
     }),
 
-    // MOSS-style partial-overlap detection: winnowed rolling-hash
-    // fingerprints, inverted-index join, containment-style overlap ratio
-    // (no SQL oracle by nature — selection depends on the hash family;
-    // pinned by WinnowSpec's guarantees instead)
+    // MOSS-style partial-overlap detection: winnowed fingerprints,
+    // inverted-index join, containment-style overlap ratio. Fingerprints
+    // use the SQL-expressible md5Hash60 winnowing so the DuckDB oracle
+    // replays the whole path — k-gram hash → window-min thinning →
+    // posting-list join → df-cap → overlap filter (WinnowExpr's fused
+    // rolling-hash family stays the pure-Spark scale path, WinnowSpec).
     "dedup_winnow" -> ((s, dir) => {
-      WinnowOverlap.pairs(t(s, dir, "documents"), "doc_id", col("text"),
-        k = 5, w = 8, minShared = 3, maxDocFreq = 50L)
+      WinnowOverlap.pairsFromFingerprints(t(s, dir, "documents"), "doc_id",
+        TextFunctions.winnowedFingerprints60(col("text"), k = 5, w = 8),
+        minShared = 3, maxDocFreq = 50L)
         // this corpus's background similarity puts unrelated pairs at
         // overlap ~0.55; genuine shared-passage pairs sit >= 0.8. The tight
         // df cap (50) cuts the boilerplate posting lists that background
@@ -1633,6 +1643,57 @@ object SparkEntry {
            |FROM inter JOIN cnt ca ON ca.doc_id = ia JOIN cnt cb ON cb.doc_id = ib
            |WHERE round(i * 1.0 / (ca.n + cb.n - i), 4) >= 0.8
            |ORDER BY id_a, id_b""".stripMargin,
+
+      // full-funnel replay of the md5Hash60 SimHash: bigram hashes →
+      // per-bit majority vote → hamming <= 8 over ALL pairs (the oracle
+      // needs no pigeonhole — candidate completeness is what it checks)
+      "dedup_simhash" ->
+        """WITH w AS (SELECT doc_id,
+          |        list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS ws
+          |      FROM documents),
+          |g AS (SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+          |        i -> ws[i] || ' ' || ws[i+1])) AS gram
+          |      FROM w WHERE len(ws) >= 2),
+          |h AS (SELECT doc_id,
+          |        CAST(CAST('0x' || substr(md5(gram), 1, 15) AS UBIGINT) AS BIGINT) AS h
+          |      FROM g),
+          |b AS (SELECT doc_id, bit,
+          |        sum(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS s
+          |      FROM h CROSS JOIN (SELECT unnest(range(0, 60)) AS bit) bits
+          |      GROUP BY doc_id, bit),
+          |sh AS (SELECT doc_id,
+          |        CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS fp
+          |       FROM b GROUP BY doc_id)
+          |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+          |       CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
+          |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+          |WHERE bit_count(xor(a.fp, b.fp)) <= 8
+          |ORDER BY id_a, id_b""".stripMargin,
+
+      // full-funnel replay of the md5Hash60 winnowing: char-5-gram hashes
+      // of lower(text) → sliding-8-window DISTINCT minima → posting-list
+      // join with df cap 50 → shared >= 3 → overlap >= 0.8
+      "dedup_winnow" ->
+        """WITH d AS (SELECT doc_id, lower(text) AS t FROM documents),
+          |g AS (SELECT doc_id, i AS pos, length(t) - 4 AS ng,
+          |        CAST(CAST('0x' || substr(md5(substr(t, CAST(i AS INT), 5)), 1, 15) AS UBIGINT) AS BIGINT) AS h
+          |      FROM d, LATERAL (SELECT unnest(range(1, length(t) - 3)) AS i) r),
+          |wm AS (SELECT doc_id, pos, ng,
+          |        min(h) OVER (PARTITION BY doc_id ORDER BY pos
+          |          ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS mh
+          |       FROM g),
+          |fp AS (SELECT DISTINCT doc_id, mh FROM wm WHERE pos <= ng - 7),
+          |ex AS (SELECT doc_id, mh FROM fp
+          |       WHERE mh NOT IN (SELECT mh FROM fp GROUP BY mh HAVING count(*) > 50)),
+          |cnt AS (SELECT doc_id, count(*) AS n FROM ex GROUP BY 1),
+          |sh AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+          |       FROM ex a JOIN ex b ON a.mh = b.mh AND a.doc_id < b.doc_id
+          |       GROUP BY 1, 2 HAVING count(*) >= 3)
+          |SELECT id_a, id_b, CAST(shared AS BIGINT) AS shared,
+          |       round(shared * 1.0 / least(ca.n, cb.n), 4) AS overlap
+          |FROM sh JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b
+          |WHERE round(shared * 1.0 / least(ca.n, cb.n), 4) >= 0.8
+          |ORDER BY id_a, id_b""".stripMargin,
 
       "text_stats" ->
         """SELECT doc_id,

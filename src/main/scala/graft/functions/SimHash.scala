@@ -27,10 +27,17 @@ object SimHash {
     * produced no rows to aggregate.
     */
   def fingerprints(df: DataFrame, idCol: String, tokens: Column): DataFrame =
-    df.filter(size(tokens) > 0)
+    fingerprintsHashed(df, idCol, transform(tokens, t => xxhash64(t)))
+
+  /** [[fingerprints]] over PRE-HASHED tokens (array<bigint>) — the caller
+    * picks the hash family. Used by the oracle-bearing `dedup_simhash`
+    * query, whose md5-prefix hashes DuckDB recomputes bit-for-bit.
+    */
+  def fingerprintsHashed(df: DataFrame, idCol: String, hashes: Column): DataFrame =
+    df.filter(size(hashes) > 0)
       .select(col(idCol).as("__id"),
-        ColumnBridge.column(SimHash64Expr(ColumnBridge.expression(
-          transform(tokens, t => xxhash64(t))))).as("__simhash"))
+        ColumnBridge.column(SimHash64Expr(ColumnBridge.expression(hashes)))
+          .as("__simhash"))
 
   /** Expression form for small arrays / tests (interpreted; prefer
     * [[fingerprints]] for corpus scans).
@@ -59,10 +66,16 @@ object SimHash {
     * exact dedup upstream removes more cheaply. 0 disables.
     */
   def nearDupPairs(df: DataFrame, idCol: String, tokens: Column,
-                   maxDist: Int = 3, maxChunkDocs: Long = 4096L): DataFrame = {
+                   maxDist: Int = 3, maxChunkDocs: Long = 4096L): DataFrame =
+    nearDupPairsHashed(df, idCol, transform(tokens, t => xxhash64(t)),
+      maxDist, maxChunkDocs)
+
+  /** [[nearDupPairs]] over PRE-HASHED tokens — see [[fingerprintsHashed]]. */
+  def nearDupPairsHashed(df: DataFrame, idCol: String, hashes: Column,
+                         maxDist: Int = 3, maxChunkDocs: Long = 4096L): DataFrame = {
     val chunks = maxDist + 1
     val bitsPer = 64 / chunks
-    val base = fingerprints(df, idCol, tokens)
+    val base = fingerprintsHashed(df, idCol, hashes)
       .select(col("__id"), col("__simhash").as("__sh"))
     val chunked0 = base.select(col("__id"), col("__sh"),
       posexplode(array((0 until chunks).map { c =>

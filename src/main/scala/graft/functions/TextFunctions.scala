@@ -230,6 +230,51 @@ object TextFunctions {
         i => concat_ws(" ", slice(toks, i * step + 1, lit(chunkSize)))))
   }
 
+  /** 60-bit hash via md5 prefix. `CAST('0x' || substr(md5(s), 1, 15) AS
+    * UBIGINT)` in DuckDB computes the identical value, so fingerprint
+    * pipelines built on this family are end-to-end oracle-checkable —
+    * hash → fingerprint → join, with no approximate/rows-only carve-out.
+    * 15 hex digits (60 bits) keep the value inside a signed BIGINT on both
+    * engines (no ANSI cast overflow). Prefer the fused xxhash64-family
+    * expressions for pure-Spark scale paths; this one exists for queries a
+    * DuckDB oracle must replay bit-for-bit.
+    */
+  def md5Hash60(s: Column): Column =
+    conv(substring(md5(s), 1, 15), 16, 10).cast("long")
+
+  /** Word-bigram [[md5Hash60]] hashes (`array<long>`) — SQL-expressible
+    * twin of [[wordNgramHashes]] for the oracle-bearing SimHash query:
+    * words are the `\s+` split of the raw text (empties dropped), bigram i
+    * = words(i) + " " + words(i+1). Word array let-bound like
+    * [[charShingles]] so the split runs once per row, not once per bigram.
+    */
+  def wordBigramHashes60(text: Column): Column =
+    flatten(transform(array(filter(split(text, "\\s+"), w => w =!= "")), ws =>
+      when(size(ws) < 2, array().cast("array<long>")).otherwise(
+        transform(sequence(lit(1), size(ws) - 1),
+          i => md5Hash60(concat(element_at(ws, i), lit(" "),
+            element_at(ws, i + 1)))))))
+
+  /** Winnowed [[md5Hash60]] fingerprints (`array<long>`) — SQL-expressible
+    * twin of [[winnowedFingerprints]]: char k-grams of lower(text), each
+    * md5Hash60-hashed, thinned to the DISTINCT minima of the sliding
+    * w-windows (DuckDB replays with min OVER (ROWS BETWEEN CURRENT ROW AND
+    * w-1 FOLLOWING) + DISTINCT). Winnowing's guarantee holds: any shared
+    * run of >= w + k - 1 characters yields a shared fingerprint. Tie /
+    * consecutive-repeat handling differs from [[expressions.WinnowExpr]]
+    * positionally but the selected VALUE set is identical for a given hash
+    * family. Gram-hash array let-bound like [[charShingles]].
+    */
+  def winnowedFingerprints60(text: Column, k: Int, w: Int): Column =
+    flatten(transform(array(lower(text)), t =>
+      flatten(transform(array(
+        when(length(t) < k, array().cast("array<long>")).otherwise(
+          transform(sequence(lit(1), length(t) - (k - 1)),
+            i => md5Hash60(t.substr(i, lit(k)))))), hs =>
+        when(size(hs) < w, array().cast("array<long>")).otherwise(
+          array_distinct(transform(sequence(lit(1), size(hs) - (w - 1)),
+            p => array_min(slice(hs, p, lit(w))))))))))
+
   /** Exact Jaccard similarity of two array columns. */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")

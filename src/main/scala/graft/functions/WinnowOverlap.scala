@@ -31,10 +31,19 @@ object WinnowOverlap {
     */
   def pairs(df: DataFrame, idCol: String, text: Column,
             k: Int = 5, w: Int = 8, minShared: Int = 3,
-            maxDocFreq: Long = -1L): DataFrame = {
-    val fps = df.select(col(idCol).as("__id"),
-      array_distinct(TextFunctions.winnowedFingerprints(text, k, w)).as("__fp"))
-    val ex0 = fps.select(col("__id"), explode(col("__fp")).as("__f"))
+            maxDocFreq: Long = -1L): DataFrame =
+    pairsFromFingerprints(df, idCol,
+      TextFunctions.winnowedFingerprints(text, k, w), minShared, maxDocFreq)
+
+  /** [[pairs]] over a PRE-COMPUTED fingerprint array column — the caller
+    * picks the winnowing hash family. Used by the oracle-bearing
+    * `dedup_winnow` query, whose md5-prefix rolling fingerprints DuckDB
+    * recomputes exactly (window-min over gram hashes).
+    */
+  def pairsFromFingerprints(df: DataFrame, idCol: String, fps: Column,
+                            minShared: Int = 3, maxDocFreq: Long = -1L): DataFrame = {
+    val fpsDf = df.select(col(idCol).as("__id"), array_distinct(fps).as("__fp"))
+    val ex0 = fpsDf.select(col("__id"), explode(col("__fp")).as("__f"))
     val cap =
       if (maxDocFreq >= 0) maxDocFreq
       else math.max(1000L, df.count() / 100)

@@ -1,0 +1,53 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The md5Hash60 family exists so DuckDB oracles can replay fingerprint
+  * funnels bit-for-bit (`dedup_simhash`, `dedup_winnow`). These pins keep
+  * the two engines' definitions from drifting: the constant below is
+  * DuckDB's `CAST('0x' || substr(md5('hello'), 1, 15) AS UBIGINT)`.
+  */
+class Md5HashFamilySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("md5Hash60 matches the DuckDB hex-prefix value on a known string") {
+    val v = Seq("hello").toDF("s")
+      .select(TextFunctions.md5Hash60($"s").as("h")).as[Long].collect().head
+    // md5('hello') = 5d41402abc4b2a76b9719d911017c592 → 0x5d41402abc4b2a7
+    assert(v == 419982666956583591L)
+    assert(v >= 0L, "60-bit values never reach the sign bit")
+  }
+
+  test("wordBigramHashes60: bigrams over the \\s+ split, empties dropped") {
+    val got = Seq("  a  b\tc ", "solo", "").toDF("s")
+      .select(TextFunctions.wordBigramHashes60($"s").as("h"))
+      .as[Seq[Long]].collect()
+    val exp = Seq("a b", "b c").map { g =>
+      Seq(g).toDF("s").select(TextFunctions.md5Hash60($"s").as("h"))
+        .as[Long].collect().head
+    }
+    assert(got(0) == exp, "bigram hashes in order, whitespace-insensitive")
+    assert(got(1).isEmpty && got(2).isEmpty, "fewer than 2 words → empty")
+  }
+
+  test("winnowedFingerprints60: shared run >= w+k-1 chars shares a fingerprint") {
+    val run = "the quick brown fox jumps over"   // 30 chars >= 8+5-1
+    val df = Seq(
+      s"AAAA $run BBBB",
+      s"zzzz $run yyyy",
+      "completely different material here with no common passage at all"
+    ).toDF("text")
+    val fps = df.select(
+      TextFunctions.winnowedFingerprints60($"text", k = 5, w = 8).as("f"))
+      .as[Seq[Long]].collect()
+    assert(fps(0).intersect(fps(1)).nonEmpty, "winnowing guarantee")
+    assert(fps(0).intersect(fps(2)).isEmpty ||
+      fps(0).intersect(fps(2)).size < fps(0).intersect(fps(1)).size)
+    // shorter than k+w-1 normalized chars → no full window → no fingerprints
+    val short = Seq("tiny doc").toDF("text")
+      .select(TextFunctions.winnowedFingerprints60($"text", 5, 8).as("f"))
+      .as[Seq[Long]].collect().head
+    assert(short.isEmpty)
+  }
+}
