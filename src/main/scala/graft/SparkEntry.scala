@@ -809,6 +809,23 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // token-BUDGETED mixture: per-source keep rates derived from a token
+    // budget and target mixture weights over the MEASURED per-source BPE
+    // token totals (rate = min(1, budget·w/tokens)) — how real mixtures are
+    // specified ("500B tokens, 50/30/20"). Base-byte vocab here so the
+    // DuckDB oracle measures the identical totals with strlen and replays
+    // the whole budget → rate → hash-threshold pipeline; trained-merge
+    // budgeting is spec-pinned (SamplingSpec/CorpusPipelineSpec).
+    "doc_mixture_budget" -> ((s, dir) => {
+      Sampling.mixtureSampleByBudget(t(s, dir, "documents"),
+        col("doc_id"), col("source"),
+        Bpe.tokenCount(col("text"), BpeVocab.bytes).cast("long"),
+        weights = Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2),
+        tokenBudget = 20000L)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+
     // C4-style quality gate: length band + punctuation sanity + token-shape
     // sanity + digit-ratio cap, all map-side over the fused stats struct
     "doc_quality_filter" -> ((s, dir) => {
@@ -1840,6 +1857,27 @@ object SparkEntry {
            |              WHEN 'src2' THEN '${Sampling.thresholdHex(0.25)}'
            |              ELSE '${Sampling.thresholdHex(0.1)}' END
            |ORDER BY doc_id""".stripMargin,
+
+      // replays the budget → rate → threshold derivation: same IEEE double
+      // ops (budget·w / tokens), same round-to-65536ths, same %04x hex
+      // threshold, over strlen totals (= BPE base-byte token counts)
+      "doc_mixture_budget" ->
+        """WITH tok AS (SELECT doc_id, source, strlen(text) AS n FROM documents
+          |             WHERE source IN ('src0', 'src1', 'src2')),
+          |tot AS (SELECT source, sum(n) AS toks FROM tok GROUP BY source),
+          |r AS (SELECT source,
+          |        least(1.0, 20000 * (CASE source WHEN 'src0' THEN 0.5
+          |                                        WHEN 'src1' THEN 0.3
+          |                                        ELSE 0.2 END) / toks) AS rate
+          |      FROM tot),
+          |thr AS (SELECT source,
+          |         CASE WHEN CAST(round(rate * 65536) AS BIGINT) >= 65536 THEN 'g'
+          |              ELSE printf('%04x', CAST(round(rate * 65536) AS BIGINT)) END AS th
+          |        FROM r)
+          |SELECT t.doc_id, t.source
+          |FROM tok t JOIN thr USING (source)
+          |WHERE substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 4) < th
+          |ORDER BY t.doc_id""".stripMargin,
 
       "doc_quality_filter" ->
         s"""WITH s AS (

@@ -57,6 +57,17 @@ object CorpusPipeline {
     *                               test split; None skips
     * @param mixtureRates           per-source keep rates; empty skips
     * @param maxGramDocFreq         stop-gram cap for the decontamination join
+    * @param mixtureTokenBudget     with [[mixtureTargetWeights]]: derive the
+    *                               per-source rates from a TOKEN budget
+    *                               instead of hand-tuned row rates —
+    *                               rate(s) = min(1, budget·w(s)/tokens(s))
+    *                               over the measured post-decontamination
+    *                               totals (see [[Sampling.mixtureWeights]]);
+    *                               takes precedence over [[mixtureRates]]
+    * @param mixtureTokens          per-row token-count column for the budget
+    *                               measurement, e.g. `Bpe.tokenCount(text,
+    *                               vocab)`; defaults to the BPE base-byte
+    *                               count of [[Config.textCol]]
     */
   final case class Config(
       idCol: String = "doc_id",
@@ -75,7 +86,10 @@ object CorpusPipeline {
       maxGramDocFreq: Long = 100L,
       mixtureRates: Map[String, Double] = Map.empty,
       defaultRate: Double = 1.0,
-      repetition: Option[RepetitionThresholds] = None)
+      repetition: Option[RepetitionThresholds] = None,
+      mixtureTokenBudget: Option[Long] = None,
+      mixtureTargetWeights: Map[String, Double] = Map.empty,
+      mixtureTokens: Option[Column] = None)
 
   /** Prepared corpus: the input rows that survive every configured stage,
     * plus a `split` column. Deterministic end to end — same input, same
@@ -149,9 +163,29 @@ object CorpusPipeline {
       withSplit.join(contaminated, Seq(cfg.idCol), "left_anti")
     }
 
-    // 6. optional mixture re-weighting
-    if (cfg.mixtureRates.isEmpty) decontaminated
-    else Sampling.mixtureSample(decontaminated, id, col(cfg.sourceCol),
-      cfg.mixtureRates, cfg.defaultRate)
+    // 6. optional mixture re-weighting. Budgeted form first: the rates are
+    // derived from per-source token totals of the PREPARED corpus, so the
+    // measurement aggregation (|sources| rows to the driver) runs over the
+    // cached intermediate, then only the rate map survives — same bounded
+    // lifecycle as the dedup/decontamination stages.
+    cfg.mixtureTokenBudget match {
+      case Some(budget) if cfg.mixtureTargetWeights.nonEmpty =>
+        val tok = cfg.mixtureTokens.getOrElse(
+          Bpe.tokenCount(text, BpeVocab.bytes).cast("long"))
+        val src = col(cfg.sourceCol)
+        val inMix = decontaminated
+          .filter(src.isin(cfg.mixtureTargetWeights.keySet.toSeq: _*))
+        val cached = inMix
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val rates = try {
+          Sampling.mixtureWeights(Sampling.tokensBySource(cached, src, tok),
+            cfg.mixtureTargetWeights, budget)
+        } finally cached.unpersist(false)
+        Sampling.mixtureSample(inMix, id, src, rates, defaultRate = 0.0)
+      case _ if cfg.mixtureRates.nonEmpty =>
+        Sampling.mixtureSample(decontaminated, id, col(cfg.sourceCol),
+          cfg.mixtureRates, cfg.defaultRate)
+      case _ => decontaminated
+    }
   }
 }

@@ -73,4 +73,46 @@ object Sampling {
       }
     df.filter(hashKey(key) < threshold)
   }
+
+  /** Per-source keep rates that hit a TOKEN budget: rate(s) =
+    * min(1, budget · weight(s) / tokens(s)). This is how real mixtures are
+    * specified — "train on 500 B tokens, 50% web / 30% code / 20% books" —
+    * rather than as hand-tuned per-source row rates. A source with no
+    * measured tokens keeps everything (nothing to down-sample). Weights
+    * need not sum to 1; each source's share is independent, and a source
+    * whose corpus is smaller than its share keeps all of it (rate capped
+    * at 1 — the budget is a ceiling per source, not redistributed).
+    */
+  def mixtureWeights(tokensBySource: Map[String, Long],
+                     weights: Map[String, Double],
+                     tokenBudget: Long): Map[String, Double] =
+    weights.map { case (src, w) =>
+      val toks = tokensBySource.getOrElse(src, 0L)
+      val rate = if (toks <= 0L) 1.0 else math.min(1.0, tokenBudget * w / toks)
+      src -> rate
+    }
+
+  /** Measured token totals per source — the one (bounded) action in the
+    * budgeted-mixture path: |sources| rows reach the driver, never corpus
+    * rows. `tokens` is any per-row count column, e.g. `Bpe.tokenCount`
+    * with a trained vocab for real token budgets.
+    */
+  def tokensBySource(df: DataFrame, group: Column, tokens: Column): Map[String, Long] =
+    df.groupBy(group.as("__g")).agg(sum(tokens.cast("long")).as("__t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+  /** Token-budgeted mixture sampling: measure per-source totals with
+    * `tokens`, derive keep rates via [[mixtureWeights]], apply the
+    * deterministic hash filter. Sources absent from `weights` are excluded
+    * (a budgeted mixture enumerates its sources). Deterministic given the
+    * input corpus; the measurement pass is one small aggregation.
+    */
+  def mixtureSampleByBudget(df: DataFrame, key: Column, group: Column,
+                            tokens: Column, weights: Map[String, Double],
+                            tokenBudget: Long): DataFrame = {
+    val inMix = df.filter(group.isin(weights.keySet.toSeq: _*))
+    val rates = mixtureWeights(tokensBySource(inMix, group, tokens),
+      weights, tokenBudget)
+    mixtureSample(inMix, key, group, rates, defaultRate = 0.0)
+  }
 }

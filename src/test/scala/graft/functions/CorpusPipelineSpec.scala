@@ -61,4 +61,26 @@ class CorpusPipelineSpec extends SparkSpec {
     val b = CorpusPipeline.prepare(docs, cfg).select("doc_id").as[Long].collect().toSet
     assert(a == b)
   }
+
+  test("token-budgeted mixture stage equals the manual composition") {
+    val docs = (0L until 300L).map { i =>
+      (i, s"the number $i document talks of things that are in the set with detail",
+        s"src${i % 3}")
+    }.toDF("doc_id", "text", "source")
+    val weights = Map("src0" -> 0.6, "src1" -> 0.4) // src2 excluded
+    val cfg = CorpusPipeline.Config(
+      nearDupThreshold = None, decontamThreshold = None, maxDigitRatio = 1.0,
+      mixtureTokenBudget = Some(2000L), mixtureTargetWeights = weights)
+    val out = CorpusPipeline.prepare(docs, cfg)
+    assert(out.filter($"source" === "src2").count() == 0)
+    // equals mixtureSampleByBudget applied to the unbudgeted prepared corpus
+    val base = CorpusPipeline.prepare(docs, cfg.copy(
+      mixtureTokenBudget = None, mixtureTargetWeights = Map.empty))
+    val manual = Sampling.mixtureSampleByBudget(base, $"doc_id", $"source",
+      Bpe.tokenCount($"text", BpeVocab.bytes).cast("long"), weights, 2000L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(out.select("doc_id").as[Long].collect().toSet == manual)
+    // budgeted rates actually down-sample (2000 tokens << corpus mass)
+    assert(out.count() > 0 && out.count() < base.count())
+  }
 }

@@ -45,6 +45,38 @@ class SamplingSpec extends SparkSpec {
     assert(twice == docs.count())
   }
 
+  test("mixtureWeights: budget shares, per-source cap at 1.0, empty sources") {
+    val tokens = Map("web" -> 1000L, "code" -> 100L, "books" -> 0L)
+    val rates = Sampling.mixtureWeights(tokens,
+      Map("web" -> 0.5, "code" -> 0.4, "books" -> 0.1), tokenBudget = 400L)
+    assert(rates("web") == 0.2, "400·0.5/1000")
+    assert(rates("code") == 1.0, "share (160) exceeds the source (100) → capped")
+    assert(rates("books") == 1.0, "no measured tokens → keep everything")
+    // weights need not sum to 1; shares are independent
+    val partial = Sampling.mixtureWeights(Map("a" -> 200L), Map("a" -> 0.25), 400L)
+    assert(partial("a") == 0.5)
+  }
+
+  test("mixtureSampleByBudget hits the token budget and excludes unlisted sources") {
+    val rows = (0L until 1000L)
+      .map(i => (i, "tok " * ((i % 7).toInt + 1), s"s${i % 4}"))
+      .toDF("doc_id", "text", "source")
+    val tok = length(col("text")).cast("long") // any per-row count column
+    val out = Sampling.mixtureSampleByBudget(rows, col("doc_id"), col("source"),
+      tok, Map("s0" -> 0.6, "s1" -> 0.4), tokenBudget = 1500L)
+    assert(out.filter(!col("source").isin("s0", "s1")).count() == 0,
+      "a budgeted mixture enumerates its sources")
+    val got = out.agg(sum(tok)).as[Long].collect().head
+    // per-source binomial noise: generous band around the 1500-token target
+    assert(got > 700 && got < 2300, s"sampled token mass $got vs budget 1500")
+    // determinism + subset-on-smaller-budget (per-key hash thresholds nest)
+    val smaller = Sampling.mixtureSampleByBudget(rows, col("doc_id"), col("source"),
+      tok, Map("s0" -> 0.6, "s1" -> 0.4), tokenBudget = 700L)
+      .select("doc_id").as[Long].collect().toSet
+    val bigger = out.select("doc_id").as[Long].collect().toSet
+    assert(smaller.subsetOf(bigger))
+  }
+
   test("mixtureSample applies per-group rates with default for unlisted") {
     val out = Sampling.mixtureSample(docs, col("doc_id"), col("source"),
       Map("src0" -> 1.0, "src1" -> 0.0), defaultRate = 0.5)
