@@ -1,10 +1,13 @@
 package graft.streaming
 
 import graft.core.{RetryPolicy, SchemaEvolution, Watermark, WatermarkStore}
-import graft.operators.{CdcMerge, Dedup, FieldFilter, MergeDialect}
+import graft.operators.{CdcMerge, Dedup, FieldFilter, MergeDialect,
+  MergeSqlBuilder, MergeSqlExecutor, MsSqlCtDialect, SynapseLinkDialect,
+  UpsertBlobDialect}
 import graft.sources.{BlobListingSource, BlobSourceConfig}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.StructType
 
 /** The per-batch CDC pipeline: field filter → dedup-latest → schema evolve →
   * version-guarded merge → commit → watermark update → every-Nth maintenance.
@@ -24,7 +27,11 @@ final case class PipelineConfig(
     essentialColumns: Seq[String] = Nil,
     maintenanceEvery: Int = 10,             // run maintenance every Nth batch
     snapshotsToKeep: Int = 3,
-    targetPartitions: Option[Int] = None)   // clamp files per commit
+    targetPartitions: Option[Int] = None,   // clamp files per commit
+    mergeViaSql: Boolean = false)           // route the merge through the
+                                            // rendered MERGE INTO text
+                                            // (MergeSqlBuilder→MergeSqlExecutor)
+                                            // instead of the DataFrame dialect
 
 final class CdcPipeline(spark: SparkSession, dialect: MergeDialect,
                         cfg: PipelineConfig, watermarks: WatermarkStore,
@@ -85,9 +92,13 @@ final class CdcPipeline(spark: SparkSession, dialect: MergeDialect,
 
     // M2-M4 version-guarded merge, then snapshot commit
     val t0 = System.currentTimeMillis()
-    val merged = CdcMerge.applyChanges(
-      CdcMerge.alignTo(current, evolved), CdcMerge.alignTo(latest, evolved),
-      cfg.keyColumn, dialect)
+    val merged =
+      if (cfg.mergeViaSql)
+        sqlMergedState(CdcMerge.alignTo(current, evolved),
+          CdcMerge.alignTo(latest, evolved), evolved)
+      else CdcMerge.applyChanges(
+        CdcMerge.alignTo(current, evolved), CdcMerge.alignTo(latest, evolved),
+        cfg.keyColumn, dialect)
     target.commit(merged, cfg.targetPartitions)
     GraftMetrics.gauge(GraftMetrics.MergeDuration, System.currentTimeMillis() - t0)
 
@@ -102,6 +113,42 @@ final class CdcPipeline(spark: SparkSession, dialect: MergeDialect,
       target.removeOrphans()
       GraftMetrics.gauge(GraftMetrics.TargetSnapshotExpireDuration,
         System.currentTimeMillis() - m0)
+    }
+  }
+
+  private val sqlMergeSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** The reference's Trino hop, end to end: render the dialect's `MERGE
+    * INTO` text ([[MergeSqlBuilder]]), have Spark parse it and
+    * [[MergeSqlExecutor]] execute it against temp views over the same two
+    * aligned sides the DataFrame dialect would join, and return the merged
+    * target state for the snapshot commit. On a deployment with a
+    * transactional catalog the identical string goes to `spark.sql(...)`
+    * directly (ref services/merging/JdbcMergeServiceClient.scala:62-91).
+    *
+    * The temp views are dropped as soon as the statement is ANALYZED (the
+    * resolved plan retains their subtrees); nothing is materialized here —
+    * the single full-outer-join plan executes lazily inside the commit,
+    * same shape and shuffle count as [[CdcMerge.applyChanges]].
+    */
+  private def sqlMergedState(targetState: DataFrame, latest: DataFrame,
+                             evolved: StructType): DataFrame = {
+    val n = sqlMergeSeq.incrementAndGet()
+    val tv = s"__graft_merge_tgt_$n"
+    val sv = s"__graft_merge_src_$n"
+    targetState.createOrReplaceTempView(tv)
+    latest.createOrReplaceTempView(sv)
+    try {
+      val columns = evolved.fieldNames.toSeq
+      val sql = dialect match {
+        case MsSqlCtDialect   => MergeSqlBuilder.mssqlCt(tv, sv, columns, cfg.keyColumn)
+        case SynapseLinkDialect => MergeSqlBuilder.synapseLink(tv, sv, columns, cfg.keyColumn)
+        case UpsertBlobDialect  => MergeSqlBuilder.upsertBlob(tv, sv, columns, cfg.keyColumn)
+      }
+      MergeSqlExecutor.merged(spark, sql)
+    } finally {
+      spark.catalog.dropTempView(tv)
+      spark.catalog.dropTempView(sv)
     }
   }
 

@@ -68,6 +68,69 @@ class CdcPipelineE2eSpec extends SparkSpec {
     assert(wms.get("t").exists(_.version >= wm1.version))
   }
 
+  test("mergeViaSql pipeline: MergeSqlBuilder→MergeSqlExecutor e2e equals the DataFrame path") {
+    // same two-batch blob stream through both merge routes — the rendered
+    // MERGE INTO text (parsed + executed) must land the identical target
+    // state the CdcMerge DataFrame dialect lands (the reference's Trino hop,
+    // JdbcMergeServiceClient.scala:62-91, closed end to end)
+    val srcDir = Files.createTempDirectory("blobsrc_sql").toString
+    val cfg = BlobSourceConfig(srcDir, "parquet", pkColumns = Seq("id"))
+
+    final case class Route(viaSql: Boolean) {
+      val wms = new InMemoryWatermarkStore
+      val target = new ParquetTarget(spark, Files.createTempDirectory("tgt_sql").toString)
+      val pipeline = new CdcPipeline(spark, UpsertBlobDialect,
+        PipelineConfig(maintenanceEvery = 0, mergeViaSql = viaSql), wms)
+      def consume(): Unit =
+        BlobListingSource.nextBatch(spark, cfg, wms.get("t")).foreach {
+          case (batch, wm) => pipeline.runBatch(target, "t", batch, wm)
+        }
+      def state: Map[Long, String] =
+        target.read().select("id", "payload").as[(Long, String)].collect().toMap
+    }
+    val df = Route(viaSql = false)
+    val sql = Route(viaSql = true)
+
+    Seq((1L, "v1"), (2L, "v1")).toDF("id", "payload")
+      .write.mode(SaveMode.Append).parquet(srcDir)
+    df.consume(); sql.consume()
+    assert(sql.state == df.state && df.state.sizeIs == 2)
+
+    Thread.sleep(1100) // distinct mtime second for batch 2
+    Seq((1L, "v2"), (3L, "v1")).toDF("id", "payload")
+      .write.mode(SaveMode.Append).parquet(srcDir)
+    df.consume(); sql.consume()
+    assert(sql.state == df.state, "SQL MERGE route diverges from the DataFrame route")
+    assert(df.state == Map(1L -> "v2", 2L -> "v1", 3L -> "v1"))
+  }
+
+  test("mergeViaSql handles soft deletes and schema evolution like the DataFrame path") {
+    def state(viaSql: Boolean): Seq[String] = {
+      val wms = new InMemoryWatermarkStore
+      val target = new ParquetTarget(spark, Files.createTempDirectory("tgt_sd").toString)
+      val pipeline = new CdcPipeline(spark, graft.operators.SynapseLinkDialect,
+        PipelineConfig(maintenanceEvery = 0, mergeViaSql = viaSql), wms)
+      val b1 = Seq(
+        ("k1", 1L, false, "a"), ("k2", 1L, false, "b"), ("k3", 1L, false, "c")
+      ).toDF("ARCANE_MERGE_KEY", "versionnumber", "IsDelete", "v")
+      pipeline.runBatch(target, "t", b1, Watermark.blob(1L))
+      // batch 2: update k1, tombstone k2, stale k3, new column "extra"
+      val b2 = Seq(
+        ("k1", 2L, false, "a2", "x"), ("k2", 2L, true, "b", "y"),
+        ("k3", 0L, false, "stale", "z"), ("k4", 1L, false, "d", "w")
+      ).toDF("ARCANE_MERGE_KEY", "versionnumber", "IsDelete", "v", "extra")
+      pipeline.runBatch(target, "t", b2, Watermark.blob(2L))
+      target.read()
+        .select("ARCANE_MERGE_KEY", "versionnumber", "IsDelete", "v", "extra")
+        .orderBy("ARCANE_MERGE_KEY").collect().map(_.toString).toSeq
+    }
+    val viaDf = state(viaSql = false)
+    val viaSql = state(viaSql = true)
+    assert(viaSql == viaDf, "soft-delete/evolution parity")
+    assert(viaDf.exists(_.contains("k4")) && !viaDf.exists(_.contains("k2")))
+    assert(viaDf.exists(r => r.contains("k3") && r.contains("c")), "stale update ignored")
+  }
+
   test("empty-batch short-circuit commits only the watermark") {
     val tgtDir = Files.createTempDirectory("tgt2").toString
     val wms = new InMemoryWatermarkStore
