@@ -1,6 +1,6 @@
 package graft.sources
 
-import graft.core.{MergeKey, Watermark}
+import graft.core.{MergeKey, RetryPolicy, Watermark}
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -41,21 +41,31 @@ object BlobListingSource {
     * watermark (reference filters `createdOn >= startFrom`; strict > here
     * because our watermark commits the max seen, making re-listing
     * idempotent). Returns (files, maxModTime).
+    *
+    * The whole listing (existence probe + recursive iteration) runs under
+    * `retry`: remote-store listings fail transiently in exactly the way the
+    * reference retries its Azure reads (AzureBlobStorageReader.scala:70),
+    * and a listing is idempotent so re-running it is always safe. The
+    * retry is around the complete pass — an IOException mid-iteration
+    * restarts the listing rather than resuming a half-consumed iterator.
     */
-  def listNewFiles(spark: SparkSession, path: String, afterMillis: Long): (Seq[String], Long) = {
+  def listNewFiles(spark: SparkSession, path: String, afterMillis: Long,
+                   retry: RetryPolicy = RetryPolicy()): (Seq[String], Long) = retry {
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) return (Nil, afterMillis)
-    val it = fs.listFiles(p, true)
-    val files = Seq.newBuilder[(String, Long)]
-    while (it.hasNext) {
-      val st = it.next()
-      if (st.isFile && !st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith(".")
-          && st.getModificationTime > afterMillis)
-        files += ((st.getPath.toString, st.getModificationTime))
+    if (!fs.exists(p)) (Nil, afterMillis)
+    else {
+      val it = fs.listFiles(p, true)
+      val files = Seq.newBuilder[(String, Long)]
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.isFile && !st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith(".")
+            && st.getModificationTime > afterMillis)
+          files += ((st.getPath.toString, st.getModificationTime))
+      }
+      val out = files.result()
+      (out.map(_._1), if (out.isEmpty) afterMillis else out.map(_._2).max)
     }
-    val out = files.result()
-    (out.map(_._1), if (out.isEmpty) afterMillis else out.map(_._2).max)
   }
 
   /** Read one change batch: files newer than `watermark`, enriched with
@@ -63,9 +73,10 @@ object BlobListingSource {
     * empty-batch short-circuit, reference T11).
     */
   def nextBatch(spark: SparkSession, cfg: BlobSourceConfig,
-                watermark: Option[Watermark]): Option[(DataFrame, Watermark)] = {
+                watermark: Option[Watermark],
+                retry: RetryPolicy = RetryPolicy()): Option[(DataFrame, Watermark)] = {
     val after = watermark.flatMap(w => w.version.toLongOption).getOrElse(Long.MinValue)
-    val (files, maxMod) = listNewFiles(spark, cfg.path, after)
+    val (files, maxMod) = listNewFiles(spark, cfg.path, after, retry)
     if (files.isEmpty) None
     else {
       val reader0 = spark.read.options(cfg.readerOptions)

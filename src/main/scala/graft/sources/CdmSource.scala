@@ -81,7 +81,8 @@ object CdmSource {
     * file is absent (no batch in progress / legacy layout), in which case
     * all listed folders are eligible.
     */
-  def readInProgressFolder(spark: SparkSession, root: String): Option[String] = {
+  def readInProgressFolder(spark: SparkSession, root: String,
+                           retry: graft.core.RetryPolicy = graft.core.RetryPolicy()): Option[String] = retry {
     val p = new Path(root, "Changelog/changelog.info")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) None
@@ -102,19 +103,24 @@ object CdmSource {
     * Synapse reader needs.
     */
   def listCompleteBatchFolders(spark: SparkSession, root: String,
-                               afterFolder: Option[String]): Seq[String] =
-    listBatchFolders(spark, root, afterFolder, readInProgressFolder(spark, root))
+                               afterFolder: Option[String],
+                               retry: graft.core.RetryPolicy = graft.core.RetryPolicy()): Seq[String] =
+    listBatchFolders(spark, root, afterFolder,
+      readInProgressFolder(spark, root, retry), retry)
 
   /** Batch folders under `root` with names in (afterFolder, beforeFolder],
     * sorted ascending — `yyyy-MM-ddTHH.mm.ssZ` names sort chronologically as
     * strings, which is exactly how the reference prunes by hour prefix.
+    * Listing runs under `retry`, like [[BlobListingSource.listNewFiles]]
+    * (ref AzureBlobStorageReader.scala:70 retries its Azure listings).
     */
   def listBatchFolders(spark: SparkSession, root: String,
-                       afterFolder: Option[String], inProgress: Option[String]): Seq[String] = {
+                       afterFolder: Option[String], inProgress: Option[String],
+                       retry: graft.core.RetryPolicy = graft.core.RetryPolicy()): Seq[String] = retry {
     val p = new Path(root)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) return Nil
-    fs.listStatus(p).toSeq
+    if (!fs.exists(p)) Nil
+    else fs.listStatus(p).toSeq
       .filter(_.isDirectory)
       .map(_.getPath.getName)
       .filter(n => n.matches("""\d{4}-\d{2}-\d{2}T\d{2}\.\d{2}\.\d{2}Z"""))

@@ -166,7 +166,7 @@ final class CdcPipeline(spark: SparkSession, dialect: MergeDialect,
     val rnd = new java.util.Random(42) // seeded, like the reference's jitter RNG
     while (!stopped && polls < maxPolls) {
       val wm = watermarks.get(targetName)
-      BlobListingSource.nextBatch(spark, cfgSrc, wm) match {
+      BlobListingSource.nextBatch(spark, cfgSrc, wm, retry) match {
         case Some((batch, newWm)) => runBatch(target, targetName, batch, newWm)
         case None =>
           val sleep = (pollIntervalMs * (1.0 + jitter * (rnd.nextDouble() * 2 - 1))).toLong
