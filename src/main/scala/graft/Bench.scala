@@ -77,6 +77,28 @@ object Bench {
       resetState() // off the clock — the next query starts on a clean JVM
       name -> sec
     }
+    // ANN recall@5 at the bench SF (logged, not gated, off the clock): the
+    // sf0.001 floors in AnnRecallSpec guard regressions, but codebook/LSH
+    // drift at the bench scale is only visible if each round records it.
+    try {
+      import org.apache.spark.sql.functions.col
+      import graft.functions.VectorSimilarity
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val queries = emb.filter(col("vec_id") < 10)
+      def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+        df.select("query_id", "corpus_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val exact = pairs(VectorSimilarity.bruteForceTopK(emb, queries, 5))
+      val ivf = pairs(VectorSimilarity.ivfTopK(emb, queries, 5,
+        nprobe = 4, maxCentroids = 64)).intersect(exact).size.toDouble / exact.size
+      val lsh = pairs(VectorSimilarity.lshTopK(emb, queries, 5,
+        nbits = 4, dim = 64, tables = 16)).intersect(exact).size.toDouble / exact.size
+      System.err.println(f"[bench] ann_recall@5 ivf=$ivf%.3f lsh=$lsh%.3f (sf=$sfDir)")
+      resetState()
+    } catch {
+      case e: Throwable => System.err.println(s"[bench] ann_recall measurement failed: $e")
+    }
+
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
