@@ -245,10 +245,19 @@ object TextFunctions {
   /** Word-bigram [[md5Hash60]] hashes (`array<long>`) — SQL-expressible
     * twin of [[wordNgramHashes]] for the oracle-bearing SimHash query:
     * words are the `\s+` split of the raw text (empties dropped), bigram i
-    * = words(i) + " " + words(i+1). Word array let-bound like
-    * [[charShingles]] so the split runs once per row, not once per bigram.
+    * = words(i) + " " + words(i+1). Fused single-pass kernel
+    * ([[expressions.Md5BigramHashesExpr]]); the composed HOF form below is
+    * kept for the parity pin.
     */
-  def wordBigramHashes60(text: Column): Column =
+  def wordBigramHashes60(text: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(expressions.Md5BigramHashesExpr(ColumnBridge.expression(text)))
+  }
+
+  /** HOF-composed twin of [[wordBigramHashes60]] (interpreted per element —
+    * parity-test only; measured 4× slower at sf0.1).
+    */
+  private[graft] def wordBigramHashes60Composed(text: Column): Column =
     flatten(transform(array(filter(split(text, "\\s+"), w => w =!= "")), ws =>
       when(size(ws) < 2, array().cast("array<long>")).otherwise(
         transform(sequence(lit(1), size(ws) - 1),
@@ -263,9 +272,17 @@ object TextFunctions {
     * run of >= w + k - 1 characters yields a shared fingerprint. Tie /
     * consecutive-repeat handling differs from [[expressions.WinnowExpr]]
     * positionally but the selected VALUE set is identical for a given hash
-    * family. Gram-hash array let-bound like [[charShingles]].
+    * family. Fused single-pass kernel ([[expressions.Md5WinnowExpr]]).
     */
-  def winnowedFingerprints60(text: Column, k: Int, w: Int): Column =
+  def winnowedFingerprints60(text: Column, k: Int, w: Int): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(expressions.Md5WinnowExpr(ColumnBridge.expression(text), k, w))
+  }
+
+  /** HOF-composed twin of [[winnowedFingerprints60]] (interpreted per
+    * element — parity-test only; measured 10× slower at sf0.1).
+    */
+  private[graft] def winnowedFingerprints60Composed(text: Column, k: Int, w: Int): Column =
     flatten(transform(array(lower(text)), t =>
       flatten(transform(array(
         when(length(t) < k, array().cast("array<long>")).otherwise(

@@ -31,6 +31,26 @@ class Md5HashFamilySpec extends SparkSpec {
     assert(got(1).isEmpty && got(2).isEmpty, "fewer than 2 words → empty")
   }
 
+  test("fused kernels match the HOF-composed forms on the corpus + fixtures") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet").limit(100)
+      .select($"text").union(Seq("", " ", "one", "a b", "a  b\tc\nd",
+        "the quick brown fox jumps over the lazy dog").toDF("text"))
+    val bigrams = docs.select(
+      TextFunctions.wordBigramHashes60($"text").as("fused"),
+      TextFunctions.wordBigramHashes60Composed($"text").as("composed"))
+      .collect()
+    bigrams.foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1), "bigram hash parity")
+    }
+    val winnow = docs.select(
+      TextFunctions.winnowedFingerprints60($"text", 5, 8).as("fused"),
+      TextFunctions.winnowedFingerprints60Composed($"text", 5, 8).as("composed"))
+      .collect()
+    winnow.foreach { r =>
+      assert(r.getSeq[Long](0).sorted == r.getSeq[Long](1).sorted, "winnow parity")
+    }
+  }
+
   test("winnowedFingerprints60: shared run >= w+k-1 chars shares a fingerprint") {
     val run = "the quick brown fox jumps over"   // 30 chars >= 8+5-1
     val df = Seq(
