@@ -90,6 +90,15 @@ object GraftExtensions {
       arity(args, 2, "graft_winnow")
       WinnowExpr(args.head, intLit(args, 1, "graft_winnow"))
     },
+    "graft_md5_word_ngram_hashes" -> { args =>
+      arity(args, 2, "graft_md5_word_ngram_hashes")
+      Md5WordNgramHashesExpr(args.head, intLit(args, 1, "graft_md5_word_ngram_hashes"))
+    },
+    "graft_md5_winnow" -> { args =>
+      arity(args, 3, "graft_md5_winnow")
+      Md5WinnowExpr(args.head, intLit(args, 1, "graft_md5_winnow"),
+        intLit(args, 2, "graft_md5_winnow"))
+    },
     "graft_hyperplane_buckets" -> { args =>
       arity(args, 4, "graft_hyperplane_buckets")
       HyperplaneBucketsExpr(args.head,

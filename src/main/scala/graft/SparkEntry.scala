@@ -969,6 +969,41 @@ object SparkEntry {
         .select(col("doc_id")).orderBy(col("doc_id"))
     }),
 
+    // GPT-3-style EXACT-overlap decontamination (Brown et al. 2020 app. C):
+    // a train doc sharing ANY 13-gram with a test doc is dropped — vs
+    // doc_decontaminate's near-dup Jaccard threshold. Posting-list
+    // semi-join on md5Hash60 13-gram hashes (8-byte keys shuffle, gram
+    // strings never move); the oracle joins the same grams as strings.
+    "doc_decontaminate_exact" -> ((s, dir) => {
+      val withSplit = t(s, dir, "documents").withColumn("split",
+        Sampling.assignSplit(col("doc_id"), Seq("test" -> 0.05, "val" -> 0.05)))
+      val train = withSplit.filter(col("split") === "train")
+      val testDocs = withSplit.filter(col("split") === "test")
+      val contaminated = NgramJaccard.exactOverlapIds(train, testDocs, "doc_id",
+        TextFunctions.wordNgramHashes60(col("text"), 13))
+      train.join(contaminated, Seq("doc_id"), "left_anti")
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }),
+
+    // PII scrubbing (redaction before tokenization): the corpus itself is
+    // clean, so deterministic synthetic PII is appended per row — every
+    // row exercises all four classes — then scrubbed; per-class counts
+    // over the raw text. Map-side regexp chain, RE2-compatible patterns
+    // so the oracle replays the scrub verbatim.
+    "doc_pii_scrub" -> ((s, dir) => {
+      val injected = concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@example.com from 10.0."),
+        pmod(col("doc_id"), lit(200L)).cast("string"),
+        lit(".77 ssn 987-65-4321 tel +1 (555) 123-4567"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.scrubPii(injected).as("scrubbed"),
+          TextFunctions.piiCounts(injected).as("pii"))
+        .select(col("doc_id"), col("scrubbed"), col("pii.n_email"),
+          col("pii.n_ssn"), col("pii.n_ip"), col("pii.n_phone"))
+        .orderBy(col("doc_id"))
+    }),
+
     // context chunking for embedding/RAG prep: 32-token windows with
     // 8-token overlap, map-side explode — no shuffle before the sink
     "doc_chunks" -> ((s, dir) => {
@@ -2042,6 +2077,48 @@ object SparkEntry {
            |SELECT doc_id FROM t
            |WHERE split = 'train' AND doc_id NOT IN (SELECT ia FROM bad)
            |ORDER BY doc_id""".stripMargin,
+
+      // same split thresholds as doc_decontaminate; 13-grams joined as
+      // strings (Spark joins their md5Hash60 hashes — same membership)
+      "doc_decontaminate_exact" ->
+        s"""WITH t AS (SELECT doc_id, text,
+           |    CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '${Sampling.thresholdHex(0.05)}' THEN 'test'
+           |         WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '${Sampling.thresholdHex(0.10)}' THEN 'val'
+           |         ELSE 'train' END AS split
+           |  FROM documents),
+           |tk AS (SELECT doc_id, split,
+           |        list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS ws
+           |       FROM t WHERE split != 'val'),
+           |g AS (SELECT DISTINCT doc_id, split, array_to_string(ws[i:i+12], ' ') AS gram
+           |      FROM tk, LATERAL (SELECT unnest(range(1, len(ws) - 11)) AS i) r),
+           |bad AS (SELECT DISTINCT a.doc_id FROM g a
+           |        WHERE a.split = 'train'
+           |          AND a.gram IN (SELECT gram FROM g WHERE split = 'test'))
+           |SELECT doc_id FROM t
+           |WHERE split = 'train' AND doc_id NOT IN (SELECT doc_id FROM bad)
+           |ORDER BY doc_id""".stripMargin,
+
+      // replays injection + the scrub chain + raw counts; patterns and
+      // replacements INTERPOLATED from TextFunctions.PiiPatterns so the two
+      // engines can never drift (RE2-and-Java-regex compatible by
+      // construction)
+      "doc_pii_scrub" -> {
+        val scrubChain = TextFunctions.PiiPatterns.foldLeft("raw") {
+          case (acc, (_, p, r)) => s"regexp_replace($acc, '$p', '$r', 'g')"
+        }
+        val countCols = TextFunctions.PiiPatterns.map { case (name, p, _) =>
+          s"CAST(len(regexp_extract_all(raw, '$p')) AS BIGINT) AS n_$name"
+        }.mkString(",\n  ")
+        s"""WITH inj AS (SELECT doc_id,
+           |    concat(text, ' contact user', doc_id, '@example.com from 10.0.',
+           |           doc_id % 200, '.77 ssn 987-65-4321 tel +1 (555) 123-4567') AS raw
+           |  FROM documents)
+           |SELECT doc_id,
+           |  $scrubChain AS scrubbed,
+           |  $countCols
+           |FROM inj
+           |ORDER BY doc_id""".stripMargin
+      },
 
       "doc_chunks" ->
         """WITH tk AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks

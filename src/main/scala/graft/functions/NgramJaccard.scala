@@ -115,4 +115,22 @@ object NgramJaccard {
       .select(col("__lid").as("id_left"), col("__rid").as("id_right"),
         col("jaccard"))
   }
+
+  /** Left-side ids sharing ANY gram with the right side — GPT-3-style exact
+    * n-gram decontamination (any 13-gram collision with a benchmark
+    * document marks the training document contaminated; Brown et al. 2020
+    * appendix C — public paper). A posting-list semi-join: left explodes to
+    * (id, gram), right reduces to a distinct gram set, contaminated ids =
+    * semi-join on gram. Cost is linear in gram counts plus one equi-join
+    * shuffle — no pair space and no similarity math, which is the point:
+    * ANY overlap disqualifies, however dissimilar the documents otherwise
+    * are. [[bipartitePairs]] is the complementary near-duplicate form.
+    * Callers anti-join the result against the training side.
+    */
+  def exactOverlapIds(left: DataFrame, right: DataFrame, idCol: String,
+                      ngrams: Column): DataFrame = {
+    val lg = left.select(col(idCol), explode(array_distinct(ngrams)).as("__gram"))
+    val rg = right.select(explode(array_distinct(ngrams)).as("__gram")).distinct()
+    lg.join(rg, Seq("__gram"), "left_semi").select(idCol).distinct()
+  }
 }

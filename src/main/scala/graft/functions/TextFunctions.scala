@@ -249,9 +249,14 @@ object TextFunctions {
     * ([[expressions.Md5BigramHashesExpr]]); the composed HOF form below is
     * kept for the parity pin.
     */
-  def wordBigramHashes60(text: Column): Column = {
+  def wordBigramHashes60(text: Column): Column = wordNgramHashes60(text, 2)
+
+  /** md5Hash60 word n-gram hashes — the general form (n = 13 is the
+    * exact-overlap decontamination gram size).
+    */
+  def wordNgramHashes60(text: Column, n: Int): Column = {
     import org.apache.spark.sql.graft.ColumnBridge
-    ColumnBridge.column(expressions.Md5BigramHashesExpr(ColumnBridge.expression(text)))
+    ColumnBridge.column(expressions.Md5WordNgramHashesExpr(ColumnBridge.expression(text), n))
   }
 
   /** HOF-composed twin of [[wordBigramHashes60]] (interpreted per element —
@@ -291,6 +296,38 @@ object TextFunctions {
         when(size(hs) < w, array().cast("array<long>")).otherwise(
           array_distinct(transform(sequence(lit(1), size(hs) - (w - 1)),
             p => array_min(slice(hs, p, lit(w))))))))))
+
+  /** PII classes for scrubbing, as (name, pattern, replacement) in
+    * application order — emails first (they embed digits/dots that later
+    * classes could otherwise chew on), then SSN before the generic phone
+    * shape. Patterns use only syntax valid in BOTH Java regex (Spark) and
+    * RE2 (DuckDB): no lookaround, no backreferences, ASCII classes — so a
+    * DuckDB oracle replays the scrub verbatim.
+    */
+  private[graft] val PiiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ssn", "\\b\\d{3}-\\d{2}-\\d{4}\\b", "<SSN>"),
+    ("ip", "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b", "<IP>"),
+    ("phone", "(?:\\+?\\d{1,3}[-. ]?)?\\(?\\d{3}\\)?[-. ]?\\d{3}[-. ]?\\d{4}\\b", "<PHONE>"))
+
+  /** Scrub PII spans (emails, SSNs, IPv4s, phone-shaped numbers) to typed
+    * placeholders — the redaction step every public-web training corpus
+    * runs before tokenization. One map-side chain of codegen'd
+    * regexp_replace calls; deliberately conservative (a phone-shaped digit
+    * run is scrubbed even when it isn't a phone — false positives cost a
+    * token, false negatives leak PII).
+    */
+  def scrubPii(text: Column): Column =
+    PiiPatterns.foldLeft(text) { case (acc, (_, p, r)) => regexp_replace(acc, p, r) }
+
+  /** Per-class PII match counts over the RAW text (audit/reporting side of
+    * [[scrubPii]]): struct<n_email, n_ssn, n_ip, n_phone>. Counted
+    * independently per class, before any replacement.
+    */
+  def piiCounts(text: Column): Column =
+    struct(PiiPatterns.map { case (name, p, _) =>
+      regexp_count(text, lit(p)).cast("long").as(s"n_$name")
+    }: _*)
 
   /** Exact Jaccard similarity of two array columns. */
   def jaccard(a: Column, b: Column): Column = {

@@ -48,10 +48,11 @@ object Md5Family {
   private def isWs(c: Char): Boolean =
     c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
 
-  /** md5Hash60 of each adjacent word bigram ("a b"), words = `\s+` split
-    * with empties dropped. Empty/one-word texts → empty array.
+  /** md5Hash60 of each word n-gram ("w1 w2 ... wn", space-joined), words =
+    * `\s+` split with empties dropped. Texts with fewer than n words →
+    * empty array.
     */
-  def bigramHashes(input: UTF8String): ArrayData = {
+  def ngramHashes(input: UTF8String, ngram: Int): ArrayData = {
     val s = input.toString
     val words = new java.util.ArrayList[String]()
     var i = 0
@@ -63,13 +64,18 @@ object Md5Family {
       if (i > start) words.add(s.substring(start, i))
     }
     val m = words.size
-    if (m < 2) return new GenericArrayData(Array.empty[Any])
-    val out = new Array[Any](m - 1)
+    if (m < ngram) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](m - ngram + 1)
     val sb = new java.lang.StringBuilder
     var j = 0
-    while (j < m - 1) {
+    while (j <= m - ngram) {
       sb.setLength(0)
-      sb.append(words.get(j)).append(' ').append(words.get(j + 1))
+      var q = 0
+      while (q < ngram) {
+        if (q > 0) sb.append(' ')
+        sb.append(words.get(j + q))
+        q += 1
+      }
       out(j) = hash60(sb.toString)
       j += 1
     }
@@ -111,22 +117,24 @@ object Md5Family {
   }
 }
 
-/** `array<long>` of md5Hash60 word-bigram hashes — see [[Md5Family]]. */
-case class Md5BigramHashesExpr(child: Expression) extends UnaryExpression {
+/** `array<long>` of md5Hash60 word-n-gram hashes — see [[Md5Family]]. */
+case class Md5WordNgramHashesExpr(child: Expression, n: Int) extends UnaryExpression {
+
+  require(n >= 1, "n-gram size must be >= 1")
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
   override protected def nullSafeEval(input: Any): Any =
-    Md5Family.bigramHashes(input.asInstanceOf[UTF8String])
+    Md5Family.ngramHashes(input.asInstanceOf[UTF8String], n)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.functions.expressions.Md5Family.bigramHashes($c);")
+      s"${ev.value} = graft.functions.expressions.Md5Family.ngramHashes($c, $n);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 
-  override def prettyName: String = "md5_bigram_hashes"
+  override def prettyName: String = "md5_word_ngram_hashes"
 }
 
 /** `array<long>` of distinct winnowed md5Hash60 fingerprints — see

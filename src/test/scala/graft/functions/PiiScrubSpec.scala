@@ -1,0 +1,47 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** PII scrubbing: class coverage, replacement order, and the conservative
+  * false-positive stance. The corpus-level DuckDB oracle (`doc_pii_scrub`)
+  * replays the same chain over injected PII; these pin the per-class
+  * behavior on hand-written fixtures.
+  */
+class PiiScrubSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def scrub(s: String): String =
+    Seq(s).toDF("t").select(TextFunctions.scrubPii($"t")).as[String].collect().head
+
+  private def counts(s: String): (Long, Long, Long, Long) = {
+    val r = Seq(s).toDF("t").select(TextFunctions.piiCounts($"t").as("p"))
+      .select($"p.n_email", $"p.n_ssn", $"p.n_ip", $"p.n_phone").collect().head
+    (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+  }
+
+  test("each class is replaced with its typed placeholder") {
+    assert(scrub("mail a.b+c_d%e@sub.domain.org now") == "mail <EMAIL> now")
+    assert(scrub("ssn is 123-45-6789.") == "ssn is <SSN>.")
+    assert(scrub("host 192.168.001.255 down") == "host <IP> down")
+    assert(scrub("call +1 (555) 123-4567 or 555.123.4567") == "call <PHONE> or <PHONE>")
+  }
+
+  test("classes compose in one text and do not corrupt each other") {
+    val s = "u1@x.io, 10.0.0.1, 123-45-6789, +44 123 456 7890"
+    assert(scrub(s) == "<EMAIL>, <IP>, <SSN>, <PHONE>")
+    assert(counts(s) == (1L, 1L, 1L, 1L))
+    // an SSN-shaped span is NOT also counted as a phone (3-2-4 != 3-3-4)
+    assert(counts("123-45-6789") == (0L, 1L, 0L, 0L))
+  }
+
+  test("conservative stance: phone-shaped digit runs scrub even without context") {
+    assert(scrub("order id 555 123 4567 shipped") == "order id <PHONE> shipped")
+  }
+
+  test("clean text passes through untouched with zero counts") {
+    val clean = "a perfectly ordinary sentence with numbers like 12 and 345"
+    assert(scrub(clean) == clean)
+    assert(counts(clean) == (0L, 0L, 0L, 0L))
+  }
+}
