@@ -90,6 +90,9 @@ object GraftExtensions {
       arity(args, 2, "graft_winnow")
       WinnowExpr(args.head, intLit(args, 1, "graft_winnow"))
     },
+    "graft_char_entropy" -> { args =>
+      arity(args, 1, "graft_char_entropy"); CharEntropyExpr(args.head)
+    },
     "graft_md5_word_ngram_hashes" -> { args =>
       arity(args, 2, "graft_md5_word_ngram_hashes")
       Md5WordNgramHashesExpr(args.head, intLit(args, 1, "graft_md5_word_ngram_hashes"))

@@ -1042,6 +1042,16 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("chunk_idx"))
     }),
 
+    // character-distribution entropy (gibberish / encoded-blob signal):
+    // fused map-side pass — the composed explode → groupBy form would
+    // shuffle |corpus chars| rows for a per-row-computable value
+    "text_char_entropy" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          round(TextFunctions.charEntropy(col("text")), 4).as("entropy_bits"))
+        .orderBy(col("doc_id"))
+    }),
+
     // corpus token histogram (vocabulary building): explode + partial-agg
     // count, top 100 with total tie-order
     "text_token_histogram" -> ((s, dir) => {
@@ -2147,6 +2157,17 @@ object SparkEntry {
           |             ELSE CAST(ceil((n - 32) / 24.0) AS BIGINT) + 1 END)) AS i) r)
           |SELECT doc_id, chunk_idx, chunk FROM c
           |ORDER BY doc_id, chunk_idx""".stripMargin,
+
+      // + 0.0 normalizes the single-distinct-char -0.0 like the expression
+      "text_char_entropy" ->
+        """WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents),
+          |cnt AS (SELECT doc_id, c, count(*) AS k FROM ch GROUP BY 1, 2),
+          |tot AS (SELECT doc_id, sum(k) AS n FROM cnt GROUP BY 1),
+          |e AS (SELECT cnt.doc_id, -sum((k * 1.0 / n) * log2(k * 1.0 / n)) AS ent
+          |      FROM cnt JOIN tot USING (doc_id) GROUP BY cnt.doc_id)
+          |SELECT d.doc_id, round(coalesce(e.ent, 0.0), 4) + 0.0 AS entropy_bits
+          |FROM documents d LEFT JOIN e USING (doc_id)
+          |ORDER BY d.doc_id""".stripMargin,
 
       "text_token_histogram" ->
         """SELECT token, CAST(count(*) AS BIGINT) AS n

@@ -329,6 +329,16 @@ object TextFunctions {
       regexp_count(text, lit(p)).cast("long").as(s"n_$name")
     }: _*)
 
+  /** Shannon entropy (bits) of the character distribution — see
+    * [[expressions.CharEntropyExpr]]. Low entropy flags repeated-char spam,
+    * high (near log2 of the alphabet) flags base64/hex blobs; prose sits in
+    * between. Fused map-side pass, oracle-replayable.
+    */
+  def charEntropy(text: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(expressions.CharEntropyExpr(ColumnBridge.expression(text)))
+  }
+
   /** Exact Jaccard similarity of two array columns. */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")

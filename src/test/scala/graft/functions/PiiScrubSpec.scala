@@ -45,3 +45,37 @@ class PiiScrubSpec extends SparkSpec {
     assert(counts(clean) == (0L, 0L, 0L, 0L))
   }
 }
+
+/** Character-distribution entropy: hand-computed fixtures plus the
+  * quality-signal ordering (prose between spam and uniform blobs).
+  */
+class CharEntropySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ent(s: String): Double =
+    Seq(s).toDF("t").select(TextFunctions.charEntropy($"t")).as[Double].collect().head
+
+  test("hand-computed values: empty, uniform, skewed") {
+    assert(ent("") == 0.0)
+    assert(ent("aaaa") == 0.0 && !(1.0 / ent("aaaa") < 0), "no IEEE -0.0 leaks")
+    assert(math.abs(ent("ab") - 1.0) < 1e-12)
+    assert(math.abs(ent("abcd") - 2.0) < 1e-12)
+    // p = (1/2, 1/4, 1/4) → 1.5 bits
+    assert(math.abs(ent("aabc") - 1.5) < 1e-12)
+  }
+
+  test("quality ordering: repeated-char spam < prose < uniform blob") {
+    val spam = "aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa"
+    val prose = "the quick brown fox jumps over the lazy dog near the river bank"
+    val blob = ('!' to 'z').mkString // ~uniform over 90 distinct chars
+    assert(ent(spam) < 1.0 && ent(prose) > 3.5 && ent(prose) < 5.0)
+    assert(ent(blob) > ent(prose))
+  }
+
+  test("SQL surface: graft_char_entropy registered") {
+    graft.GraftExtensions.register(spark)
+    val v = spark.sql("SELECT graft_char_entropy('abcd') AS e")
+      .as[Double].collect().head
+    assert(math.abs(v - 2.0) < 1e-12)
+  }
+}

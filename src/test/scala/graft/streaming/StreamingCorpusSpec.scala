@@ -95,6 +95,37 @@ class StreamingCorpusSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  // PII scrubbing is a stateless regexp projection, so continuous ingest
+  // redacts identically to the batch pass — no state store, no watermark.
+  test("PII scrub runs identically under streaming and batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq(
+      Doc(1L, "reach me at a.user@mail.example.org or +1 (555) 123-4567"),
+      Doc(2L, "server 10.20.30.40 logged ssn 123-45-6789 in plaintext"),
+      Doc(3L, "nothing sensitive here at all"))
+    val input = MemoryStream[Doc]
+    val q = input.toDS().toDF()
+      .select($"doc_id", TextFunctions.scrubPii($"text").as("scrubbed"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("pii_stream_out")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("piickpt").toString)
+      .start()
+    try {
+      input.addData(docs: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("pii_stream_out")
+        .as[(Long, String)].collect().toMap
+      val batch = docs.toDF()
+        .select($"doc_id", TextFunctions.scrubPii($"text").as("scrubbed"))
+        .as[(Long, String)].collect().toMap
+      assert(streamed == batch)
+      assert(streamed(1L) == "reach me at <EMAIL> or <PHONE>")
+      assert(streamed(2L) == "server <IP> logged ssn <SSN> in plaintext")
+      assert(streamed(3L) == docs(2).text)
+    } finally q.stop()
+  }
+
   test("CorpusPipeline.prepare applies the repetition caps when configured") {
     val docs = Seq(
       Doc(1L, "the quick brown fox jumps over the lazy dog and runs to the river"),
