@@ -26,7 +26,11 @@ final case class RetryPolicy(baseDelay: FiniteDuration = 100.millis,
                              mode: RetryPolicy.Mode = RetryPolicy.Always,
                              isBackfilling: Boolean = false,
                              sleeper: Long => Unit = Thread.sleep,
-                             jitter: () => Double = () => Random.nextDouble()) {
+                             jitter: () => Double = () => Random.nextDouble(),
+                             // observability hook, fired once per retried
+                             // failure BEFORE the backoff sleep (the
+                             // reference logs each retry of its schedule)
+                             onRetry: (Int, Throwable) => Unit = (_, _) => ()) {
 
   require(maxAttempts >= 0 && scaleFactor >= 1.0)
 
@@ -68,7 +72,8 @@ final case class RetryPolicy(baseDelay: FiniteDuration = 100.millis,
         }
       out match {
         case Right(a) => a
-        case Left(_) =>
+        case Left(t) =>
+          onRetry(attempt, t)
           sleeper(delayMillis(attempt))
           loop(attempt + 1)
       }

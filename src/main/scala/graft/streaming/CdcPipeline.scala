@@ -35,7 +35,14 @@ final case class PipelineConfig(
 
 final class CdcPipeline(spark: SparkSession, dialect: MergeDialect,
                         cfg: PipelineConfig, watermarks: WatermarkStore,
-                        retry: RetryPolicy = RetryPolicy()) {
+                        retry0: RetryPolicy = RetryPolicy()) {
+
+  // every retried transient failure surfaces in the metrics, composing with
+  // whatever hook the caller installed (reference logs its retry schedule)
+  private val retry: RetryPolicy = retry0.copy(onRetry = (a, t) => {
+    retry0.onRetry(a, t)
+    GraftMetrics.inc(GraftMetrics.RetryAttempts)
+  })
 
   @volatile private var batchCount: Long = 0L
 

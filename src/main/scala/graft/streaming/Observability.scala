@@ -39,6 +39,7 @@ object GraftMetrics {
   val DisposeDuration = "arcane.stream.batch.dispose_duration"
   val WatermarkAge = "arcane.stream.watermark.age"
   val WatermarkUpdates = "arcane.stream.watermark.updates"
+  val RetryAttempts = "arcane.stream.retry.attempts"
   val BackfillShardsStaged = "arcane.stream.backfill.shards_staged"
   val BackfillShardsCombined = "arcane.stream.backfill.shards_combined"
   val TargetOptimizeDuration = "arcane.stream.target.optimize_duration"

@@ -72,6 +72,25 @@ class RetrySpec extends SparkSpec {
     assert(out == "done" && calls2 == 2)
   }
 
+  test("onRetry hook fires once per retried failure with the attempt index") {
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Int, String)]
+    var calls = 0
+    val out = policy().copy(onRetry = (a, t) => seen += ((a, t.getMessage))) {
+      calls += 1
+      if (calls <= 2) throw new IOException(s"blip $calls") else "done"
+    }
+    assert(out == "done")
+    assert(seen.toSeq == Seq((0, "blip 1"), (1, "blip 2")),
+      "hook sees each retried failure, not the terminal success")
+    // terminal (non-retriable) failures do NOT fire the hook
+    seen.clear()
+    intercept[IllegalStateException](
+      policy().copy(onRetry = (a, t) => seen += ((a, t.getMessage))) {
+        throw new IllegalStateException("fatal")
+      })
+    assert(seen.isEmpty)
+  }
+
   test("watermark commit survives a transient store failure") {
     val inner = new InMemoryWatermarkStore
     var fails = 2

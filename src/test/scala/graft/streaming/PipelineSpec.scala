@@ -143,6 +143,29 @@ class CdcPipelineE2eSpec extends SparkSpec {
     assert(wms.get("t").isDefined)
   }
 
+  test("retried watermark commits surface in the retry-attempts metric") {
+    import graft.core.{RetryPolicy, WatermarkStore}
+    val inner = new InMemoryWatermarkStore
+    var fails = 2
+    val flaky = new WatermarkStore {
+      override def get(t: String) = inner.get(t)
+      override def set(t: String, wm: Watermark): Unit = {
+        if (fails > 0) { fails -= 1; throw new java.io.IOException("blip") }
+        inner.set(t, wm)
+      }
+    }
+    val before = GraftMetrics.counter(GraftMetrics.RetryAttempts)
+    val pipeline = new CdcPipeline(spark, UpsertBlobDialect, PipelineConfig(),
+      flaky, RetryPolicy(sleeper = _ => ()))
+    val empty = Seq.empty[(String, Long, String)]
+      .toDF("ARCANE_MERGE_KEY", "createdon", "v")
+    pipeline.runBatch(new ParquetTarget(spark,
+      Files.createTempDirectory("tgt_rm").toString), "t", empty, Watermark.blob(9L))
+    assert(inner.get("t").isDefined, "commit eventually succeeded")
+    assert(GraftMetrics.counter(GraftMetrics.RetryAttempts) == before + 2,
+      "each retried transient failure counted once")
+  }
+
   test("backfill overwrite: dedup + tombstone filter + swap") {
     val tgtDir = Files.createTempDirectory("tgt3").toString
     val wms = new InMemoryWatermarkStore

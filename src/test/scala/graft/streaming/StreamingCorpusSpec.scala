@@ -13,6 +13,7 @@ import org.apache.spark.sql.functions._
   * batch pipeline applies, row by row, with no state store.
   */
 case class CorpusDoc(doc_id: Long, text: String)
+case class SourcedDoc(doc_id: Long, text: String, source: String)
 
 class StreamingCorpusSpec extends SparkSpec {
   import spark.implicits._
@@ -123,6 +124,45 @@ class StreamingCorpusSpec extends SparkSpec {
       assert(streamed(1L) == "reach me at <EMAIL> or <PHONE>")
       assert(streamed(2L) == "server <IP> logged ssn <SSN> in plaintext")
       assert(streamed(3L) == docs(2).text)
+    } finally q.stop()
+  }
+
+  // Budgeted mixtures are two-phase by nature: per-source token totals are
+  // measured batch-side over the historical corpus (one bounded agg), and
+  // the derived rates are a stateless per-key hash filter — so the SAME
+  // rate map applies unchanged inside a streaming query over new ingest.
+  test("budget-derived mixture rates apply statelessly under streaming") {
+    implicit val sqlCtx = spark.sqlContext
+    val historical = (0 until 400)
+      .map(i => SourcedDoc(i.toLong, "tok " * (i % 5 + 1), s"s${i % 2}"))
+    val tok = length(col("text")).cast("long")
+    val rates = Sampling.mixtureWeights(
+      Sampling.tokensBySource(historical.toDF(), col("source"), tok),
+      Map("s0" -> 0.6, "s1" -> 0.4), tokenBudget = 500L)
+    assert(rates.values.forall(r => r > 0.0 && r < 1.0), "nontrivial rates")
+
+    val arrivals = (400 until 500)
+      .map(i => SourcedDoc(i.toLong, "tok " * (i % 5 + 1), s"s${i % 3}"))
+    val input = MemoryStream[SourcedDoc]
+    val q = Sampling.mixtureSample(input.toDS().toDF(),
+        col("doc_id"), col("source"), rates, defaultRate = 0.0)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("mix_stream_out")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("mixckpt").toString)
+      .start()
+    try {
+      input.addData(arrivals: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("mix_stream_out")
+        .select($"doc_id").as[Long].collect().toSet
+      val batch = Sampling.mixtureSample(arrivals.toDF(),
+          col("doc_id"), col("source"), rates, defaultRate = 0.0)
+        .select($"doc_id").as[Long].collect().toSet
+      assert(streamed == batch)
+      assert(streamed.nonEmpty && streamed.size < arrivals.size)
+      // s2 has no configured share → excluded entirely (defaultRate 0)
+      assert(!streamed.exists(id => id % 3 == 2))
     } finally q.stop()
   }
 
