@@ -73,6 +73,29 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("budget-mixture rates: bounded, monotone in budget, cap at source size") {
+    import graft.functions.Sampling
+    val tokensGen = Gen.mapOf(Gen.zip(
+      Gen.oneOf("web", "code", "books", "wiki"),
+      Gen.chooseNum(1L, 1000000L)))
+    val weightsGen = Gen.mapOf(Gen.zip(
+      Gen.oneOf("web", "code", "books", "wiki"),
+      Gen.chooseNum(0.05, 1.0)))
+    forAllSampled2(tokensGen, weightsGen, n = 25) { (tokens, weights) =>
+      val lo = Sampling.mixtureWeights(tokens, weights, tokenBudget = 10000L)
+      val hi = Sampling.mixtureWeights(tokens, weights, tokenBudget = 100000L)
+      assert(lo.keySet == weights.keySet, "one rate per configured source")
+      lo.foreach { case (s, r) =>
+        assert(r > 0.0 && r <= 1.0, s"rate in (0,1]: $s -> $r")
+        assert(hi(s) >= r, "a larger budget never lowers a keep rate")
+        // a budget share covering the whole source keeps all of it
+        val full = Sampling.mixtureWeights(tokens, weights,
+          tokenBudget = (tokens.getOrElse(s, 0L) / weights(s)).toLong + 1L)
+        assert(full(s) == 1.0)
+      }
+    }
+  }
+
   test("upsert merge: replay of the same batch is always a no-op") {
     forAllSampled2(rowsGen, rowsGen) { (tRows, cRows) =>
       if (tRows.nonEmpty && cRows.nonEmpty) {
