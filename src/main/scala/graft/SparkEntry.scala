@@ -1052,6 +1052,14 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // unigram-LM quality score: mean log2 token probability under the
+    // corpus's own unigram distribution (CCNet-style perplexity proxy,
+    // model-free) — bounded broadcast vocab, map-side scoring join
+    "doc_unigram_logprob" -> ((s, dir) => {
+      UnigramLm.score(t(s, dir, "documents"), "doc_id", col("text"))
+        .orderBy(col("doc_id"))
+    }),
+
     // corpus token histogram (vocabulary building): explode + partial-agg
     // count, top 100 with total tie-order
     "text_token_histogram" -> ((s, dir) => {
@@ -2157,6 +2165,25 @@ object SparkEntry {
           |             ELSE CAST(ceil((n - 32) / 24.0) AS BIGINT) + 1 END)) AS i) r)
           |SELECT doc_id, chunk_idx, chunk FROM c
           |ORDER BY doc_id, chunk_idx""".stripMargin,
+
+      // replays histogram-cap → OOV floor → per-doc mean; + 0.0 normalizes
+      // a potential -0.0 mean like the char-entropy oracle
+      "doc_unigram_logprob" ->
+        """WITH toks AS (SELECT doc_id,
+          |        unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+          |      FROM documents),
+          |t2 AS (SELECT doc_id, token FROM toks WHERE token != ''),
+          |tot AS (SELECT count(*) AS n FROM t2),
+          |vocab AS (SELECT token, count(*) AS cnt FROM t2
+          |          GROUP BY token ORDER BY cnt DESC, token LIMIT 65536),
+          |sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+          |         avg(log2(coalesce(v.cnt, 0.5) / tot.n)) AS lp
+          |       FROM t2 LEFT JOIN vocab v USING (token), tot
+          |       GROUP BY doc_id)
+          |SELECT d.doc_id, coalesce(sc.n_tokens, 0) AS n_tokens,
+          |       round(coalesce(sc.lp, 0.0), 4) + 0.0 AS logprob
+          |FROM documents d LEFT JOIN sc USING (doc_id)
+          |ORDER BY d.doc_id""".stripMargin,
 
       // + 0.0 normalizes the single-distinct-char -0.0 like the expression
       "text_char_entropy" ->

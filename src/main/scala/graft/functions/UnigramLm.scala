@@ -1,0 +1,50 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Mean per-token log2 probability under the corpus's OWN unigram
+  * distribution — the poor man's LM-perplexity quality signal (CCNet
+  * filters on LM perplexity, Wenzek et al. 2020 — public paper; the
+  * unigram proxy needs no trained model). Documents full of rare/garbled
+  * tokens score far below prose in the same corpus, which is exactly the
+  * band a quality gate cuts on.
+  *
+  * Two passes, both bounded at any corpus size:
+  *   1. token histogram, kept to the top `vocabSize` tokens by
+  *      (count desc, token) — a deterministic cutoff, broadcast as at most
+  *      `vocabSize` rows; everything rarer scores the OOV floor
+  *      p = 0.5 / N (N = total corpus tokens);
+  *   2. map-side broadcast join + per-document mean.
+  *
+  * The token definition matches `text_token_histogram` (lower, trim, \s+
+  * split), so the histogram pass is the same shuffle that query already
+  * pins; DuckDB replays both passes for the oracle.
+  */
+object UnigramLm {
+
+  /** (idCol, n_tokens, logprob) per document; documents with no tokens get
+    * logprob 0.0 and n_tokens 0. `logprob` is the mean log2 token
+    * probability (always negative for non-empty documents).
+    */
+  def score(docs: DataFrame, idCol: String, text: Column,
+            vocabSize: Int = 65536): DataFrame = {
+    val toks = docs
+      .select(col(idCol), explode(split(trim(lower(text)), "\\s+")).as("__tok"))
+      .filter(col("__tok") =!= "")
+    val total = toks.agg(count(lit(1)).as("__n"))
+    val vocab = toks.groupBy(col("__tok")).agg(count(lit(1)).as("__cnt"))
+      .orderBy(col("__cnt").desc, col("__tok")).limit(vocabSize)
+    val scored = toks
+      .join(broadcast(vocab), Seq("__tok"), "left")
+      .crossJoin(broadcast(total))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        avg(log(2.0, coalesce(col("__cnt"), lit(0.5)) / col("__n"))).as("__lp"))
+    docs.select(col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).cast("long").as("n_tokens"),
+        round(coalesce(col("__lp"), lit(0.0)), 4).as("logprob"))
+  }
+}

@@ -1,0 +1,44 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class UnigramLmSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def log2(x: Double): Double = math.log(x) / math.log(2.0)
+
+  test("hand-computed mean log2 probability over a tiny corpus") {
+    // corpus tokens: a a b  → p(a) = 2/3, p(b) = 1/3
+    val out = UnigramLm.score(Seq((1L, "a a b")).toDF("doc_id", "text"),
+        "doc_id", col("text"))
+      .as[(Long, Long, Double)].collect().head
+    val expected = (2 * log2(2.0 / 3) + log2(1.0 / 3)) / 3
+    assert(out._2 == 3L)
+    assert(math.abs(out._3 - BigDecimal(expected)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-12)
+  }
+
+  test("garbled documents score below prose from the same corpus") {
+    val prose = (1 to 20).map(i =>
+      (i.toLong, "the quick brown fox jumps over the lazy dog again"))
+    val garbled = Seq((99L, "zxqv wkjh qpzm vbnx lkjq"))
+    val out = UnigramLm.score((prose ++ garbled).toDF("doc_id", "text"),
+        "doc_id", col("text"))
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(out(99L) < out(1L), "rare-token soup scores lower")
+    assert(out.values.forall(_ < 0.0), "log probabilities are negative")
+  }
+
+  test("vocab cap sends rarer tokens to the OOV floor; empty docs score 0") {
+    // 6 tokens total: "a" ×5 in vocab, "b" (rank 2) falls outside cap 1
+    val docs = Seq((1L, "a a a a a"), (2L, "b"), (3L, "")).toDF("doc_id", "text")
+    val out = UnigramLm.score(docs, "doc_id", col("text"), vocabSize = 1)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    def r4(x: Double) =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(1L) == ((5L, r4(log2(5.0 / 6)))))
+    assert(out(2L) == ((1L, r4(log2(0.5 / 6)))), "OOV floor p = 0.5/N")
+    assert(out(3L) == ((0L, 0.0)))
+  }
+}
