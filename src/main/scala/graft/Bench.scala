@@ -41,6 +41,10 @@ object Bench {
     // SPARK_GRAFT_BENCH_ONLY=a,b,c limits the run (local iteration aid)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet)
+    // SPARK_GRAFT_BENCH_REPEAT=n times each query n times and records the
+    // MIN — the steady-state number, free of the GC/JIT noise a single
+    // shared-JVM pass carries (local iteration aid; the driver runs 1)
+    val repeat = sys.env.get("SPARK_GRAFT_BENCH_REPEAT").map(_.toInt).getOrElse(1)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     // Per-query state reset: 59 queries share one JVM, and any cached /
@@ -62,19 +66,24 @@ object Bench {
     // the noop sink executes the full physical plan and discards rows.
     // Failures are loud (stack trace on stderr) and recorded as -1.
     val results = selected.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok = try {
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        true
-      } catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] FAILED $name: $e")
-          e.printStackTrace()
-          false
+      val runs = (1 to repeat).map { _ =>
+        val t0 = System.nanoTime()
+        val ok = try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          true
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] FAILED $name: $e")
+            e.printStackTrace()
+            false
+        }
+        val sec = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+        resetState() // off the clock — the next run starts on a clean JVM
+        sec
       }
-      val sec = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
-      System.err.println(f"[bench] $name%-32s $sec%8.2f s")
-      resetState() // off the clock — the next query starts on a clean JVM
+      val sec = if (runs.contains(-1.0)) -1.0 else runs.min
+      val detail = if (repeat > 1) runs.map(r => f"$r%.2f").mkString(" [", " ", "]") else ""
+      System.err.println(f"[bench] $name%-32s $sec%8.2f s$detail")
       name -> sec
     }
     // ANN recall@5 at the bench SF (logged, not gated, off the clock): the

@@ -28,7 +28,12 @@ object NgramJaccard {
     */
   def pairs(df: DataFrame, idCol: String, ngrams: Column,
             threshold: Double, maxDocFreq: Long = -1L): DataFrame = {
-    val g0 = df.select(col(idCol).as("__id"), explode(ngrams).as("__gram"))
+    // FanOut: parallelism floor for the gram-hashing map stage (no-op at
+    // scale); repartition: ONE exchange on the join key shared by the stop
+    // agg, per-doc counts, and both self-join sides — without it each branch
+    // plans its own exchange and re-runs the gram computation
+    val g0 = FanOut(df).select(col(idCol).as("__id"), explode(ngrams).as("__gram"))
+      .repartition(col("__gram"))
     val g =
       if (maxDocFreq == 0) g0
       else {
@@ -79,8 +84,13 @@ object NgramJaccard {
   def bipartitePairs(left: DataFrame, right: DataFrame, idCol: String,
                      ngrams: Column, threshold: Double,
                      maxDocFreq: Long = -1L): DataFrame = {
-    val gl0 = left.select(col(idCol).as("__lid"), explode(ngrams).as("__gram"))
-    val gr0 = right.select(col(idCol).as("__rid"), explode(ngrams).as("__gram"))
+    // parallelism floor only — no pinned gram exchange here: the stop-list
+    // aggregates over a UNION of both sides (which discards partitioning),
+    // so a per-side repartition buys no reuse, and callers (CorpusPipeline,
+    // decontamination) feed cached or already-shuffled inputs where branch
+    // recompute is cheap — measured +35% on doc_decontaminate when pinned
+    val gl0 = FanOut(left).select(col(idCol).as("__lid"), explode(ngrams).as("__gram"))
+    val gr0 = FanOut(right).select(col(idCol).as("__rid"), explode(ngrams).as("__gram"))
     val (gl, gr) =
       if (maxDocFreq == 0) (gl0, gr0)
       else {
@@ -129,8 +139,10 @@ object NgramJaccard {
     */
   def exactOverlapIds(left: DataFrame, right: DataFrame, idCol: String,
                       ngrams: Column): DataFrame = {
-    val lg = left.select(col(idCol), explode(array_distinct(ngrams)).as("__gram"))
-    val rg = right.select(explode(array_distinct(ngrams)).as("__gram")).distinct()
+    // each side is consumed once, so the semi-join's own exchanges suffice —
+    // only the parallelism floor is needed here
+    val lg = FanOut(left).select(col(idCol), explode(array_distinct(ngrams)).as("__gram"))
+    val rg = FanOut(right).select(explode(array_distinct(ngrams)).as("__gram")).distinct()
     lg.join(rg, Seq("__gram"), "left_semi").select(idCol).distinct()
   }
 }

@@ -34,9 +34,16 @@ object SimHash {
     * query, whose md5-prefix hashes DuckDB recomputes bit-for-bit.
     */
   def fingerprintsHashed(df: DataFrame, idCol: String, hashes: Column): DataFrame =
-    df.filter(size(hashes) > 0)
-      .select(col(idCol).as("__id"),
-        ColumnBridge.column(SimHash64Expr(ColumnBridge.expression(hashes)))
+    // materialize the hash array in its own projection so the emptiness
+    // filter reads it instead of re-evaluating the (possibly expensive —
+    // md5-family) token hashing a second time: Filter and Project are
+    // separate codegen operators, so a shared expression TREE is not a
+    // shared computation
+    FanOut(df)
+      .select(col(idCol).as("__id"), hashes.as("__h"))
+      .filter(size(col("__h")) > 0)
+      .select(col("__id"),
+        ColumnBridge.column(SimHash64Expr(ColumnBridge.expression(col("__h"))))
           .as("__simhash"))
 
   /** Expression form for small arrays / tests (interpreted; prefer
@@ -77,11 +84,16 @@ object SimHash {
     val bitsPer = 64 / chunks
     val base = fingerprintsHashed(df, idCol, hashes)
       .select(col("__id"), col("__simhash").as("__sh"))
+    // one exchange on the join key for every consumer below (hot-value agg,
+    // anti-join, both self-join sides) — partitioned here, the groupBy and
+    // join need no further exchange and the fingerprint pass runs once
+    // instead of once per branch
     val chunked0 = base.select(col("__id"), col("__sh"),
       posexplode(array((0 until chunks).map { c =>
         shiftright(col("__sh"), c * bitsPer)
           .bitwiseAND((1L << bitsPer) - 1)
       }: _*)).as(Seq("__chunk", "__val")))
+      .repartition(col("__chunk"), col("__val"))
     val chunked =
       if (maxChunkDocs <= 0L) chunked0
       else {

@@ -244,10 +244,12 @@ object TextFunctions {
 
   /** Word-bigram [[md5Hash60]] hashes (`array<long>`) — SQL-expressible
     * twin of [[wordNgramHashes]] for the oracle-bearing SimHash query:
-    * words are the `\s+` split of the raw text (empties dropped), bigram i
-    * = words(i) + " " + words(i+1). Fused single-pass kernel
-    * ([[expressions.Md5BigramHashesExpr]]); the composed HOF form below is
-    * kept for the parity pin.
+    * words are the whitespace split of the raw text (empties dropped;
+    * whitespace = RE2 `\s` = `[ \t\n\f\r]`, the class the DuckDB oracles'
+    * `regexp_split_to_array(text, '\s+')` matches — see [[expressions.Md5Family]]),
+    * bigram i = words(i) + " " + words(i+1). Fused single-pass kernel
+    * ([[expressions.Md5WordNgramHashesExpr]]); the composed HOF form below
+    * is kept for the parity pin.
     */
   def wordBigramHashes60(text: Column): Column = wordNgramHashes60(text, 2)
 
@@ -263,7 +265,7 @@ object TextFunctions {
     * parity-test only; measured 4× slower at sf0.1).
     */
   private[graft] def wordBigramHashes60Composed(text: Column): Column =
-    flatten(transform(array(filter(split(text, "\\s+"), w => w =!= "")), ws =>
+    flatten(transform(array(filter(split(text, "[ \\t\\n\\f\\r]+"), w => w =!= "")), ws =>
       when(size(ws) < 2, array().cast("array<long>")).otherwise(
         transform(sequence(lit(1), size(ws) - 1),
           i => md5Hash60(concat(element_at(ws, i), lit(" "),

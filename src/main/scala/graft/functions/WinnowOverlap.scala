@@ -42,16 +42,30 @@ object WinnowOverlap {
     */
   def pairsFromFingerprints(df: DataFrame, idCol: String, fps: Column,
                             minShared: Int = 3, maxDocFreq: Long = -1L): DataFrame = {
-    val fpsDf = df.select(col(idCol).as("__id"), array_distinct(fps).as("__fp"))
+    val fpsDf = FanOut(df).select(col(idCol).as("__id"), array_distinct(fps).as("__fp"))
+    // Pin the posting list to ONE exchange on the join key: every consumer
+    // below (stop-list agg, per-doc counts, both self-join sides) otherwise
+    // plans its own exchange over the fingerprint computation, re-running
+    // the expensive hash pass per branch. Partitioned by __f, the stop agg
+    // and the self-join read the shuffled 8-byte rows in place and
+    // ReuseExchange collapses the rest — the fingerprint kernel runs once.
     val ex0 = fpsDf.select(col("__id"), explode(col("__fp")).as("__f"))
-    val cap =
-      if (maxDocFreq >= 0) maxDocFreq
-      else math.max(1000L, df.count() / 100)
+      .repartition(col("__f"))
     val ex =
-      if (cap == 0) ex0
+      if (maxDocFreq == 0) ex0
       else {
-        val stop = ex0.groupBy("__f").agg(count("*").as("__df"))
-          .filter(col("__df") > cap).select("__f")
+        // auto cap (max(1000, 1% of corpus)) derived INSIDE the plan — a
+        // one-row broadcast from an id-only scan, same as
+        // [[NgramJaccard.pairs]] — so building the query launches no eager
+        // count job (callers compose this lazily)
+        val capCol = if (maxDocFreq > 0) lit(maxDocFreq) else col("__cap")
+        val stop0 = ex0.groupBy("__f").agg(count("*").as("__df"))
+        val stop =
+          (if (maxDocFreq > 0) stop0
+           else stop0.crossJoin(broadcast(df.select(
+             greatest(lit(1000L), approx_count_distinct(col(idCol)) / 100)
+               .cast("long").as("__cap")))))
+            .filter(col("__df") > capCol).select("__f")
         ex0.join(stop, Seq("__f"), "left_anti")
       }
     // denominators over the same capped fingerprint sets as the numerator:

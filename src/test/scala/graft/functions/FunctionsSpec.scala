@@ -473,13 +473,39 @@ class WinnowSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), "unrelated doc stays out")
   }
 
-  test("winnow overlap plan has no cartesian/nested-loop node") {
+  test("winnow overlap plan has no cartesian/nested-loop node (explicit cap)") {
+    // explicit-cap form = the scale configuration (what dedup_winnow runs);
+    // the auto-cap default adds exactly one BOUNDED one-row-build-side
+    // cross (the in-plan corpus-size broadcast, same accepted shape as
+    // NgramJaccard's round-3 fix), so the strict no-BNLJ assertion targets
+    // the explicit path
     val sf = "/root/testdata/sf0.001"
     val docs = spark.read.parquet(s"$sf/documents.parquet")
-    val q = WinnowOverlap.pairs(docs, "doc_id", col("text"), minShared = 3)
+    val q = WinnowOverlap.pairs(docs, "doc_id", col("text"), minShared = 3,
+      maxDocFreq = 50L)
     q.collect()
     val plan = q.queryExecution.executedPlan.toString
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
+  }
+
+  test("winnow auto-cap derives corpus size in-plan: no eager job at build time") {
+    val sf = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val sc = spark.sparkContext
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    sc.addSparkListener(listener)
+    try {
+      val plan = WinnowOverlap.pairs(docs, "doc_id", col("text"), minShared = 3) // auto cap
+      Thread.sleep(500) // listener bus is async; give a stray job time to surface
+      assert(jobs.get() == 0,
+        "building the pairs plan must not launch jobs (the old df.count() did)")
+      assert(plan.columns.toSeq == Seq("id_a", "id_b", "shared", "overlap"))
+    } finally sc.removeSparkListener(listener)
   }
 }
 

@@ -34,7 +34,15 @@ class Md5HashFamilySpec extends SparkSpec {
   test("fused kernels match the HOF-composed forms on the corpus + fixtures") {
     val docs = spark.read.parquet(s"$sf/documents.parquet").limit(100)
       .select($"text").union(Seq("", " ", "one", "a b", "a  b\tc\nd",
-        "the quick brown fox jumps over the lazy dog").toDF("text"))
+        "the quick brown fox jumps over the lazy dog",
+        // \x0B is NOT whitespace in RE2 \s (the oracle's split class) —
+        // both the fused kernel and the composed form must treat it as a
+        // word character
+        "a\u000Bb c d",
+        // non-ASCII: multi-byte UTF-8 words and case-mapped letters pin
+        // fused ≡ composed beyond the ASCII corpus
+        "Äpfel ÜBER Größe naïve café déjà vu",
+        "ΑΒΓ δεζ ΗΘΙ κλμ").toDF("text"))
     val bigrams = docs.select(
       TextFunctions.wordBigramHashes60($"text").as("fused"),
       TextFunctions.wordBigramHashes60Composed($"text").as("composed"))
