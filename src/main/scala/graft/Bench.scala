@@ -99,7 +99,7 @@ object Bench {
           .map(r => (r.getLong(0), r.getLong(1))).toSet
       val exact = pairs(VectorSimilarity.bruteForceTopK(emb, queries, 5))
       val ivf = pairs(VectorSimilarity.ivfTopK(emb, queries, 5,
-        nprobe = 4, maxCentroids = 64)).intersect(exact).size.toDouble / exact.size
+        nprobe = 32, maxCentroids = 64)).intersect(exact).size.toDouble / exact.size
       val lsh = pairs(VectorSimilarity.lshTopK(emb, queries, 5,
         nbits = 4, dim = 64, tables = 16)).intersect(exact).size.toDouble / exact.size
       System.err.println(f"[bench] ann_recall@5 ivf=$ivf%.3f lsh=$lsh%.3f (sf=$sfDir)")

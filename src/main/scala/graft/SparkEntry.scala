@@ -1105,11 +1105,16 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rnk"))
     }),
 
-    // IVF-bucketed approximate top-k (scale path; rows-only check)
+    // IVF-bucketed approximate top-k (scale path; rows-only check).
+    // nprobe=32 of 64 cells: the synthetic embeddings are near-uniform, so
+    // recall tracks the probed fraction almost linearly (0.40 at nprobe=4,
+    // 0.94 at 32, measured sf0.1) — a real clustered corpus reaches the
+    // same recall at a far smaller fraction; the per-round bench log
+    // records recall@5 at exactly these settings
     "ann_ivf_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
       VectorSimilarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), k = 5,
-        nprobe = 4, maxCentroids = 64)
+        nprobe = 32, maxCentroids = 64)
         .withColumnRenamed("rank", "rnk")
         .orderBy(col("query_id"), col("rnk"))
     }),
@@ -1913,15 +1918,20 @@ object SparkEntry {
 
       // replays the budget → rate → threshold derivation: same IEEE double
       // ops (budget·w / tokens), same round-to-65536ths, same %04x hex
-      // threshold, over strlen totals (= BPE base-byte token counts)
+      // threshold, over strlen totals (= BPE base-byte token counts).
+      // Weights are CAST to DOUBLE before the multiply — without the casts
+      // DuckDB evaluates 20000 * 0.5 as an exact DECIMAL product, which
+      // for generic weights can differ from Scala's Long×Double by an ulp
+      // and flip a round(rate·65536) bucket
       "doc_mixture_budget" ->
         """WITH tok AS (SELECT doc_id, source, strlen(text) AS n FROM documents
           |             WHERE source IN ('src0', 'src1', 'src2')),
           |tot AS (SELECT source, sum(n) AS toks FROM tok GROUP BY source),
           |r AS (SELECT source,
-          |        least(1.0, 20000 * (CASE source WHEN 'src0' THEN 0.5
-          |                                        WHEN 'src1' THEN 0.3
-          |                                        ELSE 0.2 END) / toks) AS rate
+          |        least(CAST(1.0 AS DOUBLE),
+          |          CAST(20000 AS DOUBLE) * CAST(CASE source WHEN 'src0' THEN 0.5
+          |                                                   WHEN 'src1' THEN 0.3
+          |                                                   ELSE 0.2 END AS DOUBLE) / toks) AS rate
           |      FROM tot),
           |thr AS (SELECT source,
           |         CASE WHEN CAST(round(rate * 65536) AS BIGINT) >= 65536 THEN 'g'

@@ -45,6 +45,10 @@ object UnigramLm {
       .join(scored, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("n_tokens"), lit(0L)).cast("long").as("n_tokens"),
-        round(coalesce(col("__lp"), lit(0.0)), 4).as("logprob"))
+        // + 0.0 normalizes IEEE -0.0 (a tiny negative mean rounding to
+        // zero) to +0.0, mirroring the oracle's `+ 0.0` and
+        // CharEntropyExpr.compute — without it the two engines' parquet
+        // hashes diverge on the -0.0 class
+        (round(coalesce(col("__lp"), lit(0.0)), 4) + lit(0.0)).as("logprob"))
   }
 }

@@ -321,25 +321,46 @@ object VectorSimilarity {
     * window shuffle); queries probe the `nprobe` nearest cells only. One
     * equi-join shuffle on the cell id, then an exact cosine rank. Corpus-side
     * work per query drops by ~|cells|/nprobe versus brute force.
+    *
+    * Recall knobs, in order of effectiveness (measured on the near-uniform
+    * synthetic embeddings at sf0.1, 64 cells: recall@5 0.16 at nprobe=1,
+    * 0.56 at 8, 0.78 at 16, 0.94 at 32): widen `nprobe` first — probe rows
+    * are per-QUERY, so the candidate count grows without touching the
+    * index. `assign` > 1 additionally writes each corpus vector into its
+    * top-`assign` cells (the spill trick for clustered corpora whose true
+    * neighbors straddle a cell boundary); it multiplies index rows, and at
+    * equal candidate budget measured BELOW wide probing here (assign=2 ×
+    * nprobe=16 → 0.82 vs assign=1 × nprobe=32 → 0.94) — worth it only
+    * when the query side, not the corpus side, is the bottleneck.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, nprobe: Int,
               maxCentroids: Int = 4096,
               idCol: String = "vec_id", vecCol: String = "embedding",
-              refineIters: Int = 3, refineSampleRows: Int = 32768): DataFrame = {
+              refineIters: Int = 3, refineSampleRows: Int = 32768,
+              assign: Int = 1): DataFrame = {
     require(maxCentroids >= 1 && maxCentroids <= 65536,
       "codebook must be small enough to ship to executors")
+    require(assign >= 1, "corpus vectors need at least one cell")
     val codebook = refineCodebook(corpus,
       sampleCodebook(corpus, maxCentroids, idCol, vecCol),
       refineIters, refineSampleRows, idCol, vecCol)
     def cells(vec: Column, n: Int): Column =
       ExpressionUtils.column(expressions.NearestCentroidsExpr(
         ExpressionUtils.expression(vec), codebook, n))
-    val assigned = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("__cv"))
-      .withColumn("cell", element_at(cells(col("__cv"), 1), 1))
+    val corpusBase = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("__cv"))
+    val assigned =
+      if (assign <= 1) corpusBase.withColumn("cell", element_at(cells(col("__cv"), 1), 1))
+      else corpusBase.withColumn("cell", explode(cells(col("__cv"), assign)))
     val probes = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
       .withColumn("cell", explode(cells(col("__qv"), nprobe)))
-    val scored = assigned.join(probes, Seq("cell"))
+    val met = assigned.join(probes, Seq("cell"))
       .filter(col("corpus_id") =!= col("query_id"))
+    // multi-assigned pairs can meet in up to min(assign, nprobe) cells —
+    // dedup before ranking so a pair scores once (single-assign pairs meet
+    // at most once, so the extra shuffle is skipped there)
+    val candidates =
+      if (assign > 1 && nprobe > 1) met.dropDuplicates("query_id", "corpus_id") else met
+    val scored = candidates
       .withColumn("cosine", round(cosine(col("__cv"), col("__qv")), 6))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("corpus_id").asc)

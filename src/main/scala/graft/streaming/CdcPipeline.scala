@@ -123,7 +123,11 @@ final class CdcPipeline(spark: SparkSession, dialect: MergeDialect,
     }
   }
 
-  private val sqlMergeSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+  // JVM-global, NOT per-instance: temp views are SESSION-scoped, and two
+  // pipelines sharing one SparkSession (a normal one-pipeline-per-target
+  // deployment) would both start a per-instance counter at 1 and
+  // createOrReplaceTempView over each other's views mid-merge
+  private def sqlMergeSeq = CdcPipeline.sqlMergeSeq
 
   /** The reference's Trino hop, end to end: render the dialect's `MERGE
     * INTO` text ([[MergeSqlBuilder]]), have Spark parse it and
@@ -183,6 +187,12 @@ final class CdcPipeline(spark: SparkSession, dialect: MergeDialect,
     }
     polls
   }
+}
+
+object CdcPipeline {
+  // see the instance-side note: one counter per JVM so concurrent pipelines
+  // on one session can never mint the same __graft_merge_* view name
+  private val sqlMergeSeq = new java.util.concurrent.atomic.AtomicLong(0L)
 }
 
 /** Backfill entry points (reference §2.10): one-shot catch-up jobs that reuse

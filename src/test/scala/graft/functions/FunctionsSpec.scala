@@ -378,6 +378,23 @@ class AnnRecallSpec extends SparkSpec {
     assert(r >= 0.55, s"ivf recall@5 degraded to $r")
   }
 
+  test("IVF recall floor at the production probe width (ann_ivf_topk settings)") {
+    // nprobe=32/64 is what ann_ivf_topk and the per-round bench recall log
+    // run — the user-facing answer quality; measured 0.94 at sf0.1
+    val r = recallOf(VectorSimilarity.ivfTopK(emb, queries, 5, nprobe = 32, maxCentroids = 64))
+    assert(r >= 0.8, s"ivf recall@5 at production settings degraded to $r")
+  }
+
+  test("IVF multi-assign spill: recall never below single-assign, pairs dedup'd") {
+    val multi = VectorSimilarity.ivfTopK(emb, queries, 5, nprobe = 8,
+      maxCentroids = 64, assign = 2)
+    val rows = multi.select("query_id", "corpus_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.length == rows.distinct.length, "a pair must score exactly once")
+    val r1 = recallOf(VectorSimilarity.ivfTopK(emb, queries, 5, nprobe = 8, maxCentroids = 64))
+    assert(recallOf(multi) >= r1, "writing corpus vectors into 2 cells must not lose neighbors")
+  }
+
   test("Lloyd refinement never loses to the raw sampled codebook here, and is deterministic") {
     val raw = recallOf(VectorSimilarity.ivfTopK(emb, queries, 5, nprobe = 8,
       maxCentroids = 64, refineIters = 0))

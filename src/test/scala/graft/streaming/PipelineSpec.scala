@@ -104,6 +104,36 @@ class CdcPipelineE2eSpec extends SparkSpec {
     assert(df.state == Map(1L -> "v2", 2L -> "v1", 3L -> "v1"))
   }
 
+  test("two mergeViaSql pipelines share one SparkSession without view-name collisions") {
+    // temp views are SESSION-scoped: with per-instance view counters two
+    // pipelines both start at n=1 and createOrReplaceTempView over each
+    // other's __graft_merge_* views mid-merge — the counter is JVM-global
+    // (CdcPipeline companion) exactly so concurrent batches can't collide
+    val dirs = Seq.fill(2)(Files.createTempDirectory("blobsrc_two").toString)
+    val routes = dirs.map { d =>
+      val wms = new InMemoryWatermarkStore
+      val target = new ParquetTarget(spark, Files.createTempDirectory("tgt_two").toString)
+      val pipeline = new CdcPipeline(spark, UpsertBlobDialect,
+        PipelineConfig(maintenanceEvery = 0, mergeViaSql = true), wms)
+      (d, wms, target, pipeline)
+    }
+    Seq((1L, "a1"), (2L, "a2")).toDF("id", "payload")
+      .write.mode(SaveMode.Append).parquet(dirs(0))
+    Seq((1L, "b1"), (3L, "b3")).toDF("id", "payload")
+      .write.mode(SaveMode.Append).parquet(dirs(1))
+    val threads = routes.map { case (d, wms, target, pipeline) =>
+      new Thread(() =>
+        BlobListingSource.nextBatch(spark,
+            BlobSourceConfig(d, "parquet", pkColumns = Seq("id")), wms.get("t"))
+          .foreach { case (batch, wm) => pipeline.runBatch(target, "t", batch, wm) })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join(120000))
+    val s0 = routes(0)._3.read().select("id", "payload").as[(Long, String)].collect().toMap
+    val s1 = routes(1)._3.read().select("id", "payload").as[(Long, String)].collect().toMap
+    assert(s0 == Map(1L -> "a1", 2L -> "a2"), s"pipeline 0 landed $s0")
+    assert(s1 == Map(1L -> "b1", 3L -> "b3"), s"pipeline 1 landed $s1")
+  }
+
   test("mergeViaSql handles soft deletes and schema evolution like the DataFrame path") {
     def state(viaSql: Boolean): Seq[String] = {
       val wms = new InMemoryWatermarkStore
