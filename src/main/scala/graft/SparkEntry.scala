@@ -826,6 +826,24 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // temperature-scaled mixture (multilingual-sampling rule): per-source
+    // weights ∝ sqrt(share) at T=2, budget-derived keep rates, the same
+    // deterministic hash filter; T=2 keeps the whole weight derivation on
+    // correctly-rounded ops (sqrt + IEEE mul/div) so the oracle replays
+    // it bit-for-bit
+    "doc_mixture_temperature" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .filter(col("source").isin("src0", "src1", "src2"))
+      val tok = Bpe.tokenCount(col("text"), BpeVocab.bytes).cast("long")
+      val totals = Sampling.tokensBySource(docs, col("source"), tok)
+      val weights = Sampling.temperatureWeights(totals, temperature = 2.0)
+      val rates = Sampling.mixtureWeights(totals, weights, tokenBudget = 20000L)
+      Sampling.mixtureSample(docs, col("doc_id"), col("source"), rates,
+        defaultRate = 0.0)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+
     // C4-style quality gate: length band + punctuation sanity + token-shape
     // sanity + digit-ratio cap, all map-side over the fused stats struct
     "doc_quality_filter" -> ((s, dir) => {
@@ -1057,6 +1075,27 @@ object SparkEntry {
     // model-free) — bounded broadcast vocab, map-side scoring join
     "doc_unigram_logprob" -> ((s, dir) => {
       UnigramLm.score(t(s, dir, "documents"), "doc_id", col("text"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // CCNet-style quality tiers: equal-count head/middle/tail thirds of
+    // the corpus by unigram-LM score (ntile over the ROUNDED score +
+    // doc_id — deterministic, engine-independent ordering)
+    "doc_ppl_buckets" -> ((s, dir) => {
+      UnigramLm.buckets(t(s, dir, "documents"), "doc_id", col("text"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // line-level boilerplate removal (CCNet/RefinedWeb line dedup). The
+    // synthetic docs carry no newlines, so the query deterministically
+    // re-lines them first (literal ' the ' -> \n, identical in both
+    // engines) to exercise the operator's full funnel non-degenerately —
+    // 8 hot lines strip at sf0.01 with df cap 2; LineDedupSpec pins the
+    // operator on genuinely multi-line fixtures
+    "doc_strip_boilerplate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), regexp_replace(col("text"), " the ", "\n").as("text"))
+      LineDedup.stripBoilerplate(docs, "doc_id", col("text"), maxDocFreq = 2L)
         .orderBy(col("doc_id"))
     }),
 
@@ -1942,6 +1981,32 @@ object SparkEntry {
           |WHERE substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 4) < th
           |ORDER BY t.doc_id""".stripMargin,
 
+      // temperature weights at T=2: sqrt(share) is correctly rounded in
+      // BOTH engines (IEEE sqrt), the normalizer adds in source order
+      // (matching the Scala sorted-key fold), and every later op is an
+      // exact IEEE mul/div — bit-for-bit rate parity with the Spark side
+      "doc_mixture_temperature" ->
+        """WITH tok AS (SELECT doc_id, source, strlen(text) AS n FROM documents
+          |             WHERE source IN ('src0', 'src1', 'src2')),
+          |tot AS (SELECT source, CAST(sum(n) AS DOUBLE) AS toks FROM tok GROUP BY source),
+          |g AS (SELECT CAST(sum(n) AS DOUBLE) AS grand FROM tok),
+          |w AS (SELECT source, toks, sqrt(toks / grand) AS wr FROM tot, g),
+          |z AS (SELECT ((SELECT wr FROM w WHERE source = 'src0')
+          |             + (SELECT wr FROM w WHERE source = 'src1'))
+          |             + (SELECT wr FROM w WHERE source = 'src2') AS z),
+          |r AS (SELECT source,
+          |        least(CAST(1.0 AS DOUBLE),
+          |              CAST(20000 AS DOUBLE) * (wr / z.z) / toks) AS rate
+          |      FROM w, z),
+          |thr AS (SELECT source,
+          |         CASE WHEN CAST(round(rate * 65536) AS BIGINT) >= 65536 THEN 'g'
+          |              ELSE printf('%04x', CAST(round(rate * 65536) AS BIGINT)) END AS th
+          |        FROM r)
+          |SELECT t.doc_id, t.source
+          |FROM tok t JOIN thr USING (source)
+          |WHERE substr(md5(CAST(t.doc_id AS VARCHAR)), 1, 4) < th
+          |ORDER BY t.doc_id""".stripMargin,
+
       "doc_quality_filter" ->
         s"""WITH s AS (
            |  SELECT doc_id,
@@ -2194,6 +2259,55 @@ object SparkEntry {
           |       round(coalesce(sc.lp, 0.0), 4) + 0.0 AS logprob
           |FROM documents d LEFT JOIN sc USING (doc_id)
           |ORDER BY d.doc_id""".stripMargin,
+
+      // unigram funnel + ntile tiers; rank over (rounded logprob DESC,
+      // doc_id) so tier assignment is deterministic in both engines
+      "doc_ppl_buckets" ->
+        """WITH toks AS (SELECT doc_id,
+          |        unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+          |      FROM documents),
+          |t2 AS (SELECT doc_id, token FROM toks WHERE token != ''),
+          |tot AS (SELECT count(*) AS n FROM t2),
+          |vocab AS (SELECT token, count(*) AS cnt FROM t2
+          |          GROUP BY token ORDER BY cnt DESC, token LIMIT 65536),
+          |sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+          |         avg(log2(coalesce(v.cnt, 0.5) / tot.n)) AS lp
+          |       FROM t2 LEFT JOIN vocab v USING (token), tot
+          |       GROUP BY doc_id),
+          |s AS (SELECT d.doc_id, coalesce(sc.n_tokens, 0) AS n_tokens,
+          |        round(coalesce(sc.lp, 0.0), 4) + 0.0 AS logprob
+          |      FROM documents d LEFT JOIN sc USING (doc_id)),
+          |b AS (SELECT doc_id, n_tokens, logprob,
+          |        ntile(3) OVER (ORDER BY logprob DESC, doc_id) AS tier FROM s)
+          |SELECT doc_id, n_tokens, logprob,
+          |       CASE tier WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+          |            ELSE 'tail' END AS bucket
+          |FROM b ORDER BY doc_id""".stripMargin,
+
+      // full line-dedup funnel: re-line (literal replace), explode with
+      // position, md5Hash60 line keys, df > 2 hot set, anti-join, ordered
+      // rebuild — hash-key counting matches the Spark side even under a
+      // (theoretical) md5-prefix collision, since both engines merge the
+      // same lines
+      "doc_strip_boilerplate" ->
+        """WITH d AS (SELECT doc_id, replace(text, ' the ', chr(10)) AS t FROM documents),
+          |ls AS (SELECT doc_id, t, string_split(t, chr(10)) AS arr FROM d),
+          |l AS (SELECT doc_id, i AS pos, arr[i] AS ln
+          |      FROM ls, LATERAL (SELECT unnest(range(1, len(arr) + 1)) AS i) r),
+          |h AS (SELECT doc_id, pos, ln,
+          |        CAST(CAST('0x' || substr(md5(ln), 1, 15) AS UBIGINT) AS BIGINT) AS hh
+          |      FROM l),
+          |hot AS (SELECT hh FROM (SELECT hh, count(DISTINCT doc_id) AS df
+          |                        FROM h GROUP BY hh) WHERE df > 2),
+          |kept AS (SELECT doc_id, pos, ln FROM h
+          |         WHERE hh NOT IN (SELECT hh FROM hot)),
+          |rb AS (SELECT doc_id, count(*) AS kept_n,
+          |         array_to_string(list(ln ORDER BY pos), chr(10)) AS text_clean
+          |       FROM kept GROUP BY doc_id)
+          |SELECT ls.doc_id, coalesce(rb.text_clean, '') AS text_clean,
+          |       CAST(len(ls.arr) - coalesce(rb.kept_n, 0) AS BIGINT) AS n_lines_removed
+          |FROM ls LEFT JOIN rb USING (doc_id)
+          |ORDER BY ls.doc_id""".stripMargin,
 
       // + 0.0 normalizes the single-distinct-char -0.0 like the expression
       "text_char_entropy" ->

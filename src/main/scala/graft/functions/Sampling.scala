@@ -92,6 +92,38 @@ object Sampling {
       src -> rate
     }
 
+  /** Temperature-scaled mixture weights (the multilingual-training
+    * sampling rule, Conneau & Lample 2019, §3.1 — public paper):
+    * weight(s) ∝ (tokens(s) / N)^(1/T), normalized to sum 1. T = 1
+    * reproduces the natural size distribution, T → ∞ approaches uniform,
+    * T < 1 sharpens toward the biggest source — the standard way to lift
+    * low-resource sources without hand-picking shares. Composes with
+    * [[mixtureWeights]] to turn (temperature, token budget) into
+    * per-source keep rates.
+    *
+    * T = 2 (the common choice) routes through `math.sqrt`, which IEEE
+    * requires to be correctly rounded — so a SQL oracle's `sqrt`
+    * reproduces the weights bit-for-bit. Generic exponents use
+    * `math.pow`, which is NOT correctly rounded; cross-engine replay of
+    * those can differ by an ulp (same caveat as generic budget weights).
+    */
+  def temperatureWeights(tokensBySource: Map[String, Long],
+                         temperature: Double): Map[String, Double] = {
+    require(temperature > 0.0, s"temperature must be positive: $temperature")
+    val total = tokensBySource.values.map(_.toDouble).sum
+    val invT = 1.0 / temperature
+    val raw = tokensBySource.map { case (s, n) =>
+      val p = if (n <= 0L || total <= 0.0) 0.0 else n.toDouble / total
+      s -> (if (invT == 0.5) math.sqrt(p) else math.pow(p, invT))
+    }
+    // normalize with a SORTED-key summation: double addition is
+    // non-associative and Map iteration order is arbitrary, so an
+    // unordered sum could move z by an ulp between runs (and against an
+    // oracle that adds in source order)
+    val z = raw.toSeq.sortBy(_._1).foldLeft(0.0)(_ + _._2)
+    if (z <= 0.0) raw else raw.map { case (s, w) => s -> w / z }
+  }
+
   /** Measured token totals per source — the one (bounded) action in the
     * budgeted-mixture path: |sources| rows reach the driver, never corpus
     * rows. `tokens` is any per-row count column, e.g. `Bpe.tokenCount`

@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Mean per-token log2 probability under the corpus's OWN unigram
@@ -50,5 +51,34 @@ object UnigramLm {
         // CharEntropyExpr.compute — without it the two engines' parquet
         // hashes diverge on the -0.0 class
         (round(coalesce(col("__lp"), lit(0.0)), 4) + lit(0.0)).as("logprob"))
+  }
+
+  /** CCNet-style quality buckets (Wenzek et al. 2020 §4.3 — public
+    * paper): equal-count tiers of the corpus by LM score — `head` =
+    * best-scoring third (lowest perplexity, highest [[score]] logprob),
+    * then `middle`, `tail`. Downstream pipelines train on head+middle or
+    * re-weight by tier.
+    *
+    * Ranking is over the ROUNDED score plus the document id, so tier
+    * assignment is deterministic and engine-independent (an unrounded
+    * order could flip ulp-close neighbors between Spark and an oracle).
+    * The ntile ranks (id, score) pairs only — 16-byte rows through one
+    * global sort, fine into the tens of millions of documents; beyond
+    * that, derive tier THRESHOLDS from quantiles of [[score]] and assign
+    * map-side (the thresholds are three numbers; exact equal-count
+    * splitting is what requires the global rank).
+    */
+  def buckets(docs: DataFrame, idCol: String, text: Column,
+              nBuckets: Int = 3, vocabSize: Int = 65536): DataFrame = {
+    require(nBuckets >= 2, "bucketing needs at least two tiers")
+    val scored = score(docs, idCol, text, vocabSize)
+    val w = Window.orderBy(col("logprob").desc, col(idCol).asc)
+    val tier = ntile(nBuckets).over(w)
+    val label =
+      if (nBuckets == 3)
+        when(tier === 1, "head").when(tier === 2, "middle").otherwise("tail")
+      else concat(lit("q"), tier.cast("string"))
+    scored.select(col(idCol), col("n_tokens"), col("logprob"),
+      label.as("bucket"))
   }
 }

@@ -96,6 +96,36 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("temperature weights: normalized, order-flattening, T=1 is the natural share") {
+    import graft.functions.Sampling
+    val tokensGen = Gen.mapOf(Gen.zip(
+      Gen.oneOf("web", "code", "books", "wiki"),
+      Gen.chooseNum(1L, 1000000L))).suchThat(_.size >= 2)
+    forAllSampled(tokensGen, n = 25) { tokens =>
+      val total = tokens.values.sum.toDouble
+      val natural = Sampling.temperatureWeights(tokens, temperature = 1.0)
+      val flat = Sampling.temperatureWeights(tokens, temperature = 5.0)
+      assert(math.abs(natural.values.sum - 1.0) < 1e-9, "weights normalize to 1")
+      assert(math.abs(flat.values.sum - 1.0) < 1e-9)
+      tokens.foreach { case (s, n) =>
+        assert(math.abs(natural(s) - n / total) < 1e-9,
+          "T=1 reproduces the natural size distribution")
+      }
+      // flattening: the biggest source's share never GROWS as T rises,
+      // the smallest source's share never shrinks
+      val big = tokens.maxBy(_._2)._1
+      val small = tokens.minBy(_._2)._1
+      assert(flat(big) <= natural(big) + 1e-12)
+      assert(flat(small) >= natural(small) - 1e-12)
+      // determinism: same map content in a different insertion order gives
+      // bit-identical weights (the normalizer sums in sorted-key order)
+      val reordered = Sampling.temperatureWeights(
+        tokens.toSeq.reverse.foldLeft(Map.empty[String, Long])(_ + _), 2.0)
+      val w2 = Sampling.temperatureWeights(tokens, 2.0)
+      assert(reordered == w2, "weights must not depend on map iteration order")
+    }
+  }
+
   test("upsert merge: replay of the same batch is always a no-op") {
     forAllSampled2(rowsGen, rowsGen) { (tRows, cRows) =>
       if (tRows.nonEmpty && cRows.nonEmpty) {

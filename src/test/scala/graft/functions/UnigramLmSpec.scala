@@ -30,6 +30,28 @@ class UnigramLmSpec extends SparkSpec {
     assert(out.values.forall(_ < 0.0), "log probabilities are negative")
   }
 
+  test("ppl buckets: equal-count tiers, head holds the best scores") {
+    val prose = (1 to 6).map(i =>
+      (i.toLong, "the quick brown fox jumps over the lazy dog"))
+    val soup = (7 to 9).map(i => (i.toLong, s"zxq$i wkj$i qpz$i"))
+    val out = UnigramLm.buckets((prose ++ soup).toDF("doc_id", "text"),
+        "doc_id", col("text"))
+      .select("doc_id", "logprob", "bucket")
+      .as[(Long, Double, String)].collect()
+    val byBucket = out.groupBy(_._3).view.mapValues(_.map(_._2)).toMap
+    assert(byBucket.keySet == Set("head", "middle", "tail"))
+    assert(out.length == 9 && byBucket.values.forall(_.length == 3),
+      "ntile splits 9 docs into equal thirds")
+    assert(byBucket("head").min >= byBucket("middle").max,
+      "head scores at or above middle")
+    assert(byBucket("middle").min >= byBucket("tail").max)
+    // generic tier count labels as qN
+    val q5 = UnigramLm.buckets((prose ++ soup).toDF("doc_id", "text"),
+        "doc_id", col("text"), nBuckets = 5)
+      .select("bucket").as[String].collect().toSet
+    assert(q5 == Set("q1", "q2", "q3", "q4", "q5"))
+  }
+
   test("vocab cap sends rarer tokens to the OOV floor; empty docs score 0") {
     // 6 tokens total: "a" ×5 in vocab, "b" (rank 2) falls outside cap 1
     val docs = Seq((1L, "a a a a a"), (2L, "b"), (3L, "")).toDF("doc_id", "text")
