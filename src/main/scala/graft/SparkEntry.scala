@@ -774,12 +774,16 @@ object SparkEntry {
     // struct), map-side, no shuffle. Output keeps only integer columns so
     // the oracle compare is float-free.
     "doc_repetition_filter" -> ((s, dir) => {
+      // fused boolean gate (ONE kernel pass in the filter); the struct is
+      // projected only for the survivors — filtering on the struct alias
+      // instead would multi-evaluate the kernel per conjunct (see
+      // RepetitionGateExpr)
+      val st = TextFunctions.repetitionStats(col("text"))
       t(s, dir, "documents")
-        .select(col("doc_id"), TextFunctions.repetitionStats(col("text")).as("st"))
-        .filter(CorpusPipeline.repetitionGateOn(col("st")))
+        .filter(CorpusPipeline.repetitionGate(col("text")))
         .select(col("doc_id"),
-          col("st.word_cnt").cast("long").as("word_cnt"),
-          col("st.line_cnt").cast("long").as("line_cnt"))
+          st.getField("word_cnt").cast("long").as("word_cnt"),
+          st.getField("line_cnt").cast("long").as("line_cnt"))
         .orderBy(col("doc_id"))
     }),
 
@@ -847,23 +851,16 @@ object SparkEntry {
     // C4-style quality gate: length band + punctuation sanity + token-shape
     // sanity + digit-ratio cap, all map-side over the fused stats struct
     "doc_quality_filter" -> ((s, dir) => {
+      // fused boolean gate in the filter (one stats pass); stats + langid
+      // are re-projected only for the survivors — filtering on projected
+      // struct fields would multi-evaluate the kernel per conjunct after
+      // pushdown (see QualityGateExpr)
       val st = TextFunctions.textStats(col("text"))
-      val nChars = st.getField("n_chars")
-      val nTokens = st.getField("n_tokens")
-      val punct = when(nChars === 0, lit(0.0))
-        .otherwise(st.getField("n_punct").cast("double") / nChars)
-      val digit = when(nChars === 0, lit(0.0))
-        .otherwise(st.getField("n_digit").cast("double") / nChars)
-      val meanTok = when(nTokens === 0, lit(0.0))
-        .otherwise(st.getField("n_nonws").cast("double") / nTokens)
       t(s, dir, "documents")
-        .select(col("doc_id"), nTokens.cast("long").as("n_tokens"),
-          TextFunctions.langId(col("text")).as("lang_id"),
-          nChars.as("__nc"), punct.as("__p"), digit.as("__d"), meanTok.as("__m"))
-        .filter(col("lang_id") =!= "und" &&
-          col("__nc").between(20, 20000) && col("__p") < 0.2 &&
-          col("__m").between(2.0, 12.0) && col("__d") < 0.25)
-        .select(col("doc_id"), col("lang_id"), col("n_tokens"))
+        .filter(CorpusPipeline.qualityGate(col("text"), 20, 20000, 0.2, 0.25,
+          2.0, 12.0) && TextFunctions.langId(col("text")) =!= "und")
+        .select(col("doc_id"), st.getField("n_tokens").cast("long").as("n_tokens"),
+          TextFunctions.langId(col("text")).as("lang_id"))
         .orderBy(col("doc_id"))
     }),
 

@@ -34,15 +34,25 @@ object CorpusPipeline {
       maxTop4Frac: Double = 0.16,
       maxDup5Frac: Double = 0.15)
 
-  /** Keep-predicate for the repetition caps — one fused map-side pass, the
-    * same Column under batch and Structured Streaming (stateless, so
-    * continuous ingest gets identical gate semantics row by row).
+  /** Keep-predicate for the repetition caps — one fused map-side pass
+    * ([[expressions.RepetitionGateExpr]]: kernel + compares in a single
+    * boolean), the same Column under batch and Structured Streaming
+    * (stateless, so continuous ingest gets identical gate semantics row
+    * by row). Prefer this in filters: see [[repetitionGateOn]]'s caveat.
     */
-  def repetitionGate(text: Column, th: RepetitionThresholds = RepetitionThresholds()): Column =
-    repetitionGateOn(TextFunctions.repetitionStats(text), th)
+  def repetitionGate(text: Column, th: RepetitionThresholds = RepetitionThresholds()): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(expressions.RepetitionGateExpr(
+      ColumnBridge.expression(text), th.maxDupLineFrac, th.maxDupLineCharFrac,
+      th.maxTop2Frac, th.maxTop3Frac, th.maxTop4Frac, th.maxDup5Frac))
+  }
 
-  /** Same predicate over an already-computed repetition-stats struct — lets
-    * a query that also projects the stats evaluate the fused pass once.
+  /** Same predicate over an already-computed repetition-stats struct.
+    * CAVEAT: in a `filter`, predicate pushdown substitutes the struct
+    * alias into EVERY conjunct and filter codegen does no cross-conjunct
+    * subexpression elimination — the kernel runs six times per row
+    * (measured 4× slower at sf0.1). Use [[repetitionGate]] for filters;
+    * this form is for queries that genuinely project the struct fields.
     */
   def repetitionGateOn(stats: Column, th: RepetitionThresholds = RepetitionThresholds()): Column =
     stats.getField("dup_line_frac") <= th.maxDupLineFrac &&
@@ -95,23 +105,28 @@ object CorpusPipeline {
     * plus a `split` column. Deterministic end to end — same input, same
     * output, on any partitioning.
     */
+  /** Fused numeric quality gate ([[expressions.QualityGateExpr]]: one
+    * stats pass + band checks in a single boolean). Prefer this in
+    * filters — a filter over the stats struct multi-evaluates the kernel
+    * per conjunct (same pushdown caveat as [[repetitionGateOn]]).
+    */
+  def qualityGate(text: Column, minChars: Int, maxChars: Int,
+                  maxPunctRatio: Double, maxDigitRatio: Double,
+                  minMeanTokenLen: Double, maxMeanTokenLen: Double): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(expressions.QualityGateExpr(
+      ColumnBridge.expression(text), minChars, maxChars,
+      maxPunctRatio, maxDigitRatio, minMeanTokenLen, maxMeanTokenLen))
+  }
+
   def prepare(docs: DataFrame, cfg: Config = Config()): DataFrame = {
     val id = col(cfg.idCol)
     val text = col(cfg.textCol)
 
-    // 1. quality gate — all map-side over the fused stats struct
-    val st = TextFunctions.textStats(text)
-    val nChars = st.getField("n_chars")
-    val nTokens = st.getField("n_tokens")
-    val punct = when(nChars === 0, lit(0.0))
-      .otherwise(st.getField("n_punct").cast("double") / nChars)
-    val digit = when(nChars === 0, lit(0.0))
-      .otherwise(st.getField("n_digit").cast("double") / nChars)
-    val meanTok = when(nTokens === 0, lit(0.0))
-      .otherwise(st.getField("n_nonws").cast("double") / nTokens)
-    val numericGate = nChars.between(cfg.minChars, cfg.maxChars) &&
-      punct < cfg.maxPunctRatio && digit < cfg.maxDigitRatio &&
-      meanTok.between(cfg.minMeanTokenLen, cfg.maxMeanTokenLen)
+    // 1. quality gate — fused map-side predicates, one kernel pass each
+    val numericGate = qualityGate(text, cfg.minChars, cfg.maxChars,
+      cfg.maxPunctRatio, cfg.maxDigitRatio, cfg.minMeanTokenLen,
+      cfg.maxMeanTokenLen)
     val langGate =
       if (cfg.requireKnownLang) numericGate && TextFunctions.langId(text) =!= "und"
       else numericGate

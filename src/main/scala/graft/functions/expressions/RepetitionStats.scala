@@ -65,6 +65,40 @@ case class RepetitionStatsExpr(child: Expression) extends UnaryExpression {
   override def prettyName: String = "repetition_stats"
 }
 
+/** Fused Gopher-gate predicate: ONE [[RepetitionStatsExpr.compute]] pass
+  * and the six threshold compares in a single boolean expression.
+  *
+  * Exists because a filter on the stats STRUCT multi-evaluates the kernel:
+  * predicate pushdown substitutes the struct alias into every conjunct, so
+  * `filter(st.top2 <= a && st.top3 <= b && ...)` plans SIX independent
+  * `repetition_stats(text)` calls (filter codegen has no cross-conjunct
+  * subexpression elimination) — measured 2.3 s vs 0.6 s at sf0.1 on the
+  * same scan. Callers gate with this, then project the struct for the
+  * (few) survivors.
+  */
+case class RepetitionGateExpr(child: Expression,
+    maxDupLineFrac: Double, maxDupLineCharFrac: Double,
+    maxTop2Frac: Double, maxTop3Frac: Double, maxTop4Frac: Double,
+    maxDup5Frac: Double) extends UnaryExpression {
+
+  override def dataType: DataType = BooleanType
+
+  override protected def nullSafeEval(input: Any): Any =
+    RepetitionStatsExpr.gate(input.asInstanceOf[UTF8String], maxDupLineFrac,
+      maxDupLineCharFrac, maxTop2Frac, maxTop3Frac, maxTop4Frac, maxDup5Frac)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = graft.functions.expressions.RepetitionStatsExpr.gate(
+         |  $c, $maxDupLineFrac, $maxDupLineCharFrac, $maxTop2Frac,
+         |  $maxTop3Frac, $maxTop4Frac, $maxDup5Frac);""".stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "repetition_gate"
+}
+
 object RepetitionStatsExpr {
 
   val schema: StructType = StructType(Seq(
@@ -155,5 +189,22 @@ object RepetitionStatsExpr {
     new GenericInternalRow(Array[Any](
       wordCnt, dupWordFrac, frac(top2), frac(top3), frac(top4), frac(dup5),
       lineCnt, dupLineFrac, dupLineCharFrac))
+  }
+
+  /** One stats pass + threshold compares — called from
+    * [[RepetitionGateExpr]] generated code. Field indices follow
+    * [[schema]].
+    */
+  def gate(input: UTF8String,
+           maxDupLineFrac: Double, maxDupLineCharFrac: Double,
+           maxTop2Frac: Double, maxTop3Frac: Double, maxTop4Frac: Double,
+           maxDup5Frac: Double): Boolean = {
+    val r = compute(input)
+    r.getDouble(7) <= maxDupLineFrac &&
+      r.getDouble(8) <= maxDupLineCharFrac &&
+      r.getDouble(2) <= maxTop2Frac &&
+      r.getDouble(3) <= maxTop3Frac &&
+      r.getDouble(4) <= maxTop4Frac &&
+      r.getDouble(5) <= maxDup5Frac
   }
 }

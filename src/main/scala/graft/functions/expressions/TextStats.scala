@@ -47,6 +47,33 @@ case class TextStatsExpr(child: Expression) extends UnaryExpression {
   override def prettyName: String = "text_stats"
 }
 
+/** Fused C4-style quality-gate predicate: ONE [[TextStatsExpr.compute]]
+  * pass and the numeric band checks in a single boolean — the same
+  * pushdown rationale as [[RepetitionGateExpr]]: a filter over the stats
+  * struct multi-evaluates the kernel per conjunct.
+  */
+case class QualityGateExpr(child: Expression, minChars: Int, maxChars: Int,
+    maxPunctRatio: Double, maxDigitRatio: Double,
+    minMeanTokenLen: Double, maxMeanTokenLen: Double) extends UnaryExpression {
+
+  override def dataType: DataType = BooleanType
+
+  override protected def nullSafeEval(input: Any): Any =
+    TextStatsExpr.qualityGate(input.asInstanceOf[UTF8String], minChars, maxChars,
+      maxPunctRatio, maxDigitRatio, minMeanTokenLen, maxMeanTokenLen)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = graft.functions.expressions.TextStatsExpr.qualityGate(
+         |  $c, $minChars, $maxChars, $maxPunctRatio, $maxDigitRatio,
+         |  $minMeanTokenLen, $maxMeanTokenLen);""".stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "quality_gate"
+}
+
 object TextStatsExpr {
 
   val schema: StructType = StructType(Seq(
@@ -106,5 +133,26 @@ object TextStatsExpr {
     val nTokens = if (hi == lo) 0 else nRuns + 1
 
     new GenericInternalRow(Array[Any](nTokens, nBpe, nPunct, nDigit, nNonWs, nChars))
+  }
+
+  /** One stats pass + band checks — called from [[QualityGateExpr]]
+    * generated code. Ratio definitions mirror the composed Column form
+    * exactly (0.0 on empty text / zero tokens).
+    */
+  def qualityGate(input: UTF8String, minChars: Int, maxChars: Int,
+                  maxPunctRatio: Double, maxDigitRatio: Double,
+                  minMeanTokenLen: Double, maxMeanTokenLen: Double): Boolean = {
+    val r = compute(input)
+    val nTokens = r.getInt(0)
+    val nPunct = r.getInt(2)
+    val nDigit = r.getInt(3)
+    val nNonWs = r.getInt(4)
+    val nChars = r.getInt(5)
+    val punct = if (nChars == 0) 0.0 else nPunct.toDouble / nChars
+    val digit = if (nChars == 0) 0.0 else nDigit.toDouble / nChars
+    val meanTok = if (nTokens == 0) 0.0 else nNonWs.toDouble / nTokens
+    nChars >= minChars && nChars <= maxChars &&
+      punct < maxPunctRatio && digit < maxDigitRatio &&
+      meanTok >= minMeanTokenLen && meanTok <= maxMeanTokenLen
   }
 }

@@ -94,6 +94,23 @@ class RepetitionStatsSpec extends SparkSpec {
     }
   }
 
+  test("fused gate equals the struct-field conjunction on corpus + fixtures") {
+    // the gate exists so a FILTER evaluates the kernel once (the struct
+    // form multi-evaluates per conjunct after pushdown) — semantics must
+    // stay identical to the conjunction it replaces
+    val docs = spark.read.parquet(s"$sf/documents.parquet").select($"text")
+      .union(Seq("", "a b a b", "x y\nx y\nx y", "one\n\none\n",
+        "repeat repeat repeat repeat repeat repeat").toDF("text"))
+    val th = CorpusPipeline.RepetitionThresholds()
+    val rows = docs.select(
+      CorpusPipeline.repetitionGate($"text", th).as("fused"),
+      CorpusPipeline.repetitionGateOn(
+        TextFunctions.repetitionStats($"text"), th).as("composed"))
+      .collect()
+    rows.foreach(r => assert(r.getBoolean(0) == r.getBoolean(1)))
+    assert(rows.exists(!_.getBoolean(0)), "thresholds actually gate something")
+  }
+
   test("SQL surface: graft_repetition_stats registered and equal to the DataFrame form") {
     graft.GraftExtensions.register(spark)
     spark.read.parquet(s"$sf/documents.parquet").limit(20)

@@ -91,4 +91,32 @@ class TextStatsFusedSpec extends SparkSpec {
       assert(r.getDouble(2) == r.getDouble(3), "mean token length")
     }
   }
+
+  test("fused QualityGateExpr equals the composed band-check conjunction") {
+    // the fused gate exists so a FILTER runs the stats kernel once (the
+    // struct form multi-evaluates per conjunct after pushdown) — the
+    // boolean must match the conjunction it replaces on every row
+    val docs = spark.read.parquet(s"$sf/documents.parquet").select($"text")
+      .union(Seq("", "  ", "x", "ok " * 10, "!!!???***" * 20,
+        "1234567890 " * 30, ("w" * 30 + " ") * 5).toDF("text"))
+    val st = TextFunctions.textStats($"text")
+    val nChars = st.getField("n_chars")
+    val nTokens = st.getField("n_tokens")
+    val punct = when(nChars === 0, lit(0.0))
+      .otherwise(st.getField("n_punct").cast("double") / nChars)
+    val digit = when(nChars === 0, lit(0.0))
+      .otherwise(st.getField("n_digit").cast("double") / nChars)
+    val meanTok = when(nTokens === 0, lit(0.0))
+      .otherwise(st.getField("n_nonws").cast("double") / nTokens)
+    val composed = nChars.between(20, 20000) && punct < 0.2 && digit < 0.25 &&
+      meanTok.between(2.0, 12.0)
+    val rows = docs.select(
+      CorpusPipeline.qualityGate($"text", 20, 20000, 0.2, 0.25, 2.0, 12.0).as("fused"),
+      composed.as("composed"), $"text").collect()
+    rows.foreach { r =>
+      assert(r.getBoolean(0) == r.getBoolean(1),
+        s"gate mismatch on '${r.getString(2).take(40)}'")
+    }
+    assert(rows.exists(!_.getBoolean(0)) && rows.exists(_.getBoolean(0)))
+  }
 }

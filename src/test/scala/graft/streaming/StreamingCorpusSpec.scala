@@ -166,6 +166,44 @@ class StreamingCorpusSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("temperature-derived mixture rates apply statelessly under streaming") {
+    // same two-phase pattern as the budget mixture: weights measured once
+    // over the historical corpus (T=2 lifts the smaller source), then the
+    // derived rates are a stateless hash filter any stream can apply
+    implicit val sqlCtx = spark.sqlContext
+    val historical = (0 until 400)
+      .map(i => SourcedDoc(i.toLong, "tok " * (if (i % 4 == 0) 1 else 6), s"s${i % 2}"))
+    val tok = length(col("text")).cast("long")
+    val totals = Sampling.tokensBySource(historical.toDF(), col("source"), tok)
+    val weights = Sampling.temperatureWeights(totals, temperature = 2.0)
+    val natural = Sampling.temperatureWeights(totals, temperature = 1.0)
+    val small = totals.minBy(_._2)._1
+    assert(weights(small) >= natural(small), "T=2 lifts the low-resource source")
+    val rates = Sampling.mixtureWeights(totals, weights, tokenBudget = 500L)
+
+    val arrivals = (400 until 500)
+      .map(i => SourcedDoc(i.toLong, "tok " * (i % 5 + 1), s"s${i % 2}"))
+    val input = MemoryStream[SourcedDoc]
+    val q = Sampling.mixtureSample(input.toDS().toDF(),
+        col("doc_id"), col("source"), rates, defaultRate = 0.0)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("temp_mix_stream_out")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("tmixckpt").toString)
+      .start()
+    try {
+      input.addData(arrivals: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("temp_mix_stream_out")
+        .select($"doc_id").as[Long].collect().toSet
+      val batch = Sampling.mixtureSample(arrivals.toDF(),
+          col("doc_id"), col("source"), rates, defaultRate = 0.0)
+        .select($"doc_id").as[Long].collect().toSet
+      assert(streamed == batch)
+      assert(streamed.nonEmpty && streamed.size < arrivals.size)
+    } finally q.stop()
+  }
+
   test("CorpusPipeline.prepare applies the repetition caps when configured") {
     val docs = Seq(
       Doc(1L, "the quick brown fox jumps over the lazy dog and runs to the river"),
