@@ -105,13 +105,17 @@ object SimHash {
       }
     val l = chunked.as("l")
     val r = chunked.as("r")
+    // hamming-filter BEFORE deduplicating: a pair surfacing from several
+    // agreeing chunks carries the same hamming each time, so the filter is
+    // dedup-invariant — and it shrinks the dropDuplicates exchange from
+    // every candidate pair (Σ chunk-bucket²) to just the true near-dups
     l.join(r,
         col("l.__chunk") === col("r.__chunk") &&
         col("l.__val") === col("r.__val") &&
         col("l.__id") < col("r.__id"))
       .select(col("l.__id").as("id_a"), col("r.__id").as("id_b"),
         hamming(col("l.__sh"), col("r.__sh")).as("hamming"))
-      .dropDuplicates("id_a", "id_b")
       .filter(col("hamming") <= maxDist)
+      .dropDuplicates("id_a", "id_b")
   }
 }
