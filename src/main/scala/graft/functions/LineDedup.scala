@@ -3,11 +3,17 @@ package graft.functions
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-/** Line-level boilerplate removal — the CCNet / RefinedWeb corpus-prep step
-  * that strips lines repeated across many documents (headers, footers,
-  * license blocks, navigation chrome) while keeping each document's unique
-  * prose. Complements document-level dedup: a page is unique overall yet
-  * 30% boilerplate, and that 30% is what this removes.
+/** Line-level corpus preprocessing, two complementary rules:
+  *
+  *   - [[dedupLines]] — C4's exact rule: a line occurring ANYWHERE in the
+  *     corpus survives only at its first (doc, position) occurrence;
+  *     fully-deduplicated documents disappear.
+  *   - [[stripBoilerplate]] — the CCNet / RefinedWeb rule: lines repeated
+  *     across more than `maxDocFreq` documents (headers, footers, license
+  *     blocks, navigation chrome) are dropped EVERYWHERE, unique prose
+  *     stays, every document survives. Complements document-level dedup:
+  *     a page can be unique overall yet 30% boilerplate, and that 30% is
+  *     what this removes.
   *
   * Scale shape: the document-frequency aggregation and the anti-join run
   * on 8-byte md5Hash60 line keys (strings never shuffle there, and the
@@ -18,6 +24,32 @@ import org.apache.spark.sql.functions._
   * a collision merges the same two lines' counts on both sides.
   */
 object LineDedup {
+
+  /** Corpus-wide first-occurrence line dedup (the C4 preprocessing step).
+    * The global rule is one groupBy on the 16-byte line fingerprint
+    * carrying only (id, pos) — line text never shuffles for the dedup
+    * decision; reassembly is one groupBy on the doc id collecting the
+    * surviving (pos, line) pairs. A boilerplate line repeated across
+    * millions of documents costs one aggregate row, not a join blow-up.
+    */
+  def dedupLines(df: DataFrame, idCol: String, textCol: String,
+                 sep: String = "\n"): DataFrame = {
+    val lines = FanOut(df).select(col(idCol).as("__id"),
+      posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep)))
+        .as(Seq("__pos", "__line")))
+    val keyed = lines.withColumn("__fp", md5(col("__line")))
+    // first occurrence per fingerprint: min (id, pos) — keys-only shuffle
+    val first = keyed.groupBy(col("__fp"))
+      .agg(min(struct(col("__id"), col("__pos"))).as("__first"))
+    val kept = keyed.join(first, Seq("__fp"))
+      .filter(col("__id") === col("__first").getField("__id") &&
+        col("__pos") === col("__first").getField("__pos"))
+    kept.groupBy(col("__id"))
+      .agg(concat_ws(sep,
+        transform(array_sort(collect_list(struct(col("__pos"), col("__line")))),
+          s => s.getField("__line"))).as(textCol))
+      .withColumnRenamed("__id", idCol)
+  }
 
   /** Every input row, with `text_clean` (the lines appearing in at most
     * `maxDocFreq` distinct documents, original order, '\n'-joined) and

@@ -67,4 +67,43 @@ class LineDedupSpec extends SparkSpec {
     assert(out(1L) == (("only line", 0L)))
     assert(out(2L) == (("", 0L)), "an empty text is one empty line, kept")
   }
+
+  // ---- dedupLines: the C4 exact first-occurrence rule ----
+
+  private val c4docs = Seq(
+    (1L, "unique first line\nshared boilerplate footer\nanother unique line"),
+    (2L, "different content here\nshared boilerplate footer"),
+    (3L, "shared boilerplate footer"),
+    (4L, "totally untouched document\nwith two lines")
+  ).toDF("doc_id", "text")
+
+  test("dedupLines: repeated line survives only at its first (doc, pos) occurrence") {
+    val r = LineDedup.dedupLines(c4docs, "doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    assert(r(1L) == "unique first line\nshared boilerplate footer\nanother unique line")
+    assert(r(2L) == "different content here")
+    assert(!r.contains(3L), "document reduced to nothing disappears")
+    assert(r(4L) == "totally untouched document\nwith two lines")
+  }
+
+  test("dedupLines: line order within a document is preserved after reassembly") {
+    val many = Seq((1L, (0 until 50).map(i => s"line $i").mkString("\n")))
+      .toDF("doc_id", "text")
+    val out = LineDedup.dedupLines(many, "doc_id", "text")
+      .as[(Long, String)].collect().head._2
+    assert(out == (0 until 50).map(i => s"line $i").mkString("\n"))
+  }
+
+  test("dedupLines: idempotent — a second pass changes nothing") {
+    val once = LineDedup.dedupLines(c4docs, "doc_id", "text")
+    val twice = LineDedup.dedupLines(once, "doc_id", "text")
+    assert(twice.exceptAll(once).isEmpty && once.exceptAll(twice).isEmpty)
+  }
+
+  test("dedupLines: duplicate line within ONE document keeps only the earlier position") {
+    val d = Seq((7L, "alpha\nbeta\nalpha\ngamma")).toDF("doc_id", "text")
+    val out = LineDedup.dedupLines(d, "doc_id", "text")
+      .as[(Long, String)].collect().head._2
+    assert(out == "alpha\nbeta\ngamma")
+  }
 }
