@@ -1031,6 +1031,27 @@ object SparkEntry {
         .orderBy(col("doc_id"), col("chunk_idx"))
     }),
 
+    // sequence packing: chunk the corpus, then lay the chunks out as 8
+    // sharded token streams cut every 256 tokens (GPT-style
+    // concatenate-and-split; a bin = one training sequence). Shard = md5
+    // bucket, order = (doc, chunk) — deterministic and engine-portable,
+    // so the oracle reproduces the exact bins
+    "doc_pack_sequences" -> ((s, dir) => {
+      val chunks = t(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(TextFunctions.tokenChunks(col("text"), 32, 8))
+            .as(Seq("chunk_idx", "chunk")))
+      Packing.packOffsets(chunks,
+          tokens = size(split(col("chunk"), " ")),
+          maxTokens = 256L,
+          orderBy = Seq(col("doc_id"), col("chunk_idx")),
+          shardKey = col("doc_id"), shards = 8)
+        .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+          col("shard").cast("long").as("shard"), col("bin"),
+          col("bin_offset").cast("long").as("bin_offset"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    }),
+
     // BPE token budget (bytes vocabulary): the merge-table tokenizer's byte
     // foundation is oracle-checkable — zero merges means token count ==
     // UTF-8 length, which DuckDB computes as strlen. Trained-merge behavior
@@ -2221,6 +2242,31 @@ object SparkEntry {
           |             ELSE CAST(ceil((n - 32) / 24.0) AS BIGINT) + 1 END)) AS i) r)
           |SELECT doc_id, chunk_idx, chunk FROM c
           |ORDER BY doc_id, chunk_idx""".stripMargin,
+
+      // replays chunking (the doc_chunks CTE), the md5 shard bucket, and
+      // the per-shard running token offset; all-integer window math →
+      // bit-exact bins
+      "doc_pack_sequences" ->
+        """WITH tk AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+          |            FROM documents WHERE length(trim(text)) > 0),
+          |n AS (SELECT doc_id, toks, len(toks) AS n FROM tk),
+          |c AS (SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+          |        array_to_string(toks[i*24+1 : i*24+32], ' ') AS chunk
+          |      FROM n, LATERAL (SELECT unnest(range(0,
+          |        CASE WHEN n <= 32 THEN 1
+          |             ELSE CAST(ceil((n - 32) / 24.0) AS BIGINT) + 1 END)) AS i) r),
+          |t2 AS (SELECT doc_id, chunk_idx,
+          |        CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INT) % 8 AS BIGINT) AS shard,
+          |        len(string_split(chunk, ' ')) AS tok
+          |       FROM c),
+          |p AS (SELECT doc_id, chunk_idx, shard,
+          |        sum(tok) OVER (PARTITION BY shard ORDER BY doc_id, chunk_idx
+          |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - tok AS bef
+          |      FROM t2)
+          |SELECT doc_id, chunk_idx, shard,
+          |       CAST(floor(bef / 256.0) AS BIGINT) AS bin,
+          |       CAST(bef % 256 AS BIGINT) AS bin_offset
+          |FROM p ORDER BY doc_id, chunk_idx""".stripMargin,
 
       "text_bpe_count_base" ->
         """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_tokens
