@@ -804,6 +804,16 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // deterministic corpus shuffle: md5 order is a pseudorandom
+    // permutation of the corpus, split into independent shard streams
+    // with in-shard positions — the pre-training layout step (shard
+    // files written in parallel, each internally shuffled)
+    "doc_shuffle_shards" -> ((s, dir) => {
+      Sampling.shuffleAssign(t(s, dir, "documents"), col("doc_id"), shards = 8)
+        .select(col("doc_id"), col("shard"), col("pos"))
+        .orderBy(col("doc_id"))
+    }),
+
     // per-source mixture weighting: one map-side deterministic filter
     // re-weights a multi-source corpus toward a target mixture
     "doc_mixture_sample" -> ((s, dir) => {
@@ -1962,6 +1972,18 @@ object SparkEntry {
            |       ELSE 'train' END AS split
            |FROM documents
            |ORDER BY doc_id""".stripMargin,
+
+      // replays the md5-permutation shuffle: same 4-hex-digit shard
+      // bucket as doc_pack_sequences, in-shard order by the full md5 hex
+      // (identical strings in both engines) with the key as tiebreak
+      "doc_shuffle_shards" ->
+        """WITH h AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS hx FROM documents),
+          |a AS (SELECT doc_id, hx,
+          |        CAST(CAST('0x' || substr(hx, 1, 4) AS INT) % 8 AS BIGINT) AS shard
+          |      FROM h)
+          |SELECT doc_id, shard,
+          |       CAST(row_number() OVER (PARTITION BY shard ORDER BY hx, doc_id) AS BIGINT) AS pos
+          |FROM a ORDER BY doc_id""".stripMargin,
 
       "doc_mixture_sample" ->
         s"""SELECT doc_id, source

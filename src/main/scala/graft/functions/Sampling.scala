@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic hash-based sampling for training-data pipelines:
@@ -122,6 +123,33 @@ object Sampling {
     // oracle that adds in source order)
     val z = raw.toSeq.sortBy(_._1).foldLeft(0.0)(_ + _._2)
     if (z <= 0.0) raw else raw.map { case (s, w) => s -> w / z }
+  }
+
+  /** Deterministic corpus shuffle + shard assignment — the pre-training
+    * layout step: order the corpus by `md5(key)` (a pseudorandom
+    * permutation, so adjacent source documents land far apart) and split
+    * the permuted stream into `shards` independent shard files, each
+    * internally ordered. Adds `shard` (md5 bucket of the key, the same
+    * 4-hex-digit device as [[Packing.packOffsets]]) and `pos` (1-based
+    * position within the shard, ordered by the full md5 then the key for
+    * total determinism).
+    *
+    * Scale shape: a single globally-ordered stream would need a one-
+    * partition sort; sharding first makes the sort per-shard — one hash
+    * exchange on `shard`, then `shards` independent in-partition sorts
+    * (pick `shards` ≫ executor count at 100 TB so each sort fits). The
+    * assignment is engine-portable (md5 prefix arithmetic), so a DuckDB
+    * oracle — or any downstream system — reproduces the exact layout;
+    * re-running, repartitioning, or growing the corpus never reorders
+    * rows relative to each other within a shard.
+    */
+  def shuffleAssign(df: DataFrame, key: Column, shards: Int): DataFrame = {
+    require(shards >= 1, "need at least one shard")
+    val withHash = df.withColumn("__h", md5(key.cast("string")))
+      .withColumn("shard",
+        (conv(substring(col("__h"), 1, 4), 16, 10).cast("int") % shards).cast("long"))
+    val w = Window.partitionBy(col("shard")).orderBy(col("__h"), key)
+    withHash.withColumn("pos", row_number().over(w).cast("long")).drop("__h")
   }
 
   /** Measured token totals per source — the one (bounded) action in the

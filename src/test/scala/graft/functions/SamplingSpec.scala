@@ -77,6 +77,31 @@ class SamplingSpec extends SparkSpec {
     assert(smaller.subsetOf(bigger))
   }
 
+  test("shuffleAssign: permutation, dense in-shard positions, partition-independent") {
+    val out = Sampling.shuffleAssign(docs, col("doc_id"), shards = 8)
+      .select(col("doc_id"), col("shard"), col("pos"))
+    val rows = out.as[(Long, Long, Long)].collect()
+    // every document appears exactly once with a shard in range
+    assert(rows.length == docs.count())
+    assert(rows.map(_._1).distinct.length == rows.length)
+    assert(rows.forall(r => r._2 >= 0 && r._2 < 8))
+    // positions are dense 1..n within each shard (a contiguous shard file)
+    rows.groupBy(_._2).foreach { case (shard, g) =>
+      assert(g.map(_._3).sorted.toSeq == (1L to g.length).toSeq,
+        s"shard $shard positions not dense")
+    }
+    // layout is a pure function of the key: physical partitioning is irrelevant
+    val again = Sampling.shuffleAssign(docs.repartition(13), col("doc_id"), shards = 8)
+      .select(col("doc_id"), col("shard"), col("pos"))
+      .as[(Long, Long, Long)].collect()
+    assert(again.sortBy(_._1).toSeq == rows.sortBy(_._1).toSeq)
+    // the permutation actually shuffles: in-shard neighbors are not id-adjacent
+    val byShardPos = rows.sortBy(r => (r._2, r._3))
+    val adjacentIds = byShardPos.zip(byShardPos.drop(1))
+      .count { case (a, b) => a._2 == b._2 && b._1 - a._1 == 1 }
+    assert(adjacentIds < rows.length / 10, s"$adjacentIds id-adjacent neighbors")
+  }
+
   test("mixtureSample applies per-group rates with default for unlisted") {
     val out = Sampling.mixtureSample(docs, col("doc_id"), col("source"),
       Map("src0" -> 1.0, "src1" -> 0.0), defaultRate = 0.5)
