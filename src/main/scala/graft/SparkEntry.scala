@@ -1229,6 +1229,17 @@ object SparkEntry {
         .orderBy(col("vec_id"))
     }),
 
+    // SemDeDup semantic dedup (Abbas et al. 2023): nearest-seed clusters
+    // (k deterministic md5-sampled seed documents, broadcast argmax),
+    // then within-cluster drop of anything with an earlier-ranked
+    // (more-atypical) neighbor at cosine >= 0.35 — cluster-local exact
+    // pairs instead of corpus-quadratic; full funnel replayed by DuckDB
+    "dedup_semantic" -> ((s, dir) => {
+      VectorSimilarity.semDedup(t(s, dir, "embeddings"), k = 16, minCosine = 0.35)
+        .select(col("vec_id"), col("cluster_id"))
+        .orderBy(col("vec_id"))
+    }),
+
     // multimodal: opaque binary payload + typed metadata plumbing
     "mm_media_meta" -> ((s, dir) => {
       val media = Multimodal.synthesizeMedia(t(s, dir, "documents"), "doc_id", "text")
@@ -2442,6 +2453,29 @@ object SparkEntry {
           |d AS (SELECT DISTINCT b.vec_id FROM e a JOIN e b ON a.vec_id < b.vec_id
           |      WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4)
           |SELECT vec_id FROM e WHERE vec_id NOT IN (SELECT vec_id FROM d)
+          |ORDER BY vec_id""".stripMargin,
+
+      // replays the SemDeDup funnel: md5-ordered seed sample, nearest-seed
+      // argmax over the rounded cosine (seed-id tiebreak), most-atypical-
+      // first in-cluster ranking, earlier-neighbor drop at the threshold
+      "dedup_semantic" ->
+        """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          |seeds AS (SELECT vec_id AS sid, v AS sv FROM e
+          |          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+          |asg AS (SELECT vec_id, v, sid, cosc FROM (
+          |    SELECT e.vec_id, e.v, s.sid,
+          |           round(list_cosine_similarity(e.v, s.sv), 6) AS cosc,
+          |           row_number() OVER (PARTITION BY e.vec_id
+          |             ORDER BY round(list_cosine_similarity(e.v, s.sv), 6) DESC, s.sid) AS rn
+          |    FROM e CROSS JOIN seeds s) WHERE rn = 1),
+          |rk AS (SELECT vec_id, v, sid, cosc,
+          |         row_number() OVER (PARTITION BY sid ORDER BY cosc, vec_id) AS rnk
+          |       FROM asg),
+          |dropped AS (SELECT DISTINCT b.vec_id
+          |            FROM rk a JOIN rk b ON a.sid = b.sid AND a.rnk < b.rnk
+          |            WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.35)
+          |SELECT vec_id, CAST(sid AS BIGINT) AS cluster_id
+          |FROM rk WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
           |ORDER BY vec_id""".stripMargin,
 
       "mm_media_meta" ->

@@ -154,6 +154,71 @@ object VectorSimilarity {
     df.join(dupIds, Seq(idCol), "left_anti")
   }
 
+  /** Semantic cluster assignment for [[semDedup]] — SemDeDup (Abbas et al.
+    * 2023, arXiv:2303.09540) clusters the embedding space and then
+    * deduplicates WITHIN clusters only, turning the quadratic all-pairs
+    * problem into k independent cluster-local ones. The paper uses k-means;
+    * here the centroids are k SEED DOCUMENTS chosen by smallest
+    * `md5(id)` — a deterministic uniform pseudo-random sample (the same
+    * device as [[Sampling]]) that any engine reproduces, which is what
+    * makes the full funnel oracle-checkable ([[refineCodebook]] remains
+    * the quality upgrade when cross-engine replay is not required).
+    *
+    * Scale shape: the seed side is `LIMIT k` (TakeOrdered — no full sort),
+    * broadcast against the streaming corpus; the nearest-seed argmax is a
+    * map-side partial `max_by` (the k candidate rows for a vector never
+    * leave its partition), so one exchange of ~1 row per vector. Ties on
+    * the rounded cosine break toward the smaller seed id. Choose k ≈
+    * corpus / target-cluster-size: parallelism downstream is per-cluster.
+    */
+  def semanticClusters(df: DataFrame, k: Int,
+                       idCol: String = "vec_id",
+                       vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1, "need at least one seed cluster")
+    val e = df.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+    val seeds = e.orderBy(md5(col("__id").cast("string")), col("__id")).limit(k)
+      .select(col("__id").as("__sid"), col("__v").as("__sv"))
+    e.join(broadcast(seeds))
+      .withColumn("__cosc", round(cosine(col("__v"), col("__sv")), 6))
+      .groupBy(col("__id"))
+      .agg(max_by(struct(col("__sid"), col("__cosc"), col("__v")),
+        struct(col("__cosc"), negate(col("__sid")))).as("__best"))
+      .select(col("__id").as(idCol), col("__best.__sid").as("cluster_id"),
+        col("__best.__cosc").as("centroid_cosine"), col("__best.__v").as(vecCol))
+  }
+
+  /** SemDeDup semantic deduplication: within each [[semanticClusters]]
+    * cluster, rank members most-atypical-first (ascending cosine to the
+    * centroid, the paper's keep-low-centroid-similarity rule, id tiebreak)
+    * and drop every member that has an earlier-ranked cluster-mate with
+    * cosine >= `minCosine`. Returns survivors as (id, cluster_id,
+    * centroid_cosine).
+    *
+    * The pairwise stage is an equi-join on the cluster id — candidate
+    * volume is sum of cluster sizes squared, bounded by sizing k (see
+    * [[semanticClusters]]); no cartesian over the corpus. Exact cosines
+    * verify every candidate pair, so unlike the LSH path there is no
+    * recall loss inside a cluster; what SemDeDup trades away is pairs
+    * that straddle a cluster boundary (the paper's own approximation).
+    */
+  def semDedup(df: DataFrame, k: Int, minCosine: Double,
+               idCol: String = "vec_id",
+               vecCol: String = "embedding"): DataFrame = {
+    val ranked = semanticClusters(df, k, idCol, vecCol)
+      .withColumn("__rank", row_number().over(
+        Window.partitionBy(col("cluster_id"))
+          .orderBy(col("centroid_cosine").asc, col(idCol).asc)))
+    val a = ranked.select(col("cluster_id").as("__ca"), col("__rank").as("__ra"),
+      col(vecCol).as("__va"))
+    val b = ranked.select(col("cluster_id").as("__cb"), col("__rank").as("__rb"),
+      col(idCol).as("__idb"), col(vecCol).as("__vb"))
+    val dropped = a.join(b, col("__ca") === col("__cb") && col("__ra") < col("__rb"))
+      .filter(round(cosine(col("__va"), col("__vb")), 6) >= minCosine)
+      .select(col("__idb").as(idCol)).distinct()
+    ranked.join(dropped, Seq(idCol), "left_anti")
+      .select(col(idCol), col("cluster_id"), col("centroid_cosine"))
+  }
+
   /** Hyperplane-bucket width that keeps EXPECTED bucket occupancy near
     * `targetBucketSize` for a corpus of `corpusRows`: random hyperplanes
     * split roughly evenly, so occupancy ≈ rows / 2^nbits. Candidate volume

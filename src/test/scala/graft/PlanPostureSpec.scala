@@ -33,8 +33,12 @@ class PlanPostureSpec extends SparkSpec {
   private val sfDir = "/root/testdata/sf0.001"
 
   // exact kernels / bounded-broadcast baselines where a nested-loop node is
-  // the declared semantics, not an accident
-  private val nestedLoopAllowed = Set("vec_threshold_join", "knn_cosine_topk")
+  // the declared semantics, not an accident: vec_threshold_join (exact
+  // verification kernel), knn_cosine_topk (bounded query batch),
+  // dedup_semantic (LIMIT-k seed side broadcast against the streaming
+  // corpus — the SemDeDup assignment)
+  private val nestedLoopAllowed =
+    Set("vec_threshold_join", "knn_cosine_topk", "dedup_semantic")
 
   /** A BNLJ is scale-safe iff its broadcast side is guaranteed ≤1 row: the
     * scalar-attach idiom (constant-key join against a global aggregate,

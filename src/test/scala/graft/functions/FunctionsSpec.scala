@@ -349,6 +349,66 @@ class MultimodalStagesSpec extends SparkSpec {
   }
 }
 
+class SemDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def emb = spark.read.parquet(s"$sf/embeddings.parquet")
+
+  test("semanticClusters: total assignment, seed self-membership, partition-independent") {
+    val out = VectorSimilarity.semanticClusters(emb, k = 16)
+    val rows = out.select($"vec_id", $"cluster_id", $"centroid_cosine")
+      .as[(Long, Long, Double)].collect()
+    assert(rows.length == emb.count())
+    assert(rows.map(_._1).distinct.length == rows.length, "one cluster per vector")
+    val clusters = rows.map(_._2).distinct.toSet
+    assert(clusters.size <= 16)
+    // a seed's nearest seed is itself: cosine 1.0 in its own cluster
+    clusters.foreach { sid =>
+      val self = rows.find(_._1 == sid).get
+      assert(self._2 == sid && self._3 == 1.0, s"seed $sid not in its own cluster")
+    }
+    val again = VectorSimilarity.semanticClusters(emb.repartition(13), k = 16)
+      .select($"vec_id", $"cluster_id", $"centroid_cosine")
+      .as[(Long, Long, Double)].collect()
+    assert(again.sortBy(_._1).toSeq == rows.sortBy(_._1).toSeq)
+  }
+
+  test("semDedup: no two surviving cluster-mates above the threshold; rank-1 survives") {
+    val tau = 0.35
+    val survivors = VectorSimilarity.semDedup(emb, k = 16, minCosine = tau)
+    val n = emb.count()
+    assert(survivors.count() < n, "the threshold must actually drop something here")
+    // the invariant the operator promises: within a cluster, survivors are
+    // pairwise below tau (any qualifying pair would have dropped the later rank)
+    val sv = survivors.join(emb, "vec_id")
+      .select($"vec_id", $"cluster_id", $"embedding")
+    val offending = sv.as("a").join(sv.as("b"),
+        $"a.cluster_id" === $"b.cluster_id" && $"a.vec_id" < $"b.vec_id")
+      .filter(round(VectorSimilarity.cosine($"a.embedding", $"b.embedding"), 6) >= tau)
+    assert(offending.count() == 0, "surviving cluster-mates above tau")
+    // the most atypical member of every cluster (rank 1) is never dropped
+    val ranked = VectorSimilarity.semanticClusters(emb, k = 16)
+      .withColumn("__rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"cluster_id")
+          .orderBy($"centroid_cosine".asc, $"vec_id".asc)))
+    val rank1 = ranked.filter($"__rank" === 1).select("vec_id")
+    assert(rank1.join(survivors, "vec_id").count() == rank1.count())
+  }
+
+  test("semDedup collapses an exact-duplicate cluster to one survivor") {
+    val base = Seq.tabulate(64)(i => if (i == 0) 1.0f else 0.0f)
+    val other = Seq.tabulate(64)(i => if (i == 1) 1.0f else 0.0f)
+    val df = Seq(
+      (0L, base), (1L, base), (2L, base),   // three exact duplicates
+      (3L, other)
+    ).toDF("vec_id", "embedding")
+    val out = VectorSimilarity.semDedup(df, k = 2, minCosine = 0.99)
+      .select("vec_id").as[Long].collect().toSet
+    assert(out.intersect(Set(0L, 1L, 2L)).size == 1, s"dup group kept $out")
+    assert(out.contains(3L))
+  }
+}
+
 class AnnRecallSpec extends SparkSpec {
   import org.apache.spark.sql.DataFrame
 
