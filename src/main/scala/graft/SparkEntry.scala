@@ -1106,6 +1106,25 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // DSIR importance score (Xie et al. 2023): how target-like each
+    // document's hashed-unigram distribution is (target = lang 'en'),
+    // log2 ratio of Laplace-smoothed 4096-bucket histograms — bounded
+    // estimator state at any corpus size, two map-side passes
+    "doc_dsir_weight" -> ((s, dir) => {
+      Dsir.score(t(s, dir, "documents"), "doc_id", col("text"),
+        col("lang") === "en")
+        .orderBy(col("doc_id"))
+    }),
+
+    // DSIR selection: deterministic Gumbel-top-k resampling over the
+    // importance score — samples w/o replacement ∝ exp(score), with an
+    // md5-derived (engine-portable) Gumbel variate instead of rand()
+    "doc_dsir_sample" -> ((s, dir) => {
+      Dsir.resample(t(s, dir, "documents"), "doc_id", col("text"),
+        col("lang") === "en", k = 200)
+        .orderBy(col("doc_id"))
+    }),
+
     // CCNet-style quality tiers: equal-count head/middle/tail thirds of
     // the corpus by unigram-LM score (ntile over the ROUNDED score +
     // doc_id — deterministic, engine-independent ordering)
@@ -2335,6 +2354,62 @@ object SparkEntry {
           |       round(coalesce(sc.lp, 0.0), 4) + 0.0 AS logprob
           |FROM documents d LEFT JOIN sc USING (doc_id)
           |ORDER BY d.doc_id""".stripMargin,
+
+      // replays the DSIR funnel: md5Hash60 word buckets (same hash family
+      // as dedup_simhash), Laplace-smoothed log2 ratio over DOUBLE
+      // histograms, mean rounded to 4 dp with the -0.0 normalization
+      "doc_dsir_weight" ->
+        """WITH w AS (SELECT doc_id, lang = 'en' AS t,
+          |        unnest(regexp_split_to_array(text, '\s+')) AS w FROM documents),
+          |toks AS (SELECT doc_id, t,
+          |        CAST(CAST('0x' || substr(md5(w), 1, 15) AS UBIGINT) % 4096 AS BIGINT) AS b
+          |      FROM w WHERE w != ''),
+          |hist AS (SELECT b, CAST(count(*) AS DOUBLE) AS cr,
+          |                CAST(sum(CASE WHEN t THEN 1 ELSE 0 END) AS DOUBLE) AS ct
+          |         FROM toks GROUP BY b),
+          |tot AS (SELECT sum(cr) AS nr, sum(ct) AS nt FROM hist),
+          |lam AS (SELECT b, log2((ct + 1.0) / (nt + 4096.0)) -
+          |                  log2((cr + 1.0) / (nr + 4096.0)) AS lam
+          |        FROM hist, tot),
+          |sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, sum(lam) AS w
+          |       FROM toks JOIN lam USING (b) GROUP BY doc_id)
+          |SELECT d.doc_id, coalesce(sc.n_tokens, 0) AS n_tokens,
+          |       round(coalesce(sc.w, 0.0), 4) + 0.0 AS dsir_logratio
+          |FROM documents d LEFT JOIN sc USING (doc_id)
+          |ORDER BY d.doc_id""".stripMargin,
+
+      // DSIR Gumbel-top-k: the same score funnel, then a deterministic
+      // md5-derived Gumbel variate; the sort key is rounded to 6 dp with
+      // an id tiebreak so ulp drift cannot reorder the selection
+      "doc_dsir_sample" ->
+        """WITH w AS (SELECT doc_id, lang = 'en' AS t,
+          |        unnest(regexp_split_to_array(text, '\s+')) AS w FROM documents),
+          |toks AS (SELECT doc_id, t,
+          |        CAST(CAST('0x' || substr(md5(w), 1, 15) AS UBIGINT) % 4096 AS BIGINT) AS b
+          |      FROM w WHERE w != ''),
+          |hist AS (SELECT b, CAST(count(*) AS DOUBLE) AS cr,
+          |                CAST(sum(CASE WHEN t THEN 1 ELSE 0 END) AS DOUBLE) AS ct
+          |         FROM toks GROUP BY b),
+          |tot AS (SELECT sum(cr) AS nr, sum(ct) AS nt FROM hist),
+          |lam AS (SELECT b, log2((ct + 1.0) / (nt + 4096.0)) -
+          |                  log2((cr + 1.0) / (nr + 4096.0)) AS lam
+          |        FROM hist, tot),
+          |sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, sum(lam) AS w
+          |       FROM toks JOIN lam USING (b) GROUP BY doc_id),
+          |base AS (SELECT d.doc_id, coalesce(sc.n_tokens, 0) AS n_tokens,
+          |           round(coalesce(sc.w, 0.0), 4) + 0.0 AS dsir_logratio
+          |         FROM documents d LEFT JOIN sc USING (doc_id)),
+          |keyed AS (SELECT doc_id, n_tokens, dsir_logratio,
+          |            round(dsir_logratio +
+          |              -ln(-ln((CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INT) AS DOUBLE) + 0.5)
+          |                       / CAST(65536 AS DOUBLE))), 6) AS key
+          |          FROM base),
+          |rk AS (SELECT doc_id, n_tokens, dsir_logratio,
+          |         CAST(row_number() OVER (ORDER BY key DESC, doc_id) AS BIGINT) AS rank
+          |       FROM keyed)
+          |SELECT doc_id, n_tokens, dsir_logratio, rank
+          |FROM rk WHERE rank <= 200
+          |ORDER BY doc_id""".stripMargin,
 
       // unigram funnel + ntile tiers; rank over (rounded logprob DESC,
       // doc_id) so tier assignment is deterministic in both engines
