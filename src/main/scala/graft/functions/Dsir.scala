@@ -78,6 +78,60 @@ object Dsir {
         (round(coalesce(col("__w"), lit(0.0)), 4) + lit(0.0)).as("dsir_logratio"))
   }
 
+  /** The per-bucket log2 ratios as a dense array indexed by bucket id —
+    * a BOUNDED driver collect (`buckets` rows, 32 KB at the 4096
+    * default). This is the deployment shape DSIR actually uses: estimate
+    * the histograms over the historical corpus ONCE, then score any
+    * stream statelessly against the frozen table ([[scoreColumn]]).
+    * Buckets unseen in the raw corpus get the pure-smoothing ratio.
+    */
+  def frozenTable(df: DataFrame, text: Column, isTarget: Column,
+                  buckets: Int = 4096): Array[Double] = {
+    val toks = df.select(isTarget.as("__t"),
+      explode(tokenBuckets(text, buckets)).as("__b"))
+    val hist = toks.groupBy(col("__b")).agg(
+      count(lit(1)).cast("double").as("__cr"),
+      sum(when(col("__t"), lit(1L)).otherwise(lit(0L))).cast("double").as("__ct"))
+    val totals = hist.agg(
+      coalesce(sum(col("__cr")), lit(0.0)).as("__nr"),
+      coalesce(sum(col("__ct")), lit(0.0)).as("__nt"))
+    val bD = lit(buckets.toDouble)
+    val rows = hist.join(broadcast(totals))
+      .select(col("__b"),
+        (log2((col("__ct") + 1.0) / (col("__nt") + bD)) -
+         log2((col("__cr") + 1.0) / (col("__nr") + bD))).as("__lam"),
+        col("__nr"), col("__nt"))
+      .collect()
+    // buckets no token hashed into: the pure-smoothing ratio (they can
+    // only be hit by FUTURE stream tokens, which the batch funnel never
+    // scores, so any rounding difference here has no parity surface)
+    val (nr, nt) = rows.headOption
+      .map(r => (r.getDouble(2), r.getDouble(3))).getOrElse((0.0, 0.0))
+    val empty = math.log((1.0 / (nt + buckets)) / (1.0 / (nr + buckets))) / math.log(2.0)
+    val table = Array.fill(buckets)(empty)
+    rows.foreach(r => table(r.getLong(0).toInt) = r.getDouble(1))
+    table
+  }
+
+  /** Stateless per-row DSIR score against a frozen [[frozenTable]]: a fold
+    * over the document's hashed buckets through the table shipped as an
+    * array literal (O(1) `element_at`) — no explode, no join, no shuffle,
+    * no state store, so the identical Column runs unchanged inside a
+    * Structured Streaming query. The fold adds in token order, the same
+    * order [[score]]'s per-partition partial sum sees, so values match
+    * the batch funnel at the shared 4-dp rounding.
+    */
+  def scoreColumn(text: Column, table: Array[Double]): Column = {
+    val arr = lit(table)
+    val folded = aggregate(tokenBuckets(text, table.length), lit(0.0),
+      (acc, b) => acc + element_at(arr, (b + 1).cast("int")))
+    round(coalesce(folded, lit(0.0)), 4) + lit(0.0)
+  }
+
+  /** Token count on the same hashed-bucket tokenization as [[scoreColumn]]. */
+  def tokenCountColumn(text: Column, buckets: Int = 4096): Column =
+    coalesce(size(tokenBuckets(text, buckets)).cast("long"), lit(0L))
+
   /** DSIR's selection step: Gumbel-top-k importance resampling — rank by
     * score + Gumbel noise and keep the top `k`, which samples without
     * replacement with probability ∝ exp(score) (the paper's resampling

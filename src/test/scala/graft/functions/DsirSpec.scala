@@ -54,6 +54,19 @@ class DsirSpec extends SparkSpec {
     assert(k20.subsetOf(out.map(_._1).toSet))
   }
 
+  test("frozen-table scoring reproduces the batch funnel") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val table = Dsir.frozenTable(docs, col("text"), col("lang") === "en")
+    assert(table.length == 4096)
+    val viaTable = docs.select($"doc_id",
+        Dsir.tokenCountColumn(col("text")).as("n_tokens"),
+        Dsir.scoreColumn(col("text"), table).as("dsir_logratio"))
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    val viaBatch = Dsir.score(docs, "doc_id", col("text"), col("lang") === "en")
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    assert(viaTable.toSeq == viaBatch.toSeq)
+  }
+
   test("resampling favors higher-scoring documents") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val scores = Dsir.score(docs, "doc_id", col("text"), col("lang") === "en")

@@ -204,6 +204,49 @@ class StreamingCorpusSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  // DSIR deploys two-phase like the budget mixture: histograms estimated
+  // batch-side over the historical corpus (bounded: `buckets` table rows),
+  // then the frozen log-ratio table scores the stream as a pure fold over
+  // each row's hashed buckets — no explode, no join, no state store.
+  test("DSIR frozen-table scoring applies statelessly under streaming") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.functions.Dsir
+    val historical = Seq(
+      SourcedDoc(0L, "alpha beta gamma alpha beta", "tgt"),
+      SourcedDoc(1L, "alpha gamma beta gamma alpha", "tgt"),
+      SourcedDoc(2L, "zulu yankee xray zulu whiskey", "raw"),
+      SourcedDoc(3L, "yankee xray zulu xray victor", "raw"))
+    val table = Dsir.frozenTable(historical.toDF(), col("text"),
+      col("source") === "tgt", buckets = 256)
+
+    val arrivals = Seq(
+      SourcedDoc(10L, "alpha beta gamma", "new"),
+      SourcedDoc(11L, "zulu yankee xray", "new"),
+      SourcedDoc(12L, "alpha zulu", "new"),
+      SourcedDoc(13L, "", "new"))
+    val input = MemoryStream[SourcedDoc]
+    val q = input.toDS().toDF()
+      .select($"doc_id", Dsir.scoreColumn(col("text"), table).as("w"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dsir_stream_out")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("dsirckpt").toString)
+      .start()
+    try {
+      input.addData(arrivals: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("dsir_stream_out")
+        .select($"doc_id", $"w").as[(Long, Double)].collect().toMap
+      val batch = arrivals.toDF()
+        .select($"doc_id", Dsir.scoreColumn(col("text"), table).as("w"))
+        .as[(Long, Double)].collect().toMap
+      assert(streamed == batch)
+      // target vocabulary outranks raw-only; the empty doc scores 0
+      assert(streamed(10L) > streamed(11L))
+      assert(streamed(13L) == 0.0)
+    } finally q.stop()
+  }
+
   test("CorpusPipeline.prepare applies the repetition caps when configured") {
     val docs = Seq(
       Doc(1L, "the quick brown fox jumps over the lazy dog and runs to the river"),
