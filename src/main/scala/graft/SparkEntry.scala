@@ -1259,6 +1259,22 @@ object SparkEntry {
         .orderBy(col("vec_id"))
     }),
 
+    // semantic clustering as corpus ANALYSIS: profile each embedding
+    // cluster against document metadata (size, language mix, length) —
+    // the topic-browse view a curation team reads before deciding
+    // mixture weights; one broadcast argmax + one equi-join + one agg
+    "corpus_cluster_profile" -> ((s, dir) => {
+      val clusters = VectorSimilarity
+        .semanticClusters(t(s, dir, "embeddings"), k = 16)
+        .select(col("vec_id").as("doc_id"), col("cluster_id"))
+      t(s, dir, "documents").join(clusters, "doc_id")
+        .groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("lang") === "en", lit(1L)).otherwise(lit(0L))).as("n_en"),
+          round(avg(col("n_chars")), 2).as("avg_chars"))
+        .orderBy(col("cluster_id"))
+    }),
+
     // multimodal: opaque binary payload + typed metadata plumbing
     "mm_media_meta" -> ((s, dir) => {
       val media = Multimodal.synthesizeMedia(t(s, dir, "documents"), "doc_id", "text")
@@ -2552,6 +2568,24 @@ object SparkEntry {
           |SELECT vec_id, CAST(sid AS BIGINT) AS cluster_id
           |FROM rk WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
           |ORDER BY vec_id""".stripMargin,
+
+      // same seed/argmax CTE as dedup_semantic, then a metadata join + agg
+      "corpus_cluster_profile" ->
+        """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          |seeds AS (SELECT vec_id AS sid, v AS sv FROM e
+          |          ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+          |asg AS (SELECT vec_id, sid FROM (
+          |    SELECT e.vec_id, s.sid,
+          |           row_number() OVER (PARTITION BY e.vec_id
+          |             ORDER BY round(list_cosine_similarity(e.v, s.sv), 6) DESC, s.sid) AS rn
+          |    FROM e CROSS JOIN seeds s) WHERE rn = 1)
+          |SELECT CAST(sid AS BIGINT) AS cluster_id,
+          |       CAST(count(*) AS BIGINT) AS n_docs,
+          |       CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+          |       round(avg(n_chars), 2) AS avg_chars
+          |FROM documents d JOIN asg ON d.doc_id = asg.vec_id
+          |GROUP BY sid
+          |ORDER BY cluster_id""".stripMargin,
 
       "mm_media_meta" ->
         """SELECT doc_id AS media_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes

@@ -38,7 +38,8 @@ class PlanPostureSpec extends SparkSpec {
   // dedup_semantic (LIMIT-k seed side broadcast against the streaming
   // corpus — the SemDeDup assignment)
   private val nestedLoopAllowed =
-    Set("vec_threshold_join", "knn_cosine_topk", "dedup_semantic")
+    Set("vec_threshold_join", "knn_cosine_topk", "dedup_semantic",
+      "corpus_cluster_profile")
 
   /** A BNLJ is scale-safe iff its broadcast side is guaranteed ≤1 row: the
     * scalar-attach idiom (constant-key join against a global aggregate,
