@@ -99,7 +99,10 @@ object CorpusPipeline {
       repetition: Option[RepetitionThresholds] = None,
       mixtureTokenBudget: Option[Long] = None,
       mixtureTargetWeights: Map[String, Double] = Map.empty,
-      mixtureTokens: Option[Column] = None)
+      mixtureTokens: Option[Column] = None,
+      dsirTarget: Option[Column] = None,
+      dsirTopK: Int = 0,
+      dsirBuckets: Int = 4096)
 
   /** Prepared corpus: the input rows that survive every configured stage,
     * plus a `split` column. Deterministic end to end — same input, same
@@ -154,8 +157,28 @@ object CorpusPipeline {
       exactDeduped.join(dupIds, Seq(cfg.idCol), "left_anti")
     }
 
+    // 3.5 optional DSIR selection toward a target domain — the paper's
+    // placement: select from the deduplicated raw pool BEFORE splitting.
+    // The resample funnel reads its input from several branches (two
+    // tokenize passes + the id join-back), each of which would re-derive
+    // gate + dedup from the raw scan, so the intermediate is cached only
+    // while the k selected ids materialize (the established lifecycle).
+    val selected = cfg.dsirTarget match {
+      case Some(tgt) if cfg.dsirTopK > 0 =>
+        val cached = deduped
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val keep = try {
+          Checkpoints.localize(
+            Dsir.resample(cached, cfg.idCol, text, tgt, cfg.dsirTopK,
+                cfg.dsirBuckets)
+              .select(col(cfg.idCol)))
+        } finally cached.unpersist(false)
+        deduped.join(keep, Seq(cfg.idCol), "left_semi")
+      case _ => deduped
+    }
+
     // 4. deterministic split assignment
-    val withSplit = deduped.withColumn("split", Sampling.assignSplit(id, cfg.splits))
+    val withSplit = selected.withColumn("split", Sampling.assignSplit(id, cfg.splits))
 
     // 5. optional decontamination of train against the test split. The
     // bipartite funnel reads the prepared corpus from several plan branches

@@ -31,15 +31,18 @@ object Dsir {
   import org.apache.spark.sql.graft.{ColumnBridge => ExpressionUtils}
 
   /** Hashed-unigram feature buckets of a text: md5Hash60 of each
-    * whitespace-split word (RE2 `\s`, empties dropped — the fused
-    * [[expressions.Md5WordNgramHashesExpr]] kernel at n = 1), folded into
-    * `buckets` buckets.
+    * whitespace-split word n-gram (RE2 `\s`, empties dropped — the fused
+    * [[expressions.Md5WordNgramHashesExpr]] kernel), folded into
+    * `buckets` buckets. The paper uses unigrams + bigrams; order is the
+    * `ngram` knob (the recorded queries run n = 1, the oracles replay any
+    * order via the same space-joined md5 family as `dedup_simhash`).
     */
-  def tokenBuckets(text: Column, buckets: Int): Column = {
+  def tokenBuckets(text: Column, buckets: Int, ngram: Int = 1): Column = {
     require(buckets >= 1, "need at least one bucket")
+    require(ngram >= 1, "need a positive n-gram order")
     transform(
       ExpressionUtils.column(expressions.Md5WordNgramHashesExpr(
-        ExpressionUtils.expression(text), 1)),
+        ExpressionUtils.expression(text), ngram)),
       h => h % buckets)
   }
 
@@ -56,9 +59,9 @@ object Dsir {
     * `dsir_logratio` (rounded to 4 dp).
     */
   def score(df: DataFrame, idCol: String, text: Column, isTarget: Column,
-            buckets: Int = 4096): DataFrame = {
+            buckets: Int = 4096, ngram: Int = 1): DataFrame = {
     val toks = df.select(col(idCol).as("__id"), isTarget.as("__t"),
-      explode(tokenBuckets(text, buckets)).as("__b"))
+      explode(tokenBuckets(text, buckets, ngram)).as("__b"))
     val hist = toks.groupBy(col("__b")).agg(
       count(lit(1)).cast("double").as("__cr"),
       sum(when(col("__t"), lit(1L)).otherwise(lit(0L))).cast("double").as("__ct"))
@@ -86,9 +89,9 @@ object Dsir {
     * Buckets unseen in the raw corpus get the pure-smoothing ratio.
     */
   def frozenTable(df: DataFrame, text: Column, isTarget: Column,
-                  buckets: Int = 4096): Array[Double] = {
+                  buckets: Int = 4096, ngram: Int = 1): Array[Double] = {
     val toks = df.select(isTarget.as("__t"),
-      explode(tokenBuckets(text, buckets)).as("__b"))
+      explode(tokenBuckets(text, buckets, ngram)).as("__b"))
     val hist = toks.groupBy(col("__b")).agg(
       count(lit(1)).cast("double").as("__cr"),
       sum(when(col("__t"), lit(1L)).otherwise(lit(0L))).cast("double").as("__ct"))
@@ -121,16 +124,16 @@ object Dsir {
     * order [[score]]'s per-partition partial sum sees, so values match
     * the batch funnel at the shared 4-dp rounding.
     */
-  def scoreColumn(text: Column, table: Array[Double]): Column = {
+  def scoreColumn(text: Column, table: Array[Double], ngram: Int = 1): Column = {
     val arr = lit(table)
-    val folded = aggregate(tokenBuckets(text, table.length), lit(0.0),
+    val folded = aggregate(tokenBuckets(text, table.length, ngram), lit(0.0),
       (acc, b) => acc + element_at(arr, (b + 1).cast("int")))
     round(coalesce(folded, lit(0.0)), 4) + lit(0.0)
   }
 
   /** Token count on the same hashed-bucket tokenization as [[scoreColumn]]. */
-  def tokenCountColumn(text: Column, buckets: Int = 4096): Column =
-    coalesce(size(tokenBuckets(text, buckets)).cast("long"), lit(0L))
+  def tokenCountColumn(text: Column, buckets: Int = 4096, ngram: Int = 1): Column =
+    coalesce(size(tokenBuckets(text, buckets, ngram)).cast("long"), lit(0L))
 
   /** DSIR's selection step: Gumbel-top-k importance resampling — rank by
     * score + Gumbel noise and keep the top `k`, which samples without
@@ -148,9 +151,9 @@ object Dsir {
     * on a score threshold instead).
     */
   def resample(df: DataFrame, idCol: String, text: Column, isTarget: Column,
-               k: Int, buckets: Int = 4096): DataFrame = {
+               k: Int, buckets: Int = 4096, ngram: Int = 1): DataFrame = {
     require(k >= 1, "need a positive selection size")
-    val s = score(df, idCol, text, isTarget, buckets)
+    val s = score(df, idCol, text, isTarget, buckets, ngram)
     val u = (conv(substring(md5(col(idCol).cast("string")), 1, 4), 16, 10)
       .cast("double") + lit(0.5)) / lit(65536.0)
     val keyed = s.withColumn("__key", round(col("dsir_logratio") + -log(-log(u)), 6))

@@ -62,6 +62,28 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("DSIR selection stage keeps top-k toward the target and equals the manual composition") {
+    val docs = (0L until 200L).map { i =>
+      val text =
+        if (i % 2 == 0) s"the number $i document talks of things that are in the set with detail"
+        else s"informe numero $i sobre cosas que estan en el conjunto con detalle y mas"
+      (i, text, if (i % 2 == 0) "en" else "es")
+    }.toDF("doc_id", "text", "source")
+    val cfg = CorpusPipeline.Config(
+      nearDupThreshold = None, decontamThreshold = None, maxDigitRatio = 1.0,
+      requireKnownLang = false,
+      dsirTarget = Some($"source" === "en"), dsirTopK = 40)
+    val out = CorpusPipeline.prepare(docs, cfg)
+    assert(out.count() == 40)
+    // the selection leans toward the target-vocabulary half
+    assert(out.filter($"source" === "en").count() > 20)
+    // equals Dsir.resample applied to the unselected prepared corpus
+    val base = CorpusPipeline.prepare(docs, cfg.copy(dsirTarget = None))
+    val manual = Dsir.resample(base, "doc_id", $"text", $"source" === "en", k = 40)
+      .select("doc_id").as[Long].collect().toSet
+    assert(out.select("doc_id").as[Long].collect().toSet == manual)
+  }
+
   test("token-budgeted mixture stage equals the manual composition") {
     val docs = (0L until 300L).map { i =>
       (i, s"the number $i document talks of things that are in the set with detail",

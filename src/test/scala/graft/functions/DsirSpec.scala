@@ -54,6 +54,15 @@ class DsirSpec extends SparkSpec {
     assert(k20.subsetOf(out.map(_._1).toSet))
   }
 
+  test("bigram features (the paper's other order) preserve the separation") {
+    val out = Dsir.score(corpus, "doc_id", col("text"), col("kind") === "tgt",
+        ngram = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // n-gram count = words - 1; the empty doc still scores 0
+    assert(out(0L)._1 == 4 && out(4L)._1 == 2 && out(5L) == ((0L, 0.0)))
+    assert(out(4L)._2 > out(2L)._2 && out(0L)._2 > out(3L)._2)
+  }
+
   test("frozen-table scoring reproduces the batch funnel") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val table = Dsir.frozenTable(docs, col("text"), col("lang") === "en")
