@@ -1106,6 +1106,24 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // exact-substring duplication (Lee et al. 2021, splice-free variant):
+    // per-doc coverage by 8-token spans whose text occurs elsewhere in
+    // the corpus (union of intervals, overlaps counted once) — posting
+    // list on 8-byte span hashes, all-integer coverage math
+    "doc_span_dup_stats" -> ((s, dir) => {
+      SpanDedup.coverageStats(t(s, dir, "documents"), "doc_id", col("text"), k = 8)
+        .orderBy(col("doc_id"))
+    }),
+
+    // the document-level gate on that coverage: drop docs that are
+    // mostly (>= 50%) duplicated-span text
+    "doc_span_dedup" -> ((s, dir) => {
+      SpanDedup.dropHighOverlap(t(s, dir, "documents"), "doc_id", col("text"),
+        k = 8, maxFrac = 0.5)
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
+
     // DSIR importance score (Xie et al. 2023): how target-like each
     // document's hashed-unigram distribution is (target = lang 'en'),
     // log2 ratio of Laplace-smoothed 4096-bucket histograms — bounded
@@ -1323,6 +1341,44 @@ object SparkEntry {
     * the same parquet tables. Omitted keys get a weaker rows-only check.
     */
   def oracleSql: Map[String, String] = {
+    // shared CTE prefix for the span-duplication funnel: 8-token lead-chain
+    // grams (1-based positions), md5Hash60 span hashes, first-occurrence
+    // rule, interval-union coverage — all-integer window math
+    def spanOracle(select: String): String = {
+      val k = 8
+      val leads = (1 until k)
+        .map(j => s"lead(w, $j) OVER (PARTITION BY doc_id ORDER BY pos)")
+        .mkString(" || ' ' || ")
+      s"""WITH arrs AS (SELECT doc_id,
+         |        list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '') AS arr
+         |      FROM documents),
+         |words AS (SELECT doc_id, unnest(arr) AS w,
+         |        unnest(range(1, len(arr) + 1)) AS pos FROM arrs),
+         |grams AS (SELECT doc_id, pos, w || ' ' || $leads AS gram
+         |          FROM words QUALIFY gram IS NOT NULL),
+         |h AS (SELECT doc_id, pos,
+         |        CAST(CAST('0x' || substr(md5(gram), 1, 15) AS UBIGINT) AS BIGINT) AS hx
+         |      FROM grams),
+         |f AS (SELECT doc_id, pos,
+         |        count(*) OVER (PARTITION BY hx) AS c,
+         |        row_number() OVER (PARTITION BY hx ORDER BY doc_id, pos) AS rn
+         |      FROM h),
+         |dups AS (SELECT doc_id, pos FROM f WHERE c > 1 AND rn > 1),
+         |cov AS (SELECT doc_id, pos,
+         |          max(pos + $k) OVER (PARTITION BY doc_id ORDER BY pos
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+         |        FROM dups),
+         |agg AS (SELECT doc_id,
+         |          CAST(sum(GREATEST(0, pos + $k - GREATEST(coalesce(prev_end, pos), pos))) AS BIGINT) AS dup_tokens
+         |        FROM cov GROUP BY doc_id),
+         |stats AS (SELECT b.doc_id, CAST(len(b.arr) AS BIGINT) AS n_tokens,
+         |            coalesce(a.dup_tokens, 0) AS dup_tokens,
+         |            round(CASE WHEN len(b.arr) = 0 THEN 0.0
+         |                  ELSE CAST(coalesce(a.dup_tokens, 0) AS DOUBLE) / len(b.arr) END,
+         |              4) AS dup_frac
+         |          FROM arrs b LEFT JOIN agg a USING (doc_id))
+         |$select""".stripMargin
+    }
     val normText =
       "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), '\\s+', ' ', 'g'))"
     val stopEn = "\\b(the|and|of|to|is|in|that|with)\\b"
@@ -2370,6 +2426,17 @@ object SparkEntry {
           |       round(coalesce(sc.lp, 0.0), 4) + 0.0 AS logprob
           |FROM documents d LEFT JOIN sc USING (doc_id)
           |ORDER BY d.doc_id""".stripMargin,
+
+      // replays the span funnel: lead-chain 8-token grams, md5Hash60 span
+      // hashes, first-occurrence rule via window, interval-union coverage
+      // in all-integer window math
+      "doc_span_dup_stats" -> spanOracle(
+        """SELECT doc_id, n_tokens, dup_tokens, dup_frac FROM stats
+          |ORDER BY doc_id""".stripMargin),
+
+      "doc_span_dedup" -> spanOracle(
+        """SELECT doc_id FROM stats WHERE dup_frac < 0.5
+          |ORDER BY doc_id""".stripMargin),
 
       // replays the DSIR funnel: md5Hash60 word buckets (same hash family
       // as dedup_simhash), Laplace-smoothed log2 ratio over DOUBLE
