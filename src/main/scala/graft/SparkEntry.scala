@@ -1115,6 +1115,13 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // the paper's actual edit: cleaned text with every duplicated span
+    // occurrence removed except the corpus-wide first, word-aligned
+    "doc_span_splice" -> ((s, dir) => {
+      SpanDedup.spliceDuplicates(t(s, dir, "documents"), "doc_id", col("text"), k = 8)
+        .orderBy(col("doc_id"))
+    }),
+
     // the document-level gate on that coverage: drop docs that are
     // mostly (>= 50%) duplicated-span text
     "doc_span_dedup" -> ((s, dir) => {
@@ -2437,6 +2444,19 @@ object SparkEntry {
       "doc_span_dedup" -> spanOracle(
         """SELECT doc_id FROM stats WHERE dup_frac < 0.5
           |ORDER BY doc_id""".stripMargin),
+
+      // words surviving the covered-index set, reassembled in position
+      // order with single spaces — same dups CTE as the stats funnel
+      "doc_span_splice" -> spanOracle(
+        """, cix AS (SELECT DISTINCT doc_id, unnest(range(pos, pos + 8)) AS idx FROM dups),
+          |kept AS (SELECT w.doc_id, w.w, w.pos FROM words w
+          |         LEFT JOIN cix ON w.doc_id = cix.doc_id AND w.pos = cix.idx
+          |         WHERE cix.idx IS NULL)
+          |SELECT a.doc_id,
+          |       coalesce((SELECT string_agg(kept.w, ' ' ORDER BY kept.pos)
+          |                 FROM kept WHERE kept.doc_id = a.doc_id), '') AS text_clean
+          |FROM arrs a
+          |ORDER BY a.doc_id""".stripMargin),
 
       // replays the DSIR funnel: md5Hash60 word buckets (same hash family
       // as dedup_simhash), Laplace-smoothed log2 ratio over DOUBLE

@@ -86,6 +86,34 @@ object SpanDedup {
           4).as("dup_frac"))
   }
 
+  /** The paper's actual edit: remove every duplicated span occurrence
+    * except the corpus-wide first, word-aligned — returns (idCol,
+    * `text_clean`) for every document, whitespace canonicalized to
+    * single spaces. Covered word indices come from the duplicated
+    * instances ([pos, pos+k) exploded and distinct-ed — ×k keys-only
+    * rows, still bounded by corpus token count); each document's covered
+    * set joins back as ONE array row, so the reconstruction is a
+    * map-side indexed filter over the word array — the corpus text is
+    * never shuffled. `array_contains` is linear in the covered set
+    * (bounded by the document's own length); for pathological
+    * million-word documents pre-chunk upstream.
+    */
+  def spliceDuplicates(df: DataFrame, idCol: String, text: Column,
+                       k: Int): DataFrame = {
+    val covered = duplicatedInstances(df, idCol, text, k)
+      .select(col(idCol), explode(sequence(col("pos"), col("pos") + (k - 1))).as("__i"))
+      .distinct()
+      .groupBy(col(idCol)).agg(collect_set(col("__i")).as("__cov"))
+    val words = filter(split(text, "\\s+"), w => w =!= "")
+    df.select(col(idCol), words.as("__w"))
+      .join(covered, Seq(idCol), "left")
+      .select(col(idCol),
+        array_join(
+          zip_with(col("__w"), sequence(lit(1), greatest(size(col("__w")), lit(1))),
+            (w, i) => when(col("__cov").isNull || !array_contains(col("__cov"), i.cast("long")), w)),
+          " ").as("text_clean"))
+  }
+
   /** Drop documents whose duplicated-span coverage is at or above
     * `maxFrac` — the document-level gate built on [[coverageStats]].
     */

@@ -44,6 +44,21 @@ class SpanDedupSpec extends SparkSpec {
     assert(kept == Set(1L, 3L, 5L))
   }
 
+  test("spliceDuplicates removes all-but-first occurrences, word-aligned") {
+    val out = SpanDedup.spliceDuplicates(corpus, "doc_id", col("text"), k = 4)
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) == "a b c d e f", "first occurrence untouched")
+    assert(out(2L) == "x y z", "the re-used span is cut, surroundings kept")
+    assert(out(3L) == "p q r s t")
+    assert(out(4L) == "m n o p", "self-repeat keeps the first copy")
+    assert(out(5L) == "g h i j k")
+    assert(out(6L) == "w", "overlapping duplicated spans cut as a union")
+    // an empty document survives as an empty clean text
+    val tiny = Seq((9L, "")).toDF("doc_id", "text")
+    assert(SpanDedup.spliceDuplicates(tiny, "doc_id", col("text"), k = 4)
+      .as[(Long, String)].collect().toMap == Map(9L -> ""))
+  }
+
   test("assignment is partition-independent") {
     val a = SpanDedup.coverageStats(corpus, "doc_id", col("text"), k = 4)
       .as[(Long, Long, Long, Double)].collect().sortBy(_._1).toSeq
