@@ -667,6 +667,20 @@ object SparkEntry {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // incremental-ingest dedup: keep only incoming documents (doc_id >=
+    // 250 here) with NO near-dup in the existing corpus (doc_id < 250) —
+    // banded LSH ACROSS the two frames, so a new crawl never re-pairs
+    // the existing corpus with itself
+    "dedup_against_corpus" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      MinHashLsh.dedupAgainst(
+        docs.filter(col("doc_id") < 250), docs.filter(col("doc_id") >= 250),
+        "doc_id", TextFunctions.shingleHashes(col("text"), 5),
+        numHashes = 64, bands = 16, threshold = 0.8)
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
+
     // near-dup CLUSTERS: the pairwise detections transitive-closed via
     // min-label connected components — each doc labeled with its cluster's
     // smallest id (the survivor a cluster-canonical dedup keeps)
@@ -1858,6 +1872,23 @@ object SparkEntry {
            |FROM inter JOIN cnt ca ON ca.doc_id = ia JOIN cnt cb ON cb.doc_id = ib
            |WHERE round(i * 1.0 / (ca.n + cb.n - i), 4) >= 0.8
            |ORDER BY id_a, id_b""".stripMargin,
+
+      // exact bipartite Jaccard across the id-250 boundary (same shingle
+      // family as dedup_minhash_lsh), then the incoming anti-join
+      "dedup_against_corpus" ->
+        s"""WITH t AS (SELECT doc_id, $normText AS norm FROM documents),
+           |g AS (SELECT DISTINCT doc_id, CASE WHEN len(norm) < 5 THEN norm ELSE norm[i:i+4] END AS sh
+           |      FROM t, LATERAL (SELECT unnest(range(1, greatest(len(norm) - 3, 2))) AS i) r),
+           |cnt AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
+           |inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS i
+           |          FROM g a JOIN g b ON a.sh = b.sh AND a.doc_id < 250 AND b.doc_id >= 250
+           |          GROUP BY 1, 2),
+           |dropped AS (SELECT DISTINCT ib
+           |            FROM inter JOIN cnt ca ON ca.doc_id = ia JOIN cnt cb ON cb.doc_id = ib
+           |            WHERE round(i * 1.0 / (ca.n + cb.n - i), 4) >= 0.8)
+           |SELECT doc_id FROM documents
+           |WHERE doc_id >= 250 AND doc_id NOT IN (SELECT ib FROM dropped)
+           |ORDER BY doc_id""".stripMargin,
 
       "dedup_minhash_clusters" ->
         s"""WITH RECURSIVE t AS (SELECT doc_id, $normText AS norm FROM documents),

@@ -157,6 +157,90 @@ object MinHashLsh {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Cross-corpus near-duplicate pairs — the increment-vs-existing shape:
+    * every (id_left, id_right) with exact shingle Jaccard >= `threshold`,
+    * candidates from banded LSH ACROSS the two frames (left and right meet
+    * only through shared band buckets, never left × right). Same
+    * three-stage funnel, recall math, and lifecycle as [[nearDupPairsHashed]];
+    * the hot-bucket cap excludes a bucket when EITHER side exceeds it (a
+    * bucket hot on one side alone already multiplies the join). This is
+    * how a new crawl is deduplicated against the corpus already ingested
+    * without re-pairing the existing corpus with itself.
+    */
+  def bipartitePairsHashed(left: DataFrame, right: DataFrame, idCol: String,
+                           shingleHashes: Column, numHashes: Int = 64,
+                           bands: Int = 16, threshold: Double = 0.8,
+                           minBands: Int = 2, maxBucketSize: Long = 4096L): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val r = numHashes / bands
+    def sigsOf(df: DataFrame): DataFrame = df
+      .select(col(idCol).as("__id"), signatureOfHashes(shingleHashes, numHashes).as("__sig"))
+      .filter(col("__sig").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sl = sigsOf(left)
+    val sr = sigsOf(right)
+    val estimated = {
+      def bandedOf(s: DataFrame): DataFrame = s.select(col("__id"),
+        posexplode(bandBuckets(col("__sig"), bands, r)).as(Seq("__band", "__bucket")))
+      val bl0 = bandedOf(sl)
+      val br0 = bandedOf(sr)
+      val (bl, br) =
+        if (maxBucketSize <= 0L) (bl0, br0)
+        else {
+          def hotOf(b: DataFrame): DataFrame = b.groupBy(col("__band"), col("__bucket"))
+            .agg(count(lit(1)).as("__bsz"))
+            .filter(col("__bsz") > maxBucketSize)
+            .select(col("__band"), col("__bucket"))
+          val hot = hotOf(bl0).union(hotOf(br0)).distinct()
+          (bl0.join(hot, Seq("__band", "__bucket"), "left_anti"),
+           br0.join(hot, Seq("__band", "__bucket"), "left_anti"))
+        }
+      val cand = bl.as("l").join(br.as("r"),
+          col("l.__band") === col("r.__band") &&
+          col("l.__bucket") === col("r.__bucket"))
+        .groupBy(col("l.__id").as("id_left"), col("r.__id").as("id_right"))
+        .agg(count(lit(1)).as("__nbands"))
+        .filter(col("__nbands") >= math.min(minBands, bands))
+        .select(col("id_left"), col("id_right"))
+      val survivors = cand
+        .join(sl.select(col("__id").as("id_left"), col("__sig").as("sig_l")), "id_left")
+        .join(sr.select(col("__id").as("id_right"), col("__sig").as("sig_r")), "id_right")
+        .withColumn("__est",
+          size(filter(zip_with(col("sig_l"), col("sig_r"), (x, y) => x === y), p => p))
+            .cast("double") / numHashes)
+        .filter(col("__est") >= threshold - 0.2)
+        .select(col("id_left"), col("id_right"))
+      try Checkpoints.localize(survivors)
+      finally { sl.unpersist(false); sr.unpersist(false) }
+    }
+    val shL = left.join(estimated.select(col("id_left").as("__cid")).distinct(),
+        col(idCol) === col("__cid"), "left_semi")
+      .select(col(idCol).as("__id"), shingleHashes.as("__sh"))
+    val shR = right.join(estimated.select(col("id_right").as("__cid")).distinct(),
+        col(idCol) === col("__cid"), "left_semi")
+      .select(col(idCol).as("__id"), shingleHashes.as("__sh"))
+    estimated
+      .join(shL.select(col("__id").as("id_left"), col("__sh").as("sh_l")), "id_left")
+      .join(shR.select(col("__id").as("id_right"), col("__sh").as("sh_r")), "id_right")
+      .withColumn("jaccard", round(TextFunctions.jaccard(col("sh_l"), col("sh_r")), 4))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_left"), col("id_right"), col("jaccard"))
+  }
+
+  /** Keep only the incoming documents with NO near-duplicate in the
+    * existing corpus — the incremental-ingest gate built on
+    * [[bipartitePairsHashed]] (within-increment dedup composes separately
+    * via [[dedupKeepFirst]]).
+    */
+  def dedupAgainst(existing: DataFrame, incoming: DataFrame, idCol: String,
+                   shingleHashes: Column, numHashes: Int = 64, bands: Int = 16,
+                   threshold: Double = 0.8): DataFrame = {
+    val dupIds = bipartitePairsHashed(existing, incoming, idCol, shingleHashes,
+        numHashes, bands, threshold)
+      .select(col("id_right").as(idCol)).distinct()
+    incoming.join(dupIds, Seq(idCol), "left_anti")
+  }
+
   /** Dedup a corpus by near-duplicate clustering: drop every document that
     * has a near-dup with a smaller id (cheap transitive-lite survivor rule —
     * one pass, no iterative connected components; adequate for dedup where

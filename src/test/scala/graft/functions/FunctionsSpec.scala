@@ -93,6 +93,41 @@ class MinHashSpec extends SparkSpec {
       "the signature cache and the survivor checkpoint must both be released")
   }
 
+  test("dedupAgainst drops only incoming near-dups of the EXISTING corpus") {
+    val existing = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "completely different content about spark query engines at scale"))
+      .toDF("doc_id", "text")
+    val incoming = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog again and again!"), // near-dup of 0
+      (11L, "a genuinely new document with fresh subject matter and words"),
+      (12L, "a genuinely new document with fresh subject matter and words!!") // near-dup of 11, NOT of existing
+    ).toDF("doc_id", "text")
+    val sh = TextFunctions.shingleHashes($"text", 5)
+    val kept = MinHashLsh.dedupAgainst(existing, incoming, "doc_id", sh,
+      numHashes = 32, bands = 8, threshold = 0.8)
+      .select("doc_id").as[Long].collect().toSet
+    // 10 collides with the existing corpus; 11/12 survive — within-increment
+    // dedup is dedupKeepFirst's job, composed separately
+    assert(kept == Set(11L, 12L))
+    val pairs = MinHashLsh.bipartitePairsHashed(existing, incoming, "doc_id", sh,
+      numHashes = 32, bands = 8, threshold = 0.8)
+      .select($"id_left", $"id_right").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((0L, 10L)), s"got $pairs")
+  }
+
+  test("bipartite funnel leaves zero block-store state after consumption") {
+    val sc = spark.sparkContext
+    val half = docs.filter($"doc_id" < 2)
+    val rest = docs.filter($"doc_id" >= 2)
+    val before = sc.getPersistentRDDs.keySet.toSet
+    MinHashLsh.bipartitePairsHashed(half, rest, "doc_id",
+      TextFunctions.shingleHashes($"text", 5), numHashes = 32, bands = 8,
+      threshold = 0.8).count()
+    assert((sc.getPersistentRDDs.keySet.toSet -- before).isEmpty,
+      "both signature caches and the survivor checkpoint must be released")
+  }
+
   test("dedupKeepFirst drops the higher id of a dup pair") {
     val kept = MinHashLsh.dedupKeepFirst(docs, "doc_id",
       TextFunctions.charShingles($"text", 5), numHashes = 32, bands = 8, threshold = 0.8)
