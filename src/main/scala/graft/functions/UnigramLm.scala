@@ -81,4 +81,40 @@ object UnigramLm {
     scored.select(col(idCol), col("n_tokens"), col("logprob"),
       label.as("bucket"))
   }
+
+  /** The corpus-scale path for [[buckets]]: tier THRESHOLDS from
+    * `approx_percentile` over the rounded score (one small aggregation —
+    * the sketch state is bounded by its accuracy parameter, not the
+    * corpus), then a map-side threshold comparison — no global sort, no
+    * single-partition window, so the assignment distributes at any
+    * corpus size. Tier populations are equal only up to quantile-sketch
+    * error and score ties (every document at a threshold value lands in
+    * the same tier, where the exact ntile would split them by id) —
+    * which is why [[buckets]] remains the oracle query and this is the
+    * documented trade at scale.
+    */
+  def bucketsByThreshold(docs: DataFrame, idCol: String, text: Column,
+                         nBuckets: Int = 3, vocabSize: Int = 65536,
+                         accuracy: Int = 10000): DataFrame = {
+    require(nBuckets >= 2, "bucketing needs at least two tiers")
+    val scored = score(docs, idCol, text, vocabSize)
+    val qs = (1 until nBuckets).map(i => lit(i.toDouble / nBuckets))
+    // descending-score tiers from ascending quantiles: tier i's lower
+    // bound is the (1 - i/n) quantile of the score
+    val cuts = scored.agg(percentile_approx(col("logprob"),
+      array(qs.reverse: _*), lit(accuracy)).as("__cuts"))
+    // best tier's condition must be checked FIRST (a head score also
+    // clears every lower threshold), so chain the whens from tier 1 down
+    val first = when(col("logprob") >= element_at(col("__cuts"), 1), lit(1))
+    val tier = (2 until nBuckets)
+      .foldLeft(first)((acc, i) =>
+        acc.when(col("logprob") >= element_at(col("__cuts"), i), lit(i)))
+      .otherwise(lit(nBuckets))
+    val label =
+      if (nBuckets == 3)
+        when(tier === 1, "head").when(tier === 2, "middle").otherwise("tail")
+      else concat(lit("q"), tier.cast("string"))
+    scored.join(broadcast(cuts))
+      .select(col(idCol), col("n_tokens"), col("logprob"), label.as("bucket"))
+  }
 }

@@ -63,4 +63,26 @@ class UnigramLmSpec extends SparkSpec {
     assert(out(2L) == ((1L, r4(log2(0.5 / 6)))), "OOV floor p = 0.5/N")
     assert(out(3L) == ((0L, 0.0)))
   }
+
+  test("bucketsByThreshold approximates the exact ntile tiers map-side") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val exact = UnigramLm.buckets(docs, "doc_id", col("text"))
+      .select($"doc_id", $"bucket").as[(Long, String)].collect().toMap
+    val approx = UnigramLm.bucketsByThreshold(docs, "doc_id", col("text"))
+      .select($"doc_id", $"bucket").as[(Long, String)].collect().toMap
+    assert(approx.keySet == exact.keySet)
+    // population sizes agree within sketch error + score ties
+    val sizes = approx.values.groupBy(identity).view.mapValues(_.size).toMap
+    val n = approx.size
+    Seq("head", "middle", "tail").foreach { t =>
+      val s = sizes.getOrElse(t, 0)
+      assert(math.abs(s - n / 3.0) < n * 0.15, s"tier $t size $s of $n")
+    }
+    val agree = approx.count { case (id, b) => exact(id) == b }
+    assert(agree > n * 0.9, s"only $agree/$n tier assignments agree")
+    // deterministic under repartition
+    val again = UnigramLm.bucketsByThreshold(docs.repartition(13), "doc_id", col("text"))
+      .select($"doc_id", $"bucket").as[(Long, String)].collect().toMap
+    assert(again == approx)
+  }
 }
