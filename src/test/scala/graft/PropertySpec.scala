@@ -126,6 +126,43 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("span coverage: window interval-union equals brute-force set coverage") {
+    import graft.functions.SpanDedup
+    val k = 3
+    // random word sequences over a tiny alphabet force plenty of repeated
+    // k-grams, both across documents and within one
+    val wordsGen = Gen.listOfN(4, Gen.choose(5, 30).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("a", "b", "c", "d"))))
+    forAllSampled(wordsGen) { docsWords =>
+      val docs = docsWords.zipWithIndex
+        .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+        .toDF("doc_id", "text")
+      val got = SpanDedup.coverageStats(docs, "doc_id", col("text"), k)
+        .as[(Long, Long, Long, Double)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      // brute-force reference: first occurrence of each gram STRING per
+      // global (doc, pos) order, every other instance covers a token set
+      val grams = docsWords.zipWithIndex.flatMap { case (ws, d) =>
+        ws.sliding(k).filter(_.size == k).zipWithIndex
+          .map { case (g, p) => (g.mkString(" "), d.toLong, p + 1) }
+      }
+      val byGram = grams.groupBy(_._1)
+      val coveredByDoc = grams
+        .filter { case (g, d, p) =>
+          val all = byGram(g)
+          all.size > 1 && (d, p) != all.map(t => (t._2, t._3)).min
+        }
+        .groupBy(_._2)
+        .view.mapValues(_.flatMap { case (_, _, p) => p until (p + k) }.toSet.size)
+      docsWords.indices.foreach { d =>
+        val (n, dup) = got(d.toLong)
+        assert(n == docsWords(d).size)
+        assert(dup == coveredByDoc.getOrElse(d.toLong, 0).toLong,
+          s"doc $d: window union $dup vs brute force ${coveredByDoc.getOrElse(d.toLong, 0)}")
+      }
+    }
+  }
+
   test("upsert merge: replay of the same batch is always a no-op") {
     forAllSampled2(rowsGen, rowsGen) { (tRows, cRows) =>
       if (tRows.nonEmpty && cRows.nonEmpty) {
