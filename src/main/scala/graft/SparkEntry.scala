@@ -1164,6 +1164,15 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // interpolated bigram LM score: order-sensitive perplexity proxy
+    // (a bag-of-words shuffle keeps its unigram score but collapses
+    // here) — two bounded top-64k tables, bigrams from an array-level
+    // self-zip, no window shuffle
+    "doc_bigram_logprob" -> ((s, dir) => {
+      UnigramLm.scoreBigram(t(s, dir, "documents"), "doc_id", col("text"))
+        .orderBy(col("doc_id"))
+    }),
+
     // CCNet-style quality tiers: equal-count head/middle/tail thirds of
     // the corpus by unigram-LM score (ntile over the ROUNDED score +
     // doc_id — deterministic, engine-independent ordering)
@@ -2544,6 +2553,35 @@ object SparkEntry {
           |SELECT doc_id, n_tokens, dsir_logratio, rank
           |FROM rk WHERE rank <= 200
           |ORDER BY doc_id""".stripMargin,
+
+      // replays the interpolated bigram funnel: both top-64k tables with
+      // the deterministic (count desc, key) cutoff, λ = 0.75 (binary-
+      // exact literal), unigram OOV floor, mean rounded to 4 dp
+      "doc_bigram_logprob" ->
+        """WITH arrs AS (SELECT doc_id,
+          |        list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), x -> x != '') AS arr
+          |      FROM documents),
+          |toks AS (SELECT doc_id, unnest(arr) AS w FROM arrs),
+          |tot AS (SELECT count(*) AS n FROM toks),
+          |vocab AS (SELECT w AS tok, count(*) AS cnt FROM toks
+          |          GROUP BY 1 ORDER BY cnt DESC, tok LIMIT 65536),
+          |bi AS (SELECT doc_id, arr[i] AS w1, arr[i+1] AS w2
+          |       FROM arrs, LATERAL (SELECT unnest(range(1, len(arr))) AS i) r),
+          |btab AS (SELECT w1, w2, count(*) AS bcnt FROM bi
+          |         GROUP BY 1, 2 ORDER BY bcnt DESC, w1, w2 LIMIT 65536),
+          |sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+          |         avg(log2(0.75 * (CASE WHEN bt.bcnt IS NOT NULL AND v1.cnt IS NOT NULL
+          |                               THEN CAST(bt.bcnt AS DOUBLE) / v1.cnt
+          |                               ELSE 0.0 END)
+          |                  + 0.25 * (coalesce(v2.cnt, 0.5) / tot.n))) AS lp
+          |       FROM bi LEFT JOIN btab bt ON bi.w1 = bt.w1 AND bi.w2 = bt.w2
+          |               LEFT JOIN vocab v1 ON bi.w1 = v1.tok
+          |               LEFT JOIN vocab v2 ON bi.w2 = v2.tok, tot
+          |       GROUP BY doc_id)
+          |SELECT d.doc_id, coalesce(sc.n_bigrams, 0) AS n_bigrams,
+          |       round(coalesce(sc.lp, 0.0), 4) + 0.0 AS bigram_logprob
+          |FROM documents d LEFT JOIN sc USING (doc_id)
+          |ORDER BY d.doc_id""".stripMargin,
 
       // unigram funnel + ntile tiers; rank over (rounded logprob DESC,
       // doc_id) so tier assignment is deterministic in both engines

@@ -53,6 +53,59 @@ object UnigramLm {
         (round(coalesce(col("__lp"), lit(0.0)), 4) + lit(0.0)).as("logprob"))
   }
 
+  /** Mean log2 probability under an INTERPOLATED BIGRAM model of the
+    * corpus — one step closer to CCNet's KenLM than the unigram proxy,
+    * and sensitive to word ORDER (a bag-of-words shuffle keeps its
+    * unigram score but collapses here). Per bigram position i >= 2:
+    *
+    *   p(w_i | w_{i-1}) = λ · cnt(w_{i-1} w_i)/cnt(w_{i-1}) +
+    *                      (1−λ) · p_uni(w_i)
+    *
+    * with the bigram term 0 when the pair is outside the top-`vocabSize`
+    * bigram table (or its left word outside the unigram vocab), and
+    * `p_uni` carrying the same OOV floor as [[score]]. Both tables are
+    * deterministic-cutoff top-k (count desc, key asc) — bounded
+    * broadcasts at any corpus size; the bigram pairs come from an
+    * array-level zip of each document with its own shift, so no window
+    * shuffle. λ defaults to 0.75 (binary-exact, so a SQL oracle's
+    * literal multiplies identically). Documents with fewer than two
+    * tokens score 0 with n_bigrams 0.
+    */
+  def scoreBigram(docs: DataFrame, idCol: String, text: Column,
+                  vocabSize: Int = 65536): DataFrame = {
+    val arr = filter(split(trim(lower(text)), "\\s+"), w => w =!= "")
+    val toks = docs.select(col(idCol), explode(arr).as("__tok"))
+    val total = toks.agg(count(lit(1)).as("__n"))
+    val vocab = toks.groupBy(col("__tok")).agg(count(lit(1)).as("__cnt"))
+      .orderBy(col("__cnt").desc, col("__tok")).limit(vocabSize)
+    val bi = docs.select(col(idCol),
+        explode(zip_with(
+          slice(arr, lit(1), greatest(size(arr) - 1, lit(0))),
+          slice(arr, lit(2), greatest(size(arr) - 1, lit(0))),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("__bg"))
+      .select(col(idCol), col("__bg.w1").as("__w1"), col("__bg.w2").as("__w2"))
+    val btab = bi.groupBy(col("__w1"), col("__w2")).agg(count(lit(1)).as("__bcnt"))
+      .orderBy(col("__bcnt").desc, col("__w1"), col("__w2")).limit(vocabSize)
+    val scored = bi
+      .join(broadcast(btab), Seq("__w1", "__w2"), "left")
+      .join(broadcast(vocab.select(col("__tok").as("__w1"), col("__cnt").as("__c1"))),
+        Seq("__w1"), "left")
+      .join(broadcast(vocab.select(col("__tok").as("__w2"), col("__cnt").as("__c2"))),
+        Seq("__w2"), "left")
+      .crossJoin(broadcast(total))
+      .withColumn("__pbi",
+        when(col("__bcnt").isNotNull && col("__c1").isNotNull,
+          col("__bcnt").cast("double") / col("__c1")).otherwise(lit(0.0)))
+      .withColumn("__puni", coalesce(col("__c2"), lit(0.5)) / col("__n"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        avg(log(2.0, lit(0.75) * col("__pbi") + lit(0.25) * col("__puni"))).as("__lp"))
+    docs.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).cast("long").as("n_bigrams"),
+        (round(coalesce(col("__lp"), lit(0.0)), 4) + lit(0.0)).as("bigram_logprob"))
+  }
+
   /** CCNet-style quality buckets (Wenzek et al. 2020 §4.3 — public
     * paper): equal-count tiers of the corpus by LM score — `head` =
     * best-scoring third (lowest perplexity, highest [[score]] logprob),

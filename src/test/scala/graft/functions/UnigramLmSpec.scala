@@ -64,6 +64,31 @@ class UnigramLmSpec extends SparkSpec {
     assert(out(3L) == ((0L, 0.0)))
   }
 
+  test("bigram score is order-sensitive where the unigram score cannot be") {
+    // the corpus is dominated by one word ORDER; a shuffled doc has the
+    // identical unigram distribution, so only the bigram model separates
+    val docs = (Seq.tabulate(20)(i => (i.toLong, "a b c d e")) ++
+      Seq((100L, "a b c d e"), (101L, "e d c b a"))).toDF("doc_id", "text")
+    val uni = UnigramLm.score(docs, "doc_id", col("text"))
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(uni(100L) == uni(101L), "unigram score is order-blind")
+    val bi = UnigramLm.scoreBigram(docs, "doc_id", col("text"))
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(bi(100L)._2 > bi(101L)._2,
+      s"in-order ${bi(100L)._2} must beat reversed ${bi(101L)._2}")
+    assert(bi(100L)._1 == 4 && bi(101L)._1 == 4, "4 bigrams in a 5-token doc")
+  }
+
+  test("scoreBigram: sub-bigram documents score 0; hand-check one value") {
+    val docs = Seq((1L, "x x"), (2L, "x"), (3L, "")).toDF("doc_id", "text")
+    val out = UnigramLm.scoreBigram(docs, "doc_id", col("text"))
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(2L) == ((0L, 0.0)) && out(3L) == ((0L, 0.0)))
+    // corpus: tokens = [x, x, x], N = 3; bigrams: (x,x) ×1 → table cnt 1;
+    // cnt(x) = 3; p = 0.75·(1/3) + 0.25·(3/3) = 0.5 → log2 = -1
+    assert(out(1L) == ((1L, -1.0)), s"got ${out(1L)}")
+  }
+
   test("bucketsByThreshold approximates the exact ntile tiers map-side") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val exact = UnigramLm.buckets(docs, "doc_id", col("text"))
