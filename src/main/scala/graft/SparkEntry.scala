@@ -1195,10 +1195,12 @@ object SparkEntry {
     }),
 
     // corpus token histogram (vocabulary building): explode + partial-agg
-    // count, top 100 with total tie-order
+    // count, top 100 with total tie-order; split on the pinned whitespace
+    // class (RE2 \s — no \x0B) so the oracle's regexp_split_to_array
+    // replays the tokenization exactly
     "text_token_histogram" -> ((s, dir) => {
       t(s, dir, "documents")
-        .select(explode(split(trim(lower(col("text"))), "\\s+")).as("token"))
+        .select(explode(split(trim(lower(col("text"))), "[ \\t\\n\\f\\r]+")).as("token"))
         .filter(col("token") =!= "")
         .groupBy(col("token")).agg(count(lit(1)).cast("long").as("n"))
         .orderBy(col("n").desc, col("token")).limit(100)
@@ -1215,7 +1217,7 @@ object SparkEntry {
     "text_heavy_hitters" -> ((s, dir) => {
       val cap = 30
       val toks = t(s, dir, "documents")
-        .select(explode(split(trim(lower(col("text"))), "\\s+")).as("token"))
+        .select(explode(split(trim(lower(col("text"))), "[ \\t\\n\\f\\r]+")).as("token"))
         .filter(col("token") =!= "")
       val summary = toks.agg(
         TextFunctions.misraGries(col("token"), cap).as("mg"),
@@ -2705,6 +2707,8 @@ object SparkEntry {
       // replays the SemDeDup funnel: md5-ordered seed sample, nearest-seed
       // argmax over the rounded cosine (seed-id tiebreak), most-atypical-
       // first in-cluster ranking, earlier-neighbor drop at the threshold
+      // within the 256-rank window (the engine's O(n·window) scale bound —
+      // a no-op at these cluster sizes, replayed for faithfulness)
       "dedup_semantic" ->
         """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
           |seeds AS (SELECT vec_id AS sid, v AS sv FROM e
@@ -2720,6 +2724,7 @@ object SparkEntry {
           |       FROM asg),
           |dropped AS (SELECT DISTINCT b.vec_id
           |            FROM rk a JOIN rk b ON a.sid = b.sid AND a.rnk < b.rnk
+          |                               AND b.rnk - a.rnk <= 256
           |            WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.35)
           |SELECT vec_id, CAST(sid AS BIGINT) AS cluster_id
           |FROM rk WHERE vec_id NOT IN (SELECT vec_id FROM dropped)

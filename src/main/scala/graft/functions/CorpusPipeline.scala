@@ -104,10 +104,6 @@ object CorpusPipeline {
       dsirTopK: Int = 0,
       dsirBuckets: Int = 4096)
 
-  /** Prepared corpus: the input rows that survive every configured stage,
-    * plus a `split` column. Deterministic end to end — same input, same
-    * output, on any partitioning.
-    */
   /** Fused numeric quality gate ([[expressions.QualityGateExpr]]: one
     * stats pass + band checks in a single boolean). Prefer this in
     * filters — a filter over the stats struct multi-evaluates the kernel
@@ -122,6 +118,10 @@ object CorpusPipeline {
       maxPunctRatio, maxDigitRatio, minMeanTokenLen, maxMeanTokenLen))
   }
 
+  /** Prepared corpus: the input rows that survive every configured stage,
+    * plus a `split` column. Deterministic end to end — same input, same
+    * output, on any partitioning.
+    */
   def prepare(docs: DataFrame, cfg: Config = Config()): DataFrame = {
     val id = col(cfg.idCol)
     val text = col(cfg.textCol)

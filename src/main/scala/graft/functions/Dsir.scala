@@ -121,8 +121,13 @@ object Dsir {
     * array literal (O(1) `element_at`) — no explode, no join, no shuffle,
     * no state store, so the identical Column runs unchanged inside a
     * Structured Streaming query. The fold adds in token order, the same
-    * order [[score]]'s per-partition partial sum sees, so values match
-    * the batch funnel at the shared 4-dp rounding.
+    * order [[score]]'s per-partition partial sum sees, so the two paths
+    * agree at the shared 4-dp rounding on the pinned parity fixtures.
+    * (Double addition is non-associative, so a partitioning that reorders
+    * [[score]]'s partial sums can produce an ulp-different total; if that
+    * ulp lands exactly on a 4-dp rounding boundary the last digit may
+    * differ — exact equality is a fixture-level guarantee, not an
+    * any-partitioning invariant.)
     */
   def scoreColumn(text: Column, table: Array[Double], ngram: Int = 1): Column = {
     val arr = lit(table)

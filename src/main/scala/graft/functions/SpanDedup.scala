@@ -104,7 +104,10 @@ object SpanDedup {
       .select(col(idCol), explode(sequence(col("pos"), col("pos") + (k - 1))).as("__i"))
       .distinct()
       .groupBy(col(idCol)).agg(collect_set(col("__i")).as("__cov"))
-    val words = filter(split(text, "\\s+"), w => w =!= "")
+    // the pinned whitespace class (RE2 \s — no \x0B), matching
+    // Md5WordNgramHashesExpr's tokenizer so word indices line up: Java \s+
+    // would split on vertical tab and misalign every covered position after
+    val words = filter(split(text, "[ \\t\\n\\f\\r]+"), w => w =!= "")
     df.select(col(idCol), words.as("__w"))
       .join(covered, Seq(idCol), "left")
       .select(col(idCol),

@@ -18,9 +18,11 @@ import org.apache.spark.sql.functions._
   *      p = 0.5 / N (N = total corpus tokens);
   *   2. map-side broadcast join + per-document mean.
   *
-  * The token definition matches `text_token_histogram` (lower, trim, \s+
-  * split), so the histogram pass is the same shuffle that query already
-  * pins; DuckDB replays both passes for the oracle.
+  * The token definition matches `text_token_histogram` (lower, trim, split
+  * on the pinned whitespace class `[ \t\n\f\r]+` — RE2 \s, no \x0B — the
+  * same class the md5-family kernels pin), so the histogram pass is the
+  * same shuffle that query already pins and DuckDB's regexp_split_to_array
+  * replays both passes exactly, \x0B-bearing text included.
   */
 object UnigramLm {
 
@@ -31,7 +33,7 @@ object UnigramLm {
   def score(docs: DataFrame, idCol: String, text: Column,
             vocabSize: Int = 65536): DataFrame = {
     val toks = docs
-      .select(col(idCol), explode(split(trim(lower(text)), "\\s+")).as("__tok"))
+      .select(col(idCol), explode(split(trim(lower(text)), "[ \\t\\n\\f\\r]+")).as("__tok"))
       .filter(col("__tok") =!= "")
     val total = toks.agg(count(lit(1)).as("__n"))
     val vocab = toks.groupBy(col("__tok")).agg(count(lit(1)).as("__cnt"))
@@ -73,7 +75,7 @@ object UnigramLm {
     */
   def scoreBigram(docs: DataFrame, idCol: String, text: Column,
                   vocabSize: Int = 65536): DataFrame = {
-    val arr = filter(split(trim(lower(text)), "\\s+"), w => w =!= "")
+    val arr = filter(split(trim(lower(text)), "[ \\t\\n\\f\\r]+"), w => w =!= "")
     val toks = docs.select(col(idCol), explode(arr).as("__tok"))
     val total = toks.agg(count(lit(1)).as("__n"))
     val vocab = toks.groupBy(col("__tok")).agg(count(lit(1)).as("__cnt"))

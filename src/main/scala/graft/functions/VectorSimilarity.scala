@@ -181,8 +181,12 @@ object VectorSimilarity {
     e.join(broadcast(seeds))
       .withColumn("__cosc", round(cosine(col("__v"), col("__sv")), 6))
       .groupBy(col("__id"))
-      .agg(max_by(struct(col("__sid"), col("__cosc"), col("__v")),
-        struct(col("__cosc"), negate(col("__sid")))).as("__best"))
+      // min_by over (-cosine, seed id): maximizes the cosine, then breaks
+      // ties toward the SMALLEST seed id with the id compared natively —
+      // works for any orderable id type (the previous negate(sid) tiebreak
+      // silently required numeric ids)
+      .agg(min_by(struct(col("__sid"), col("__cosc"), col("__v")),
+        struct(negate(col("__cosc")), col("__sid"))).as("__best"))
       .select(col("__id").as(idCol), col("__best.__sid").as("cluster_id"),
         col("__best.__cosc").as("centroid_cosine"), col("__best.__v").as(vecCol))
   }
@@ -190,33 +194,64 @@ object VectorSimilarity {
   /** SemDeDup semantic deduplication: within each [[semanticClusters]]
     * cluster, rank members most-atypical-first (ascending cosine to the
     * centroid, the paper's keep-low-centroid-similarity rule, id tiebreak)
-    * and drop every member that has an earlier-ranked cluster-mate with
-    * cosine >= `minCosine`. Returns survivors as (id, cluster_id,
-    * centroid_cosine).
+    * and drop every member that has an earlier-ranked cluster-mate within
+    * `window` ranks with cosine >= `minCosine`. Returns survivors as
+    * (id, cluster_id, centroid_cosine).
     *
-    * The pairwise stage is an equi-join on the cluster id — candidate
-    * volume is sum of cluster sizes squared, bounded by sizing k (see
-    * [[semanticClusters]]); no cartesian over the corpus. Exact cosines
-    * verify every candidate pair, so unlike the LSH path there is no
-    * recall loss inside a cluster; what SemDeDup trades away is pairs
+    * `window` is the scale bound the paper leaves to "size k with the
+    * corpus": with k fixed, an unwindowed in-cluster stage is O((n/k)²)
+    * pairs — 100× the corpus means 10,000× the pairs, the exact shape the
+    * engine's hot-bucket caps exist to prevent. The centroid-cosine
+    * ordering places near-duplicates at adjacent ranks (duplicates have
+    * near-identical centroid cosines), so comparing each member only to
+    * its `window` nearest-ranked predecessors keeps the dedup signal
+    * while capping work at O(n · window) REGARDLESS of cluster skew: the
+    * pairing is a block-banded equi-join on (cluster, ⌊rank/window⌋) —
+    * each row meets only its own and the previous rank block, never the
+    * whole cluster — not a range predicate bolted onto a per-cluster
+    * join, whose sort-merge scan would still be quadratic in the skewed
+    * cluster. A member more than `window` ranks after a qualifying
+    * near-dup is NOT dropped (the documented trade; clusters smaller
+    * than `window` — every cluster, when k is sized per the paper —
+    * behave exactly as the unwindowed form). Exact cosines verify every
+    * candidate pair; what SemDeDup trades away structurally is pairs
     * that straddle a cluster boundary (the paper's own approximation).
     */
   def semDedup(df: DataFrame, k: Int, minCosine: Double,
                idCol: String = "vec_id",
-               vecCol: String = "embedding"): DataFrame = {
+               vecCol: String = "embedding",
+               window: Int = 256): DataFrame = {
+    require(window >= 1, "rank window must be positive")
     val ranked = semanticClusters(df, k, idCol, vecCol)
       .withColumn("__rank", row_number().over(
         Window.partitionBy(col("cluster_id"))
           .orderBy(col("centroid_cosine").asc, col(idCol).asc)))
-    val a = ranked.select(col("cluster_id").as("__ca"), col("__rank").as("__ra"),
-      col(vecCol).as("__va"))
-    val b = ranked.select(col("cluster_id").as("__cb"), col("__rank").as("__rb"),
-      col(idCol).as("__idb"), col(vecCol).as("__vb"))
-    val dropped = a.join(b, col("__ca") === col("__cb") && col("__ra") < col("__rb"))
+    val dropped = rankWindowPairs(ranked, window, idCol, vecCol)
       .filter(round(cosine(col("__va"), col("__vb")), 6) >= minCosine)
       .select(col("__idb").as(idCol)).distinct()
     ranked.join(dropped, Seq(idCol), "left_anti")
       .select(col(idCol), col("cluster_id"), col("centroid_cosine"))
+  }
+
+  /** Candidate (earlier, later) pairs for [[semDedup]]'s verify stage:
+    * cluster-mates with `0 < rank_b − rank_a <= window`, produced by the
+    * block-banded equi-join described there. Join keys are
+    * (cluster, block) with the earlier side exploded into its own and the
+    * following block, so a pair at distance <= `window` meets in exactly
+    * one block group (no dedup needed) and every join group holds at most
+    * 2·`window` rows — the group scan is O(window²) however skewed the
+    * cluster, O(n · window) in total.
+    */
+  private[graft] def rankWindowPairs(ranked: DataFrame, window: Int,
+                                     idCol: String, vecCol: String): DataFrame = {
+    val blk = floor((col("__rank") - 1) / window).cast("long")
+    val a = ranked.select(col("cluster_id").as("__ca"), col("__rank").as("__ra"),
+      col(vecCol).as("__va"), explode(array(blk, blk + 1)).as("__ba"))
+    val b = ranked.select(col("cluster_id").as("__cb"), col("__rank").as("__rb"),
+      col(idCol).as("__idb"), col(vecCol).as("__vb"), blk.as("__bb"))
+    a.join(b, col("__ca") === col("__cb") && col("__ba") === col("__bb") &&
+        col("__ra") < col("__rb") && col("__rb") - col("__ra") <= window)
+      .select(col("__ra"), col("__rb"), col("__idb"), col("__va"), col("__vb"))
   }
 
   /** Hyperplane-bucket width that keeps EXPECTED bucket occupancy near

@@ -442,6 +442,82 @@ class SemDedupSpec extends SparkSpec {
     assert(out.intersect(Set(0L, 1L, 2L)).size == 1, s"dup group kept $out")
     assert(out.contains(3L))
   }
+
+  // ---- rank-window bound (the O(n·window) scale guard) ----
+
+  /** Single-cluster fixture with controlled ranks: seed s = e0 gets the
+    * id with the smallest md5 (k=1 makes it the one centroid; rank order
+    * is then cosine-to-s ascending). Docs sit at chosen angles from s in
+    * one of two orthogonal planes, so in-plane docs are mutually similar
+    * (cosine = cos of the angle difference) while cross-plane docs are
+    * not (cosine = product of the two cosines-to-s, small at wide
+    * angles).
+    */
+  /** Returns (frame, ids assigned to the angles in input order). */
+  private def angleFixture(anglesDeg: Seq[(Double, Int)])
+      : (org.apache.spark.sql.DataFrame, Seq[Long]) = {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val n = anglesDeg.size + 1
+    val ids = (0L until n.toLong)
+    val seedId = ids.minBy(i => md5hex(i.toString))    // k=1 seed = min md5(id)
+    val rest = ids.filterNot(_ == seedId)
+    def vec(deg: Double, plane: Int): Seq[Float] = {
+      val r = math.toRadians(deg)
+      Seq.tabulate(3)(d =>
+        if (d == 0) math.cos(r).toFloat
+        else if (d == plane) math.sin(r).toFloat
+        else 0.0f)
+    }
+    val rows = (seedId, vec(0.0, 1)) +:
+      rest.zip(anglesDeg).map { case (id, (deg, plane)) => (id, vec(deg, plane)) }
+    (rows.toDF("vec_id", "embedding"), rest)
+  }
+
+  test("semDedup window: a qualifying near-dup beyond the window is NOT dropped") {
+    // rank 1: A at 80° (plane 1). ranks 2-10: fillers at 79°..71° (plane 2,
+    // so cosine(filler, A) = cos80·cosφ ≈ 0.03-0.06 — never qualifying
+    // vs A or B). rank 11: B at 70° (plane 1): cosine(A, B) = cos10° ≈
+    // 0.985 >= tau, 10 ranks after A.
+    val (fixture, angleIds) = angleFixture(
+      (80.0, 1) +: (79 to 71 by -1).map(d => (d.toDouble, 2)) :+ (70.0, 1))
+    val tau = 0.95
+    // window that reaches A from B: B is dropped (the unwindowed behavior)
+    val wide = VectorSimilarity.semDedup(fixture, k = 1, minCosine = tau, window = 64)
+    // window of 4: B's reachable predecessors are cross-plane fillers only
+    val narrow = VectorSimilarity.semDedup(fixture, k = 1, minCosine = tau, window = 4)
+    val bId = angleIds.last   // B holds the last angle slot
+    val wideIds = wide.select("vec_id").as[Long].collect().toSet
+    val narrowIds = narrow.select("vec_id").as[Long].collect().toSet
+    assert(!wideIds.contains(bId), "wide window must drop B (A qualifies, in range)")
+    assert(narrowIds.contains(bId),
+      "a qualifying near-dup more than `window` ranks earlier must NOT drop the doc")
+    // A (rank 1) always survives
+    assert(wideIds.size >= 1 && narrowIds.size > wideIds.size)
+  }
+
+  test("semDedup window: candidate pairs are O(n·window), not O(n²), under cluster skew") {
+    // one mega-cluster (k=1): n=300 members, window=8
+    val n = 300
+    val m = 8
+    val (fixture, _) = angleFixture(Seq.tabulate(n - 1)(i => (85.0 - i * 0.25, 1)))
+    val ranked = VectorSimilarity.semanticClusters(fixture, k = 1)
+      .withColumn("__rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"cluster_id")
+          .orderBy($"centroid_cosine".asc, $"vec_id".asc)))
+    val pairs = VectorSimilarity.rankWindowPairs(ranked, m, "vec_id", "embedding")
+    // exactly the banded pair count: sum_{d=1..m} (n-d)
+    val expected = (1 to m).map(d => n - d).sum.toLong
+    assert(pairs.count() == expected,
+      s"banded join must emit each in-window pair exactly once (n=$n, m=$m)")
+    assert(expected < n.toLong * (n - 1) / 4,
+      "fixture sanity: the bound is far below the quadratic pair space")
+    // and the unwindowed quadratic never hides in a bigger window than asked:
+    // every emitted pair respects the rank distance
+    val offending = pairs.filter($"__rb" - $"__ra" > m || $"__ra" >= $"__rb")
+    assert(offending.count() == 0)
+  }
 }
 
 class AnnRecallSpec extends SparkSpec {
