@@ -996,8 +996,15 @@ object SparkEntry {
     // overlap (Jaccard >= 0.8) against the held-out test split — the
     // bipartite posting-list funnel, never train × test
     "doc_decontaminate" -> ((s, dir) => {
-      val withSplit = t(s, dir, "documents").withColumn("split",
-        Sampling.assignSplit(col("doc_id"), Seq("test" -> 0.05, "val" -> 0.05)))
+      // materialize the slim split corpus ONCE: the bipartite funnel reads
+      // train/test from four plan branches (both gram explodes, the in-plan
+      // df-cap id scans, the final anti-join), and without this each branch
+      // re-runs scan + split-assign through FanOut's full-text exchange
+      val withSplit = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+        .withColumn("split",
+          Sampling.assignSplit(col("doc_id"), Seq("test" -> 0.05, "val" -> 0.05)))
+        .localCheckpoint()
       val train = withSplit.filter(col("split") === "train")
       val testDocs = withSplit.filter(col("split") === "test")
       val contaminated = NgramJaccard.bipartitePairs(train, testDocs, "doc_id",
@@ -1014,8 +1021,13 @@ object SparkEntry {
     // semi-join on md5Hash60 13-gram hashes (8-byte keys shuffle, gram
     // strings never move); the oracle joins the same grams as strings.
     "doc_decontaminate_exact" -> ((s, dir) => {
-      val withSplit = t(s, dir, "documents").withColumn("split",
-        Sampling.assignSplit(col("doc_id"), Seq("test" -> 0.05, "val" -> 0.05)))
+      // same single materialization as doc_decontaminate: both gram explodes
+      // and the anti-join otherwise re-derive the split from the raw scan
+      val withSplit = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+        .withColumn("split",
+          Sampling.assignSplit(col("doc_id"), Seq("test" -> 0.05, "val" -> 0.05)))
+        .localCheckpoint()
       val train = withSplit.filter(col("split") === "train")
       val testDocs = withSplit.filter(col("split") === "test")
       val contaminated = NgramJaccard.exactOverlapIds(train, testDocs, "doc_id",

@@ -84,13 +84,17 @@ object NgramJaccard {
   def bipartitePairs(left: DataFrame, right: DataFrame, idCol: String,
                      ngrams: Column, threshold: Double,
                      maxDocFreq: Long = -1L): DataFrame = {
-    // parallelism floor only — no pinned gram exchange here: the stop-list
-    // aggregates over a UNION of both sides (which discards partitioning),
-    // so a per-side repartition buys no reuse, and callers (CorpusPipeline,
-    // decontamination) feed cached or already-shuffled inputs where branch
-    // recompute is cheap — measured +35% on doc_decontaminate when pinned
+    // pinned per-side gram exchange: each side's (id, gram) stream feeds
+    // three branches (the stop-agg union, the per-doc count, the inter
+    // join), and ReuseExchange computes the repartition subtree once — so
+    // the n-gram hashing kernel runs 1× per side instead of 3×. (Pinning
+    // measured +35% WORSE in round 8 when callers fed raw scans — each
+    // branch then re-scanned full text into its own exchange — but with
+    // callers now materializing slim inputs the reuse wins.)
     val gl0 = FanOut(left).select(col(idCol).as("__lid"), explode(ngrams).as("__gram"))
+      .repartition(col("__gram"))
     val gr0 = FanOut(right).select(col(idCol).as("__rid"), explode(ngrams).as("__gram"))
+      .repartition(col("__gram"))
     val (gl, gr) =
       if (maxDocFreq == 0) (gl0, gr0)
       else {
