@@ -537,8 +537,10 @@ class AnnRecallSpec extends SparkSpec {
   }
 
   test("multi-table LSH recall floor (regression guard, not a tuning target)") {
+    // measured 0.92 here and 0.880 at sf0.1 — the floor sits close under
+    // both so losing a hash table or the multi-probe path fails this test
     val r = recallOf(VectorSimilarity.lshTopK(emb, queries, 5, 4, 64, tables = 16))
-    assert(r >= 0.5, s"lsh recall@5 degraded to $r")
+    assert(r >= 0.85, s"lsh recall@5 degraded to $r")
   }
 
   test("IVF recall floor at nprobe=8 with a Lloyd-refined fixed-size codebook") {
@@ -551,9 +553,10 @@ class AnnRecallSpec extends SparkSpec {
 
   test("IVF recall floor at the production probe width (ann_ivf_topk settings)") {
     // nprobe=32/64 is what ann_ivf_topk and the per-round bench recall log
-    // run — the user-facing answer quality; measured 0.94 at sf0.1
+    // run — the user-facing answer quality; measured 0.947 here and 0.940
+    // at sf0.1, so a multi-probe regression fails the spec, not just the log
     val r = recallOf(VectorSimilarity.ivfTopK(emb, queries, 5, nprobe = 32, maxCentroids = 64))
-    assert(r >= 0.8, s"ivf recall@5 at production settings degraded to $r")
+    assert(r >= 0.9, s"ivf recall@5 at production settings degraded to $r")
   }
 
   test("IVF multi-assign spill: recall never below single-assign, pairs dedup'd") {
