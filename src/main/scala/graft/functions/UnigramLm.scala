@@ -75,12 +75,20 @@ object UnigramLm {
     */
   def scoreBigram(docs: DataFrame, idCol: String, text: Column,
                   vocabSize: Int = 65536): DataFrame = {
-    val arr = filter(split(trim(lower(text)), "[ \\t\\n\\f\\r]+"), w => w =!= "")
-    val toks = docs.select(col(idCol), explode(arr).as("__tok"))
+    // The token split feeds FOUR plan branches (total, unigram vocab,
+    // bigram table, scoring) — materialize the slim (id, tokens) frame
+    // once so each branch re-reads arrays instead of re-running
+    // lower/trim/split over the full text (the doc_decontaminate move).
+    val base = docs.select(col(idCol),
+        filter(split(trim(lower(text)), "[ \\t\\n\\f\\r]+"), w => w =!= "")
+          .as("__arr"))
+      .localCheckpoint()
+    val arr = col("__arr")
+    val toks = base.select(col(idCol), explode(arr).as("__tok"))
     val total = toks.agg(count(lit(1)).as("__n"))
     val vocab = toks.groupBy(col("__tok")).agg(count(lit(1)).as("__cnt"))
       .orderBy(col("__cnt").desc, col("__tok")).limit(vocabSize)
-    val bi = docs.select(col(idCol),
+    val bi = base.select(col(idCol),
         explode(zip_with(
           slice(arr, lit(1), greatest(size(arr) - 1, lit(0))),
           slice(arr, lit(2), greatest(size(arr) - 1, lit(0))),
@@ -102,7 +110,7 @@ object UnigramLm {
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_bigrams"),
         avg(log(2.0, lit(0.75) * col("__pbi") + lit(0.25) * col("__puni"))).as("__lp"))
-    docs.select(col(idCol)).join(scored, Seq(idCol), "left")
+    base.select(col(idCol)).join(scored, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("n_bigrams"), lit(0L)).cast("long").as("n_bigrams"),
         (round(coalesce(col("__lp"), lit(0.0)), 4) + lit(0.0)).as("bigram_logprob"))
