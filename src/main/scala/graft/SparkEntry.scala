@@ -1345,12 +1345,15 @@ object SparkEntry {
         .orderBy(col("media_id"))
     }),
 
-    // multimodal: partition-mapped feature extraction (stubbed codec; rows-only)
+    // multimodal: REAL javax.imageio decode — synthesized grayscale PNGs
+    // (geometry + pixels derive arithmetically from doc_id, PNG is
+    // lossless) flow through the partition-mapped decode stage; the oracle
+    // replays every decoded statistic from doc_id alone
     "mm_media_features" -> ((s, dir) => {
-      val media = Multimodal.synthesizeMedia(t(s, dir, "documents"), "doc_id", "text")
-      Multimodal.extractFeatures(media)
-        .select(col("media_id"), col("n_bytes").cast("long").as("n_bytes"),
-          round(element_at(col("features"), 1), 4).as("f0"))
+      val media = Multimodal.synthesizeImages(t(s, dir, "documents"), "doc_id")
+      Multimodal.imageFeatures(media)
+        .select(col("media_id"), col("width"), col("height"), col("channels"),
+          round(col("px_mean"), 4).as("px_mean"), col("px_min"), col("px_max"))
         .orderBy(col("media_id"))
     }),
 
@@ -2763,6 +2766,24 @@ object SparkEntry {
       "mm_media_meta" ->
         """SELECT doc_id AS media_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
           |FROM documents
+          |ORDER BY media_id""".stripMargin,
+
+      // replays Multimodal.encodePng's arithmetic pattern: the Spark side
+      // round-trips these values through a REAL PNG encode + javax.imageio
+      // decode; lossless 8-bit gray means the decoded stats equal the
+      // pattern computed here directly from doc_id
+      "mm_media_features" ->
+        """WITH px AS (SELECT doc_id,
+          |        CAST(doc_id % 17 + 1 AS INTEGER) AS width,
+          |        CAST(doc_id % 13 + 1 AS INTEGER) AS height,
+          |        list_transform(range(0, (doc_id % 17 + 1) * (doc_id % 13 + 1)),
+          |                       i -> (doc_id * 31 + i) % 256) AS vals
+          |      FROM documents)
+          |SELECT doc_id AS media_id, width, height, CAST(1 AS INTEGER) AS channels,
+          |       round(list_avg(vals), 4) AS px_mean,
+          |       CAST(list_min(vals) AS INTEGER) AS px_min,
+          |       CAST(list_max(vals) AS INTEGER) AS px_max
+          |FROM px
           |ORDER BY media_id""".stripMargin
     )
   }

@@ -1,6 +1,12 @@
 package graft.functions
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import java.awt.RenderingHints
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+import javax.imageio.ImageIO
+
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.catalyst.encoders.RowEncoder
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -9,13 +15,16 @@ import org.apache.spark.sql.types._
   * columns with a typed metadata struct; decode / feature-extraction runs as
   * a partition-mapped batch stage.
   *
-  * The media codec libraries are NOT available in this environment, so the
-  * decode kernel is a clearly marked STUB (deterministic fake derived from the
-  * bytes). Everything around it — schema contract, batch iteration shape,
-  * partition sizing, metadata propagation — is the real production plumbing:
-  * swap `decodeStub` for a JNI/FFI codec call and nothing else changes.
+  * Raster images use a REAL pure-JVM codec: `javax.imageio` reads/writes
+  * PNG, BMP and GIF with no external libraries, so [[decodeImage]],
+  * [[imageFeatures]], [[extractFeatures]] and [[resizeImage]] operate on
+  * actual pixels. Payloads no codec recognizes (`ImageIO.read` returns
+  * null) yield null features — the stage never fakes a decode. The one
+  * remaining stand-in is [[sampleFrames]]'s byte chunker: container demux
+  * (MP4/MKV) has no pure-JVM codec, so frame boundaries are byte offsets
+  * until a JNI/FFI demuxer replaces that single call.
   *
-  * Scale notes: media rows are large and few, so the stage uses
+  * Scale notes: media rows are large and few, so the decode stages use
   * `mapPartitions` (one iterator pass, no per-row task overhead) and callers
   * should `repartition` by byte-budget, not row count, before heavy decodes.
   */
@@ -37,50 +46,137 @@ object Multimodal {
     StructField("n_bytes", IntegerType, nullable = false),
     StructField("features", ArrayType(FloatType, containsNull = false), nullable = true)))
 
-  /** STUB decode kernel — deterministic fake standing in for a real codec.
-    * Production: replace body with the image/audio decode + model featurizer;
-    * signature (bytes in, fixed-width float features out) is the real one.
-    */
-  private[graft] def decodeStub(payload: Array[Byte], dim: Int): Array[Float] = {
-    // ??? <- real codec goes here; deterministic byte-derived fake below
-    val out = new Array[Float](dim)
-    var h = 1125899906842597L
-    var i = 0
-    while (i < payload.length) { h = 31 * h + payload(i); i += 1 }
-    var j = 0
-    while (j < dim) {
-      h ^= h << 13; h ^= h >>> 7; h ^= h << 17
-      out(j) = (h.toDouble / Long.MaxValue.toDouble).toFloat
-      j += 1
-    }
-    out
-  }
+  /** Output schema of the decoded-image statistics stage. */
+  val imageFeatureSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("n_bytes", IntegerType, nullable = false),
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true),
+    StructField("channels", IntegerType, nullable = true),
+    StructField("px_mean", DoubleType, nullable = true),
+    StructField("px_min", IntegerType, nullable = true),
+    StructField("px_max", IntegerType, nullable = true)))
 
-  /** Feature-extract a media frame: binary payload → float feature vector.
-    * `mapPartitions` keeps one decoder instance per task (real codecs are
-    * expensive to initialize) and streams rows without materializing the
-    * partition.
+  /** Exact statistics of a decoded raster. */
+  final case class ImageStats(width: Int, height: Int, channels: Int,
+                              pxMean: Double, pxMin: Int, pxMax: Int)
+
+  /** Real image decode: `ImageIO.read` auto-detects PNG/BMP/GIF from the
+    * byte header; None for empty/corrupt/unrecognized payloads.
+    */
+  private[graft] def readImage(bytes: Array[Byte]): Option[BufferedImage] =
+    if (bytes == null || bytes.length == 0) None
+    else
+      try Option(ImageIO.read(new ByteArrayInputStream(bytes)))
+      catch { case _: Exception => None } // corrupt header/stream
+
+  /** Decode an image payload and compute exact pixel statistics across all
+    * raster bands. None when the payload is not a decodable image.
+    */
+  private[graft] def decodeImage(bytes: Array[Byte]): Option[ImageStats] =
+    readImage(bytes).map { img =>
+      val raster = img.getRaster
+      val (w, h, bands) = (img.getWidth, img.getHeight, raster.getNumBands)
+      var sum = 0L; var mn = Int.MaxValue; var mx = Int.MinValue
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          var b = 0
+          while (b < bands) {
+            val v = raster.getSample(x, y, b)
+            sum += v
+            if (v < mn) mn = v
+            if (v > mx) mx = v
+            b += 1
+          }
+          x += 1
+        }
+        y += 1
+      }
+      ImageStats(w, h, bands, sum.toDouble / (w.toLong * h * bands), mn, mx)
+    }
+
+  /** `dim`-bucket normalized sample-value histogram of a decoded image —
+    * a real, deterministic feature vector (bucket = v·dim/256 over every
+    * raster sample; values sum to 1). Null when the payload doesn't decode.
+    */
+  private[graft] def imageHistogram(bytes: Array[Byte], dim: Int): Array[Float] =
+    readImage(bytes) match {
+      case None => null
+      case Some(img) =>
+        val raster = img.getRaster
+        val (w, h, bands) = (img.getWidth, img.getHeight, raster.getNumBands)
+        val counts = new Array[Long](dim)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            var b = 0
+            while (b < bands) {
+              val v = raster.getSample(x, y, b)
+              val bucket = math.min(dim - 1, v * dim / 256)
+              counts(bucket) += 1
+              b += 1
+            }
+            x += 1
+          }
+          y += 1
+        }
+        val n = (w.toLong * h * bands).toDouble
+        val out = new Array[Float](dim)
+        var j = 0
+        while (j < dim) { out(j) = (counts(j) / n).toFloat; j += 1 }
+        out
+    }
+
+  /** Feature-extract a media frame: binary payload → float feature vector
+    * ([[imageHistogram]] — real pixels via javax.imageio; null features for
+    * payloads no codec recognizes). `mapPartitions` keeps one decoder
+    * instance per task (codecs are expensive to initialize) and streams rows
+    * without materializing the partition.
     */
   def extractFeatures(media: DataFrame, dim: Int = 16,
                       idCol: String = "media_id", payloadCol: String = "payload"): DataFrame = {
-    val spark = media.sparkSession
     val enc = RowEncoder.encoderFor(featureSchema)
     val input = media.select(col(idCol).cast("long"), col(payloadCol))
     input.mapPartitions { rows =>
-      // per-task decoder init would happen here
       rows.map { r =>
         val id = r.getLong(0)
         val bytes = if (r.isNullAt(1)) Array.empty[Byte] else r.getAs[Array[Byte]](1)
-        Row(id, bytes.length, decodeStub(bytes, dim))
+        Row(id, bytes.length, imageHistogram(bytes, dim))
       }
     }(enc).toDF()
   }
 
+  /** Decoded-image statistics stage: (media_id, n_bytes, width, height,
+    * channels, px_mean, px_min, px_max) from a real decode; the six stat
+    * columns are null for payloads that are not a decodable image.
+    */
+  def imageFeatures(media: DataFrame,
+                    idCol: String = "media_id", payloadCol: String = "payload"): DataFrame = {
+    val enc = RowEncoder.encoderFor(imageFeatureSchema)
+    media.select(col(idCol).cast("long"), col(payloadCol))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val bytes = if (r.isNullAt(1)) Array.empty[Byte] else r.getAs[Array[Byte]](1)
+          decodeImage(bytes) match {
+            case Some(s) =>
+              Row(id, bytes.length, s.width, s.height, s.channels, s.pxMean, s.pxMin, s.pxMax)
+            case None => Row(id, bytes.length, null, null, null, null, null, null)
+          }
+        }
+      }(enc).toDF()
+  }
+
   /** Frame-sampling stage: split each media payload into fixed-size chunks
     * ("frames") and keep every `everyN`-th — the video/audio frame-sample
-    * plumbing with a byte-chunker standing in for the codec's frame index.
-    * Emits (media_id, frame_no, frame_bytes); downstream feature extraction
-    * consumes frames exactly like whole payloads.
+    * plumbing. Byte chunking stands in for the container demuxer (MP4/MKV
+    * demux has no pure-JVM codec); the iteration shape, sampling cadence and
+    * output contract are the production ones. Emits (media_id, frame_no,
+    * frame_bytes); downstream feature extraction consumes frames exactly
+    * like whole payloads.
     */
   val frameSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
@@ -95,22 +191,53 @@ object Multimodal {
       .flatMap { r =>
         val id = r.getLong(0)
         val bytes = if (r.isNullAt(1)) Array.empty[Byte] else r.getAs[Array[Byte]](1)
-        // ??? <- real demuxer/frame index goes here; byte chunking below
         val frames = bytes.grouped(frameBytes).zipWithIndex
         frames.collect { case (chunk, i) if i % everyN == 0 => Row(id, i, chunk) }
       }(enc).toDF()
   }
 
-  /** Resize stage stub: deterministic downsample of a payload to
-    * `targetBytes` by stride sampling — the image-resize slot (real impl:
-    * decode → scale → re-encode); plumbing, schema and batch shape are real.
+  /** REAL image resize: decode, scale the longest side to `maxDim` with a
+    * bilinear Graphics2D draw (deterministic software rendering), re-encode
+    * as PNG. Images already within the bound, and payloads that are not
+    * decodable images, pass through unchanged — use [[resizePayload]] for
+    * opaque byte budgets.
+    */
+  def resizeImage(media: DataFrame, maxDim: Int,
+                  payloadCol: String = "payload"): DataFrame = {
+    require(maxDim > 0)
+    val rz = udf { bytes: Array[Byte] =>
+      readImage(bytes) match {
+        case Some(img) if math.max(img.getWidth, img.getHeight) > maxDim =>
+          val scale = maxDim.toDouble / math.max(img.getWidth, img.getHeight)
+          val w = math.max(1, math.round(img.getWidth * scale).toInt)
+          val h = math.max(1, math.round(img.getHeight * scale).toInt)
+          val t = if (img.getType == BufferedImage.TYPE_CUSTOM)
+            BufferedImage.TYPE_INT_RGB else img.getType
+          val out = new BufferedImage(w, h, t)
+          val g = out.createGraphics()
+          g.setRenderingHint(RenderingHints.KEY_INTERPOLATION,
+            RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(img, 0, 0, w, h, null)
+          g.dispose()
+          val baos = new ByteArrayOutputStream()
+          ImageIO.write(out, "png", baos)
+          baos.toByteArray
+        case _ => bytes
+      }
+    }
+    media.withColumn(payloadCol, rz(col(payloadCol)))
+  }
+
+  /** Opaque byte-budget downsample: cap any payload at `targetBytes` by
+    * stride sampling. This is deliberately NOT an image operation (no
+    * decode — it works on payloads of any modality); see [[resizeImage]]
+    * for the real raster resize.
     */
   def resizePayload(media: DataFrame, targetBytes: Int,
                     idCol: String = "media_id", payloadCol: String = "payload"): DataFrame = {
     val resize = udf { bytes: Array[Byte] =>
       if (bytes == null || bytes.length <= targetBytes) bytes
       else {
-        // ??? <- real scaler goes here; stride sampling below
         val stride = bytes.length.toDouble / targetBytes
         Array.tabulate(targetBytes)(i => bytes((i * stride).toInt))
       }
@@ -120,7 +247,7 @@ object Multimodal {
 
   /** Synthesize a media frame from any table (test/demo path): payload bytes
     * derive deterministically from a source column, exercising the full
-    * plumbing without codec libraries.
+    * plumbing without staging real media files.
     */
   def synthesizeMedia(df: DataFrame, idCol: String, fromCol: String): DataFrame =
     df.select(
@@ -131,4 +258,46 @@ object Multimodal {
         length(col(fromCol).cast("string")).cast("int").as("width"),
         lit(1).as("height"),
         lit(null).cast("long").as("duration_ms")).as("meta"))
+
+  /** Encode a REAL grayscale PNG whose geometry and pixels derive
+    * arithmetically from a non-negative id: width = id%17 + 1,
+    * height = id%13 + 1, gray(x, y) = (id·31 + y·width + x) % 256.
+    * PNG is lossless 8-bit gray, so a decode recovers these exact values —
+    * which makes every decoded statistic independently computable by a SQL
+    * oracle from the id alone.
+    */
+  private[graft] def encodePng(id: Long): Array[Byte] = {
+    val w = (id % 17 + 1).toInt
+    val h = (id % 13 + 1).toInt
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        raster.setSample(x, y, 0, ((id * 31 + (y.toLong * w + x)) % 256).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val baos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  /** Synthesize real PNG images keyed by a non-negative id column — the
+    * deterministic image-fixture path ([[encodePng]]'s pattern): downstream
+    * decode stages exercise the actual javax.imageio codec and an oracle
+    * can replay every decoded statistic from the id.
+    */
+  def synthesizeImages(df: DataFrame, idCol: String): DataFrame = {
+    val enc = udf { id: Long => encodePng(id) }
+    df.select(col(idCol).cast("long").as("media_id"))
+      .withColumn("payload", enc(col("media_id")))
+      .withColumn("meta", struct(
+        lit("image/png").as("mime"),
+        (col("media_id") % 17 + 1).cast("int").as("width"),
+        (col("media_id") % 13 + 1).cast("int").as("height"),
+        lit(null).cast("long").as("duration_ms")))
+  }
 }

@@ -244,11 +244,21 @@ class VectorSimilaritySpec extends SparkSpec {
 
   test("multimodal feature extraction preserves ids and emits fixed-width vectors") {
     val docs = spark.read.parquet(s"$sf/documents.parquet").limit(10)
-    val media = Multimodal.synthesizeMedia(docs, "doc_id", "text")
+    val media = Multimodal.synthesizeImages(docs, "doc_id")
     val feats = Multimodal.extractFeatures(media, dim = 8).collect()
     assert(feats.length == 10)
     assert(feats.forall(_.getSeq[Float](2).length == 8))
     assert(feats.forall(r => r.getInt(1) > 0))
+    // histogram buckets are fractions of the pixel population
+    feats.foreach { r =>
+      val s = r.getSeq[Float](2).map(_.toDouble).sum
+      assert(math.abs(s - 1.0) < 1e-5, s"histogram of ${r.getLong(0)} sums to $s")
+    }
+    // a payload no codec recognizes yields null features, never a fake
+    val text = Multimodal.synthesizeMedia(docs, "doc_id", "text")
+    val nulls = Multimodal.extractFeatures(text, dim = 8).collect()
+    assert(nulls.forall(_.isNullAt(2)))
+    assert(nulls.forall(r => r.getInt(1) > 0))
   }
 }
 
@@ -378,9 +388,59 @@ class MultimodalStagesSpec extends SparkSpec {
     val frames = Multimodal.sampleFrames(media, 64, 1)
       .withColumnRenamed("frame", "payload")
       .withColumn("media_id", $"media_id" * 1000 + $"frame_no")
-    val feats = Multimodal.extractFeatures(frames, dim = 4)
-    assert(feats.count() == frames.count())
-    assert(feats.select("features").head().getSeq[Float](0).length == 4)
+    val feats = Multimodal.extractFeatures(frames, dim = 4).collect()
+    assert(feats.length == frames.count())
+    // byte chunks of a text payload are not decodable images → null features
+    assert(feats.forall(_.isNullAt(2)))
+    assert(feats.forall(r => r.getInt(1) > 0))
+  }
+
+  test("synthesized PNG is a real PNG and decodes to the arithmetic pattern") {
+    val ids = Seq(0L, 1L, 42L, 1234L)
+    ids.foreach { id =>
+      val bytes = Multimodal.encodePng(id)
+      // PNG magic: real container bytes, not a fake
+      assert(bytes.take(4).toSeq == Seq(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte))
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      assert(img != null, s"ImageIO must decode id=$id")
+      val (w, h) = ((id % 17 + 1).toInt, (id % 13 + 1).toInt)
+      assert(img.getWidth == w && img.getHeight == h)
+      for (y <- 0 until h; x <- 0 until w)
+        assert(img.getRaster.getSample(x, y, 0) ==
+          ((id * 31 + y.toLong * w + x) % 256).toInt, s"pixel ($x,$y) of id=$id")
+    }
+  }
+
+  test("imageFeatures: decoded stats match the hand-computed pattern; non-images null") {
+    val df = Seq(42L, 7L).toDF("doc_id")
+    val feats = Multimodal.imageFeatures(Multimodal.synthesizeImages(df, "doc_id"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // id=42: 9x4 gray, pixels (42*31 + i) % 256 = 22..57 → mean 39.5
+    val r42 = feats(42L)
+    assert(r42.getInt(2) == 9 && r42.getInt(3) == 4 && r42.getInt(4) == 1)
+    assert(r42.getDouble(5) == 39.5 && r42.getInt(6) == 22 && r42.getInt(7) == 57)
+    val undecodable = Multimodal.imageFeatures(
+      Multimodal.synthesizeMedia(Seq((1L, "hello")).toDF("doc_id", "text"), "doc_id", "text"))
+      .head()
+    assert(undecodable.isNullAt(2) && undecodable.isNullAt(5))
+  }
+
+  test("resizeImage: real raster downscale, small images and non-images untouched") {
+    // id=1234 → 11x13; maxDim 6 scales the longest side (13) down to 6
+    val imgs = Multimodal.synthesizeImages(Seq(1234L).toDF("doc_id"), "doc_id")
+    val resized = Multimodal.resizeImage(imgs, maxDim = 6)
+    val out = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(resized.select($"payload").head().getAs[Array[Byte]](0)))
+    assert(out != null && math.max(out.getWidth, out.getHeight) == 6)
+    assert(out.getWidth == math.round(11 * 6.0 / 13).toInt)
+    // within-bound image passes through byte-identical
+    val same = Multimodal.resizeImage(imgs, maxDim = 64).select($"payload").head()
+      .getAs[Array[Byte]](0)
+    assert(same.toSeq == imgs.select($"payload").head().getAs[Array[Byte]](0).toSeq)
+    // non-image payload untouched
+    val text = Multimodal.synthesizeMedia(Seq((1L, "abc")).toDF("doc_id", "text"), "doc_id", "text")
+    assert(Multimodal.resizeImage(text, 2).select($"payload").head().getAs[Array[Byte]](0).toSeq
+      == "abc".getBytes("UTF-8").toSeq)
   }
 }
 
