@@ -33,7 +33,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * the engines split identically). Lowercasing is `UTF8String.toLowerCase`
   * vs DuckDB `lower()` — identical on ASCII (pinned by fixtures); exotic
   * non-ASCII case mappings (e.g. locale-style dotted-I) are outside the
-  * pinned domain.
+  * pinned domain. The NON-lowercasing funnel (`dedup_simhash`) is
+  * engine-vs-engine pinned beyond ASCII: `Md5HashFamilySpec`'s "non-ASCII
+  * corpus" test hash-matches fingerprints and near-dup pairs against
+  * DuckDB's answer on an umlaut/Greek/CJK/emoji/NBSP/VT fixture.
   */
 object Md5Family {
 

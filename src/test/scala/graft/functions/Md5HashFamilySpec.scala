@@ -59,6 +59,44 @@ class Md5HashFamilySpec extends SparkSpec {
     }
   }
 
+  test("non-ASCII corpus: simhash funnel matches DuckDB bit-for-bit") {
+    // Engine-vs-engine parity beyond ASCII: these expected values are
+    // DuckDB's answer for dedup_simhash's exact oracle SQL over this
+    // fixture (replay: load the (doc_id, text) rows into DuckDB and run
+    // the dedup_simhash funnel from SparkEntry.oracleSql — the md5
+    // word-bigram hashes, the 60-bit sign aggregation, and the
+    // hamming<=8 self-join). Covers multi-byte UTF-8 (umlauts, Greek,
+    // CJK), astral-plane emoji (4-byte UTF-8), NBSP (\u00A0 — NOT
+    // whitespace in either engine's split), and VT 0x0B (vertical tab —
+    // Java \s matches it, RE2 \s does not; the pinned class keeps it a
+    // word character on both sides).
+    val docs = Seq(
+      1L -> "Äpfel über größe naïve café déjà vu münchen straße weiß",
+      2L -> "Äpfel über größe naïve café déjà vu münchen straße schwarz",
+      3L -> "αλφα βητα γαμμα δελτα εψιλον ζητα ητα θητα ιωτα κάππα",
+      4L -> "αλφα βητα γαμμα δελτα εψιλον ζητα ητα θητα ιωτα λάμδα",
+      5L -> "東京 大阪 京都 奈良 札幌 福岡 神戸 横浜 仙台 広島",
+      6L -> "日本 東京 大阪 京都 奈良 札幌 福岡 神戸 横浜 仙台 広島",
+      7L -> "🍎 tarte\u00A0aux pommes 🍊 jus d'orange frais très bon",
+      8L -> "αβ\u000Bγδ εζ ηθ ικ λμ νξ οπ ρσ τυ φχ"
+    ).toDF("doc_id", "text")
+    val fps = SimHash.fingerprintsHashed(docs, "doc_id",
+        TextFunctions.wordBigramHashes60($"text"))
+      .as[(Long, Long)].collect().toMap
+    val duckdbFps = Map(
+      1L -> 791728650752245118L, 2L -> 251859713972387198L,
+      3L -> 802724958078436031L, 4L -> 773451560466451135L,
+      5L -> 656818962696584267L, 6L -> 655675470603695179L,
+      7L -> 92640820010717443L, 8L -> 785579316284532695L)
+    assert(fps == duckdbFps, "60-bit simhash fingerprints vs DuckDB")
+    val pairs = SimHash.nearDupPairsHashed(docs, "doc_id",
+        TextFunctions.wordBigramHashes60($"text"), maxDist = 8)
+      .select($"id_a", $"id_b", $"hamming".cast("long"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(pairs == Set((3L, 4L, 7L), (5L, 6L, 3L)),
+      "near-dup pairs at hamming<=8 vs DuckDB")
+  }
+
   test("winnowedFingerprints60: shared run >= w+k-1 chars shares a fingerprint") {
     val run = "the quick brown fox jumps over"   // 30 chars >= 8+5-1
     val df = Seq(
