@@ -672,7 +672,13 @@ object SparkEntry {
     // banded LSH ACROSS the two frames, so a new crawl never re-pairs
     // the existing corpus with itself
     "dedup_against_corpus" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
+      // both halves feed five plan branches (two signature passes, two
+      // verify-stage shingle recomputes, the final anti-join) — materialize
+      // the slim split once so no branch re-derives it from the raw scan
+      // (at scale, existing vs incoming arrive as separate tables already
+      // materialized; the one-scan split is a bench-fixture shape)
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+        .localCheckpoint()
       MinHashLsh.dedupAgainst(
         docs.filter(col("doc_id") < 250), docs.filter(col("doc_id") >= 250),
         "doc_id", TextFunctions.shingleHashes(col("text"), 5),
