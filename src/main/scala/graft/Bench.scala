@@ -54,10 +54,30 @@ object Bench {
     // the cache, dropping every persistent RDD (this is what releases
     // stray localCheckpoint blocks), and letting a full GC settle between
     // queries makes each recorded number match the operator run alone.
+    // Residue CHECK after each reset: the round-9 record carried a 4×
+    // per-query anomaly that was unreproducible at HEAD (machine load, not
+    // state) — but proving that took a judge re-run. Logging leftover
+    // persistent RDDs and storage memory makes the next anomalous record
+    // self-diagnosing: residue printed → a real leak; silence → look at
+    // the machine, not the code.
+    def storageUsedMb(): Long =
+      spark.sparkContext.getExecutorMemoryStatus.values
+        .map { case (max, free) => max - free }.sum >> 20
     def resetState(): Unit = {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      // two GC passes: the first queues weak-ref'd RDD/shuffle/broadcast
+      // cleanups on the ContextCleaner, the second collects what those
+      // released — one pass leaves broadcast blocks for the NEXT query's
+      // clock (localCheckpoint blocks are persistent RDDs, released
+      // synchronously by the unpersist above)
       System.gc()
+      System.gc()
+      val rdds = spark.sparkContext.getPersistentRDDs.size
+      val mb = storageUsedMb()
+      if (rdds > 0 || mb > 64)
+        System.err.println(s"[bench] WARNING state residue after reset: " +
+          s"$rdds persistent RDDs, ${mb} MB storage in use")
     }
     resetState() // the warmup block above also left state behind
 

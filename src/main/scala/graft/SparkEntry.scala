@@ -1322,7 +1322,11 @@ object SparkEntry {
     // (more-atypical) neighbor at cosine >= 0.35 — cluster-local exact
     // pairs instead of corpus-quadratic; full funnel replayed by DuckDB
     "dedup_semantic" -> ((s, dir) => {
-      VectorSimilarity.semDedup(t(s, dir, "embeddings"), k = 16, minCosine = 0.35)
+      // window = 256 opts into the O(n·window) block-banded scale bound
+      // (the API default is the unwindowed paper form); the oracle replays
+      // the same window
+      VectorSimilarity.semDedup(t(s, dir, "embeddings"), k = 16, minCosine = 0.35,
+          window = 256)
         .select(col("vec_id"), col("cluster_id"))
         .orderBy(col("vec_id"))
     }),
@@ -1343,10 +1347,12 @@ object SparkEntry {
         .orderBy(col("cluster_id"))
     }),
 
-    // multimodal: opaque binary payload + typed metadata plumbing
+    // multimodal: opaque binary payload + typed metadata plumbing —
+    // metadata-only reads stay decode-free (length() is a built-in; no
+    // mapPartitions stage for Catalyst to be blind to)
     "mm_media_meta" -> ((s, dir) => {
       val media = Multimodal.synthesizeMedia(t(s, dir, "documents"), "doc_id", "text")
-      Multimodal.extractFeatures(media)
+      Multimodal.payloadMeta(media)
         .select(col("media_id"), col("n_bytes").cast("long").as("n_bytes"))
         .orderBy(col("media_id"))
     }),

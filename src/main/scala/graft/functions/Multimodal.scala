@@ -4,7 +4,8 @@ import java.awt.RenderingHints
 import java.awt.image.BufferedImage
 import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
 
-import javax.imageio.ImageIO
+import javax.imageio.{ImageIO, ImageReader, ImageWriter}
+import javax.imageio.stream.{MemoryCacheImageInputStream, MemoryCacheImageOutputStream}
 
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.catalyst.encoders.RowEncoder
@@ -29,6 +30,11 @@ import org.apache.spark.sql.types._
   * should `repartition` by byte-budget, not row count, before heavy decodes.
   */
 object Multimodal {
+
+  // In-memory payloads never benefit from ImageIO's disk-backed stream
+  // cache — with it on, EVERY convenience read/write creates and deletes a
+  // temp file, which dominates small-image decode cost.
+  ImageIO.setUseCache(false)
 
   /** Canonical media schema: id + opaque payload + typed metadata. */
   val mediaSchema: StructType = StructType(Seq(
@@ -61,14 +67,80 @@ object Multimodal {
   final case class ImageStats(width: Int, height: Int, channels: Int,
                               pxMean: Double, pxMin: Int, pxMax: Int)
 
-  /** Real image decode: `ImageIO.read` auto-detects PNG/BMP/GIF from the
-    * byte header; None for empty/corrupt/unrecognized payloads.
+  // One reusable codec instance per (thread, format): the ImageIO.read /
+  // ImageIO.write convenience paths re-probe the plugin registry and build
+  // a fresh reader/writer per call, which dominates small-image decode
+  // cost. Executor task threads are pooled, so a ThreadLocal keeps the
+  // instance alive across rows AND across mapPartitions batches; readers
+  // and writers are not thread-safe, but each thread owns its own.
+  private val readerCache = new ThreadLocal[java.util.HashMap[String, ImageReader]] {
+    override def initialValue() = new java.util.HashMap[String, ImageReader]()
+  }
+  private val pngWriter = new ThreadLocal[ImageWriter] {
+    override def initialValue(): ImageWriter =
+      ImageIO.getImageWritersByFormatName("png").next()
+  }
+
+  /** Container format from magic bytes — the three formats the JDK codec
+    * reads. Null for anything else (falls back to the probing convenience
+    * path, which knows every registered plugin).
+    */
+  private def sniffFormat(b: Array[Byte]): String =
+    if (b.length >= 8 && (b(0) & 0xFF) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') "png"
+    else if (b.length >= 6 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8') "gif"
+    else if (b.length >= 2 && b(0) == 'B' && b(1) == 'M') "bmp"
+    else null
+
+  /** Real image decode: PNG/BMP/GIF are sniffed from the byte header and
+    * decoded by a per-thread reusable `ImageReader`; other payloads go
+    * through the auto-detecting `ImageIO.read` probe. None for
+    * empty/corrupt/unrecognized payloads.
     */
   private[graft] def readImage(bytes: Array[Byte]): Option[BufferedImage] =
     if (bytes == null || bytes.length == 0) None
-    else
-      try Option(ImageIO.read(new ByteArrayInputStream(bytes)))
-      catch { case _: Exception => None } // corrupt header/stream
+    else sniffFormat(bytes) match {
+      case null =>
+        try Option(ImageIO.read(new ByteArrayInputStream(bytes)))
+        catch { case _: Exception => None } // corrupt header/stream
+      case fmt =>
+        val cache = readerCache.get()
+        var r = cache.get(fmt)
+        if (r == null) {
+          r = ImageIO.getImageReadersByFormatName(fmt).next()
+          cache.put(fmt, r)
+        }
+        val in = new MemoryCacheImageInputStream(new ByteArrayInputStream(bytes))
+        try {
+          r.setInput(in, true, true)
+          Option(r.read(0))
+        } catch {
+          case _: Exception =>
+            // a failed read can leave the reader dirty — drop it; the next
+            // row on this thread builds a fresh one
+            cache.remove(fmt)
+            r.dispose()
+            None
+        } finally {
+          try { r.setInput(null); in.close() } catch { case _: Exception => () }
+        }
+    }
+
+  /** Encode a raster as PNG through the per-thread reusable writer (the
+    * `ImageIO.write` convenience path pays plugin probe + fresh writer per
+    * call).
+    */
+  private[graft] def writePng(img: BufferedImage): Array[Byte] = {
+    val baos = new ByteArrayOutputStream()
+    val w = pngWriter.get()
+    val out = new MemoryCacheImageOutputStream(baos)
+    try {
+      w.setOutput(out)
+      w.write(img)
+    } finally {
+      try { w.setOutput(null); out.close() } catch { case _: Exception => () }
+    }
+    baos.toByteArray
+  }
 
   /** Decode an image payload and compute exact pixel statistics across all
     * raster bands. None when the payload is not a decodable image.
@@ -129,6 +201,18 @@ object Multimodal {
         while (j < dim) { out(j) = (counts(j) / n).toFloat; j += 1 }
         out
     }
+
+  /** Decode-free payload metadata: (media_id, n_bytes) via Catalyst
+    * built-ins only — `length` on a binary column is the byte count. Use
+    * this, NOT [[extractFeatures]], when downstream needs sizes but no
+    * decoded features: `mapPartitions` stages are opaque to Catalyst, so
+    * routing a metadata-only query through a decode stage pays the full
+    * decode per row that column pruning can never delete.
+    */
+  def payloadMeta(media: DataFrame,
+                  idCol: String = "media_id", payloadCol: String = "payload"): DataFrame =
+    media.select(col(idCol).cast("long").as("media_id"),
+      coalesce(length(col(payloadCol)), lit(0)).cast("int").as("n_bytes"))
 
   /** Feature-extract a media frame: binary payload → float feature vector
     * ([[imageHistogram]] — real pixels via javax.imageio; null features for
@@ -219,9 +303,7 @@ object Multimodal {
             RenderingHints.VALUE_INTERPOLATION_BILINEAR)
           g.drawImage(img, 0, 0, w, h, null)
           g.dispose()
-          val baos = new ByteArrayOutputStream()
-          ImageIO.write(out, "png", baos)
-          baos.toByteArray
+          writePng(out)
         case _ => bytes
       }
     }
@@ -267,6 +349,8 @@ object Multimodal {
     * oracle from the id alone.
     */
   private[graft] def encodePng(id: Long): Array[Byte] = {
+    require(id >= 0, s"encodePng needs a non-negative id (got $id): " +
+      "geometry derives from id%17/id%13, which must stay positive")
     val w = (id % 17 + 1).toInt
     val h = (id % 13 + 1).toInt
     val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
@@ -280,9 +364,7 @@ object Multimodal {
       }
       y += 1
     }
-    val baos = new ByteArrayOutputStream()
-    ImageIO.write(img, "png", baos)
-    baos.toByteArray
+    writePng(img)
   }
 
   /** Synthesize real PNG images keyed by a non-negative id column — the

@@ -83,18 +83,22 @@ object NgramJaccard {
     */
   def bipartitePairs(left: DataFrame, right: DataFrame, idCol: String,
                      ngrams: Column, threshold: Double,
-                     maxDocFreq: Long = -1L): DataFrame = {
-    // pinned per-side gram exchange: each side's (id, gram) stream feeds
-    // three branches (the stop-agg union, the per-doc count, the inter
-    // join), and ReuseExchange computes the repartition subtree once — so
-    // the n-gram hashing kernel runs 1× per side instead of 3×. (Pinning
-    // measured +35% WORSE in round 8 when callers fed raw scans — each
-    // branch then re-scanned full text into its own exchange — but with
-    // callers now materializing slim inputs the reuse wins.)
-    val gl0 = FanOut(left).select(col(idCol).as("__lid"), explode(ngrams).as("__gram"))
-      .repartition(col("__gram"))
-    val gr0 = FanOut(right).select(col(idCol).as("__rid"), explode(ngrams).as("__gram"))
-      .repartition(col("__gram"))
+                     maxDocFreq: Long = -1L,
+                     pinExchange: Boolean = true): DataFrame = {
+    // pinned per-side gram exchange (default): each side's (id, gram)
+    // stream feeds three branches (the stop-agg union, the per-doc count,
+    // the inter join), and ReuseExchange computes the repartition subtree
+    // once — so the n-gram hashing kernel runs 1× per side instead of 3×.
+    // That wins when callers feed MATERIALIZED slim inputs (checkpoint /
+    // persisted), the doc_decontaminate shape. When the inputs are cached
+    // upstream of a cheap projection — CorpusPipeline's case — every branch
+    // already reads the cache and the extra exchange only re-shuffles full
+    // gram streams: round 8 measured +35% for pinning there. Callers with
+    // cached inputs pass pinExchange = false.
+    def pin(df: DataFrame): DataFrame =
+      if (pinExchange) df.repartition(col("__gram")) else df
+    val gl0 = pin(FanOut(left).select(col(idCol).as("__lid"), explode(ngrams).as("__gram")))
+    val gr0 = pin(FanOut(right).select(col(idCol).as("__rid"), explode(ngrams).as("__gram")))
     val (gl, gr) =
       if (maxDocFreq == 0) (gl0, gr0)
       else {

@@ -12,23 +12,28 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
+  // Whitespace throughout this object is the PINNED class [ \t\n\f\r] —
+  // RE2's \s, replayed exactly by DuckDB oracles; Java \s additionally
+  // swallows VT 0x0B (the md5-family pin, Md5Family.scala).
+  private val Ws = "[ \\t\\n\\f\\r]"
+
   /** Whitespace token count; empty/blank text counts 0. */
   def tokenCount(text: Column): Column =
     when(length(trim(text)) === 0, lit(0))
-      .otherwise(size(split(trim(text), "\\s+")))
+      .otherwise(size(split(trim(text), s"$Ws+")))
 
   /** BPE-ish token count: alphabetic runs, single digits, and isolated
     * non-alphanumeric symbols — the GPT-2 pre-tokenizer shape, countable with
     * one regexp scan.
     */
   def bpeTokenCount(text: Column): Column =
-    regexp_count(text, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]"))
+    regexp_count(text, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9 \\t\\n\\f\\r]"))
 
   /** Ratio of punctuation characters to total characters (0 for empty). */
   def punctRatio(text: Column): Column = {
     val n = length(text)
     when(n === 0, lit(0.0))
-      .otherwise(regexp_count(text, lit("[^A-Za-z0-9\\s]")).cast("double") / n)
+      .otherwise(regexp_count(text, lit("[^A-Za-z0-9 \\t\\n\\f\\r]")).cast("double") / n)
   }
 
   /** Ratio of digit characters. */
@@ -42,7 +47,7 @@ object TextFunctions {
   def meanTokenLength(text: Column): Column = {
     val toks = tokenCount(text)
     when(toks === 0, lit(0.0))
-      .otherwise(length(regexp_replace(text, "\\s+", "")).cast("double") / toks)
+      .otherwise(length(regexp_replace(text, s"$Ws+", "")).cast("double") / toks)
   }
 
   /** All scalar stats in one fused pass ([[expressions.TextStatsExpr]]):
@@ -143,7 +148,7 @@ object TextFunctions {
 
   /** Composed-builtins normalization — the parity oracle for [[normalized]]. */
   private[graft] def normalizedComposed(text: Column): Column =
-    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9]+", " "), "\\s+", " "))
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9]+", " "), " +", " "))
 
   /** Content fingerprint = MD5 of the normalized text: whitespace/punct/case
     * variations collapse to one 128-bit key. Group on this, not on raw text —
@@ -221,7 +226,7 @@ object TextFunctions {
     require(chunkSize > 0 && overlap >= 0 && overlap < chunkSize,
       "need 0 <= overlap < chunkSize")
     val step = chunkSize - overlap
-    val toks = split(trim(text), "\\s+")
+    val toks = split(trim(text), s"$Ws+")
     val n = size(toks)
     val nChunks = when(n <= chunkSize, lit(1)).otherwise(
       ceil((n - lit(chunkSize)).cast("double") / step).cast("int") + 1)

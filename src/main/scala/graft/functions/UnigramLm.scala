@@ -74,26 +74,36 @@ object UnigramLm {
     * tokens score 0 with n_bigrams 0.
     */
   def scoreBigram(docs: DataFrame, idCol: String, text: Column,
-                  vocabSize: Int = 65536): DataFrame = {
-    // The token split feeds FOUR plan branches (total, unigram vocab,
-    // bigram table, scoring) — materialize the slim (id, tokens) frame
-    // once so each branch re-reads arrays instead of re-running
-    // lower/trim/split over the full text (the doc_decontaminate move).
-    val base = docs.select(col(idCol),
-        filter(split(trim(lower(text)), "[ \\t\\n\\f\\r]+"), w => w =!= "")
-          .as("__arr"))
-      .localCheckpoint()
-    val arr = col("__arr")
-    val toks = base.select(col(idCol), explode(arr).as("__tok"))
-    val total = toks.agg(count(lit(1)).as("__n"))
-    val vocab = toks.groupBy(col("__tok")).agg(count(lit(1)).as("__cnt"))
-      .orderBy(col("__cnt").desc, col("__tok")).limit(vocabSize)
-    val bi = base.select(col(idCol),
+                  vocabSize: Int = 65536,
+                  materialize: Boolean = true): DataFrame = {
+    // The token stream feeds FOUR plan branches (total, unigram vocab,
+    // bigram table, scoring) — materialize ONE already-exploded
+    // (id, tok, next-tok) frame so tokenize AND explode run once; every
+    // branch then reads flat rows. (An (id, tokens-array) checkpoint still
+    // made the unigram branches and the bigram branches each re-explode.)
+    // `materialize = false` skips the eager localCheckpoint for callers
+    // that manage persistence themselves — localCheckpoint blocks live
+    // only in executor storage, which is the wrong durability with
+    // dynamic allocation at cluster scale.
+    val arr = filter(split(trim(lower(text)), "[ \\t\\n\\f\\r]+"), w => w =!= "")
+    val frame0 = docs.select(col(idCol),
         explode(zip_with(
-          slice(arr, lit(1), greatest(size(arr) - 1, lit(0))),
-          slice(arr, lit(2), greatest(size(arr) - 1, lit(0))),
-          (a, b) => struct(a.as("w1"), b.as("w2")))).as("__bg"))
-      .select(col(idCol), col("__bg.w1").as("__w1"), col("__bg.w2").as("__w2"))
+          arr,
+          // arr shifted left by one, null-padded: token i pairs with its
+          // successor; the last token pairs with null (unigram-only row)
+          concat(slice(arr, lit(2), greatest(size(arr) - 1, lit(0))),
+            array(lit(null).cast("string"))),
+          (a, b) => struct(a.as("t"), b.as("n")))).as("__p"))
+      .select(col(idCol), col("__p.t").as("__tok"), col("__p.n").as("__next"))
+      // zip_with pads to the LONGER side: an empty token array zips against
+      // [null] into one spurious (null, null) row — drop it
+      .filter(col("__tok").isNotNull)
+    val frame = if (materialize) frame0.localCheckpoint() else frame0
+    val total = frame.agg(count(lit(1)).as("__n"))
+    val vocab = frame.groupBy(col("__tok")).agg(count(lit(1)).as("__cnt"))
+      .orderBy(col("__cnt").desc, col("__tok")).limit(vocabSize)
+    val bi = frame.filter(col("__next").isNotNull)
+      .select(col(idCol), col("__tok").as("__w1"), col("__next").as("__w2"))
     val btab = bi.groupBy(col("__w1"), col("__w2")).agg(count(lit(1)).as("__bcnt"))
       .orderBy(col("__bcnt").desc, col("__w1"), col("__w2")).limit(vocabSize)
     val scored = bi
@@ -110,7 +120,10 @@ object UnigramLm {
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_bigrams"),
         avg(log(2.0, lit(0.75) * col("__pbi") + lit(0.25) * col("__puni"))).as("__lp"))
-    base.select(col(idCol)).join(scored, Seq(idCol), "left")
+    // the id universe comes from the source, not the frame: zero-token
+    // documents have no exploded rows but still score (0, 0.0). An id-only
+    // projection prunes the scan to one column.
+    docs.select(col(idCol)).join(scored, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("n_bigrams"), lit(0L)).cast("long").as("n_bigrams"),
         (round(coalesce(col("__lp"), lit(0.0)), 4) + lit(0.0)).as("bigram_logprob"))

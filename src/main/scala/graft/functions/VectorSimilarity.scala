@@ -216,11 +216,16 @@ object VectorSimilarity {
     * behave exactly as the unwindowed form). Exact cosines verify every
     * candidate pair; what SemDeDup trades away structurally is pairs
     * that straddle a cluster boundary (the paper's own approximation).
+    *
+    * The default `Int.MaxValue` is the UNWINDOWED paper form — existing
+    * results never change silently. The scale bound is opt-in: pass a
+    * finite window (256 is the engine's own setting at benchmark scale)
+    * wherever cluster sizes can exceed what an O((n/k)²) stage absorbs.
     */
   def semDedup(df: DataFrame, k: Int, minCosine: Double,
                idCol: String = "vec_id",
                vecCol: String = "embedding",
-               window: Int = 256): DataFrame = {
+               window: Int = Int.MaxValue): DataFrame = {
     require(window >= 1, "rank window must be positive")
     val ranked = semanticClusters(df, k, idCol, vecCol)
       .withColumn("__rank", row_number().over(

@@ -8,7 +8,7 @@ import org.apache.spark.unsafe.types.UTF8String
 /** Canonical text normalization in one pass: lowercase, collapse every run
   * of non-[a-z0-9] characters to a single space, trim — byte-identical to
   * the composed form
-  * `trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9]+", " "), "\\s+", " "))`
+  * `trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9]+", " "), " +", " "))`
   * without the two regexp scans and their intermediate string allocations.
   * This is the hot prefix of every fingerprint/shingle path
   * (`TextFunctions.fingerprint` feeds md5; `charShingles` slides over it),

@@ -153,9 +153,10 @@ object RepetitionStatsExpr {
   def compute(input: UTF8String): InternalRow = {
     val s = input.toString
 
-    // words: \s+ split, empties dropped (== DuckDB list_filter over
-    // string_split_regex) — avoids trim-semantics differences entirely
-    val words = s.split("\\s+").filter(_.nonEmpty)
+    // words: split on the pinned class [ \t\n\f\r]+ (RE2 \s — what DuckDB
+    // string_split_regex uses; Java \s would also swallow VT 0x0B),
+    // empties dropped — avoids trim-semantics differences entirely
+    val words = s.split("[ \\t\\n\\f\\r]+").filter(_.nonEmpty)
     val wordCnt = words.length
     var wordChars = 0L
     val distinctWords = new mutable.HashSet[String]()

@@ -16,19 +16,25 @@ import org.apache.spark.unsafe.types.UTF8String
   * bandwidth for values one walk can produce. Semantics replicate the
   * regex definitions exactly, quirks included:
   *
-  *   - `n_tokens` = `size(split(trim(text), "\\s+"))` with Spark's
-  *     default split limit -1 and space-only trim: (whitespace runs in the
-  *     space-trimmed text) + 1, 0 for empty — leading/trailing
-  *     tab/newline runs therefore contribute empty tokens, exactly like
-  *     the built-in pipeline.
-  *   - `n_bpe` = non-overlapping matches of `[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]`:
-  *     alphabetic runs count once, digits and other symbols per char.
-  *   - `n_punct` / `n_digit` = chars matching `[^A-Za-z0-9\s]` / `[0-9]`.
-  *   - `n_nonws` = chars left after `regexp_replace(text, "\\s+", "")`.
+  *   - `n_tokens` = `size(split(trim(text), "[ \\t\\n\\f\\r]+"))` with
+  *     Spark's default split limit -1 and space-only trim: (whitespace
+  *     runs in the space-trimmed text) + 1, 0 for empty —
+  *     leading/trailing tab/newline runs therefore contribute empty
+  *     tokens, exactly like the built-in pipeline.
+  *   - `n_bpe` = non-overlapping matches of
+  *     `[A-Za-z]+|[0-9]|[^A-Za-z0-9 \t\n\f\r]`: alphabetic runs count
+  *     once, digits and other symbols per char.
+  *   - `n_punct` / `n_digit` = chars matching `[^A-Za-z0-9 \t\n\f\r]` /
+  *     `[0-9]`.
+  *   - `n_nonws` = chars left after stripping `[ \t\n\f\r]+`.
   *   - `n_chars` = `length(text)` (code points).
   *
-  * Whitespace is Java regex `\s` = [ \t\n\x0B\f\r]; classes are ASCII, so
-  * any non-ASCII code point counts as "other symbol" — same as the regex.
+  * Whitespace is the PINNED class `[ \t\n\f\r]` — RE2's `\s`, which a
+  * DuckDB oracle replays exactly; Java `\s` additionally swallows VT
+  * 0x0B, so the two engines disagree on VT-bearing text (the same pin as
+  * the md5-family kernels and [[graft.functions.TextFunctions]]). Classes
+  * are ASCII, so any non-ASCII code point counts as "other symbol" — same
+  * as the regex.
   */
 case class TextStatsExpr(child: Expression) extends UnaryExpression {
 
@@ -84,8 +90,9 @@ object TextStatsExpr {
     StructField("n_nonws", IntegerType, nullable = false),
     StructField("n_chars", IntegerType, nullable = false)))
 
+  // the pinned RE2-safe whitespace class — NO 0x0B (see class scaladoc)
   private def isWs(cp: Int): Boolean =
-    cp == ' ' || cp == '\t' || cp == '\n' || cp == 0x0B || cp == '\f' || cp == '\r'
+    cp == ' ' || cp == '\t' || cp == '\n' || cp == '\f' || cp == '\r'
   private def isAlpha(cp: Int): Boolean =
     (cp >= 'a' && cp <= 'z') || (cp >= 'A' && cp <= 'Z')
   private def isDigit(cp: Int): Boolean = cp >= '0' && cp <= '9'

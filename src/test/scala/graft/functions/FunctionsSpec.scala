@@ -598,7 +598,12 @@ class AnnRecallSpec extends SparkSpec {
 
   test("multi-table LSH recall floor (regression guard, not a tuning target)") {
     // measured 0.92 here and 0.880 at sf0.1 — the floor sits close under
-    // both so losing a hash table or the multi-probe path fails this test
+    // both so losing a hash table or the multi-probe path fails this test.
+    // The 0.03 sf0.1 margin is INTENTIONAL and pinned to the current
+    // deterministic fixture + seed derivation: the whole pipeline is
+    // deterministic, so this cannot flake as-is. If the fixture or the
+    // hyperplane seed derivation changes, re-measure both scales before
+    // touching the floor — do not widen it to absorb an unexplained drop.
     val r = recallOf(VectorSimilarity.lshTopK(emb, queries, 5, 4, 64, tables = 16))
     assert(r >= 0.85, s"lsh recall@5 degraded to $r")
   }

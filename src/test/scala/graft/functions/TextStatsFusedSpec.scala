@@ -10,7 +10,10 @@ class TextStatsFusedSpec extends SparkSpec {
     "", " ", "   ", "\t", "\n\n", "\ta b\n", "a", "a b c", "  padded  ",
     "digits 123 and 4!", "all!!!punct###", "word", "mixed\t tabs\nand lines",
     "ünïcödé tëxt with áccents", "emoji \uD83D\uDE00 here", "1 2 3",
-    "trailing space ", " leading", "a  double  spaces", "xy\fz")
+    "trailing space ", " leading", "a  double  spaces", "xy\fz",
+    // VT 0x0B is NOT whitespace under the pinned RE2 class — it must count
+    // as a punctuation/BPE symbol and never split tokens
+    "vt\u000Bbearing", "\u000B", "a \u000B b")
 
   test("fused TextStatsExpr matches the composed regexp forms on corpus + edge cases") {
     val corpus = spark.read.parquet(s"$sf/documents.parquet").select($"text")
@@ -21,9 +24,10 @@ class TextStatsFusedSpec extends SparkSpec {
       // composed (regexp) forms — the parity oracle
       TextFunctions.tokenCount($"text").cast("int").as("c_tokens"),
       TextFunctions.bpeTokenCount($"text").cast("int").as("c_bpe"),
-      regexp_count($"text", lit("[^A-Za-z0-9\\s]")).cast("int").as("c_punct"),
+      // pinned class [ \t\n\f\r] == RE2 \s (the TextStatsExpr contract)
+      regexp_count($"text", lit("[^A-Za-z0-9 \\t\\n\\f\\r]")).cast("int").as("c_punct"),
       regexp_count($"text", lit("[0-9]")).cast("int").as("c_digit"),
-      length(regexp_replace($"text", "\\s+", "")).cast("int").as("c_nonws"),
+      length(regexp_replace($"text", "[ \\t\\n\\f\\r]+", "")).cast("int").as("c_nonws"),
       length($"text").cast("int").as("c_chars"),
       // fused single-pass struct
       st.getField("n_tokens").as("f_tokens"),
