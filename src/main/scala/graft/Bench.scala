@@ -78,7 +78,15 @@ object Bench {
       System.gc()
       System.gc()
       val rdds = spark.sparkContext.getPersistentRDDs.size
-      val mb = storageUsedMb()
+      // broadcast/shuffle blocks are removed by the ContextCleaner on its
+      // OWN thread after the GC merely enqueues their weak refs — poll
+      // briefly for the drain so a clean run can't print a phantom leak
+      // (persistent RDDs need no poll: the unpersist above is blocking)
+      var mb = storageUsedMb()
+      var waitedMs = 0
+      while (mb > 64 && waitedMs < 2000) {
+        Thread.sleep(100); waitedMs += 100; mb = storageUsedMb()
+      }
       if (rdds > 0 || mb > 64)
         System.err.println(s"[bench] WARNING state residue after reset: " +
           s"$rdds persistent RDDs, ${mb} MB storage in use")

@@ -33,8 +33,10 @@ object Multimodal {
 
   // In-memory payloads never benefit from ImageIO's disk-backed stream
   // cache — with it on, EVERY convenience read/write creates and deletes a
-  // temp file, which dominates small-image decode cost.
-  ImageIO.setUseCache(false)
+  // temp file, which dominates small-image decode cost. Rather than flip
+  // the JVM-global ImageIO.setUseCache (a hidden side effect on every
+  // other ImageIO user in the JVM), every path below constructs an
+  // explicit MemoryCache image stream, which ignores the cache setting.
 
   /** Canonical media schema: id + opaque payload + typed metadata. */
   val mediaSchema: StructType = StructType(Seq(
@@ -100,28 +102,49 @@ object Multimodal {
     if (bytes == null || bytes.length == 0) None
     else sniffFormat(bytes) match {
       case null =>
-        try Option(ImageIO.read(new ByteArrayInputStream(bytes)))
-        catch { case _: Exception => None } // corrupt header/stream
+        // probing path for formats we don't sniff: explicit in-memory
+        // stream (never ImageIO's temp-file cache) + registry probe;
+        // anything unreadable → None
+        val in = new MemoryCacheImageInputStream(new ByteArrayInputStream(bytes))
+        try {
+          val it = ImageIO.getImageReaders(in)
+          if (!it.hasNext) None
+          else {
+            val r = it.next()
+            try {
+              r.setInput(in, true, true)
+              Option(r.read(0))
+            } catch { case _: Exception => None } // corrupt header/stream
+            finally r.dispose()
+          }
+        } catch { case _: Exception => None }
+        finally { try in.close() catch { case _: Exception => () } }
       case fmt =>
         val cache = readerCache.get()
         var r = cache.get(fmt)
         if (r == null) {
-          r = ImageIO.getImageReadersByFormatName(fmt).next()
-          cache.put(fmt, r)
+          val it = ImageIO.getImageReadersByFormatName(fmt)
+          if (it.hasNext) { r = it.next(); cache.put(fmt, r) }
         }
-        val in = new MemoryCacheImageInputStream(new ByteArrayInputStream(bytes))
-        try {
-          r.setInput(in, true, true)
-          Option(r.read(0))
-        } catch {
-          case _: Exception =>
-            // a failed read can leave the reader dirty — drop it; the next
-            // row on this thread builds a fresh one
-            cache.remove(fmt)
-            r.dispose()
-            None
-        } finally {
-          try { r.setInput(null); in.close() } catch { case _: Exception => () }
+        if (r == null) None // registry has no plugin for the sniffed format
+        else {
+          val in = new MemoryCacheImageInputStream(new ByteArrayInputStream(bytes))
+          try {
+            r.setInput(in, true, true)
+            Option(r.read(0))
+          } catch {
+            case _: Exception =>
+              // a failed read can leave the reader dirty — drop it; the next
+              // row on this thread builds a fresh one
+              cache.remove(fmt)
+              r.dispose()
+              None
+          } finally {
+            // the catch above may have disposed r, making setInput throw —
+            // keep the stream close independent of it
+            try r.setInput(null) catch { case _: Exception => () }
+            try in.close() catch { case _: Exception => () }
+          }
         }
     }
 
@@ -136,8 +159,16 @@ object Multimodal {
     try {
       w.setOutput(out)
       w.write(img)
+    } catch {
+      case e: Exception =>
+        // a failed write can leave the writer dirty — drop it (mirrors the
+        // reader path); the ThreadLocal re-initializes on next use
+        pngWriter.remove()
+        w.dispose()
+        throw e
     } finally {
-      try { w.setOutput(null); out.close() } catch { case _: Exception => () }
+      try w.setOutput(null) catch { case _: Exception => () }
+      try out.close() catch { case _: Exception => () }
     }
     baos.toByteArray
   }

@@ -14,8 +14,11 @@ object TextFunctions {
 
   // Whitespace throughout this object is the PINNED class [ \t\n\f\r] —
   // RE2's \s, replayed exactly by DuckDB oracles; Java \s additionally
-  // swallows VT 0x0B (the md5-family pin, Md5Family.scala).
-  private val Ws = "[ \\t\\n\\f\\r]"
+  // swallows VT 0x0B (the md5-family pin, Md5Family.scala). WsChars is the
+  // single source of truth; negated classes below interpolate it so the
+  // pin cannot drift between the positive and negated spellings.
+  private val WsChars = " \\t\\n\\f\\r"
+  private val Ws = s"[$WsChars]"
 
   /** Whitespace token count; empty/blank text counts 0. */
   def tokenCount(text: Column): Column =
@@ -27,13 +30,13 @@ object TextFunctions {
     * one regexp scan.
     */
   def bpeTokenCount(text: Column): Column =
-    regexp_count(text, lit("[A-Za-z]+|[0-9]|[^A-Za-z0-9 \\t\\n\\f\\r]"))
+    regexp_count(text, lit(s"[A-Za-z]+|[0-9]|[^A-Za-z0-9$WsChars]"))
 
   /** Ratio of punctuation characters to total characters (0 for empty). */
   def punctRatio(text: Column): Column = {
     val n = length(text)
     when(n === 0, lit(0.0))
-      .otherwise(regexp_count(text, lit("[^A-Za-z0-9 \\t\\n\\f\\r]")).cast("double") / n)
+      .otherwise(regexp_count(text, lit(s"[^A-Za-z0-9$WsChars]")).cast("double") / n)
   }
 
   /** Ratio of digit characters. */

@@ -248,16 +248,27 @@ object VectorSimilarity {
     * cluster, O(n · window) in total.
     */
   private[graft] def rankWindowPairs(ranked: DataFrame, window: Int,
-                                     idCol: String, vecCol: String): DataFrame = {
-    val blk = floor((col("__rank") - 1) / window).cast("long")
-    val a = ranked.select(col("cluster_id").as("__ca"), col("__rank").as("__ra"),
-      col(vecCol).as("__va"), explode(array(blk, blk + 1)).as("__ba"))
-    val b = ranked.select(col("cluster_id").as("__cb"), col("__rank").as("__rb"),
-      col(idCol).as("__idb"), col(vecCol).as("__vb"), blk.as("__bb"))
-    a.join(b, col("__ca") === col("__cb") && col("__ba") === col("__bb") &&
-        col("__ra") < col("__rb") && col("__rb") - col("__ra") <= window)
-      .select(col("__ra"), col("__rb"), col("__idb"), col("__va"), col("__vb"))
-  }
+                                     idCol: String, vecCol: String): DataFrame =
+    if (window == Int.MaxValue) {
+      // unwindowed: every rank lands in block 0, so the banded explode
+      // below would only duplicate the left side into a dead block-1
+      // copy — join cluster-mates directly
+      val a = ranked.select(col("cluster_id").as("__ca"), col("__rank").as("__ra"),
+        col(vecCol).as("__va"))
+      val b = ranked.select(col("cluster_id").as("__cb"), col("__rank").as("__rb"),
+        col(idCol).as("__idb"), col(vecCol).as("__vb"))
+      a.join(b, col("__ca") === col("__cb") && col("__ra") < col("__rb"))
+        .select(col("__ra"), col("__rb"), col("__idb"), col("__va"), col("__vb"))
+    } else {
+      val blk = floor((col("__rank") - 1) / window).cast("long")
+      val a = ranked.select(col("cluster_id").as("__ca"), col("__rank").as("__ra"),
+        col(vecCol).as("__va"), explode(array(blk, blk + 1)).as("__ba"))
+      val b = ranked.select(col("cluster_id").as("__cb"), col("__rank").as("__rb"),
+        col(idCol).as("__idb"), col(vecCol).as("__vb"), blk.as("__bb"))
+      a.join(b, col("__ca") === col("__cb") && col("__ba") === col("__bb") &&
+          col("__ra") < col("__rb") && col("__rb") - col("__ra") <= window)
+        .select(col("__ra"), col("__rb"), col("__idb"), col("__va"), col("__vb"))
+    }
 
   /** Hyperplane-bucket width that keeps EXPECTED bucket occupancy near
     * `targetBucketSize` for a corpus of `corpusRows`: random hyperplanes
