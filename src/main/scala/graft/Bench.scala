@@ -77,19 +77,22 @@ object Bench {
       // synchronously by the unpersist above)
       System.gc()
       System.gc()
-      val rdds = spark.sparkContext.getPersistentRDDs.size
-      // broadcast/shuffle blocks are removed by the ContextCleaner on its
-      // OWN thread after the GC merely enqueues their weak refs — poll
-      // briefly for the drain so a clean run can't print a phantom leak
-      // (persistent RDDs need no poll: the unpersist above is blocking)
+      // no persistent-RDD term in the check: the blocking unpersist above
+      // just cleared the map, so its size here is 0 by construction (and a
+      // PRE-unpersist count would false-positive on the localCheckpoint
+      // queries, whose blocks legitimately outlive their action). What CAN
+      // linger is broadcast/shuffle storage: the ContextCleaner removes
+      // those on its OWN thread after the GC merely enqueues their weak
+      // refs — poll briefly for the drain so a clean run can't print a
+      // phantom leak.
       var mb = storageUsedMb()
       var waitedMs = 0
       while (mb > 64 && waitedMs < 2000) {
         Thread.sleep(100); waitedMs += 100; mb = storageUsedMb()
       }
-      if (rdds > 0 || mb > 64)
+      if (mb > 64)
         System.err.println(s"[bench] WARNING state residue after reset: " +
-          s"$rdds persistent RDDs, ${mb} MB storage in use")
+          s"${mb} MB storage still in use")
     }
     resetState() // the warmup block above also left state behind
 

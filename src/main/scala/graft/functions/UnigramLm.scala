@@ -95,12 +95,17 @@ object UnigramLm {
             array(lit(null).cast("string"))),
           (a, b) => struct(a.as("t"), b.as("n")))).as("__p"))
       .select(col(idCol), col("__p.t").as("__tok"), col("__p.n").as("__next"))
-      // zip_with pads to the LONGER side: an empty token array zips against
-      // [null] into one spurious (null, null) row — drop it
-      .filter(col("__tok").isNotNull)
+    // zip_with pads to the LONGER side: an empty token array zips against
+    // [null] into one (null, null) row — KEEP it: it is the only trace of a
+    // zero-token document, and the id universe below must come from the
+    // materialized frame (one snapshot, no source rescan), not from a
+    // second action over `docs` whose upstream plan could be expensive or,
+    // for non-deterministic sources, return a different id set.
     val frame = if (materialize) frame0.localCheckpoint() else frame0
-    val total = frame.agg(count(lit(1)).as("__n"))
-    val vocab = frame.groupBy(col("__tok")).agg(count(lit(1)).as("__cnt"))
+    // count(col) skips the null-token marker rows
+    val total = frame.agg(count(col("__tok")).as("__n"))
+    val vocab = frame.filter(col("__tok").isNotNull)
+      .groupBy(col("__tok")).agg(count(lit(1)).as("__cnt"))
       .orderBy(col("__cnt").desc, col("__tok")).limit(vocabSize)
     val bi = frame.filter(col("__next").isNotNull)
       .select(col(idCol), col("__tok").as("__w1"), col("__next").as("__w2"))
@@ -120,10 +125,11 @@ object UnigramLm {
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_bigrams"),
         avg(log(2.0, lit(0.75) * col("__pbi") + lit(0.25) * col("__puni"))).as("__lp"))
-    // the id universe comes from the source, not the frame: zero-token
-    // documents have no exploded rows but still score (0, 0.0). An id-only
-    // projection prunes the scan to one column.
-    docs.select(col(idCol)).join(scored, Seq(idCol), "left")
+    // the id universe comes from the frame (every doc has >= 1 row there,
+    // zero-token docs via their marker row): a map-side-partial distinct
+    // collapses to one row per doc and reads the checkpoint, not the
+    // source — zero-token documents still score (0, 0.0) via the left join
+    frame.select(col(idCol)).distinct().join(scored, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("n_bigrams"), lit(0L)).cast("long").as("n_bigrams"),
         (round(coalesce(col("__lp"), lit(0.0)), 4) + lit(0.0)).as("bigram_logprob"))
