@@ -490,6 +490,22 @@ class SemDedupSpec extends SparkSpec {
     assert(rank1.join(survivors, "vec_id").count() == rank1.count())
   }
 
+  test("rankWindowPairs: unwindowed fast path == banded path with a covering window") {
+    val ranked = VectorSimilarity.semanticClusters(emb, k = 16)
+      .withColumn("__rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"cluster_id")
+          .orderBy($"centroid_cosine".asc, $"vec_id".asc)))
+    val maxClusterSize = ranked.groupBy($"cluster_id").count()
+      .agg(max($"count")).as[Long].head().toInt
+    def pairs(w: Int) = VectorSimilarity
+      .rankWindowPairs(ranked, w, "vec_id", "embedding")
+      .select($"__ra", $"__rb", $"__idb").as[(Int, Int, Long)]
+      .collect().toSet
+    // a window >= the largest cluster makes the banded join unwindowed in
+    // effect — the Int.MaxValue fast path must produce the identical pairs
+    assert(pairs(Int.MaxValue) == pairs(maxClusterSize + 1))
+  }
+
   test("semDedup collapses an exact-duplicate cluster to one survivor") {
     val base = Seq.tabulate(64)(i => if (i == 0) 1.0f else 0.0f)
     val other = Seq.tabulate(64)(i => if (i == 1) 1.0f else 0.0f)
