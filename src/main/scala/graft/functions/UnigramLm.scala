@@ -125,11 +125,16 @@ object UnigramLm {
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_bigrams"),
         avg(log(2.0, lit(0.75) * col("__pbi") + lit(0.25) * col("__puni"))).as("__lp"))
-    // the id universe comes from the frame (every doc has >= 1 row there,
-    // zero-token docs via their marker row): a map-side-partial distinct
-    // collapses to one row per doc and reads the checkpoint, not the
-    // source — zero-token documents still score (0, 0.0) via the left join
-    frame.select(col(idCol)).distinct().join(scored, Seq(idCol), "left")
+    // the id universe (zero-token documents still score (0, 0.0) via the
+    // left join): when materialized, a map-side-partial distinct over the
+    // frame — every doc has >= 1 row there via its marker — reads the
+    // checkpoint, one snapshot, no source rescan. Unmaterialized, the frame
+    // lineage would re-run tokenize+explode just to list ids, so read the
+    // id column off `docs` directly (the caller owns its persistence).
+    val universe =
+      if (materialize) frame.select(col(idCol)).distinct()
+      else docs.select(col(idCol))
+    universe.join(scored, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("n_bigrams"), lit(0L)).cast("long").as("n_bigrams"),
         (round(coalesce(col("__lp"), lit(0.0)), 4) + lit(0.0)).as("bigram_logprob"))
