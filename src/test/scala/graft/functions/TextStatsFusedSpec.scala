@@ -47,6 +47,51 @@ class TextStatsFusedSpec extends SparkSpec {
     }
   }
 
+  test("fused/composed/normalized parity holds on generated hostile strings") {
+    // scalacheck sweep beyond the curated fixtures: strings drawn from an
+    // alphabet chosen to stress the pinned-class boundaries — every
+    // whitespace variant (incl. VT 0x0B and NBSP, which are NOT pinned
+    // whitespace), combining accents, surrogate-pair emoji, digits, punct
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val atom = Gen.oneOf(
+      Gen.alphaNumChar.map(_.toString), Gen.const(" "), Gen.const("\t"),
+      Gen.const("\n"), Gen.const("\f"), Gen.const("\r"), Gen.const("\u000B"),
+      Gen.const("\u00A0"), Gen.const("!"), Gen.const("."), Gen.const("_"),
+      Gen.const("é"), Gen.const("ß"), Gen.const("中"), Gen.const("\uD83D\uDE00"),
+      Gen.const("e\u0301"))
+    val strGen = Gen.choose(0, 40).flatMap(n => Gen.listOfN(n, atom).map(_.mkString))
+    val generated = (0 until 300).map(i =>
+      strGen.pureApply(Gen.Parameters.default, Seed(7000L + i)))
+    val st = TextFunctions.textStats($"text")
+    val rows = generated.toDF("text").select(
+      TextFunctions.tokenCount($"text").cast("int").as("c_tokens"),
+      TextFunctions.bpeTokenCount($"text").cast("int").as("c_bpe"),
+      regexp_count($"text", lit("[^A-Za-z0-9 \\t\\n\\f\\r]")).cast("int").as("c_punct"),
+      regexp_count($"text", lit("[0-9]")).cast("int").as("c_digit"),
+      length(regexp_replace($"text", "[ \\t\\n\\f\\r]+", "")).cast("int").as("c_nonws"),
+      length($"text").cast("int").as("c_chars"),
+      st.getField("n_tokens").as("f_tokens"),
+      st.getField("n_bpe").as("f_bpe"),
+      st.getField("n_punct").as("f_punct"),
+      st.getField("n_digit").as("f_digit"),
+      st.getField("n_nonws").as("f_nonws"),
+      st.getField("n_chars").as("f_chars"),
+      TextFunctions.normalized($"text").as("f_norm"),
+      TextFunctions.normalizedComposed($"text").as("c_norm"),
+      $"text").collect()
+    val names = Seq("tokens", "bpe", "punct", "digit", "nonws", "chars")
+    rows.foreach { r =>
+      val txt = r.getString(14).take(40).replace("\n", "\\n").replace("\t", "\\t")
+      names.zipWithIndex.foreach { case (name, i) =>
+        assert(r.getInt(i) == r.getInt(i + 6),
+          s"$name mismatch on '$txt': composed=${r.getInt(i)} fused=${r.getInt(i + 6)}")
+      }
+      assert(r.getString(12) == r.getString(13),
+        s"normalize mismatch on '$txt': fused='${r.getString(12)}' composed='${r.getString(13)}'")
+    }
+  }
+
   test("fused LangIdExpr matches the composed regexp form on corpus + edge cases") {
     val corpus = spark.read.parquet(s"$sf/documents.parquet").select($"text")
       .as[String].collect().toSeq
