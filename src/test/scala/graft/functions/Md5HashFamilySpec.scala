@@ -59,6 +59,42 @@ class Md5HashFamilySpec extends SparkSpec {
     }
   }
 
+  test("md5Hash60 matches a JDK MessageDigest reference on generated strings") {
+    // independent reference: the JDK digest + hex-prefix arithmetic, no
+    // Catalyst — cross-checks the fused expression's UTF-8 byte handling
+    // over generated strings stressing multi-byte and pinned-class edges
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val atom = Gen.oneOf(
+      Gen.alphaNumChar.map(_.toString), Gen.const(" "), Gen.const("\t"),
+      Gen.const(""), Gen.const(" "), Gen.const("é"), Gen.const("ß"),
+      Gen.const("中"), Gen.const("😀"), Gen.const("é"),
+      Gen.const("!"), Gen.const("."))
+    val strGen = Gen.choose(0, 30).flatMap(n => Gen.listOfN(n, atom).map(_.mkString))
+    val generated = (0 until 200).map(i =>
+      strGen.pureApply(Gen.Parameters.default, Seed(8000L + i)))
+    def ref(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    val rows = generated.toDF("s")
+      .select($"s", TextFunctions.md5Hash60($"s").as("h")).collect()
+    rows.foreach { r =>
+      assert(r.getLong(1) == ref(r.getString(0)),
+        s"md5Hash60 mismatch on '${r.getString(0).take(30)}'")
+    }
+    // fused vs HOF-composed bigram kernels over the same generated set
+    val bi = generated.toDF("text").select(
+      TextFunctions.wordBigramHashes60($"text").as("fused"),
+      TextFunctions.wordBigramHashes60Composed($"text").as("composed"), $"text")
+      .collect()
+    bi.foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1),
+        s"bigram parity broke on '${r.getString(2).take(30)}'")
+    }
+  }
+
   test("non-ASCII corpus: simhash funnel matches DuckDB bit-for-bit") {
     // Engine-vs-engine parity beyond ASCII: these expected values are
     // DuckDB's answer for dedup_simhash's exact oracle SQL over this
