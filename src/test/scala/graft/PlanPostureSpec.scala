@@ -119,6 +119,37 @@ class PlanPostureSpec extends SparkSpec {
       "a global-aggregate broadcast side must qualify for the scalar exemption")
   }
 
+  // Pushdown + pruning posture on probe queries where both are certain:
+  // the filter must reach the parquet scan (PushedFilters non-empty on the
+  // probed table) and the scan must not read columns the query never
+  // touches — a scan reading all 16 lineitem columns for a 4-column
+  // aggregate is the brief's named anti-pattern even when it "works".
+  private val pushdownProbes = Seq(
+    // (query, probed table, max columns the scan may read)
+    ("q6_revenue_forecast", "lineitem", 5),
+    ("q12_priority_shipping", "lineitem", 6),
+    ("q4_order_priority", "orders", 4))
+
+  for ((name, table, maxCols) <- pushdownProbes) {
+    test(s"$name: filters pushed to the $table scan; columns pruned") {
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      df.write.format("noop").mode("overwrite").save()
+      val scans = collectNodes(df.queryExecution.executedPlan)
+        .collect {
+          case s: org.apache.spark.sql.execution.FileSourceScanExec
+            if s.relation.location.rootPaths.exists(_.toString.contains(table)) => s
+        }
+      assert(scans.nonEmpty, s"no parquet scan of $table in the plan")
+      assert(scans.exists(_.metadata.get("PushedFilters").exists(_ != "[]")),
+        s"no filter pushed down to the $table scan")
+      scans.foreach { s =>
+        assert(s.requiredSchema.size <= maxCols,
+          s"$table scan reads ${s.requiredSchema.size} columns " +
+            s"(${s.requiredSchema.fieldNames.mkString(",")}); pruning regressed")
+      }
+    }
+  }
+
   for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
     test(s"$name: no accidental cartesian/BNLJ; no fact-scan broadcast hint") {
       val df = fn(spark, sfDir)
