@@ -39,6 +39,23 @@ class PiiScrubSpec extends SparkSpec {
     assert(scrub("order id 555 123 4567 shipped") == "order id <PHONE> shipped")
   }
 
+  test("scrubbing is idempotent: a second pass over scrubbed text is a no-op") {
+    // a re-ingested already-scrubbed corpus must not mutate further (and
+    // the placeholders themselves must never match a PII class)
+    val corpus = spark.read.parquet(s"$sf/documents.parquet").select($"text")
+    val fixtures = Seq(
+      "mail a.b+c_d%e@sub.domain.org now", "ssn is 123-45-6789.",
+      "host 192.168.001.255 down", "call +1 (555) 123-4567 or 555.123.4567",
+      "u1@x.io, 10.0.0.1, 123-45-6789, +44 123 456 7890",
+      "<EMAIL> <SSN> <IP> <PHONE>").toDF("text")
+    val once = corpus.unionByName(fixtures)
+      .select(TextFunctions.scrubPii($"text").as("s1"))
+    val diff = once.select($"s1", TextFunctions.scrubPii($"s1").as("s2"))
+      .filter($"s1" =!= $"s2")
+    assert(diff.count() == 0,
+      s"second scrub changed: ${diff.take(3).map(_.getString(0).take(60)).mkString(" | ")}")
+  }
+
   test("clean text passes through untouched with zero counts") {
     val clean = "a perfectly ordinary sentence with numbers like 12 and 345"
     assert(scrub(clean) == clean)
