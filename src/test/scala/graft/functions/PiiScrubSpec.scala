@@ -89,6 +89,36 @@ class CharEntropySpec extends SparkSpec {
     assert(ent(blob) > ent(prose))
   }
 
+  test("matches an independent code-point reference on generated strings") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // surrogate pairs count once (code points, not UTF-16 units) — the
+    // reference recomputes from codePoints() with its own grouping
+    val atom = Gen.oneOf(
+      Gen.alphaNumChar.map(_.toString), Gen.const(" "), Gen.const("é"),
+      Gen.const("中"), Gen.const("😀"), Gen.const("!"),
+      Gen.const("a"), Gen.const("a"))
+    val strGen = Gen.choose(0, 50).flatMap(n => Gen.listOfN(n, atom).map(_.mkString))
+    val generated = (0 until 200).map(i =>
+      strGen.pureApply(Gen.Parameters.default, Seed(9000L + i)))
+    def ref(s: String): Double =
+      if (s.isEmpty) 0.0
+      else {
+        val cps = s.codePoints().toArray
+        val n = cps.length.toDouble
+        val e = -cps.groupBy(identity).values
+          .map(g => g.length / n)
+          .map(p => p * math.log(p) / math.log(2.0)).sum
+        if (e == 0.0) 0.0 else e
+      }
+    val rows = generated.toDF("t")
+      .select($"t", TextFunctions.charEntropy($"t").as("e")).collect()
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(1) - ref(r.getString(0))) < 1e-9,
+        s"entropy mismatch on '${r.getString(0).take(30)}'")
+    }
+  }
+
   test("SQL surface: graft_char_entropy registered") {
     graft.GraftExtensions.register(spark)
     val v = spark.sql("SELECT graft_char_entropy('abcd') AS e")
