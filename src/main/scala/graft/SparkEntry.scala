@@ -1042,6 +1042,25 @@ object SparkEntry {
         .select(col("doc_id")).orderBy(col("doc_id"))
     }),
 
+    // SEMANTIC decontamination: a train doc whose EMBEDDING sits at cosine
+    // >= 0.4 to any test doc is dropped — catches paraphrased/reformatted
+    // test material that shares no n-gram with its source (the gap the two
+    // lexical decontamination queries above can't see). Same deterministic
+    // md5 split as doc_decontaminate; candidates from the bipartite
+    // hyperplane-LSH bucket join (cross-side collisions only, no cartesian,
+    // the frozen test side never self-pairs), exact cosine verify on
+    // candidates, then one anti-join.
+    "doc_decontaminate_semantic" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .withColumn("split",
+          Sampling.assignSplit(col("vec_id"), Seq("test" -> 0.05, "val" -> 0.05)))
+      val train = emb.filter(col("split") === "train")
+      val testSet = emb.filter(col("split") === "test")
+      VectorSimilarity.decontaminateByEmbedding(train, testSet,
+          minCosine = 0.4, dim = 64)
+        .select(col("vec_id")).orderBy(col("vec_id"))
+    }),
+
     // PII scrubbing (redaction before tokenization): the corpus itself is
     // clean, so deterministic synthetic PII is appended per row — every
     // row exercises all four classes — then scrubbed; per-class counts
@@ -2408,6 +2427,22 @@ object SparkEntry {
            |SELECT doc_id FROM t
            |WHERE split = 'train' AND doc_id NOT IN (SELECT doc_id FROM bad)
            |ORDER BY doc_id""".stripMargin,
+
+      // same md5 split thresholds; DuckDB verifies by EXACT all-pairs
+      // cosine (Spark's LSH prefilter is candidate generation only, so
+      // completeness is what this checks)
+      "doc_decontaminate_semantic" ->
+        s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+           |    CASE WHEN substr(md5(CAST(vec_id AS VARCHAR)), 1, 4) < '${Sampling.thresholdHex(0.05)}' THEN 'test'
+           |         WHEN substr(md5(CAST(vec_id AS VARCHAR)), 1, 4) < '${Sampling.thresholdHex(0.10)}' THEN 'val'
+           |         ELSE 'train' END AS split
+           |  FROM embeddings),
+           |bad AS (SELECT DISTINCT a.vec_id FROM e a JOIN e b
+           |        ON a.split = 'train' AND b.split = 'test'
+           |        AND round(list_cosine_similarity(a.v, b.v), 6) >= 0.4)
+           |SELECT vec_id FROM e
+           |WHERE split = 'train' AND vec_id NOT IN (SELECT vec_id FROM bad)
+           |ORDER BY vec_id""".stripMargin,
 
       // replays injection + the scrub chain + raw counts; patterns and
       // replacements INTERPOLATED from TextFunctions.PiiPatterns so the two

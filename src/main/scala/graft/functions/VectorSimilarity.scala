@@ -154,6 +154,104 @@ object VectorSimilarity {
     df.join(dupIds, Seq(idCol), "left_anti")
   }
 
+  /** LSH-prefiltered cosine threshold join ACROSS two frames —
+    * (id_left, id_right, cosine) for every cross pair at cosine >=
+    * `minCosine`. The bipartite analog of [[thresholdJoinLsh]] (same
+    * hyperplane tables, same recall arithmetic), and the embedding-space
+    * analog of [[MinHashLsh.bipartitePairsHashed]]: candidates come only
+    * from cross-side bucket collisions, so neither side is ever paired
+    * with itself — a new crawl checked against a frozen reference set does
+    * not re-pair the reference set quadratically.
+    *
+    * The hot-bucket cap excludes a (table, bucket) cell when EITHER side
+    * exceeds it — a bucket hot on one side alone already multiplies the
+    * join — and table redundancy keeps recall, exactly as in the
+    * self-join variant. Shuffles move (id, table, bucket) keys; vectors
+    * join back by id for the exact verify only on candidate pairs.
+    */
+  def bipartiteThresholdLsh(left: DataFrame, right: DataFrame,
+                            minCosine: Double, dim: Int,
+                            nbits: Int = 2, tables: Int = 32,
+                            idCol: String = "vec_id", vecCol: String = "embedding",
+                            maxBucketSize: Long = 65536L): DataFrame = {
+    def baseOf(df: DataFrame): DataFrame =
+      df.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+    def bandedOf(df: DataFrame): DataFrame = baseOf(df).select(col("__id"),
+      posexplode(hyperplaneBuckets(col("__v"), nbits, dim, tables))
+        .as(Seq("__table", "__bucket")))
+    val (bl0, br0) = (bandedOf(left), bandedOf(right))
+    val (bl, br) =
+      if (maxBucketSize <= 0L) (bl0, br0)
+      else {
+        def hotOf(b: DataFrame): DataFrame = b.groupBy(col("__table"), col("__bucket"))
+          .agg(count(lit(1)).as("__bsz"))
+          .filter(col("__bsz") > maxBucketSize)
+          .select(col("__table"), col("__bucket"))
+        val hot = hotOf(bl0).union(hotOf(br0)).distinct()
+        (bl0.join(hot, Seq("__table", "__bucket"), "left_anti"),
+         br0.join(hot, Seq("__table", "__bucket"), "left_anti"))
+      }
+    val cand = bl.as("l").join(br.as("r"),
+        col("l.__table") === col("r.__table") &&
+        col("l.__bucket") === col("r.__bucket"))
+      .select(col("l.__id").as("id_left"), col("r.__id").as("id_right"))
+      .dropDuplicates("id_left", "id_right")
+    cand
+      .join(baseOf(left).select(col("__id").as("id_left"), col("__v").as("__vl")), "id_left")
+      .join(baseOf(right).select(col("__id").as("id_right"), col("__v").as("__vr")), "id_right")
+      .withColumn("cosine", round(cosine(col("__vl"), col("__vr")), 6))
+      .filter(col("cosine") >= minCosine)
+      .select(col("id_left"), col("id_right"), col("cosine"))
+  }
+
+  /** Semantic decontamination: keep only the `corpus` rows with NO
+    * embedding-space neighbor in `reference` at cosine >= `minCosine` —
+    * the embedding analog of n-gram benchmark decontamination
+    * ([[NgramJaccard.bipartitePairs]] composed as an anti-join), catching
+    * paraphrased or reformatted test material that shares no 13-gram with
+    * its source. Candidates from [[bipartiteThresholdLsh]], so the
+    * reference set is never self-paired and no cartesian node appears.
+    */
+  def decontaminateByEmbedding(corpus: DataFrame, reference: DataFrame,
+                               minCosine: Double, dim: Int,
+                               nbits: Int = 2, tables: Int = 32,
+                               idCol: String = "vec_id", vecCol: String = "embedding",
+                               maxBucketSize: Long = 65536L): DataFrame = {
+    val contaminated = bipartiteThresholdLsh(corpus, reference, minCosine, dim,
+        nbits, tables, idCol, vecCol, maxBucketSize)
+      .select(col("id_left").as(idCol)).distinct()
+    corpus.join(contaminated, Seq(idCol), "left_anti")
+  }
+
+  /** Frozen-reference form of [[decontaminateByEmbedding]] — the STREAMING
+    * deployment, same device as [[Dsir.frozenTable]]: a benchmark reference
+    * set is driver-small by nature (thousands of documents), so it freezes
+    * into one in-plan literal and the neighbor test becomes a stateless
+    * per-row `exists` fold — no join, no shuffle, no state store,
+    * append-mode-safe under Structured Streaming, and row-identical to the
+    * batch anti-join (same rounded-cosine predicate). Use the LSH bipartite
+    * path when the reference side is itself corpus-scale.
+    *
+    * The eager bounded collect (`maxReferenceRows` guard, default 65536 —
+    * 16 MB of 64-dim floats) is the same documented trade as the DSIR
+    * frozen table and the IVF codebook: bounded driver state in exchange
+    * for a fully map-side scale path.
+    */
+  def decontaminateByEmbeddingFrozen(corpus: DataFrame, reference: DataFrame,
+                                     minCosine: Double,
+                                     idCol: String = "vec_id",
+                                     vecCol: String = "embedding",
+                                     maxReferenceRows: Int = 65536): DataFrame = {
+    val refRows = reference.select(col(vecCol).cast("array<float>"))
+      .collect().map(_.getSeq[Float](0))
+    require(refRows.length <= maxReferenceRows,
+      s"frozen reference has ${refRows.length} rows (max $maxReferenceRows); " +
+        "use decontaminateByEmbedding's LSH bipartite path for corpus-scale references")
+    val refLit = typedlit(refRows.toSeq)
+    corpus.filter(!exists(refLit,
+      r => round(cosine(col(vecCol), r), 6) >= lit(minCosine)))
+  }
+
   /** Semantic cluster assignment for [[semDedup]] — SemDeDup (Abbas et al.
     * 2023, arXiv:2303.09540) clusters the embedding space and then
     * deduplicates WITHIN clusters only, turning the quadratic all-pairs

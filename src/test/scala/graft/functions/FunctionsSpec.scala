@@ -685,6 +685,59 @@ class AnnRecallSpec extends SparkSpec {
     val r = recallOf(VectorSimilarity.ivfTopK(emb, queries, 5, nprobe = 8, maxCentroids = 16))
     assert(r >= 0.4, s"ivf recall@5 with 16-cell codebook degraded to $r")
   }
+
+  test("bipartite LSH threshold join matches the exact cross join, cross-side pairs only") {
+    val left = emb.filter(col("vec_id") % 3 =!= 0)
+    val right = emb.filter(col("vec_id") % 3 === 0)
+    // exact reference: plain cross join + cosine filter (test-side only)
+    val exact = left.select(col("vec_id").as("id_left"), col("embedding").as("vl"))
+      .crossJoin(right.select(col("vec_id").as("id_right"), col("embedding").as("vr")))
+      .withColumn("cosine", round(VectorSimilarity.cosine(col("vl"), col("vr")), 6))
+      .filter(col("cosine") >= 0.4)
+      .select("id_left", "id_right", "cosine")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(exact.nonEmpty, "fixture must produce cross-side pairs at 0.4")
+    val lsh = VectorSimilarity.bipartiteThresholdLsh(left, right, minCosine = 0.4, dim = 64)
+    val got = lsh.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == exact,
+      s"missing=${exact.diff(got)} extra=${got.diff(exact)}")
+    // every pair is cross-side by construction of the inputs; the plan must
+    // stay bucket-equi-join shaped (no cartesian/BNLJ)
+    assert(got.forall { case (l, r, _) => l % 3 != 0 && r % 3 == 0 })
+    val plan = lsh.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"bipartite LSH threshold join must not plan a nested-loop/cartesian node:\n$plan")
+  }
+
+  test("frozen-reference decontamination matches the LSH bipartite anti-join") {
+    val corpus = emb.filter(col("vec_id") % 3 =!= 0)
+    val reference = emb.filter(col("vec_id") % 3 === 0)
+    val viaLsh = VectorSimilarity
+      .decontaminateByEmbedding(corpus, reference, minCosine = 0.4, dim = 64)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val viaFrozen = VectorSimilarity
+      .decontaminateByEmbeddingFrozen(corpus, reference, minCosine = 0.4)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(viaFrozen == viaLsh)
+    val corpusIds = corpus.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(viaFrozen != corpusIds, "fixture must actually drop contaminated rows")
+  }
+
+  test("decontaminateByEmbedding drops exactly the corpus rows with a reference neighbor") {
+    val corpus = emb.filter(col("vec_id") % 3 =!= 0)
+    val reference = emb.filter(col("vec_id") % 3 === 0)
+    val flagged = VectorSimilarity
+      .bipartiteThresholdLsh(corpus, reference, minCosine = 0.4, dim = 64)
+      .select("id_left").distinct()
+      .collect().map(_.getLong(0)).toSet
+    val survivors = VectorSimilarity
+      .decontaminateByEmbedding(corpus, reference, minCosine = 0.4, dim = 64)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val corpusIds = corpus.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(survivors == corpusIds.diff(flagged))
+    assert(flagged.nonEmpty && survivors.nonEmpty,
+      "fixture must exercise both dropped and surviving rows")
+  }
 }
 
 class WinnowSpec extends SparkSpec {

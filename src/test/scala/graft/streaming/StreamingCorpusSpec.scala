@@ -14,6 +14,7 @@ import org.apache.spark.sql.functions._
   */
 case class CorpusDoc(doc_id: Long, text: String)
 case class SourcedDoc(doc_id: Long, text: String, source: String)
+case class VecRow(vec_id: Long, embedding: Array[Float])
 
 class StreamingCorpusSpec extends SparkSpec {
   import spark.implicits._
@@ -261,5 +262,44 @@ class StreamingCorpusSpec extends SparkSpec {
       .select($"doc_id").as[Long].collect().toSet
     assert(without == Set(1L, 2L) && withCaps == Set(1L),
       "caps off keeps both; caps on drops the duplicate-line document")
+  }
+
+  // Semantic decontamination of a live crawl against a FROZEN benchmark
+  // reference: the frozen form is one broadcast array row + a stateless
+  // per-row exists fold (same device as the DSIR frozen table), so an
+  // append-mode stream applies the identical drop rule the batch anti-join
+  // applies.
+  test("frozen-reference semantic decontamination applies statelessly under streaming") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.functions.VectorSimilarity
+    val reference = Seq(
+      VecRow(1000L, Array(1f, 0f, 0f, 0f)),
+      VecRow(1001L, Array(0f, 1f, 0f, 0f))).toDF()
+    val arrivals = Seq(
+      VecRow(1L, Array(0.9f, 0.1f, 0f, 0f)),   // near ref 1000 → dropped
+      VecRow(2L, Array(0f, 0f, 1f, 0f)),        // orthogonal → kept
+      VecRow(3L, Array(0.3f, 0.9f, 0.1f, 0f)), // near ref 1001 → dropped
+      VecRow(4L, Array(-1f, 0f, 0f, 1f)))       // negative cosine → kept
+    val input = MemoryStream[VecRow]
+    val q = VectorSimilarity
+      .decontaminateByEmbeddingFrozen(input.toDS().toDF(), reference, minCosine = 0.4)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("semdecon_stream_out")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("sdckpt").toString)
+      .start()
+    try {
+      input.addData(arrivals.take(2): _*)
+      q.processAllAvailable()
+      input.addData(arrivals.drop(2): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("semdecon_stream_out")
+        .select($"vec_id").as[Long].collect().toSet
+      val batch = VectorSimilarity
+        .decontaminateByEmbeddingFrozen(arrivals.toDF(), reference, minCosine = 0.4)
+        .select($"vec_id").as[Long].collect().toSet
+      assert(streamed == batch)
+      assert(streamed == Set(2L, 4L), "near-reference rows dropped in both modes")
+    } finally q.stop()
   }
 }
