@@ -699,6 +699,18 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // near-dup cluster dedup with the QUALITY-RANKED survivor (RefinedWeb-
+    // style): transitive clusters from the same funnel as
+    // dedup_minhash_clusters, then per cluster keep the LONGEST document
+    // (ties → smaller id) — vs keep-first, which can drop a long original
+    // in favor of a lower-id fragment
+    "dedup_cluster_keep_best" -> ((s, dir) => {
+      MinHashLsh.dedupClustersKeepBest(t(s, dir, "documents"), "doc_id",
+          TextFunctions.shingleHashes(col("text"), 5),
+          keep = col("n_chars"), numHashes = 64, bands = 16, threshold = 0.8)
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }),
+
     // SimHash near-dup pairs via pigeonhole chunk join. Hash family is the
     // SQL-expressible md5Hash60 so the DuckDB oracle replays the ENTIRE
     // funnel bit-for-bit — bigram hash → 64-bit majority-vote fingerprint →
@@ -1964,6 +1976,32 @@ object SparkEntry {
            |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a)
            |SELECT a AS doc_id, least(a, min(b)) AS cluster_rep
            |FROM reach GROUP BY a
+           |ORDER BY doc_id""".stripMargin,
+
+      // same transitive-closure CTEs as dedup_minhash_clusters, then the
+      // per-cluster survivor by (n_chars DESC, doc_id) — everything not
+      // ranked first in its cluster is dropped
+      "dedup_cluster_keep_best" ->
+        s"""WITH RECURSIVE t AS (SELECT doc_id, $normText AS norm FROM documents),
+           |g AS (SELECT DISTINCT doc_id, CASE WHEN len(norm) < 5 THEN norm ELSE norm[i:i+4] END AS sh
+           |      FROM t, LATERAL (SELECT unnest(range(1, greatest(len(norm) - 3, 2))) AS i) r),
+           |cnt AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
+           |inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS i
+           |          FROM g a JOIN g b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
+           |p AS (SELECT ia, ib
+           |      FROM inter JOIN cnt ca ON ca.doc_id = ia JOIN cnt cb ON cb.doc_id = ib
+           |      WHERE round(i * 1.0 / (ca.n + cb.n - i), 4) >= 0.8),
+           |e AS (SELECT ia AS a, ib AS b FROM p UNION SELECT ib, ia FROM p),
+           |reach AS (
+           |  SELECT a, b FROM e
+           |  UNION
+           |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+           |lab AS (SELECT a AS doc_id, least(a, min(b)) AS comp FROM reach GROUP BY a),
+           |rk AS (SELECT l.doc_id,
+           |         row_number() OVER (PARTITION BY l.comp ORDER BY d.n_chars DESC, l.doc_id) AS rn
+           |       FROM lab l JOIN documents d ON d.doc_id = l.doc_id)
+           |SELECT doc_id FROM documents
+           |WHERE doc_id NOT IN (SELECT doc_id FROM rk WHERE rn > 1)
            |ORDER BY doc_id""".stripMargin,
 
       "dedup_ngram_jaccard" ->

@@ -253,4 +253,38 @@ object MinHashLsh {
       .select(col("id_b").as(idCol)).distinct()
     df.join(dupIds, Seq(idCol), "left_anti")
   }
+
+  /** Near-dup cluster dedup with a QUALITY-RANKED survivor: transitive-close
+    * the near-dup pairs into clusters ([[graft.operators.ConnectedComponents]])
+    * and keep, per cluster, the row with the highest `keep` score (ties →
+    * smallest id) — the production rule when the BEST document should
+    * represent each duplicate cluster, vs [[dedupKeepFirst]]'s pair-local
+    * any-representative rule (which can drop a long original in favor of a
+    * lower-id fragment, and is not transitive). `keep` must be numeric
+    * (cast to double for ranking); ids must be long-castable (the
+    * [[graft.operators.ConnectedComponents.minLabel]] contract).
+    *
+    * Scale shape: the pair funnel and the label propagation are the
+    * existing bounded paths; the survivor pick is one `min_by` aggregate
+    * over (cluster, score) — keys-only shuffle of the clustered subset,
+    * which is minuscule relative to the corpus that produced it.
+    */
+  def dedupClustersKeepBest(df: DataFrame, idCol: String, shingleHashes: Column,
+                            keep: Column, numHashes: Int = 64, bands: Int = 16,
+                            threshold: Double = 0.8): DataFrame = {
+    val pairs = nearDupPairsHashed(df, idCol, shingleHashes, numHashes, bands, threshold)
+    val labels = graft.operators.ConnectedComponents.minLabel(pairs)
+    val clustered = df
+      .select(col(idCol).as("__cid"), keep.cast("double").as("__keep"))
+      .join(labels.select(col("id").as("__cid"), col("comp").as("__comp")), "__cid")
+    // max keep, ties to the smaller id: min_by over the (−score, id) struct
+    // (the same ordering device as semanticClusters' tiebreak)
+    val winners = clustered.groupBy(col("__comp"))
+      .agg(min_by(col("__cid"),
+        struct(negate(col("__keep")).as("k"), col("__cid").as("i"))).as("__win"))
+    val drops = clustered.join(winners, "__comp")
+      .filter(col("__cid") =!= col("__win"))
+      .select(col("__cid").as(idCol))
+    df.join(drops, Seq(idCol), "left_anti")
+  }
 }

@@ -128,6 +128,41 @@ class MinHashSpec extends SparkSpec {
       "both signature caches and the survivor checkpoint must be released")
   }
 
+  test("dedupClustersKeepBest keeps the highest-quality doc per cluster, not the first") {
+    // 0/1/5 form one transitive near-dup cluster where the BEST (longest)
+    // member has the LARGEST id — keep-first would pick 0, keep-best must
+    // pick 5; 2 and 3 are unclustered and must pass through untouched
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val clusterDocs = Seq(
+      (0L, base),
+      (1L, base + "!"),
+      (5L, base + "! with a fresh tail"),
+      (2L, "completely different content about spark query engines at scale"),
+      (3L, "another unrelated document mentioning benchmarks and shuffles")
+    ).toDF("doc_id", "text").withColumn("n_chars", length($"text"))
+    val sh = TextFunctions.shingleHashes($"text", 5)
+    // the planted cluster must actually be transitive at this threshold
+    val pairs = MinHashLsh.nearDupPairsHashed(clusterDocs, "doc_id", sh,
+      numHashes = 32, bands = 16, threshold = 0.55)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)) && (pairs.contains((1L, 5L)) || pairs.contains((0L, 5L))),
+      s"fixture must chain 0-1-5 at the test threshold, got $pairs")
+    val kept = MinHashLsh.dedupClustersKeepBest(clusterDocs, "doc_id", sh,
+        keep = $"n_chars", numHashes = 32, bands = 16, threshold = 0.55)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(5L, 2L, 3L), s"got $kept")
+    // ties on the keep score break toward the smaller id
+    val tied = Seq(
+      (7L, base), (4L, base), // exact dups, equal length → 4 survives
+      (9L, "entirely separate prose about something else altogether here"))
+      .toDF("doc_id", "text").withColumn("n_chars", length($"text"))
+    val keptTied = MinHashLsh.dedupClustersKeepBest(tied, "doc_id",
+        TextFunctions.shingleHashes($"text", 5),
+        keep = $"n_chars", numHashes = 32, bands = 16, threshold = 0.8)
+      .select("doc_id").as[Long].collect().toSet
+    assert(keptTied == Set(4L, 9L), s"got $keptTied")
+  }
+
   test("dedupKeepFirst drops the higher id of a dup pair") {
     val kept = MinHashLsh.dedupKeepFirst(docs, "doc_id",
       TextFunctions.charShingles($"text", 5), numHashes = 32, bands = 8, threshold = 0.8)
