@@ -15,6 +15,9 @@ import graft.core.Checkpoints
   *   4. deterministic split assignment (map-side, partition-independent),
   *   5. optional decontamination: drop train docs with n-gram overlap
   *      against the held-out test split (bipartite posting-list funnel),
+  *      and/or SEMANTIC decontamination over a supplied embeddings frame
+  *      (bipartite hyperplane-LSH funnel — catches paraphrased test
+  *      material the n-gram rule can't see),
   *   6. optional per-source mixture re-weighting (map-side filter).
   *
   * Every stage is a narrow projection or a keys-only shuffle; corpus text
@@ -102,7 +105,11 @@ object CorpusPipeline {
       mixtureTokens: Option[Column] = None,
       dsirTarget: Option[Column] = None,
       dsirTopK: Int = 0,
-      dsirBuckets: Int = 4096)
+      dsirBuckets: Int = 4096,
+      embeddings: Option[DataFrame] = None,
+      embCol: String = "embedding",
+      embeddingDim: Int = 64,
+      semanticDecontamThreshold: Option[Double] = None)
 
   /** Fused numeric quality gate ([[expressions.QualityGateExpr]]: one
     * stats pass + band checks in a single boolean). Prefer this in
@@ -205,6 +212,30 @@ object CorpusPipeline {
       withSplit.join(contaminated, Seq(cfg.idCol), "left_anti")
     }
 
+    // 5.5 optional SEMANTIC decontamination of train against the test
+    // split — catches paraphrased/reformatted test material the n-gram
+    // stage can't see. Embeddings arrive as a separate frame keyed by
+    // idCol; only (id, split) ⋈ embedding rows enter the bipartite LSH
+    // funnel, so corpus text stays out of it entirely. Same bounded cache
+    // lifecycle as the lexical stage: the slim joined frame is persisted
+    // while the (tiny) contaminated-id set localizes, then released.
+    val semDecontaminated = (cfg.embeddings, cfg.semanticDecontamThreshold) match {
+      case (Some(embFrame), Some(th)) =>
+        val slim = decontaminated.select(id, col("split"))
+          .join(embFrame.select(col(cfg.idCol), col(cfg.embCol)), cfg.idCol)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val contaminated = try {
+          Checkpoints.localize(
+            VectorSimilarity.bipartiteThresholdLsh(
+                slim.filter(col("split") === "train"),
+                slim.filter(col("split") === "test"),
+                th, cfg.embeddingDim, idCol = cfg.idCol, vecCol = cfg.embCol)
+              .select(col("id_left").as(cfg.idCol)).distinct())
+        } finally slim.unpersist(false)
+        decontaminated.join(contaminated, Seq(cfg.idCol), "left_anti")
+      case _ => decontaminated
+    }
+
     // 6. optional mixture re-weighting. Budgeted form first: the rates are
     // derived from per-source token totals of the PREPARED corpus, so the
     // measurement aggregation (|sources| rows to the driver) runs over the
@@ -215,7 +246,7 @@ object CorpusPipeline {
         val tok = cfg.mixtureTokens.getOrElse(
           Bpe.tokenCount(text, BpeVocab.bytes).cast("long"))
         val src = col(cfg.sourceCol)
-        val inMix = decontaminated
+        val inMix = semDecontaminated
           .filter(src.isin(cfg.mixtureTargetWeights.keySet.toSeq: _*))
         val cached = inMix
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -225,9 +256,9 @@ object CorpusPipeline {
         } finally cached.unpersist(false)
         Sampling.mixtureSample(inMix, id, src, rates, defaultRate = 0.0)
       case _ if cfg.mixtureRates.nonEmpty =>
-        Sampling.mixtureSample(decontaminated, id, col(cfg.sourceCol),
+        Sampling.mixtureSample(semDecontaminated, id, col(cfg.sourceCol),
           cfg.mixtureRates, cfg.defaultRate)
-      case _ => decontaminated
+      case _ => semDecontaminated
     }
   }
 }

@@ -33,6 +33,36 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(Set(1L, 4L, 9L).forall(out(_) == "train"))
   }
 
+  test("semantic decontamination stage drops the train doc embedded near a test doc") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and runs to the river with great speed", "src0"),
+      (4L, "a completely original essay on the design of distributed analytics engines and their shuffles", "src0"),
+      (9L, "this document paraphrases the held out evaluation content with entirely different words and phrasing throughout", "src0"),
+      (27L, heldOutText, "src0") // lands in the test split
+    ).toDF("doc_id", "text", "source")
+    // doc 9 shares no n-gram with 27 but sits next to it in embedding
+    // space (the paraphrase case); 1 and 4 are orthogonal to everything
+    val emb = Seq(
+      (1L, Array(1f, 0f, 0f, 0f)),
+      (4L, Array(0f, 1f, 0f, 0f)),
+      (9L, Array(0.1f, 0f, 0.95f, 0f)),
+      (27L, Array(0f, 0f, 1f, 0f))
+    ).toDF("doc_id", "embedding")
+    val base = CorpusPipeline.Config(
+      nearDupThreshold = None, decontamThreshold = Some(0.8))
+    val lexicalOnly = CorpusPipeline.prepare(docs, base)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(lexicalOnly == Set(1L, 4L, 9L, 27L),
+      "the paraphrase shares no 3-gram, so the lexical stage keeps doc 9")
+    val semantic = CorpusPipeline.prepare(docs, base.copy(
+        embeddings = Some(emb), embeddingDim = 4,
+        semanticDecontamThreshold = Some(0.4)))
+      .select($"doc_id", $"split").as[(Long, String)].collect().toMap
+    assert(semantic.keySet == Set(1L, 4L, 27L),
+      s"doc 9 must drop semantically, got ${semantic.keySet}")
+    assert(semantic(27L) == "test", "the test doc itself is never dropped")
+  }
+
   test("minhash near-dup stage drops the later near-duplicate") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog and runs to the river with great speed in the morning", "src0"),
