@@ -80,8 +80,7 @@ class AsofJoinSpec extends SparkSpec {
   }
 
   test("forward matches a window-free reference on real data") {
-    val ev = spark.read.parquet(s"$sf/events.parquet")
-      .withColumn("ts", col("ts").cast("long"))
+    val ev = eventsMicros()
     val clicks = ev.filter($"event_type" === "click")
       .select($"event_id".as("cid"), $"user_id", $"ts")
     val views = ev.filter($"event_type" === "view")
@@ -96,8 +95,7 @@ class AsofJoinSpec extends SparkSpec {
   }
 
   test("matches a window-free reference computed per row") {
-    val ev = spark.read.parquet(s"$sf/events.parquet")
-      .withColumn("ts", col("ts").cast("long"))
+    val ev = eventsMicros()
     val clicks = ev.filter($"event_type" === "click")
       .select($"event_id".as("cid"), $"user_id", $"ts")
     val views = ev.filter($"event_type" === "view")

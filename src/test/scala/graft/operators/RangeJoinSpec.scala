@@ -48,8 +48,7 @@ class RangeJoinSpec extends SparkSpec {
   }
 
   test("matches the naive inequality join on real events") {
-    val ev = spark.read.parquet(s"$sf/events.parquet")
-      .withColumn("ts", timestamp_micros((col("ts") / 1000).cast("long")))
+    val ev = eventsNtz()
     val errors = ev.filter($"event_type" === "error")
       .select($"event_id".as("error_id"), $"user_id", $"ts".as("error_ts"))
     val ctx = ev.select($"user_id", $"ts", $"event_id".as("ctx_id"))

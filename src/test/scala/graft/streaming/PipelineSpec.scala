@@ -215,11 +215,11 @@ class StructuredStreamingSpec extends SparkSpec {
   import spark.implicits._
 
   test("events hourly agg runs identically under Structured Streaming") {
-    val schema = spark.read.parquet(s"$sf/events.parquet").schema
     val dir = Files.createTempDirectory("stream").toString
-    spark.read.parquet(s"$sf/events.parquet").write.parquet(s"$dir/in")
-    val in = spark.readStream.schema(schema).parquet(s"$dir/in")
-      .withColumn("ts_ntz", timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+    val norm = eventsNtz()
+    norm.write.parquet(s"$dir/in")
+    val in = spark.readStream.schema(norm.schema).parquet(s"$dir/in")
+      .withColumn("ts_ntz", $"ts")
     val agg = in.groupBy(date_trunc("hour", $"ts_ntz").as("hour"), $"event_type")
       .agg(count(lit(1)).as("n"))
     val q = agg.writeStream.outputMode("complete")
@@ -227,8 +227,7 @@ class StructuredStreamingSpec extends SparkSpec {
     try {
       q.processAllAvailable()
       val streamed = spark.table("hourly").count()
-      val batch = spark.read.parquet(s"$sf/events.parquet")
-        .withColumn("ts_ntz", timestamp_micros(expr("ts div 1000")))
+      val batch = norm.withColumn("ts_ntz", $"ts")
         .groupBy(date_trunc("hour", $"ts_ntz"), $"event_type").count().count()
       assert(streamed == batch)
     } finally q.stop()
