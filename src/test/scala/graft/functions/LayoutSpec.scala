@@ -1,0 +1,102 @@
+package graft.functions
+
+import graft.SparkSpec
+import graft.functions.expressions.HilbertIndex2dExpr
+import org.apache.spark.sql.functions._
+
+/** Space-filling-curve layout keys (`Layout`): interleave fixtures, the
+  * Column-vs-generated-SQL parity that the oracle device rests on, the
+  * Hilbert curve's defining unit-step property (exhaustively, order 4), and
+  * the locality guarantee the whole module exists for — a key-prefix bucket
+  * pins an aligned tile in EVERY dimension, which single-column sort cannot.
+  */
+class LayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("zOrderKey: hand-computed interleave fixtures") {
+    val rows = Seq((0xAL, 0x5L), (0L, 0L), (0xFFFFL, 0L), (0L, 0xFFFFL), (0xFFFFL, 0xFFFFL))
+      .toDF("x", "y")
+      .select(Layout.zOrderKey(16, $"x", $"y").as("z")).as[Long].collect()
+    // x=1010b lands on even positions (2,6), y=0101b on odd (1,5): 68|34
+    assert(rows(0) == 102L)
+    assert(rows(1) == 0L)
+    // dim 0 alone fills the even bits; dim 1 alone the odd bits
+    assert(rows(2) == 0x55555555L)
+    assert(rows(3) == 0xAAAAAAAAL)
+    assert(rows(4) == 0xFFFFFFFFL)
+  }
+
+  test("zOrderKey Column form == zOrderSql generated text (the oracle device)") {
+    val df = spark.range(0, 2000)
+      .select((col("id") * 7919L % 65536L).as("x"), (col("id") * 104729L % 65536L).as("y"))
+    val both = df.select(
+      Layout.zOrderKey(16, $"x", $"y").as("a"),
+      expr(Layout.zOrderSql(16, Seq("x", "y"))).as("b"))
+    assert(both.filter($"a" =!= $"b").count() == 0)
+  }
+
+  test("hilbert order 1: the four quadrant fixtures") {
+    assert(HilbertIndex2dExpr.compute(1, 0, 0) == 0L)
+    assert(HilbertIndex2dExpr.compute(1, 0, 1) == 1L)
+    assert(HilbertIndex2dExpr.compute(1, 1, 1) == 2L)
+    assert(HilbertIndex2dExpr.compute(1, 1, 0) == 3L)
+  }
+
+  test("hilbert order 4: exhaustive — a bijection onto 0..255 with unit steps") {
+    val pts = for (x <- 0 until 16; y <- 0 until 16)
+      yield (HilbertIndex2dExpr.compute(4, x, y), (x, y))
+    val byD = pts.sortBy(_._1)
+    assert(byD.map(_._1) == (0L until 256L), "d must be a permutation of 0..255")
+    byD.sliding(2).foreach { case Seq((_, (x1, y1)), (d2, (x2, y2))) =>
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1,
+        s"curve jumps at d=$d2: ($x1,$y1) -> ($x2,$y2)")
+    }
+  }
+
+  test("hilbert Column path matches the static walk; null stays null") {
+    val got = Seq[(java.lang.Long, java.lang.Long)]((3L, 7L), (null, 1L))
+      .toDF("x", "y").select(Layout.hilbertKey(4, $"x", $"y")).collect()
+    assert(got(0).getLong(0) == HilbertIndex2dExpr.compute(4, 3, 7))
+    assert(got(1).isNullAt(0))
+  }
+
+  test("layout buckets pin an aligned tile per dimension; x-only sort does not") {
+    // top 6 key bits = 3 high bits of each 16-bit dim -> every bucket bbox
+    // must fit a 2^13-wide tile in BOTH dimensions. This is the structural
+    // guarantee data skipping rests on, for both curves.
+    for (q <- Seq("layout_zorder", "layout_hilbert")) {
+      val agg = graft.SparkEntry.queries(q)(spark, sf)
+        .select($"x_max" - $"x_min", $"y_max" - $"y_min")
+        .as[(Long, Long)].collect()
+      agg.foreach { case (xr, yr) =>
+        assert(xr < 8192 && yr < 8192, s"$q bucket bbox ($xr,$yr) exceeds the 2^13 tile")
+      }
+    }
+    // the single-column layout control: bucketing the same grid by zx alone
+    // leaves some bucket spanning (nearly) the full y range — the layout
+    // z/hilbert replaces
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select($"l_partkey", $"l_suppkey")
+    val b = li.agg(min("l_partkey").as("pmin"), max("l_partkey").as("pmax"),
+        min("l_suppkey").as("smin"), max("l_suppkey").as("smax"))
+      .select($"pmin", greatest($"pmax" - $"pmin", lit(1L)).as("pspan"),
+        $"smin", greatest($"smax" - $"smin", lit(1L)).as("sspan"))
+    val maxYRange = li.crossJoin(broadcast(b))
+      .withColumn("zx", expr(Layout.scaledSql("l_partkey", "pmin", "pspan", 16, duck = false)))
+      .withColumn("zy", expr(Layout.scaledSql("l_suppkey", "smin", "sspan", 16, duck = false)))
+      .groupBy(shiftright($"zx", 10)).agg((max($"zy") - min($"zy")).as("yr"))
+      .agg(max($"yr")).as[Long].collect().head
+    assert(maxYRange > 8192, s"x-sorted control should leave y unconstrained (got $maxYRange)")
+  }
+
+  test("scaledSql: constant column scales to 0; extremes hit the grid edges") {
+    val df = Seq((5L, 5L, 1L, 0L, 100L, 100L), (105L, 5L, 100L, 100L, 100L, 100L))
+      .toDF("v", "vmin", "vspan", "expect", "cmin", "cspan")
+    val got = df.select(
+      expr(Layout.scaledSql("v", "vmin", "vspan", 16, duck = false)).as("s"),
+      expr(Layout.scaledSql("cmin", "cmin", "cspan", 16, duck = false)).as("c"))
+      .as[(Long, Long)].collect()
+    assert(got(0) == ((0L, 0L)), "v at min -> 0; constant column -> 0")
+    assert(got(1)._1 == 65535L, "v at max -> 2^16-1")
+  }
+}
