@@ -31,6 +31,37 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("q1_pricing_summary")(spark, "/root/testdata/sf0.001")
 
+  /** Deterministic synthetic URL per document for the doc_url_* queries —
+    * engine-portable SQL (CASE/concat/%/CAST AS STRING are identical in
+    * Spark SQL and DuckDB) run VERBATIM by both engines, so the fixture
+    * itself cannot drift. Arms cover: scheme case variance, www prefix,
+    * 50 hosts × 4 TLDs, default port :443 (stripped) vs :8080 (kept),
+    * duplicate slashes, trailing slash, tracking + content query params,
+    * fragments.
+    */
+  private val urlInjectSql: String =
+    """CASE WHEN doc_id % 3 = 0 THEN 'HTTPS' WHEN doc_id % 3 = 1 THEN 'https' ELSE 'http' END
+      | || '://' || CASE WHEN doc_id % 4 = 0 THEN 'WWW.' ELSE '' END
+      | || 'w' || CAST(doc_id % 50 AS STRING) || '.example.'
+      | || CASE WHEN doc_id % 4 = 0 THEN 'com' WHEN doc_id % 4 = 1 THEN 'org'
+      |         WHEN doc_id % 4 = 2 THEN 'net' ELSE 'io' END
+      | || CASE WHEN doc_id % 5 = 0 THEN ':443' WHEN doc_id % 7 = 0 THEN ':8080' ELSE '' END
+      | || '/cat' || CAST(doc_id % 7 AS STRING)
+      | || CASE WHEN doc_id % 2 = 0 THEN '//x' ELSE '/x' END
+      | || '/item' || CAST(doc_id % 13 AS STRING)
+      | || CASE WHEN doc_id % 6 = 0 THEN '/' ELSE '' END
+      | || CASE WHEN doc_id % 3 = 0 THEN '?utm_source=feed&utm_medium=rss&id=' || CAST(doc_id AS STRING)
+      |         WHEN doc_id % 3 = 1 THEN '?id=' || CAST(doc_id AS STRING) || '&gclid=abc'
+      |         ELSE '' END
+      | || CASE WHEN doc_id % 9 = 0 THEN '#frag' ELSE '' END"""
+      // single line: this fragment is interpolated into oracle strings that
+      // get stripMargin'd again, which would eat a leading '|' of '||'
+      .stripMargin.replace("\n", " ")
+
+  /** Hosts the doc_url_host_stats gate blocks (post-normalization names). */
+  private val urlBlocklist: Seq[String] =
+    Seq("w3.example.org", "w11.example.io", "w20.example.com")
+
   // ---- events-as-changestream scaffolding for the merge-operator queries ----
   // The events table plays the role of a CDC feed: user_id is the merge key,
   // event_id the monotone version, event_type='error' marks tombstones.
@@ -1398,6 +1429,99 @@ object SparkEntry {
         .select(col("media_id"), col("width"), col("height"), col("channels"),
           round(col("px_mean"), 4).as("px_mean"), col("px_min"), col("px_max"))
         .orderBy(col("media_id"))
+    }),
+
+    // URL canonicalization (RefinedWeb provenance step): the corpus carries
+    // no URLs, so a deterministic synthetic URL per doc — engine-portable
+    // CASE/concat SQL shared VERBATIM with the oracle — exercises every
+    // normalization arm: case-folding, www/default-port stripping,
+    // duplicate-slash collapse, trailing slash, kept :8080, tracking
+    // params, fragments. Map-side codegen chain, no shuffle before the sink.
+    "doc_url_normalize" -> ((s, dir) => {
+      val u = col("url")
+      t(s, dir, "documents")
+        .withColumn("url", expr(urlInjectSql))
+        .select(col("doc_id"),
+          UrlFunctions.normalizeUrl(u).as("url_norm"),
+          UrlFunctions.urlHost(u).as("host"),
+          UrlFunctions.urlTld(UrlFunctions.urlHost(u)).as("tld"),
+          UrlFunctions.pathDepth(u).as("path_depth"),
+          UrlFunctions.trackingParamCount(u).as("n_tracking"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // host-level corpus analytics + blocklist gate: docs and distinct
+    // canonical URLs per registered host (the URL-level dedup count), and
+    // the block flag a crawl filter applies — one bounded agg over
+    // |hosts| rows
+    "doc_url_host_stats" -> ((s, dir) => {
+      val u = col("url")
+      t(s, dir, "documents")
+        .withColumn("url", expr(urlInjectSql))
+        .select(UrlFunctions.normalizeUrl(u).as("url_norm"),
+          UrlFunctions.urlHost(u).as("host"))
+        .groupBy("host")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("url_norm")).as("n_urls"))
+        .withColumn("blocked",
+          when(col("host").isin(urlBlocklist: _*), lit(1L)).otherwise(lit(0L)))
+        .orderBy(col("host"))
+    }),
+
+    // Multi-column data layout (OPTIMIZE ZORDER BY analog): scale the two
+    // hottest filter columns onto a 2^16 grid (exact integer min-max, the
+    // bounds attach via the scalar-broadcast idiom), Morton-interleave,
+    // then bucket by the key's top 6 bits — the deterministic stand-in for
+    // repartitionByRange(zkey) (whose sampled boundaries aren't
+    // replayable). The per-bucket bounding box over BOTH dimensions is the
+    // point: under z-order every bucket sits inside an aligned 2^13-wide
+    // tile per dimension, so a 100 TB table laid out this way min/max-
+    // prunes on either column. The aggregate pins every row's full
+    // interleave (count + min/max/sum of the key + the bbox).
+    "layout_zorder" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey"))
+      val bounds = li.agg(
+          min("l_partkey").as("pmin"), max("l_partkey").as("pmax"),
+          min("l_suppkey").as("smin"), max("l_suppkey").as("smax"))
+        .select(col("pmin"), greatest(col("pmax") - col("pmin"), lit(1L)).as("pspan"),
+          col("smin"), greatest(col("smax") - col("smin"), lit(1L)).as("sspan"))
+      li.crossJoin(broadcast(bounds))
+        .withColumn("zx", expr(Layout.scaledSql("l_partkey", "pmin", "pspan", 16, duck = false)))
+        .withColumn("zy", expr(Layout.scaledSql("l_suppkey", "smin", "sspan", 16, duck = false)))
+        .withColumn("zkey", Layout.zOrderKey(16, col("zx"), col("zy")))
+        .withColumn("bucket", shiftright(col("zkey"), 26))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"),
+          min("zkey").as("z_min"), max("zkey").as("z_max"), sum("zkey").as("z_sum"),
+          min("zx").as("x_min"), max("zx").as("x_max"),
+          min("zy").as("y_min"), max("zy").as("y_max"))
+        .orderBy("bucket")
+    }),
+
+    // Hilbert variant of the layout key — unit-step curve, tighter blobs
+    // than Morton for range scans; the fused per-row walk runs inside
+    // whole-stage codegen, and the oracle replays it with a recursive CTE
+    // generated from the same algorithm
+    "layout_hilbert" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey"))
+      val bounds = li.agg(
+          min("l_partkey").as("pmin"), max("l_partkey").as("pmax"),
+          min("l_suppkey").as("smin"), max("l_suppkey").as("smax"))
+        .select(col("pmin"), greatest(col("pmax") - col("pmin"), lit(1L)).as("pspan"),
+          col("smin"), greatest(col("smax") - col("smin"), lit(1L)).as("sspan"))
+      li.crossJoin(broadcast(bounds))
+        .withColumn("zx", expr(Layout.scaledSql("l_partkey", "pmin", "pspan", 16, duck = false)))
+        .withColumn("zy", expr(Layout.scaledSql("l_suppkey", "smin", "sspan", 16, duck = false)))
+        .withColumn("hkey", Layout.hilbertKey(16, col("zx"), col("zy")))
+        .withColumn("bucket", shiftright(col("hkey"), 26))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"),
+          min("hkey").as("h_min"), max("hkey").as("h_max"), sum("hkey").as("h_sum"),
+          min("zx").as("x_min"), max("zx").as("x_max"),
+          min("zy").as("y_min"), max("zy").as("y_max"))
+        .orderBy("bucket")
     }),
 
     // X6: additive schema evolution result surfaced as rows (rows-only)
@@ -2869,7 +2993,77 @@ object SparkEntry {
           |       CAST(list_min(vals) AS INTEGER) AS px_min,
           |       CAST(list_max(vals) AS INTEGER) AS px_max
           |FROM px
-          |ORDER BY media_id""".stripMargin
+          |ORDER BY media_id""".stripMargin,
+
+      // replays injection (VERBATIM shared SQL) + the normalization chain;
+      // patterns interpolated from the same UrlFunctions constants the
+      // Spark Columns use (the PiiPatterns device)
+      "doc_url_normalize" ->
+        s"""WITH inj AS (SELECT doc_id, $urlInjectSql AS url FROM documents)
+           |SELECT doc_id,
+           |  ${UrlFunctions.normalizeUrlDuck("url")} AS url_norm,
+           |  ${UrlFunctions.urlHostDuck("url")} AS host,
+           |  ${UrlFunctions.urlTldDuck(UrlFunctions.urlHostDuck("url"))} AS tld,
+           |  ${UrlFunctions.pathDepthDuck("url")} AS path_depth,
+           |  ${UrlFunctions.trackingParamCountDuck("url")} AS n_tracking
+           |FROM inj
+           |ORDER BY doc_id""".stripMargin,
+
+      "doc_url_host_stats" -> {
+        val blocklist = urlBlocklist.map(h => s"'$h'").mkString(", ")
+        s"""WITH inj AS (SELECT doc_id, $urlInjectSql AS url FROM documents),
+           |n AS (SELECT ${UrlFunctions.normalizeUrlDuck("url")} AS url_norm,
+           |             ${UrlFunctions.urlHostDuck("url")} AS host
+           |      FROM inj)
+           |SELECT host, CAST(count(*) AS BIGINT) AS n_docs,
+           |       CAST(count(DISTINCT url_norm) AS BIGINT) AS n_urls,
+           |       CASE WHEN host IN ($blocklist) THEN CAST(1 AS BIGINT)
+           |            ELSE CAST(0 AS BIGINT) END AS blocked
+           |FROM n GROUP BY host ORDER BY host""".stripMargin
+      },
+
+      // replays scaling + Morton interleave from the SAME generated term
+      // list the Spark Column was built from (Layout.scaledSql /
+      // Layout.zOrderSql) — the two engines cannot drift
+      "layout_zorder" -> {
+        val zx = Layout.scaledSql("l_partkey", "pmin", "pspan", 16, duck = true)
+        val zy = Layout.scaledSql("l_suppkey", "smin", "sspan", 16, duck = true)
+        val zkey = Layout.zOrderSql(16, Seq("zx", "zy"))
+        s"""WITH b AS (SELECT min(l_partkey) AS pmin,
+           |             greatest(max(l_partkey) - min(l_partkey), 1) AS pspan,
+           |             min(l_suppkey) AS smin,
+           |             greatest(max(l_suppkey) - min(l_suppkey), 1) AS sspan
+           |           FROM lineitem),
+           |sc AS (SELECT $zx AS zx, $zy AS zy FROM lineitem CROSS JOIN b),
+           |k AS (SELECT zx, zy, $zkey AS zkey FROM sc)
+           |SELECT (zkey >> 26) AS bucket, CAST(count(*) AS BIGINT) AS n,
+           |       min(zkey) AS z_min, max(zkey) AS z_max,
+           |       CAST(sum(zkey) AS BIGINT) AS z_sum,
+           |       min(zx) AS x_min, max(zx) AS x_max,
+           |       min(zy) AS y_min, max(zy) AS y_max
+           |FROM k GROUP BY bucket ORDER BY bucket""".stripMargin
+      },
+
+      // replays the Hilbert rotate-and-accumulate walk with a recursive CTE
+      // generated from the same algorithm as the codegen'd expression
+      "layout_hilbert" -> {
+        val zx = Layout.scaledSql("l_partkey", "pmin", "pspan", 16, duck = true)
+        val zy = Layout.scaledSql("l_suppkey", "smin", "sspan", 16, duck = true)
+        val hil = Layout.hilbertSqlCte(16, "sc", "zx", "zy", Seq("zx", "zy"))
+        s"""WITH RECURSIVE b AS (SELECT min(l_partkey) AS pmin,
+           |             greatest(max(l_partkey) - min(l_partkey), 1) AS pspan,
+           |             min(l_suppkey) AS smin,
+           |             greatest(max(l_suppkey) - min(l_suppkey), 1) AS sspan
+           |           FROM lineitem),
+           |sc AS (SELECT $zx AS zx, $zy AS zy FROM lineitem CROSS JOIN b),
+           |$hil
+           |SELECT (hd >> 26) AS bucket, CAST(count(*) AS BIGINT) AS n,
+           |       min(hd) AS h_min, max(hd) AS h_max,
+           |       CAST(sum(hd) AS BIGINT) AS h_sum,
+           |       min(zx) AS x_min, max(zx) AS x_max,
+           |       min(zy) AS y_min, max(zy) AS y_max
+           |FROM hil WHERE hs = 0 GROUP BY bucket ORDER BY bucket""".stripMargin
+      }
     )
   }
 }
