@@ -1431,6 +1431,27 @@ object SparkEntry {
         .orderBy(col("media_id"))
     }),
 
+    // incremental-ingest dedup with a Bloom prefilter: the standing corpus
+    // (80% of docs by the doc_id%5 split) is summarized into a Bloom
+    // filter over normalized-text fingerprints; incoming docs (the other
+    // 20%) probe it map-side, and only might-contain candidates enter the
+    // exact anti-join — the result is bit-identical to the plain anti-join
+    // (the filter only removes work), so the oracle replays it as NOT
+    // EXISTS. The filter's no-false-negative / fpp contracts are pinned in
+    // BloomDedupSpec.
+    "dedup_incremental_bloom" -> ((s, dir) => {
+      val fp = t(s, dir, "documents")
+        .select(col("doc_id"),
+          TextFunctions.md5Hash60(TextFunctions.normalized(col("text"))).as("fp"))
+      val corpus = fp.filter(pmod(col("doc_id"), lit(5L)) =!= 0L)
+      val incoming = fp.filter(pmod(col("doc_id"), lit(5L)) === 0L)
+      val filter = BloomDedup.buildLong(corpus, col("fp"),
+        expectedItems = math.max(corpus.count(), 1L), fpp = 0.01)
+      BloomDedup.newKeysExact(incoming, corpus, "fp", filter)
+        .select(col("doc_id"), col("fp"))
+        .orderBy(col("doc_id"))
+    }),
+
     // URL canonicalization (RefinedWeb provenance step): the corpus carries
     // no URLs, so a deterministic synthetic URL per doc — engine-portable
     // CASE/concat SQL shared VERBATIM with the oracle — exercises every
@@ -2036,6 +2057,18 @@ object SparkEntry {
            |FROM documents
            |GROUP BY 1
            |ORDER BY keep_id""".stripMargin,
+
+      // the Bloom filter is invisible in the result (it only removes
+      // work), so the oracle is the plain exact anti-join over the same
+      // md5Hash60 fingerprints and doc_id%5 split
+      "dedup_incremental_bloom" ->
+        s"""WITH fp AS (SELECT doc_id,
+           |    CAST('0x' || substr(md5($normText), 1, 15) AS UBIGINT) AS fp
+           |  FROM documents)
+           |SELECT i.doc_id, i.fp FROM fp i
+           |WHERE i.doc_id % 5 = 0 AND NOT EXISTS (
+           |  SELECT 1 FROM fp c WHERE c.doc_id % 5 <> 0 AND c.fp = i.fp)
+           |ORDER BY i.doc_id""".stripMargin,
 
       "dedup_keep_best" ->
         s"""WITH scored AS (

@@ -1,0 +1,79 @@
+package graft.functions
+
+import java.io.ByteArrayOutputStream
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.{ColumnBridge => ExpressionUtils}
+import org.apache.spark.util.sketch.BloomFilter
+
+import graft.functions.expressions.BloomMightContainExpr
+
+/** Bloom-prefiltered incremental dedup: "which of today's documents are
+  * genuinely new against the standing corpus?" answered without shuffling
+  * the rows that obviously are. The corpus's key set is summarized once
+  * into a Bloom filter (distributed treeAggregate via `stat.bloomFilter`;
+  * the driver holds only the filter's bits — sized by `expectedItems`/
+  * `fpp`, independent of row width); the probe is then a stateless
+  * map-side predicate on the incoming side:
+  *
+  *   - `might_contain = false` → PROVEN new (Bloom filters have no false
+  *     negatives) — these rows skip the exact join entirely;
+  *   - `might_contain = true`  → a candidate: either a true duplicate or a
+  *     false positive (rate `fpp`), so only this sliver — |true dups| +
+  *     fpp·|new| rows — enters the exact anti-join that makes the final
+  *     answer EXACT (and therefore oracle-checkable: the filter is
+  *     invisible in the result, it only removes work).
+  *
+  * [[newKeysProbabilistic]] is the zero-join deployment (drop every
+  * candidate, accepting fpp false drops) — the CCNet-scale trade, and
+  * being stateless it runs under Structured Streaming unchanged.
+  *
+  * 100 TB posture: bits scale with the CORPUS KEY COUNT, not bytes — 1e9
+  * keys at 1% fpp ≈ 1.2 GiB, the practical broadcast ceiling; beyond that,
+  * partition the key space (one filter per key range, probe routes by the
+  * same ranging) or relax fpp. The filter build is one keys-only pass over
+  * the corpus; nothing here ever shuffles corpus rows.
+  */
+object BloomDedup {
+
+  /** Build a filter over a LONG key column (distributed partial filters,
+    * OR-merged up a tree; driver memory = one filter's bits).
+    */
+  def buildLong(df: DataFrame, key: Column, expectedItems: Long,
+                fpp: Double): BloomFilter =
+    df.select(key.cast("long").as("__bloom_key"))
+      .stat.bloomFilter("__bloom_key", expectedItems, fpp)
+
+  /** The filter as a plan-embeddable stateless predicate. */
+  def mightContain(filter: BloomFilter, key: Column): Column = {
+    val out = new ByteArrayOutputStream()
+    filter.writeTo(out)
+    ExpressionUtils.column(
+      BloomMightContainExpr(ExpressionUtils.expression(key), out.toByteArray))
+  }
+
+  /** EXACT new-key detection: Bloom prefilter + exact anti-join on the
+    * candidate sliver only. Output = incoming rows whose `keyCol` does not
+    * occur in `corpus` — bit-identical to the plain anti-join, minus the
+    * shuffle of every definitely-new incoming row.
+    */
+  def newKeysExact(incoming: DataFrame, corpus: DataFrame, keyCol: String,
+                   filter: BloomFilter): DataFrame = {
+    val flagged = incoming.withColumn("__might",
+      mightContain(filter, col(keyCol)))
+    val definiteNew = flagged.filter(!col("__might")).drop("__might")
+    val candidates = flagged.filter(col("__might")).drop("__might")
+    val confirmedNew = candidates.join(
+      corpus.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
+    definiteNew.unionByName(confirmedNew)
+  }
+
+  /** Zero-join probabilistic mode: every candidate is dropped, so an fpp
+    * fraction of genuinely-new rows is lost alongside all true duplicates.
+    * Survivors ⊆ [[newKeysExact]] survivors; no true duplicate survives.
+    */
+  def newKeysProbabilistic(incoming: DataFrame, keyCol: String,
+                           filter: BloomFilter): DataFrame =
+    incoming.filter(!mightContain(filter, col(keyCol)))
+}

@@ -1,0 +1,54 @@
+package graft.functions.expressions
+
+import java.io.ByteArrayInputStream
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+import org.apache.spark.util.sketch.BloomFilter
+
+/** Map-side membership probe against a pre-built Bloom filter over LONG
+  * keys — the stateless predicate that lets an incremental-ingest dedup
+  * skip the exact anti-join for every key the filter has definitely never
+  * seen (no false negatives: a `false` here is proof of novelty; a `true`
+  * is only a candidate, at the filter's configured false-positive rate).
+  *
+  * The filter travels as its serialized bytes (engine-portable, stable
+  * under plan serialization) and is deserialized at most once per
+  * generated-class instance via a lazily-initialized mutable-state slot, so
+  * the per-row cost inside whole-stage codegen is just the hash probes.
+  * Stateless per row → usable under Structured Streaming as-is (the frozen
+  * corpus-membership deployment, same trade as the frozen DSIR table).
+  */
+case class BloomMightContainExpr(child: Expression, filterBytes: Array[Byte])
+    extends UnaryExpression {
+
+  @transient private lazy val filter: BloomFilter =
+    BloomFilter.readFrom(new ByteArrayInputStream(filterBytes))
+
+  override def dataType: DataType = BooleanType
+
+  override protected def nullSafeEval(input: Any): Any =
+    filter.mightContainLong(input.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bytesRef = ctx.addReferenceObj("graftBloomBytes", filterBytes, "byte[]")
+    val filterSlot = ctx.addMutableState(
+      classOf[BloomFilter].getName, "graftBloomFilter", _ => "")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""if ($filterSlot == null) {
+         |  try {
+         |    $filterSlot = ${classOf[BloomFilter].getName}.readFrom(
+         |      new java.io.ByteArrayInputStream($bytesRef));
+         |  } catch (java.io.IOException e) {
+         |    throw new RuntimeException(e);
+         |  }
+         |}
+         |${ev.value} = $filterSlot.mightContainLong($c);""".stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+
+  override def prettyName: String = "bloom_might_contain"
+}
