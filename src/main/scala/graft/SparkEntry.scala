@@ -62,6 +62,19 @@ object SparkEntry {
   private val urlBlocklist: Seq[String] =
     Seq("w3.example.org", "w11.example.io", "w20.example.com")
 
+  /** Deterministic HTML wrapper per document for doc_html_strip —
+    * engine-portable SQL run verbatim by both engines. Covers: script with
+    * a stray `<` inside, style, comment, heading/paragraph tags, entities
+    * (incl. `&amp;` ordered last in the decode chain), a conditional
+    * anchor (outlink) and a self-closing tag, multiline whitespace.
+    */
+  private val htmlInjectSql: String =
+    ("'<html><head><script type=\"text/javascript\">var x = 1 < 2;</script>" +
+      "<style>.c { color: red }</style></head><body><!-- id ' || CAST(doc_id AS STRING) || ' -->" +
+      "<h1>Title ' || CAST(doc_id AS STRING) || '</h1>\n<p class=\"lead\">' || text || '</p>' || " +
+      "CASE WHEN doc_id % 2 = 0 THEN '<a href=\"/x?id=' || CAST(doc_id AS STRING) || " +
+      "'\">link</a> &amp; &lt;tag&gt; &nbsp;&#39;q&#39;' ELSE '<br/>' END || '</body></html>'")
+
   // ---- events-as-changestream scaffolding for the merge-operator queries ----
   // The events table plays the role of a CDC feed: user_id is the merge key,
   // event_id the monotone version, event_type='error' marks tombstones.
@@ -1431,6 +1444,20 @@ object SparkEntry {
         .orderBy(col("media_id"))
     }),
 
+    // HTML → visible text: the corpus is plain text, so each doc is
+    // wrapped in deterministic markup (script/style/comment blocks, tags,
+    // entities, conditional anchor — inject SQL shared VERBATIM with the
+    // oracle) and stripped back; outlink count comes off the raw markup.
+    // Map-side regexp chain, no shuffle before the sink.
+    "doc_html_strip" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .withColumn("html", expr(htmlInjectSql))
+        .select(col("doc_id"),
+          HtmlStrip.stripHtml(col("html")).as("clean"),
+          HtmlStrip.linkCount(col("html")).as("n_links"))
+        .orderBy(col("doc_id"))
+    }),
+
     // incremental-ingest dedup with a Bloom prefilter: the standing corpus
     // (80% of docs by the doc_id%5 split) is summarized into a Bloom
     // filter over normalized-text fingerprints; incoming docs (the other
@@ -2057,6 +2084,16 @@ object SparkEntry {
            |FROM documents
            |GROUP BY 1
            |ORDER BY keep_id""".stripMargin,
+
+      // replays injection (VERBATIM shared SQL) + the ordered strip chain
+      // interpolated from HtmlStrip.Steps (the PiiPatterns device)
+      "doc_html_strip" ->
+        s"""WITH inj AS (SELECT doc_id, $htmlInjectSql AS html FROM documents)
+           |SELECT doc_id,
+           |  ${HtmlStrip.stripHtmlDuck("html")} AS clean,
+           |  ${HtmlStrip.linkCountDuck("html")} AS n_links
+           |FROM inj
+           |ORDER BY doc_id""".stripMargin,
 
       // the Bloom filter is invisible in the result (it only removes
       // work), so the oracle is the plain exact anti-join over the same
