@@ -128,6 +128,44 @@ class StreamingCorpusSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  // URL canonicalization, HTML stripping and the frozen Bloom corpus-
+  // membership probe are all stateless projections — continuous ingest
+  // normalizes/strips/drops identically to batch. The Bloom deployment
+  // mirrors the frozen-DSIR trade: the filter is built batch-side over the
+  // standing corpus, then rides the stream as a map-side predicate.
+  test("URL normalize + HTML strip + frozen Bloom probe run identically under streaming") {
+    import graft.functions.{BloomDedup, HtmlStrip, UrlFunctions}
+    implicit val sqlCtx = spark.sqlContext
+    val corpusKeys = Seq(11L, 22L, 33L).toDF("k")
+    val filter = BloomDedup.buildLong(corpusKeys, $"k", 3L, 0.01)
+    val docs = Seq(
+      Doc(11L, "<p>HTTPS://WWW.Ex.COM:443/a//b/?utm_source=x#f</p>"),
+      Doc(40L, "<script>var x;</script>clean &amp; clear"),
+      Doc(22L, "plain"))
+    def stage(df: DataFrame): DataFrame = df
+      .select($"doc_id",
+        UrlFunctions.normalizeUrl(HtmlStrip.stripHtml($"text")).as("url_norm"),
+        HtmlStrip.stripHtml($"text").as("clean"))
+      .filter(!BloomDedup.mightContain(filter, $"doc_id"))
+    val input = MemoryStream[Doc]
+    val q = stage(input.toDS().toDF())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("url_stream_out")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("urlckpt").toString)
+      .start()
+    try {
+      input.addData(docs: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("url_stream_out")
+        .as[(Long, String, String)].collect().toSet
+      val batch = stage(docs.toDF()).as[(Long, String, String)].collect().toSet
+      assert(streamed == batch)
+      assert(streamed.map(_._1) == Set(40L), "corpus members 11/22 dropped by the probe")
+      assert(streamed.head._3 == "clean & clear")
+    } finally q.stop()
+  }
+
   // Budgeted mixtures are two-phase by nature: per-source token totals are
   // measured batch-side over the historical corpus (one bounded agg), and
   // the derived rates are a stateless per-key hash filter — so the SAME
