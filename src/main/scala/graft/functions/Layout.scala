@@ -74,6 +74,41 @@ object Layout {
     s"((($col - $minCol) * CAST($m AS BIGINT)) $intdiv $spanCol)"
   }
 
+  /** Grid bounds a 2-D layout write used — persist them next to the table
+    * (table properties / sidecar) so readers can route predicates through
+    * [[bucketsForRange]] with the identical scaling.
+    */
+  final case class GridBounds2d(xMin: Long, xSpan: Long, yMin: Long, ySpan: Long)
+
+  /** The write-side half: key the frame on the curve over (xCol, yCol),
+    * bucket by the key's top `prefixBits`, and write one partition
+    * directory per bucket with rows sorted by the full key inside — every
+    * file gets a tight min/max bounding box in BOTH dimensions, and the
+    * bucket column makes [[bucketsForRange]] routing partition-level
+    * pruning (row-group min/max stats prune further inside each file).
+    * One exchange total (the partition shuffle the sorted write needs
+    * anyway). Bounds come from one 1-row aggregate — the only driver
+    * round-trip.
+    */
+  def layoutWrite2d(df: org.apache.spark.sql.DataFrame, xCol: String,
+                    yCol: String, bits: Int, prefixBits: Int, path: String,
+                    hilbert: Boolean = false): GridBounds2d = {
+    val r = df.agg(min(xCol).cast("long"), max(xCol).cast("long"),
+      min(yCol).cast("long"), max(yCol).cast("long")).head()
+    val b = GridBounds2d(r.getLong(0), math.max(r.getLong(1) - r.getLong(0), 1L),
+      r.getLong(2), math.max(r.getLong(3) - r.getLong(2), 1L))
+    val zx = expr(scaledSql(xCol, b.xMin.toString, b.xSpan.toString, bits, duck = false))
+    val zy = expr(scaledSql(yCol, b.yMin.toString, b.ySpan.toString, bits, duck = false))
+    val key = if (hilbert) hilbertKey(bits, zx, zy) else zOrderKey(bits, zx, zy)
+    df.withColumn("__layout_key", key)
+      .withColumn("bucket", shiftright(col("__layout_key"), bits * 2 - prefixBits))
+      .repartition(col("bucket"))
+      .sortWithinPartitions(col("bucket"), col("__layout_key"))
+      .drop("__layout_key")
+      .write.partitionBy("bucket").mode("overwrite").parquet(path)
+    b
+  }
+
   /** Hilbert-curve index of two pre-scaled coordinates — strictly better
     * locality than Morton (unit steps only; a key prefix still pins an
     * aligned subquadrant). Runs as one fused codegen'd walk per row.
@@ -88,6 +123,80 @@ object Layout {
     * lists pass-through columns (row identity / original coordinates for
     * bounding-box aggregation downstream).
     */
+  /** Inverse Hilbert walk (d → (x, y)) — the read-side router needs it to
+    * locate the aligned subquadrant a key-prefix bucket covers.
+    */
+  def hilbertD2xy(order: Int, d: Long): (Long, Long) = {
+    var x = 0L; var y = 0L
+    var t = d
+    var s = 1L
+    val n = 1L << order
+    while (s < n) {
+      val rx = 1L & (t / 2)
+      val ry = 1L & (t ^ rx)
+      if (ry == 0L) {
+        if (rx == 1L) { x = s - 1 - x; y = s - 1 - y }
+        val tmp = x; x = y; y = tmp
+      }
+      x += s * rx
+      y += s * ry
+      t /= 4
+      s <<= 1
+    }
+    (x, y)
+  }
+
+  /** The grid tile (aligned box) a key-prefix bucket covers. For a Morton
+    * key over `nDims` dims, bucket bit j is key bit (bits·nDims − prefixBits
+    * + j), which belongs to dim (that position mod nDims) — de-interleaving
+    * the bucket id yields each dim's tile index; tile width = 2^(bits −
+    * prefixBits/nDims). For Hilbert (2-D), the bucket IS the order-
+    * (prefixBits/2) curve position of the subquadrant — invert with
+    * [[hilbertD2xy]]. Returns per-dim [lo, hi] inclusive grid bounds.
+    */
+  def bucketTile(bucket: Long, bits: Int, nDims: Int, prefixBits: Int,
+                 hilbert: Boolean): Seq[(Long, Long)] = {
+    require(prefixBits % nDims == 0, "prefixBits must split evenly across dims")
+    val tileBitsPerDim = prefixBits / nDims
+    val tileWidth = 1L << (bits - tileBitsPerDim)
+    val tiles: Seq[Long] =
+      if (hilbert) {
+        require(nDims == 2, "hilbert routing is 2-D")
+        val (tx, ty) = hilbertD2xy(tileBitsPerDim, bucket)
+        Seq(tx, ty)
+      } else {
+        (0 until nDims).map { d =>
+          (0 until tileBitsPerDim).foldLeft(0L) { (acc, i) =>
+            acc | (((bucket >> (i * nDims + d)) & 1L) << i)
+          }
+        }
+      }
+    tiles.map(t => (t * tileWidth, (t + 1) * tileWidth - 1))
+  }
+
+  /** Read-side router: which key-prefix buckets can contain a grid-range
+    * predicate `lo ≤ dim ≤ hi`? Enumerates the 2^prefixBits tiles (a
+    * partition-level constant — 64 for the default 6-bit prefix) and keeps
+    * those whose tile overlaps the range. With the table partitioned by
+    * bucket, `col("bucket").isin(result: _*)` turns a predicate on EITHER
+    * curve dimension into partition pruning — the point of the layout.
+    */
+  def bucketsForRange(bits: Int, nDims: Int, prefixBits: Int, dim: Int,
+                      lo: Long, hi: Long, hilbert: Boolean = false): Seq[Long] =
+    (0L until (1L << prefixBits)).filter { b =>
+      val (tLo, tHi) = bucketTile(b, bits, nDims, prefixBits, hilbert)(dim)
+      tHi >= lo && tLo <= hi
+    }
+
+  /** Driver-side mirror of [[scaledSql]] — maps a raw predicate constant
+    * onto the grid so [[bucketsForRange]] can route it.
+    */
+  def scaleValue(v: Long, min: Long, span: Long, bits: Int): Long = {
+    val m = (1L << bits) - 1
+    val clamped = math.min(math.max(v, min), min + span)
+    (clamped - min) * m / span
+  }
+
   def hilbertSqlCte(order: Int, srcCte: String, xCol: String, yCol: String,
                     carry: Seq[String]): String = {
     val s0 = 1L << (order - 1)

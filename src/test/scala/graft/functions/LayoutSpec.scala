@@ -89,6 +89,56 @@ class LayoutSpec extends SparkSpec {
     assert(maxYRange > 8192, s"x-sorted control should leave y unconstrained (got $maxYRange)")
   }
 
+  test("hilbertD2xy inverts the forward walk, exhaustively at order 4") {
+    for (x <- 0 until 16; y <- 0 until 16) {
+      val d = HilbertIndex2dExpr.compute(4, x, y)
+      assert(Layout.hilbertD2xy(4, d) == ((x.toLong, y.toLong)))
+    }
+  }
+
+  test("bucketTile contains every point of its bucket, both curves") {
+    val pts = for (i <- 0 until 500) yield ((i * 7919L) % 65536L, (i * 104729L) % 65536L)
+    for ((x, y) <- pts) {
+      // driver-side mirror of the Column interleave
+      val zkey = (0 until 16).foldLeft(0L)((acc, i) =>
+        acc | (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1)))
+      val hkey = HilbertIndex2dExpr.compute(16, x, y)
+      for ((key, hil) <- Seq((zkey, false), (hkey, true))) {
+        val tile = Layout.bucketTile(key >> 26, 16, 2, 6, hilbert = hil)
+        assert(x >= tile(0)._1 && x <= tile(0)._2, s"x=$x outside ${tile(0)} hil=$hil")
+        assert(y >= tile(1)._1 && y <= tile(1)._2, s"y=$y outside ${tile(1)} hil=$hil")
+      }
+    }
+  }
+
+  test("layoutWrite2d + bucketsForRange: a predicate on either dim prunes partitions") {
+    for (hil <- Seq(false, true)) {
+      val dir = java.nio.file.Files.createTempDirectory(s"layout$hil").toString
+      val li = spark.read.parquet(s"$sf/lineitem.parquet")
+        .select($"l_orderkey", $"l_partkey", $"l_suppkey")
+      val bounds = Layout.layoutWrite2d(li, "l_partkey", "l_suppkey", 16, 6, dir, hil)
+      val table = spark.read.parquet(dir)
+
+      // range predicate on the SECOND dim — the one single-column sort
+      // can't skip for
+      val (lo, hi) = (5L, 20L)
+      val gLo = Layout.scaleValue(lo, bounds.yMin, bounds.ySpan, 16)
+      val gHi = Layout.scaleValue(hi, bounds.yMin, bounds.ySpan, 16)
+      val buckets = Layout.bucketsForRange(16, 2, 6, dim = 1, gLo, gHi, hil)
+      assert(buckets.size < 64, "router must not select every bucket")
+
+      val routed = table
+        .filter($"bucket".isin(buckets: _*) && $"l_suppkey".between(lo, hi))
+      val full = li.filter($"l_suppkey".between(lo, hi))
+      assert(routed.count() == full.count(), "routing must lose no rows")
+
+      val filesTouched = routed.select(input_file_name()).distinct().count()
+      val filesTotal = table.select(input_file_name()).distinct().count()
+      assert(filesTouched < filesTotal,
+        s"hil=$hil: pruning read $filesTouched of $filesTotal files")
+    }
+  }
+
   test("scaledSql: constant column scales to 0; extremes hit the grid edges") {
     val df = Seq((5L, 5L, 1L, 0L, 100L, 100L), (105L, 5L, 100L, 100L, 100L, 100L))
       .toDF("v", "vmin", "vspan", "expect", "cmin", "cspan")
