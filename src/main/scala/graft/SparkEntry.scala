@@ -1572,6 +1572,19 @@ object SparkEntry {
         .orderBy("bucket")
     }),
 
+    // REAL container demux: structurally-valid ISO-BMFF payloads (big-
+    // endian box framing synthesized arithmetically from doc_id) walked by
+    // the actual box parser — every box type/offset/size/level the walk
+    // recovers is replayed by the oracle from doc_id alone
+    "mm_container_demux" -> ((s, dir) => {
+      val media = Multimodal.synthesizeBmff(t(s, dir, "documents"), "doc_id")
+      Multimodal.demuxBoxes(media)
+        .select(col("media_id"), col("box_no"), col("box_type"),
+          col("offset").as("box_off"), col("size").as("box_size"),
+          col("level").as("box_level"))
+        .orderBy(col("media_id"), col("box_no"))
+    }),
+
     // X6: additive schema evolution result surfaced as rows (rows-only)
     "schema_evolution" -> ((s, dir) => {
       import graft.core.SchemaEvolution
@@ -3091,6 +3104,25 @@ object SparkEntry {
            |            ELSE CAST(0 AS BIGINT) END AS blocked
            |FROM n GROUP BY host ORDER BY host""".stripMargin
       },
+
+      // replays Multimodal.encodeBmff's layout: ftyp(20) · free(8+id%7) ·
+      // moov(20+id%11 ⊃ mvhd) · mdat(9+id·13%97) — the Spark side walks
+      // REAL framing bytes; the oracle recomputes each box from doc_id
+      "mm_container_demux" ->
+        """WITH m AS (SELECT doc_id, doc_id % 7 AS f7, doc_id % 11 AS f11,
+          |                  (doc_id * 13) % 97 AS f97 FROM documents)
+          |SELECT doc_id AS media_id, CAST(box_no AS INTEGER) AS box_no,
+          |       box_type, CAST(box_off AS BIGINT) AS box_off,
+          |       CAST(box_size AS BIGINT) AS box_size,
+          |       CAST(box_level AS INTEGER) AS box_level
+          |FROM (
+          |  SELECT doc_id, 0 AS box_no, 'ftyp' AS box_type, 0 AS box_off,
+          |         20 AS box_size, 0 AS box_level FROM m
+          |  UNION ALL SELECT doc_id, 1, 'free', 20, 8 + f7, 0 FROM m
+          |  UNION ALL SELECT doc_id, 2, 'moov', 28 + f7, 20 + f11, 0 FROM m
+          |  UNION ALL SELECT doc_id, 3, 'mvhd', 36 + f7, 12 + f11, 1 FROM m
+          |  UNION ALL SELECT doc_id, 4, 'mdat', 48 + f7 + f11, 9 + f97, 0 FROM m)
+          |ORDER BY media_id, box_no""".stripMargin,
 
       // replays scaling + Morton interleave from the SAME generated term
       // list the Spark Column was built from (Layout.scaledSql /

@@ -20,10 +20,13 @@ import org.apache.spark.sql.types._
   * PNG, BMP and GIF with no external libraries, so [[decodeImage]],
   * [[imageFeatures]], [[extractFeatures]] and [[resizeImage]] operate on
   * actual pixels. Payloads no codec recognizes (`ImageIO.read` returns
-  * null) yield null features — the stage never fakes a decode. The one
-  * remaining stand-in is [[sampleFrames]]'s byte chunker: container demux
-  * (MP4/MKV) has no pure-JVM codec, so frame boundaries are byte offsets
-  * until a JNI/FFI demuxer replaces that single call.
+  * null) yield null features — the stage never fakes a decode. Container
+  * DEMUX is real too: [[parseBoxes]] walks actual ISO-BMFF (MP4/MOV/HEIF)
+  * big-endian box framing — largesize, size-0-to-EOF, nested containers,
+  * garbage-tolerant — and [[sampleFramesDemuxed]] chunks real mdat content;
+  * [[sampleFrames]]'s raw byte chunker remains for formats without box
+  * framing. What stays outside pure-JVM reach is only the codec layer
+  * proper (sample-accurate H.264/AAC track decode — JNI/FFI territory).
   *
   * Scale notes: media rows are large and few, so the decode stages use
   * `mapPartitions` (one iterator pass, no per-row task overhead) and callers
@@ -412,5 +415,163 @@ object Multimodal {
         (col("media_id") % 17 + 1).cast("int").as("width"),
         (col("media_id") % 13 + 1).cast("int").as("height"),
         lit(null).cast("long").as("duration_ms")))
+  }
+
+  // ======================= ISO-BMFF container demux =======================
+  // MP4/MOV/HEIF files are a flat tree of length-prefixed boxes
+  // ([size:u32be][type:4cc][payload...]; size==1 → u64 largesize follows,
+  // size==0 → box runs to EOF) — parsing the box layer needs no codec at
+  // all, just the framing walk below. This replaces the byte-chunking
+  // stand-in for DEMUX: frame sampling now splits real mdat payloads, and
+  // only sample-accurate track decode (the codec layer proper) remains
+  // outside pure-JVM reach.
+
+  /** Box-tree containers whose payload is itself a box sequence. */
+  private val BmffContainers = Set("moov", "trak", "mdia", "minf", "stbl")
+
+  /** One parsed box: 4cc type, absolute offset, total size (header
+    * included), nesting level. Malformed framing yields a terminal "_err"
+    * box covering the unparseable tail — the walk never throws on crawl
+    * garbage.
+    */
+  val boxSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("box_no", IntegerType, nullable = false),
+    StructField("box_type", StringType, nullable = false),
+    StructField("offset", LongType, nullable = false),
+    StructField("size", LongType, nullable = false),
+    StructField("level", IntegerType, nullable = false)))
+
+  private def be32(b: Array[Byte], o: Int): Long =
+    ((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+      ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL)
+
+  private def be64(b: Array[Byte], o: Int): Long =
+    (be32(b, o) << 32) | be32(b, o + 4)
+
+  private def fourCc(b: Array[Byte], o: Int): String = {
+    val cs = new Array[Char](4)
+    var i = 0
+    while (i < 4) {
+      val c = (b(o + i) & 0xff).toChar
+      // keep the 4cc printable so a garbage type can't corrupt downstream
+      cs(i) = if (c >= ' ' && c <= '~') c else '?'
+      i += 1
+    }
+    new String(cs)
+  }
+
+  /** Walk the box tree of one payload (depth-first, document order). */
+  private[graft] def parseBoxes(bytes: Array[Byte]): Seq[(String, Long, Long, Int)] = {
+    val out = Seq.newBuilder[(String, Long, Long, Int)]
+    def walk(start: Int, end: Int, level: Int): Unit = {
+      var off = start
+      while (off < end) {
+        if (off + 8 > end) {
+          out += (("_err", off.toLong, (end - off).toLong, level)); return
+        }
+        val size32 = be32(bytes, off)
+        val tpe = fourCc(bytes, off + 4)
+        val (size, headerLen) =
+          if (size32 == 1L && off + 16 <= end) (be64(bytes, off + 8), 16)
+          else if (size32 == 0L) ((end - off).toLong, 8)
+          else (size32, 8)
+        if (size < headerLen || off + size > end) {
+          out += (("_err", off.toLong, (end - off).toLong, level)); return
+        }
+        out += ((tpe, off.toLong, size, level))
+        if (BmffContainers.contains(tpe))
+          walk(off + headerLen, off + size.toInt, level + 1)
+        off += size.toInt
+      }
+    }
+    if (bytes.nonEmpty) walk(0, bytes.length, 0)
+    out.result()
+  }
+
+  /** Demux stage: payloads → one row per box, document order. Same
+    * partition-mapped shape as the decode stages.
+    */
+  def demuxBoxes(media: DataFrame, idCol: String = "media_id",
+                 payloadCol: String = "payload"): DataFrame = {
+    val enc = RowEncoder.encoderFor(boxSchema)
+    media.select(col(idCol).cast("long"), col(payloadCol))
+      .flatMap { r =>
+        val id = r.getLong(0)
+        val bytes = if (r.isNullAt(1)) Array.empty[Byte] else r.getAs[Array[Byte]](1)
+        parseBoxes(bytes).zipWithIndex.map { case ((t, o, s, l), i) =>
+          Row(id, i, t, o, s, l)
+        }
+      }(enc).toDF()
+  }
+
+  /** REAL demuxed frame sampling: chunk only the content of mdat boxes
+    * (the media data), not the container framing — [[sampleFrames]]'s
+    * contract fed by an actual demux instead of raw byte offsets. Frame
+    * numbering is continuous across multiple mdat boxes.
+    */
+  def sampleFramesDemuxed(media: DataFrame, frameBytes: Int, everyN: Int,
+                          idCol: String = "media_id",
+                          payloadCol: String = "payload"): DataFrame = {
+    require(frameBytes > 0 && everyN > 0)
+    val enc = RowEncoder.encoderFor(frameSchema)
+    media.select(col(idCol).cast("long"), col(payloadCol))
+      .flatMap { r =>
+        val id = r.getLong(0)
+        val bytes = if (r.isNullAt(1)) Array.empty[Byte] else r.getAs[Array[Byte]](1)
+        val mdat = parseBoxes(bytes).collect {
+          case ("mdat", off, size, _) if size > 8 =>
+            java.util.Arrays.copyOfRange(bytes, off.toInt + 8, (off + size).toInt)
+        }
+        val frames = mdat.iterator.flatMap(_.grouped(frameBytes)).zipWithIndex
+        frames.collect { case (chunk, i) if i % everyN == 0 => Row(id, i, chunk) }
+          .toSeq
+      }(enc).toDF()
+  }
+
+  /** Synthesize a structurally REAL ISO-BMFF payload from a non-negative
+    * id: ftyp(20) · free(8 + id%7) · moov(20 + id%11 ⊃ mvhd) ·
+    * mdat(8 + id·13%97 + 1). Real big-endian framing bytes flow through
+    * [[parseBoxes]]; every box offset/size is arithmetic in the id, so a
+    * SQL oracle replays the whole demux.
+    */
+  private[graft] def encodeBmff(id: Long): Array[Byte] = {
+    require(id >= 0, "encodeBmff derives box sizes from id modulos")
+    val out = new ByteArrayOutputStream()
+    def box(tpe: String, payload: Array[Byte]): Unit = {
+      val size = payload.length + 8
+      out.write(Array[Byte]((size >>> 24).toByte, (size >>> 16).toByte,
+        (size >>> 8).toByte, size.toByte))
+      out.write(tpe.getBytes("US-ASCII"))
+      out.write(payload)
+    }
+    def fill(n: Int): Array[Byte] =
+      Array.tabulate(n)(i => ((id * 31 + i) % 256).toByte)
+    box("ftyp", "isom".getBytes("US-ASCII") ++ Array[Byte](0, 0, 2, 0) ++
+      "mp41".getBytes("US-ASCII"))
+    box("free", fill((id % 7).toInt))
+    // moov contains exactly one mvhd child: moov payload IS the mvhd box
+    val mvhdPayload = fill((id % 11).toInt + 4)
+    val mvhd = new ByteArrayOutputStream()
+    val mvhdSize = mvhdPayload.length + 8
+    mvhd.write(Array[Byte]((mvhdSize >>> 24).toByte, (mvhdSize >>> 16).toByte,
+      (mvhdSize >>> 8).toByte, mvhdSize.toByte))
+    mvhd.write("mvhd".getBytes("US-ASCII"))
+    mvhd.write(mvhdPayload)
+    box("moov", mvhd.toByteArray)
+    box("mdat", fill((id * 13 % 97).toInt + 1))
+    out.toByteArray
+  }
+
+  /** Synthesized-BMFF fixture path, mirroring [[synthesizeImages]]. */
+  def synthesizeBmff(df: DataFrame, idCol: String): DataFrame = {
+    val enc = udf { id: Long => encodeBmff(id) }
+    df.select(col(idCol).cast("long").as("media_id"))
+      .withColumn("payload", enc(col("media_id")))
+      .withColumn("meta", struct(
+        lit("video/mp4").as("mime"),
+        lit(null).cast("int").as("width"),
+        lit(null).cast("int").as("height"),
+        (col("media_id") % 97 * 40).as("duration_ms")))
   }
 }
