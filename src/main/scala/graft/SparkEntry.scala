@@ -62,6 +62,14 @@ object SparkEntry {
   private val urlBlocklist: Seq[String] =
     Seq("w3.example.org", "w11.example.io", "w20.example.com")
 
+  /** Decomposed/precomposed Unicode mix for doc_nfc_normalize — raw
+    * combining marks (U+0301/U+0308/U+030A) next to their precomposed
+    * forms, plus an ASCII tail that must pass through the fast path
+    * untouched. One literal, parsed byte-identically by both engines.
+    */
+  private val nfcInjectSql: String =
+    "text || ' Café über éü Ångström ascii tail'"
+
   /** Deterministic HTML wrapper per document for doc_html_strip —
     * engine-portable SQL run verbatim by both engines. Covers: script with
     * a stray `<` inside, style, comment, heading/paragraph tags, entities
@@ -1570,6 +1578,21 @@ object SparkEntry {
           min("zx").as("x_min"), max("zx").as("x_max"),
           min("zy").as("y_min"), max("zy").as("y_max"))
         .orderBy("bucket")
+    }),
+
+    // Unicode NFC canonicalization: deterministic decomposed/precomposed
+    // mixes appended per row (inject SQL shared VERBATIM — both engines
+    // parse the same UTF-8 literal bytes); JDK Normalizer vs DuckDB
+    // utf8proc both implement UAX #15, so the normalized text AND the
+    // char-count compaction replay exactly
+    "doc_nfc_normalize" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .withColumn("raw", expr(nfcInjectSql))
+        .select(col("doc_id"),
+          TextFunctions.nfcNormalize(col("raw")).as("nfc"),
+          length(col("raw")).as("len_raw"),
+          length(TextFunctions.nfcNormalize(col("raw"))).as("len_nfc"))
+        .orderBy(col("doc_id"))
     }),
 
     // REAL container demux: structurally-valid ISO-BMFF payloads (big-
@@ -3104,6 +3127,16 @@ object SparkEntry {
            |            ELSE CAST(0 AS BIGINT) END AS blocked
            |FROM n GROUP BY host ORDER BY host""".stripMargin
       },
+
+      // both engines implement UAX #15 (JDK Normalizer / utf8proc); the
+      // inject literal's bytes are shared verbatim
+      "doc_nfc_normalize" ->
+        s"""WITH inj AS (SELECT doc_id, $nfcInjectSql AS raw FROM documents)
+           |SELECT doc_id, nfc_normalize(raw) AS nfc,
+           |       CAST(length(raw) AS INTEGER) AS len_raw,
+           |       CAST(length(nfc_normalize(raw)) AS INTEGER) AS len_nfc
+           |FROM inj
+           |ORDER BY doc_id""".stripMargin,
 
       // replays Multimodal.encodeBmff's layout: ftyp(20) · free(8+id%7) ·
       // moov(20+id%11 ⊃ mvhd) · mdat(9+id·13%97) — the Spark side walks

@@ -141,6 +141,16 @@ object TextFunctions {
     round((lenOk + punctOk + tokOk) / 3.0, 4)
   }
 
+  /** Unicode NFC normalization (UAX #15) — canonicalize combining-mark
+    * sequences BEFORE fingerprinting/dedup/tokenization so "é" and
+    * "e"+U+0301 hash identically; DuckDB's `nfc_normalize` replays it for
+    * the oracle. Fast path skips already-normalized text.
+    */
+  def nfcNormalize(text: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(expressions.NfcNormalizeExpr(ColumnBridge.expression(text)))
+  }
+
   /** Canonical text normalization for fingerprinting: lowercase, strip
     * non-alphanumerics to spaces, collapse runs, trim.
     */
