@@ -141,6 +141,16 @@ object TextFunctions {
     round((lenOk + punctOk + tokOk) / 3.0, 4)
   }
 
+  /** Deflate compression ratio — the Gopher-style templated/repetitive-text
+    * signal (prose ≈ 0.35–0.6, boilerplate → 0.1, random blobs → 1).
+    * Spec-pinned (no SQL zlib exists for an oracle); see
+    * [[expressions.CompressionRatioExpr]].
+    */
+  def compressionRatio(text: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(expressions.CompressionRatioExpr(ColumnBridge.expression(text)))
+  }
+
   /** Unicode NFC normalization (UAX #15) — canonicalize combining-mark
     * sequences BEFORE fingerprinting/dedup/tokenization so "é" and
     * "e"+U+0301 hash identically; DuckDB's `nfc_normalize` replays it for
