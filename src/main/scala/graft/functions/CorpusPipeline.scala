@@ -81,6 +81,19 @@ object CorpusPipeline {
     *                               measurement, e.g. `Bpe.tokenCount(text,
     *                               vocab)`; defaults to the BPE base-byte
     *                               count of [[Config.textCol]]
+    * @param stripHtml              strip markup from textCol before any gate
+    *                               ([[HtmlStrip.stripHtml]])
+    * @param nfcNormalize           Unicode-NFC-canonicalize textCol before
+    *                               any gate (after the HTML strip)
+    * @param urlCol                 provenance column: enables canonical-URL
+    *                               keep-first dedup (+ [[Config.blockedHosts]])
+    * @param blockedHosts           registered hosts to drop when urlCol is set
+    * @param minCompressionRatio    Gopher compression arm: drop docs whose
+    *                               deflate ratio falls below this
+    * @param dedupAgainstBloom      standing-corpus Bloom filter over
+    *                               `md5Hash60(normalized(text))` keys; drops
+    *                               every might-contain (stateless, fpp false
+    *                               drops — the streaming-compatible trade)
     */
   final case class Config(
       idCol: String = "doc_id",
@@ -109,7 +122,13 @@ object CorpusPipeline {
       embeddings: Option[DataFrame] = None,
       embCol: String = "embedding",
       embeddingDim: Int = 64,
-      semanticDecontamThreshold: Option[Double] = None)
+      semanticDecontamThreshold: Option[Double] = None,
+      stripHtml: Boolean = false,
+      nfcNormalize: Boolean = false,
+      urlCol: Option[String] = None,
+      blockedHosts: Seq[String] = Nil,
+      minCompressionRatio: Option[Double] = None,
+      dedupAgainstBloom: Option[org.apache.spark.util.sketch.BloomFilter] = None)
 
   /** Fused numeric quality gate ([[expressions.QualityGateExpr]]: one
     * stats pass + band checks in a single boolean). Prefer this in
@@ -133,6 +152,32 @@ object CorpusPipeline {
     val id = col(cfg.idCol)
     val text = col(cfg.textCol)
 
+    // 0. optional raw-crawl cleanup, applied IN PLACE to textCol so every
+    // later stage (gates, fingerprints, shingles, decontamination) sees the
+    // cleaned text: markup strip first, then Unicode NFC so entity-decoded
+    // characters canonicalize too. Both map-side, zero shuffle.
+    val cleaned0 =
+      if (cfg.stripHtml) docs.withColumn(cfg.textCol, HtmlStrip.stripHtml(text))
+      else docs
+    val cleaned =
+      if (cfg.nfcNormalize)
+        cleaned0.withColumn(cfg.textCol, TextFunctions.nfcNormalize(col(cfg.textCol)))
+      else cleaned0
+
+    // 0.5 optional provenance stage: host blocklist gate (map-side), then
+    // canonical-URL keep-first dedup — the RefinedWeb "one document per
+    // URL" rule on 16-byte-normalized keys, one keys-only agg + semi-join
+    val provenanced = cfg.urlCol.fold(cleaned) { uc =>
+      val notBlocked =
+        if (cfg.blockedHosts.nonEmpty)
+          cleaned.filter(!UrlFunctions.urlHost(col(uc)).isin(cfg.blockedHosts: _*))
+        else cleaned
+      val keep = notBlocked
+        .groupBy(UrlFunctions.normalizeUrl(col(uc)).as("__url"))
+        .agg(min(id).as(cfg.idCol)).select(cfg.idCol)
+      notBlocked.join(keep, Seq(cfg.idCol), "left_semi")
+    }
+
     // 1. quality gate — fused map-side predicates, one kernel pass each
     val numericGate = qualityGate(text, cfg.minChars, cfg.maxChars,
       cfg.maxPunctRatio, cfg.maxDigitRatio, cfg.minMeanTokenLen,
@@ -140,8 +185,21 @@ object CorpusPipeline {
     val langGate =
       if (cfg.requireKnownLang) numericGate && TextFunctions.langId(text) =!= "und"
       else numericGate
-    val gate = cfg.repetition.fold(langGate)(th => langGate && repetitionGate(text, th))
-    val quality = docs.filter(gate)
+    val gate0 = cfg.repetition.fold(langGate)(th => langGate && repetitionGate(text, th))
+    // Gopher's compression arm: drop what deflate collapses (templated /
+    // repetitive), same fused-predicate shape as the other gates
+    val gate = cfg.minCompressionRatio.fold(gate0)(v =>
+      gate0 && TextFunctions.compressionRatio(text) >= v)
+    val qualityPreBloom = provenanced.filter(gate)
+
+    // 1.5 optional incremental-ingest membership probe vs a standing
+    // corpus's Bloom filter (built once, batch-side): the stateless
+    // zero-join deployment — drops every might-contain, accepting the
+    // filter's fpp of false drops (BloomDedup.newKeysExact is the exact
+    // alternative when an anti-join is affordable)
+    val quality = cfg.dedupAgainstBloom.fold(qualityPreBloom)(bf =>
+      qualityPreBloom.filter(!BloomDedup.mightContain(bf,
+        TextFunctions.md5Hash60(TextFunctions.normalized(text)))))
 
     // 2. fingerprint dedup keep-first: min id per md5(normalized text)
     val fp = TextFunctions.fingerprint(text)

@@ -33,6 +33,47 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(Set(1L, 4L, 9L).forall(out(_) == "train"))
   }
 
+  test("web-corpus stages: html strip + NFC + URL dedup/blocklist + bloom + compression gate") {
+    val prose = "a perfectly ordinary document with the usual english words " +
+      "and enough of them to pass every configured quality gate in the flow"
+    val docs = Seq(
+      // markup + decomposed é: must strip+compose, then survive
+      (1L, s"<p>$prose café</p>", "https://A.example.com/x?utm_source=f", "src0"),
+      // same canonical URL as 1 (case/params differ) -> URL-dup, dropped
+      (2L, s"$prose but different words here", "HTTPS://a.example.com/x", "src0"),
+      // blocked host -> dropped before anything else
+      (3L, s"$prose on a blocked host", "https://spam.example.net/y", "src0"),
+      // templated: compresses below the floor -> compression gate drops
+      (4L, "buy now click here " * 40, "https://b.example.com/z", "src0"),
+      // already in the standing corpus (bloom) -> dropped
+      (5L, s"$prose known to the standing corpus", "https://c.example.com/w", "src0"),
+      // clean survivor
+      (9L, s"$prose and it is genuinely fresh content", "https://d.example.com/v", "src0"))
+      .toDF("doc_id", "text", "url", "source")
+    // decomposed twin of doc 1's text: NFC must make their fingerprints equal
+    val decomposedTwin = s"$prose café"
+    val corpusFp = Seq(s"$prose known to the standing corpus").toDF("text")
+      .select(TextFunctions.md5Hash60(TextFunctions.normalized($"text")).as("fp"))
+    val bf = BloomDedup.buildLong(corpusFp, $"fp", 10L, 0.01)
+    val out = CorpusPipeline.prepare(docs, CorpusPipeline.Config(
+      nearDupThreshold = None, decontamThreshold = None,
+      stripHtml = true, nfcNormalize = true,
+      urlCol = Some("url"), blockedHosts = Seq("spam.example.net"),
+      minCompressionRatio = Some(0.2), dedupAgainstBloom = Some(bf)))
+    val ids = out.select($"doc_id").as[Long].collect().toSet
+    assert(ids == Set(1L, 9L),
+      s"got $ids: 2 url-dup, 3 blocked, 4 templated, 5 in-corpus must drop")
+    // the cleaned text is what downstream stages see: markup gone, NFC done
+    val cleaned = out.filter($"doc_id" === 1L).select($"text").as[String].head()
+    assert(!cleaned.contains("<p>") && cleaned.endsWith("café"))
+    val fp = Seq(decomposedTwin).toDF("text")
+      .select(TextFunctions.fingerprint(TextFunctions.nfcNormalize($"text")))
+      .as[String].head()
+    val fpCleaned = Seq(cleaned).toDF("text")
+      .select(TextFunctions.fingerprint($"text")).as[String].head()
+    assert(fp == fpCleaned, "NFC inside the pipeline must unify spellings")
+  }
+
   test("semantic decontamination stage drops the train doc embedded near a test doc") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog and runs to the river with great speed", "src0"),
