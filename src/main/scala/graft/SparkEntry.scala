@@ -1580,6 +1580,23 @@ object SparkEntry {
         .orderBy("bucket")
     }),
 
+    // snapshot diff (ingest-round audit): "yesterday" = docs minus the
+    // 7-multiples, "today" = docs minus the 13-multiples with 11-multiples
+    // edited — per-doc added/removed/changed/unchanged from a fingerprint
+    // full-outer join; bodies never shuffle
+    "corpus_diff" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val yesterday = docs.filter(pmod(col("doc_id"), lit(7L)) =!= 0L)
+      val today = docs
+        .withColumn("text",
+          when(pmod(col("doc_id"), lit(11L)) === 0L,
+            concat(col("text"), lit(" revised edition"))).otherwise(col("text")))
+        .filter(pmod(col("doc_id"), lit(13L)) =!= 0L)
+      SnapshotDiff.diff(yesterday, today, "doc_id",
+          TextFunctions.fingerprint(col("text")))
+        .orderBy(col("doc_id"))
+    }),
+
     // Unicode NFC canonicalization: deterministic decomposed/precomposed
     // mixes appended per row (inject SQL shared VERBATIM — both engines
     // parse the same UTF-8 literal bytes); JDK Normalizer vs DuckDB
@@ -3127,6 +3144,25 @@ object SparkEntry {
            |            ELSE CAST(0 AS BIGINT) END AS blocked
            |FROM n GROUP BY host ORDER BY host""".stripMargin
       },
+
+      // replays the split arithmetic + fingerprint compare; 'changed' can
+      // only come from the 11-multiple edit, but the oracle derives it
+      // from the fingerprints like the engine does
+      "corpus_diff" ->
+        s"""WITH y AS (SELECT doc_id, md5($normText) AS fp FROM documents
+           |           WHERE doc_id % 7 <> 0),
+           |t AS (SELECT doc_id, md5(CASE WHEN doc_id % 11 = 0 THEN
+           |        trim(regexp_replace(regexp_replace(lower(text || ' revised edition'),
+           |          '[^a-z0-9]+', ' ', 'g'), '\\s+', ' ', 'g'))
+           |        ELSE $normText END) AS fp
+           |      FROM documents WHERE doc_id % 13 <> 0)
+           |SELECT COALESCE(y.doc_id, t.doc_id) AS doc_id,
+           |  CASE WHEN y.fp IS NULL THEN 'added'
+           |       WHEN t.fp IS NULL THEN 'removed'
+           |       WHEN y.fp = t.fp THEN 'unchanged'
+           |       ELSE 'changed' END AS status
+           |FROM y FULL OUTER JOIN t ON y.doc_id = t.doc_id
+           |ORDER BY doc_id""".stripMargin,
 
       // both engines implement UAX #15 (JDK Normalizer / utf8proc); the
       // inject literal's bytes are shared verbatim
