@@ -267,4 +267,37 @@ class EventTimeWatermarkSpec extends SparkSpec {
       assert(!after.contains(100L) && !after.contains(103L))
     } finally q.stop()
   }
+
+  // Exact streaming dedup with BOUNDED state: dropDuplicatesWithinWatermark
+  // keeps a key only until the watermark passes it, so state never grows
+  // with the stream — the continuous-ingest twin of the batch exact dedup
+  // (at 100 TB/day the unbounded dropDuplicates state would be the outage).
+  test("dropDuplicatesWithinWatermark dedups with bounded state; keys expire") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, Long, String)]
+    val q = input.toDF().toDF("ts", "doc_id", "text")
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("doc_id")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ddw_out")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ddwckpt").toString)
+      .start()
+    def ts(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    try {
+      input.addData((ts(0), 1L, "a"), (ts(1), 1L, "a dup"), (ts(2), 2L, "b"))
+      q.processAllAvailable()
+      assert(spark.table("ddw_out").select($"doc_id").as[Long].collect().toSeq.sorted
+        == Seq(1L, 2L), "in-window duplicate of key 1 suppressed")
+      // advance the watermark far past key 1's expiry, then re-send it:
+      // the key re-emits because its dedup state was dropped — bounded
+      // state is exactly this trade
+      input.addData((ts(40), 3L, "c"))
+      q.processAllAvailable()
+      input.addData((ts(41), 1L, "a again"))
+      q.processAllAvailable()
+      val ids = spark.table("ddw_out").select($"doc_id").as[Long].collect().toSeq
+      assert(ids.count(_ == 1L) == 2, "expired key must re-emit after the watermark")
+    } finally q.stop()
+  }
 }
