@@ -300,4 +300,48 @@ class EventTimeWatermarkSpec extends SparkSpec {
       assert(ids.count(_ == 1L) == 2, "expired key must re-emit after the watermark")
     } finally q.stop()
   }
+
+  // Stream-stream inner join with an event-time interval bound: the
+  // attribution shape (view ⋈ click within 10 minutes, same user). Both
+  // sides carry watermarks and the join condition bounds click_ts relative
+  // to view_ts, so each side's buffered state expires as the watermarks
+  // advance — without the interval bound the state would grow with the
+  // stream, which at ingest scale is the outage.
+  test("watermarked stream-stream interval join matches the batch join") {
+    implicit val sqlCtx = spark.sqlContext
+    val views = MemoryStream[(java.sql.Timestamp, Long, Long)]
+    val clicks = MemoryStream[(java.sql.Timestamp, Long, Long)]
+    def ts(min: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+    val vDf = views.toDF().toDF("view_ts", "user_id", "view_id")
+      .withWatermark("view_ts", "5 minutes")
+    val cDf = clicks.toDF().toDF("click_ts", "c_user_id", "click_id")
+      .withWatermark("click_ts", "5 minutes")
+    val cond = $"user_id" === $"c_user_id" &&
+      $"click_ts" >= $"view_ts" &&
+      $"click_ts" <= $"view_ts" + expr("INTERVAL 10 MINUTES")
+    val q = vDf.join(cDf, cond)
+      .select($"view_id", $"click_id")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ssj_out")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("ssjckpt").toString)
+      .start()
+    val vRows = Seq((ts(0), 1L, 100L), (ts(2), 2L, 200L), (ts(20), 1L, 101L))
+    val cRows = Seq((ts(5), 1L, 900L),   // joins view 100 (within 10m)
+      (ts(15), 1L, 901L),                 // outside view 100's bound; before 101
+      (ts(21), 1L, 902L),                 // joins view 101
+      (ts(6), 3L, 903L))                  // no matching user
+    try {
+      views.addData(vRows: _*)
+      clicks.addData(cRows: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("ssj_out")
+        .as[(Long, Long)].collect().toSet
+      val batch = vRows.toDF("view_ts", "user_id", "view_id")
+        .join(cRows.toDF("click_ts", "c_user_id", "click_id"), cond)
+        .select($"view_id", $"click_id").as[(Long, Long)].collect().toSet
+      assert(streamed == batch, s"streamed $streamed != batch $batch")
+      assert(streamed == Set((100L, 900L), (101L, 902L)))
+    } finally q.stop()
+  }
 }
