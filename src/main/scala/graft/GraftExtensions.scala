@@ -116,6 +116,16 @@ object GraftExtensions {
     "graft_dot_product" -> { args =>
       arity(args, 2, "graft_dot_product")
       DotProductExpr(args.head, args(1))
+    },
+    "graft_nfc_normalize" -> { args =>
+      arity(args, 1, "graft_nfc_normalize"); NfcNormalizeExpr(args.head)
+    },
+    "graft_compression_ratio" -> { args =>
+      arity(args, 1, "graft_compression_ratio"); CompressionRatioExpr(args.head)
+    },
+    "graft_hilbert_index_2d" -> { args =>
+      arity(args, 3, "graft_hilbert_index_2d")
+      HilbertIndex2dExpr(args.head, args(1), intLit(args, 2, "graft_hilbert_index_2d"))
     }
   )
 }

@@ -34,6 +34,14 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(r.getInt(1) == 16)
     assert(r.getDouble(2) == 1.0)
     assert(r.getDouble(3) == 11.0)
+    val r2 = spark.sql(
+      s"""SELECT graft_nfc_normalize('Café') AS nfc,
+        |  graft_compression_ratio(repeat('ab ', 200)) AS ratio,
+        |  graft_hilbert_index_2d(1L, 0L, 1) AS hil
+        |FROM range(1)""".stripMargin).head()
+    assert(r2.getString(0) == "Café", "combining acute composes")
+    assert(r2.getDouble(1) < 0.2)
+    assert(r2.getLong(2) == 3L)
   }
 
   test("non-literal size argument is rejected with a clear error") {
