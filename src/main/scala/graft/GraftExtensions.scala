@@ -126,6 +126,9 @@ object GraftExtensions {
     "graft_hilbert_index_2d" -> { args =>
       arity(args, 3, "graft_hilbert_index_2d")
       HilbertIndex2dExpr(args.head, args(1), intLit(args, 2, "graft_hilbert_index_2d"))
+    },
+    "graft_fix_mojibake" -> { args =>
+      arity(args, 1, "graft_fix_mojibake"); FixMojibakeExpr(args.head)
     }
   )
 }

@@ -62,6 +62,17 @@ object SparkEntry {
   private val urlBlocklist: Seq[String] =
     Seq("w3.example.org", "w11.example.io", "w20.example.com")
 
+  /** Non-Latin snippets for text_script_profile, rotated by doc_id%4 so
+    * every script range gets nonzero counts somewhere in the corpus. One
+    * literal, parsed byte-identically by both engines.
+    */
+  private val scriptInjectSql: String =
+    """text || CASE WHEN doc_id % 4 = 0 THEN ' Привет мир'
+      |  WHEN doc_id % 4 = 1 THEN ' Γειά σου κόσμε'
+      |  WHEN doc_id % 4 = 2 THEN ' 你好世界 こんにちは 안녕하세요'
+      |  ELSE ' مرحبا بالعالم' END"""
+      .stripMargin.replace("\n", " ")
+
   /** Decomposed/precomposed Unicode mix for doc_nfc_normalize — raw
     * combining marks (U+0301/U+0308/U+030A) next to their precomposed
     * forms, plus an ASCII tail that must pass through the fast path
@@ -1578,6 +1589,24 @@ object SparkEntry {
           min("zx").as("x_min"), max("zx").as("x_max"),
           min("zy").as("y_min"), max("zy").as("y_max"))
         .orderBy("bucket")
+    }),
+
+    // Unicode-script profile (multilingual routing): the corpus is Latin-
+    // script, so deterministic non-Latin snippets are appended by doc_id%4
+    // (inject SQL shared VERBATIM — same UTF-8 literal bytes both engines);
+    // counts use \x{...} range classes, the notation Java regex and RE2
+    // share. Map-side, no shuffle before the sink.
+    "text_script_profile" -> ((s, dir) => {
+      val u = col("mixed")
+      t(s, dir, "documents")
+        .withColumn("mixed", expr(scriptInjectSql))
+        .select(col("doc_id"),
+          ScriptProfile.count(u, "latin").as("n_latin"),
+          ScriptProfile.count(u, "cyrillic").as("n_cyrillic"),
+          ScriptProfile.count(u, "greek").as("n_greek"),
+          ScriptProfile.count(u, "cjk").as("n_cjk"),
+          ScriptProfile.count(u, "arabic").as("n_arabic"))
+        .orderBy(col("doc_id"))
     }),
 
     // snapshot diff (ingest-round audit): "yesterday" = docs minus the
@@ -3144,6 +3173,18 @@ object SparkEntry {
            |            ELSE CAST(0 AS BIGINT) END AS blocked
            |FROM n GROUP BY host ORDER BY host""".stripMargin
       },
+
+      // same \x{...} range classes, interpolated from ScriptProfile.Scripts
+      "text_script_profile" ->
+        s"""WITH inj AS (SELECT doc_id, $scriptInjectSql AS mixed FROM documents)
+           |SELECT doc_id,
+           |  ${ScriptProfile.countDuck("mixed", "latin")} AS n_latin,
+           |  ${ScriptProfile.countDuck("mixed", "cyrillic")} AS n_cyrillic,
+           |  ${ScriptProfile.countDuck("mixed", "greek")} AS n_greek,
+           |  ${ScriptProfile.countDuck("mixed", "cjk")} AS n_cjk,
+           |  ${ScriptProfile.countDuck("mixed", "arabic")} AS n_arabic
+           |FROM inj
+           |ORDER BY doc_id""".stripMargin,
 
       // replays the split arithmetic + fingerprint compare; 'changed' can
       // only come from the 11-multiple edit, but the oracle derives it

@@ -81,6 +81,8 @@ object CorpusPipeline {
     *                               measurement, e.g. `Bpe.tokenCount(text,
     *                               vocab)`; defaults to the BPE base-byte
     *                               count of [[Config.textCol]]
+    * @param fixMojibake            repair UTF-8-as-Latin-1 mojibake in
+    *                               textCol before any other stage
     * @param stripHtml              strip markup from textCol before any gate
     *                               ([[HtmlStrip.stripHtml]])
     * @param nfcNormalize           Unicode-NFC-canonicalize textCol before
@@ -123,6 +125,7 @@ object CorpusPipeline {
       embCol: String = "embedding",
       embeddingDim: Int = 64,
       semanticDecontamThreshold: Option[Double] = None,
+      fixMojibake: Boolean = false,
       stripHtml: Boolean = false,
       nfcNormalize: Boolean = false,
       urlCol: Option[String] = None,
@@ -154,11 +157,15 @@ object CorpusPipeline {
 
     // 0. optional raw-crawl cleanup, applied IN PLACE to textCol so every
     // later stage (gates, fingerprints, shingles, decontamination) sees the
-    // cleaned text: markup strip first, then Unicode NFC so entity-decoded
-    // characters canonicalize too. Both map-side, zero shuffle.
-    val cleaned0 =
-      if (cfg.stripHtml) docs.withColumn(cfg.textCol, HtmlStrip.stripHtml(text))
+    // cleaned text: encoding repair first (mojibake garbles the markup
+    // too), then markup strip, then Unicode NFC so entity-decoded
+    // characters canonicalize. All map-side, zero shuffle.
+    val cleanedEnc =
+      if (cfg.fixMojibake) docs.withColumn(cfg.textCol, TextFunctions.fixMojibake(text))
       else docs
+    val cleaned0 =
+      if (cfg.stripHtml) cleanedEnc.withColumn(cfg.textCol, HtmlStrip.stripHtml(text))
+      else cleanedEnc
     val cleaned =
       if (cfg.nfcNormalize)
         cleaned0.withColumn(cfg.textCol, TextFunctions.nfcNormalize(col(cfg.textCol)))

@@ -141,6 +141,16 @@ object TextFunctions {
     round((lenOk + punctOk + tokOk) / 3.0, 4)
   }
 
+  /** Repair UTF-8-as-Latin-1 mojibake ("Ã©" → "é"), applied only when the
+    * inverse transform provably applies; genuine Latin-1 text and ASCII
+    * pass through untouched. Spec-pinned (byte-level charset round-trip has
+    * no SQL replay); see [[expressions.FixMojibakeExpr]].
+    */
+  def fixMojibake(text: Column): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(expressions.FixMojibakeExpr(ColumnBridge.expression(text)))
+  }
+
   /** Deflate compression ratio — the Gopher-style templated/repetitive-text
     * signal (prose ≈ 0.35–0.6, boilerplate → 0.1, random blobs → 1).
     * Spec-pinned (no SQL zlib exists for an oracle); see

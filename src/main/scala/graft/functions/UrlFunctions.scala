@@ -97,3 +97,36 @@ object UrlFunctions {
   def trackingParamCountDuck(c: String): String =
     s"CAST(len(regexp_extract_all($c, '$TrackingParamPattern')) AS BIGINT)"
 }
+
+/** Unicode-script profiling — the multilingual routing signal next to
+  * [[TextFunctions.langId]]: per-document counts of characters in the major
+  * script ranges, for corpus audits ("how much CJK did this crawl pull
+  * in?") and mixture routing. Patterns are CODEPOINT-RANGE classes written
+  * with `\x{...}` escapes — the notation Java regex and RE2 share (script
+  * NAMES don't port: Java wants `\p{IsLatin}`, RE2 wants `\p{Latin}`) — so
+  * the same constants drive the Spark Columns and the DuckDB oracle.
+  * All map-side `regexp_extract_all` counts over codegen'd builtins.
+  */
+object ScriptProfile {
+
+  /** (name, range-class) — ranges cover the scripts' core blocks; combining
+    * marks / supplementary planes are out of scope for a routing signal.
+    */
+  val Scripts: Seq[(String, String)] = Seq(
+    "latin" -> "[A-Za-z\\x{00C0}-\\x{024F}]",
+    "cyrillic" -> "[\\x{0400}-\\x{04FF}]",
+    "greek" -> "[\\x{0370}-\\x{03FF}]",
+    "cjk" -> "[\\x{3040}-\\x{30FF}\\x{4E00}-\\x{9FFF}\\x{AC00}-\\x{D7AF}]",
+    "arabic" -> "[\\x{0600}-\\x{06FF}]")
+
+  import org.apache.spark.sql.functions.{lit, regexp_extract_all, size}
+
+  /** Count of `script` characters in the text (long). */
+  def count(text: Column, script: String): Column = {
+    val p = Scripts.toMap.apply(script)
+    size(regexp_extract_all(text, lit(p), lit(0))).cast("long")
+  }
+
+  def countDuck(c: String, script: String): String =
+    s"CAST(len(regexp_extract_all($c, '${Scripts.toMap.apply(script)}')) AS BIGINT)"
+}

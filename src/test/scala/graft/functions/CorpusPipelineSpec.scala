@@ -74,6 +74,17 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(fp == fpCleaned, "NFC inside the pipeline must unify spellings")
   }
 
+  test("mojibake knob repairs encoding before every later stage") {
+    val clean = "a perfectly ordinary document with the usual english words " +
+      "and enough of them to pass the gate — déjà vu"
+    val garbled = new String(clean.getBytes("UTF-8"), "ISO-8859-1")
+    val docs = Seq((1L, garbled, "src0")).toDF("doc_id", "text", "source")
+    val out = CorpusPipeline.prepare(docs, CorpusPipeline.Config(
+      nearDupThreshold = None, decontamThreshold = None, fixMojibake = true))
+      .select($"text").as[String].collect()
+    assert(out.toSeq == Seq(clean), "downstream stages must see the repaired text")
+  }
+
   test("semantic decontamination stage drops the train doc embedded near a test doc") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog and runs to the river with great speed", "src0"),
