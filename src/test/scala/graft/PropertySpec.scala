@@ -163,6 +163,50 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("curve keys: interleave bijectivity, prefix-tile nesting, hilbert adjacency (driver-side, no Spark jobs)") {
+    import graft.functions.Layout
+    import graft.functions.expressions.HilbertIndex2dExpr
+    val coordGen = Gen.zip(Gen.chooseNum(0L, 65535L), Gen.chooseNum(0L, 65535L))
+    def z(x: Long, y: Long): Long =
+      (0 until 16).foldLeft(0L)((acc, i) =>
+        acc | (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1)))
+    forAllSampled(coordGen, n = 50) { case (x, y) =>
+      // de-interleaving the full key recovers the point (bijectivity)
+      val key = z(x, y)
+      val tile0 = Layout.bucketTile(key, 16, 2, 32, hilbert = false)
+      assert(tile0 == Seq((x, x), (y, y)))
+      // coarser prefixes nest: the 6-bit tile contains the 8-bit tile
+      val t6 = Layout.bucketTile(key >> 26, 16, 2, 6, hilbert = false)
+      val t8 = Layout.bucketTile(key >> 24, 16, 2, 8, hilbert = false)
+      (t6 zip t8).foreach { case ((lo6, hi6), (lo8, hi8)) =>
+        assert(lo6 <= lo8 && hi8 <= hi6, "finer tile must nest inside coarser")
+      }
+      // hilbert: d2xy inverts xy2d at full order
+      val d = HilbertIndex2dExpr.compute(16, x, y)
+      assert(Layout.hilbertD2xy(16, d) == ((x, y)))
+    }
+  }
+
+  test("url normalization: idempotent and query/fragment-insensitive (driver-side strings via one job)") {
+    import graft.functions.UrlFunctions
+    val hostGen = for {
+      h <- Gen.oneOf("Ex.COM", "www.site.org", "A.b.C.io")
+      p <- Gen.oneOf("", ":443", ":80", ":8080")
+      path <- Gen.oneOf("", "/", "/a", "/a//b/", "/A/B//C")
+      q <- Gen.oneOf("", "?id=1", "?utm_source=x&id=2")
+      f <- Gen.oneOf("", "#frag")
+    } yield s"https://$h$p$path$q$f"
+    val urls = (0 until 12).map(i =>
+      hostGen.pureApply(Gen.Parameters.default, Seed(4000L + i)))
+    val once = urls.toDF("u").select(UrlFunctions.normalizeUrl($"u")).as[String].collect().toSeq
+    val twice = once.toDF("u").select(UrlFunctions.normalizeUrl($"u")).as[String].collect().toSeq
+    assert(twice == once, "normalization must be idempotent")
+    // stripping query+fragment BEFORE normalizing changes nothing
+    val preStripped = urls.map(_.takeWhile(c => c != '?' && c != '#'))
+      .toDF("u").select(UrlFunctions.normalizeUrl($"u")).as[String].collect().toSeq
+    assert(preStripped == once, "query/fragment must not affect the canonical URL")
+  }
+
   test("upsert merge: replay of the same batch is always a no-op") {
     forAllSampled2(rowsGen, rowsGen) { (tRows, cRows) =>
       if (tRows.nonEmpty && cRows.nonEmpty) {
