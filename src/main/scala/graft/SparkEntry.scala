@@ -1591,6 +1591,24 @@ object SparkEntry {
         .orderBy("bucket")
     }),
 
+    // shard manifest: the integrity artifact a 100 TB training run writes
+    // next to its shards — per shard: doc count, token mass, position
+    // density (max pos == count proves no gaps), and a modular fingerprint
+    // checksum so a reader can verify a shard without rescanning the
+    // corpus. One hash exchange (the shard layout's own), bounded output.
+    "doc_shard_manifest" -> ((s, dir) => {
+      val sharded = Sampling.shuffleAssign(
+        t(s, dir, "documents").select(col("doc_id"), col("text")),
+        col("doc_id"), shards = 8)
+      sharded.groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          max(col("pos")).as("max_pos"),
+          sum(length(col("text")).cast("long")).as("n_chars"),
+          sum(pmod(TextFunctions.md5Hash60(col("text")), lit(2147483648L)))
+            .as("checksum"))
+        .orderBy(col("shard"))
+    }),
+
     // Unicode-script profile (multilingual routing): the corpus is Latin-
     // script, so deterministic non-Latin snippets are appended by doc_id%4
     // (inject SQL shared VERBATIM — same UTF-8 literal bytes both engines);
@@ -3173,6 +3191,25 @@ object SparkEntry {
            |            ELSE CAST(0 AS BIGINT) END AS blocked
            |FROM n GROUP BY host ORDER BY host""".stripMargin
       },
+
+      // replays the shard hash, the per-shard window, and the modular
+      // fingerprint checksum (60-bit md5 prefix % 2^31 keeps the sum exact
+      // in a signed BIGINT on both engines)
+      "doc_shard_manifest" ->
+        s"""WITH h AS (SELECT doc_id, text,
+           |        md5(CAST(doc_id AS VARCHAR)) AS hx FROM documents),
+           |a AS (SELECT doc_id, text,
+           |        CAST(CAST('0x' || substr(hx, 1, 4) AS INT) % 8 AS BIGINT) AS shard,
+           |        CAST(row_number() OVER (
+           |          PARTITION BY CAST('0x' || substr(hx, 1, 4) AS INT) % 8
+           |          ORDER BY hx, doc_id) AS BIGINT) AS pos
+           |      FROM h)
+           |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+           |       max(pos) AS max_pos,
+           |       CAST(sum(length(text)) AS BIGINT) AS n_chars,
+           |       CAST(sum(CAST('0x' || substr(md5(text), 1, 15) AS UBIGINT)
+           |                % 2147483648) AS BIGINT) AS checksum
+           |FROM a GROUP BY shard ORDER BY shard""".stripMargin,
 
       // same \x{...} range classes, interpolated from ScriptProfile.Scripts
       "text_script_profile" ->

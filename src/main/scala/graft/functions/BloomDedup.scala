@@ -57,6 +57,12 @@ object BloomDedup {
     * candidate sliver only. Output = incoming rows whose `keyCol` does not
     * occur in `corpus` — bit-identical to the plain anti-join, minus the
     * shuffle of every definitely-new incoming row.
+    *
+    * Plan note: the union's two branches each read `incoming`, so a caller
+    * whose incoming frame is expensive to derive should pass a slim
+    * cached/localCheckpointed (id, key) projection (the engine's standard
+    * device for multi-branch funnels) — the probe itself is pure map-side
+    * either way.
     */
   def newKeysExact(incoming: DataFrame, corpus: DataFrame, keyCol: String,
                    filter: BloomFilter): DataFrame = {

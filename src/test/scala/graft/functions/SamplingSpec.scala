@@ -102,6 +102,24 @@ class SamplingSpec extends SparkSpec {
     assert(adjacentIds < rows.length / 10, s"$adjacentIds id-adjacent neighbors")
   }
 
+  test("shard-manifest checksum detects a single changed document") {
+    def manifest(d: org.apache.spark.sql.DataFrame) =
+      Sampling.shuffleAssign(d, col("doc_id"), shards = 4)
+        .groupBy(col("shard"))
+        .agg(sum(pmod(TextFunctions.md5Hash60(col("text")), lit(2147483648L)))
+          .as("checksum"))
+        .as[(Long, Long)].collect().toMap
+    val base = manifest(docs)
+    val tampered = manifest(docs.withColumn("text",
+      when(col("doc_id") === 7L, lit("tampered")).otherwise(col("text"))))
+    val changedShard = Sampling.shuffleAssign(docs.filter(col("doc_id") === 7L),
+      col("doc_id"), shards = 4).select(col("shard")).as[Long].head()
+    assert(base(changedShard) != tampered(changedShard),
+      "the tampered shard's checksum must move")
+    assert((base - changedShard) == (tampered - changedShard),
+      "untouched shards' checksums must not move")
+  }
+
   test("mixtureSample applies per-group rates with default for unlisted") {
     val out = Sampling.mixtureSample(docs, col("doc_id"), col("source"),
       Map("src0" -> 1.0, "src1" -> 0.0), defaultRate = 0.5)
