@@ -137,7 +137,16 @@ object Bench {
         nprobe = 32, maxCentroids = 64)).intersect(exact).size.toDouble / exact.size
       val lsh = pairs(VectorSimilarity.lshTopK(emb, queries, 5,
         nbits = 4, dim = 64, tables = 16)).intersect(exact).size.toDouble / exact.size
-      System.err.println(f"[bench] ann_recall@5 ivf=$ivf%.3f lsh=$lsh%.3f (sf=$sfDir)")
+      val qArr = queries
+        .select(col("vec_id"), col("embedding").cast("array<float>"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+      val model = graft.functions.ProductQuantization.train(
+        emb, "vec_id", "embedding", dim = 64)
+      val pq = pairs(graft.functions.ProductQuantization.topK(
+        emb, qArr, 5, model, "vec_id", "embedding"))
+        .intersect(exact).size.toDouble / exact.size
+      System.err.println(
+        f"[bench] ann_recall@5 ivf=$ivf%.3f lsh=$lsh%.3f pq=$pq%.3f (sf=$sfDir)")
       resetState()
     } catch {
       case e: Throwable => System.err.println(s"[bench] ann_recall measurement failed: $e")

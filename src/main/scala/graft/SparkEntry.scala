@@ -1376,6 +1376,22 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rnk"))
     }),
 
+    // product-quantized approximate top-k (rows-only check, like IVF/LSH):
+    // 256 B vectors → 8 B codes (the memory-scale ANN path), ADC-scored
+    // against the query batch, exact-re-ranked within the shortlist.
+    // Recall floor lives in AnnRecallSpec; Bench logs it per round.
+    "ann_pq_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id"), col("embedding").cast("array<float>"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+        .sortBy(_._1)
+      val model = ProductQuantization.train(emb, "vec_id", "embedding", dim = 64)
+      ProductQuantization.topK(emb, queries, k = 5, model, "vec_id", "embedding")
+        .withColumnRenamed("rank", "rnk")
+        .orderBy(col("query_id"), col("rnk"))
+    }),
+
     // exact cosine threshold self-join (embedding near-dup detection)
     "vec_threshold_join" -> ((s, dir) => {
       VectorSimilarity.thresholdJoin(

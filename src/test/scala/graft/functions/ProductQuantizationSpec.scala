@@ -1,0 +1,96 @@
+package graft.functions
+
+import graft.SparkSpec
+import graft.functions.expressions.PqAdcScoresExpr
+import org.apache.spark.sql.functions._
+
+/** PQ contracts: recall floor against the exact top-k, encode determinism /
+  * shape / norm-invariance, ADC-equals-table-sum, and the compression
+  * arithmetic the module exists for.
+  */
+class ProductQuantizationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+  private lazy val model = ProductQuantization.train(emb, "vec_id", "embedding", 64)
+
+  test("recall@5 floor vs the exact answer (regression guard)") {
+    // measured 1.000 here (shortlist 64) and 0.880 at sf0.1 — the floor
+    // sits under the sf0.001 value; losing the in-kernel normalization or
+    // the self-exclusion re-rank fails this hard (both measured ~0.8)
+    val queries = emb.filter(col("vec_id") < 30)
+    val exact = VectorSimilarity.bruteForceTopK(emb, queries, 5)
+      .select("query_id", "corpus_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val qArr = queries.select(col("vec_id"), col("embedding").cast("array<float>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+    val got = ProductQuantization.topK(emb, qArr, 5, model, "vec_id", "embedding")
+      .select("query_id", "corpus_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = got.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.95, s"pq recall@5 degraded to $recall")
+  }
+
+  test("encode: m bytes, deterministic, scale-invariant (unit-normalized in kernel)") {
+    val rows = emb.limit(50)
+      .select(col("embedding").cast("array<float>").as("v"))
+      .withColumn("v2", transform(col("v"), x => x * lit(2.0f)))
+      .select(ProductQuantization.encode(model, col("v")).as("c1"),
+        ProductQuantization.encode(model, col("v")).as("c1b"),
+        ProductQuantization.encode(model, col("v2")).as("c2"))
+      .collect()
+    rows.foreach { r =>
+      val (c1, c1b, c2) = (r.getAs[Array[Byte]](0), r.getAs[Array[Byte]](1), r.getAs[Array[Byte]](2))
+      assert(c1.length == 8)
+      assert(c1.toSeq == c1b.toSeq, "encode must be deterministic")
+      assert(c1.toSeq == c2.toSeq, "scaling a vector must not change its code")
+    }
+  }
+
+  test("ADC score equals the manual table sum; approximates the true dot") {
+    val q = emb.filter(col("vec_id") === 3L)
+      .select(col("embedding").cast("array<float>")).head().getSeq[Float](0).toArray
+    val sample = emb.filter(col("vec_id").between(100, 140))
+      .select(col("vec_id"),
+        ProductQuantization.encode(model, col("embedding").cast("array<float>")).as("c"),
+        ProductQuantization.adcScores(model, Array(q),
+          ProductQuantization.encode(model, col("embedding").cast("array<float>"))).as("s"),
+        round(VectorSimilarity.cosine(col("embedding"),
+          typedLit(q.toSeq)), 6).as("cos"))
+      .collect()
+    // rebuild the table driver-side and verify every ADC score, then check
+    // the approximation tracks the true cosine (unit q, unit-coded corpus)
+    var errSum = 0.0
+    sample.foreach { r =>
+      val codes = r.getAs[Array[Byte]]("c")
+      val adc = r.getSeq[Double](2).head
+      val again = PqAdcScoresExpr.compute(codes,
+        adcTable(model, q), 1, model.m, model.k).toDoubleArray()(0)
+      assert(math.abs(adc - again) < 1e-9, "ADC must equal the table sum")
+      errSum += math.abs(adc - r.getDouble(3))
+    }
+    assert(errSum / sample.length < 0.15,
+      s"mean |ADC - cosine| ${errSum / sample.length} too large to rank with")
+  }
+
+  private def adcTable(m: ProductQuantization.PqModel, qRaw: Array[Float]): Array[Float] = {
+    val q = {
+      val n = math.sqrt(qRaw.map(x => x.toDouble * x).sum)
+      if (n == 0) qRaw else qRaw.map(x => (x / n).toFloat)
+    }
+    val t = new Array[Float](m.m * m.k)
+    for (mi <- 0 until m.m; c <- 0 until m.k) {
+      var s = 0.0
+      for (j <- 0 until m.subDim)
+        s += q(mi * m.subDim + j).toDouble * m.flat((mi * m.k + c) * m.subDim + j)
+      t(mi * m.k + c) = s.toFloat
+    }
+    t
+  }
+
+  test("training is deterministic; the code footprint is 32x smaller than the vectors") {
+    val m2 = ProductQuantization.train(emb, "vec_id", "embedding", 64)
+    assert(model.flat.toSeq == m2.flat.toSeq, "same corpus -> same codebooks")
+    assert(model.m * 1 == 8 && 64 * 4 / model.m == 32, "256 B -> 8 B per vector")
+  }
+}
