@@ -1607,6 +1607,23 @@ object SparkEntry {
         .orderBy("bucket")
     }),
 
+    // the WEB-corpus composition: raw crawl payloads (markup-wrapped text +
+    // synthetic URLs, both inject SQLs shared verbatim) through
+    // strip → NFC → blocklist → canonical-URL dedup → quality gate →
+    // fingerprint dedup → split, one prepare() call — the oracle replays
+    // every stage
+    "corpus_prepare_web" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("text", expr(htmlInjectSql))
+        .withColumn("url", expr(urlInjectSql))
+      CorpusPipeline.prepare(docs, CorpusPipeline.Config(
+        stripHtml = true, nfcNormalize = true,
+        urlCol = Some("url"), blockedHosts = urlBlocklist,
+        nearDupThreshold = None, decontamThreshold = None))
+        .select(col("doc_id"), col("split"))
+        .orderBy(col("doc_id"))
+    }),
+
     // shard manifest: the integrity artifact a 100 TB training run writes
     // next to its shards — per shard: doc count, token mass, position
     // density (max pos == count proves no gaps), and a modular fingerprint
@@ -3206,6 +3223,49 @@ object SparkEntry {
            |       CASE WHEN host IN ($blocklist) THEN CAST(1 AS BIGINT)
            |            ELSE CAST(0 AS BIGINT) END AS blocked
            |FROM n GROUP BY host ORDER BY host""".stripMargin
+      },
+
+      // replays the full web composition: strip chain + nfc_normalize +
+      // host blocklist + canonical-URL keep-first + the same gate/dedup/
+      // split CTEs as corpus_prepare, over the cleaned text
+      "corpus_prepare_web" -> {
+        val strip = HtmlStrip.stripHtmlDuck("html")
+        val host = UrlFunctions.urlHostDuck("url")
+        val urlNorm = UrlFunctions.normalizeUrlDuck("url")
+        val blocklist = urlBlocklist.map(h => s"'$h'").mkString(", ")
+        s"""WITH inj AS (SELECT doc_id, source, $htmlInjectSql AS html,
+           |                    $urlInjectSql AS url FROM documents),
+           |cleaned AS (SELECT doc_id, source, url,
+           |              nfc_normalize($strip) AS text FROM inj),
+           |nb AS (SELECT * FROM cleaned WHERE $host NOT IN ($blocklist)),
+           |ukeep AS (SELECT min(doc_id) AS doc_id FROM nb GROUP BY $urlNorm),
+           |u AS (SELECT nb.* FROM nb JOIN ukeep USING (doc_id)),
+           |base AS (
+           |  SELECT doc_id, source, $normText AS norm,
+           |    length(text) AS nc,
+           |    CASE WHEN length(text) = 0 THEN 0.0
+           |         ELSE len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) * 1.0 / length(text) END AS p,
+           |    CASE WHEN length(text) = 0 THEN 0.0
+           |         ELSE len(regexp_extract_all(text, '[0-9]')) * 1.0 / length(text) END AS d,
+           |    CASE WHEN length(trim(text)) = 0 THEN 0.0
+           |         ELSE length(regexp_replace(text, '\\s+', '', 'g')) * 1.0
+           |              / len(regexp_split_to_array(trim(text), '\\s+')) END AS m,
+           |    len(regexp_extract_all(lower(text), '$stopEn')) AS h_en,
+           |    len(regexp_extract_all(lower(text), '$stopDe')) AS h_de,
+           |    len(regexp_extract_all(lower(text), '$stopFr')) AS h_fr,
+           |    len(regexp_extract_all(lower(text), '$stopEs')) AS h_es
+           |  FROM u),
+           |q AS (SELECT * FROM base
+           |      WHERE greatest(h_en, h_de, h_fr, h_es) > 0
+           |        AND nc BETWEEN 20 AND 20000 AND p < 0.2
+           |        AND m BETWEEN 2.0 AND 12.0 AND d < 0.25),
+           |keep AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY md5(norm))
+           |SELECT q.doc_id,
+           |    CASE WHEN substr(md5(CAST(q.doc_id AS VARCHAR)), 1, 4) < '${Sampling.thresholdHex(0.05)}' THEN 'test'
+           |         WHEN substr(md5(CAST(q.doc_id AS VARCHAR)), 1, 4) < '${Sampling.thresholdHex(0.10)}' THEN 'val'
+           |         ELSE 'train' END AS split
+           |FROM q JOIN keep USING (doc_id)
+           |ORDER BY doc_id""".stripMargin
       },
 
       // replays the shard hash, the per-shard window, and the modular
