@@ -69,6 +69,25 @@ class BmffDemuxSpec extends SparkSpec {
     assert(!frames.flatMap(_.getAs[Array[Byte]]("frame")).contains(99.toByte))
   }
 
+  test("fuzz: random bytes never throw; emitted boxes tile the input in order") {
+    val rnd = new scala.util.Random(1234) // seeded: deterministic fuzz corpus
+    for (_ <- 0 until 200) {
+      val n = rnd.nextInt(64)
+      val bytes = Array.fill(n)(rnd.nextInt(256).toByte)
+      val boxes = Multimodal.parseBoxes(bytes) // must not throw
+      // top-level boxes are in offset order, within bounds, non-overlapping
+      val top = boxes.filter(_._4 == 0)
+      top.foldLeft(0L) { case (pos, (_, off, size, _)) =>
+        assert(off >= pos && off + size <= n || size == 0,
+          s"box at $off size $size escapes [$pos, $n)")
+        off + size
+      }
+      // an _err box, when present at top level, is terminal
+      val errIdx = top.indexWhere(_._1 == "_err")
+      if (errIdx >= 0) assert(errIdx == top.length - 1, "_err must be terminal")
+    }
+  }
+
   test("demuxBoxes DataFrame stage matches the direct walk row-for-row") {
     val docs = spark.read.parquet(s"$sf/documents.parquet").limit(50)
     val media = Multimodal.synthesizeBmff(docs, "doc_id")

@@ -139,6 +139,34 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("real parquet footers: every layout file is min/max-skippable on BOTH dims") {
+    import graft.tools.FooterStats
+    val dir = java.nio.file.Files.createTempDirectory("layoutfooter").toString
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select($"l_orderkey", $"l_partkey", $"l_suppkey")
+    Layout.layoutWrite2d(li, "l_partkey", "l_suppkey", 16, 6, dir)
+    // raw-unit tile width: 3 prefix bits per dim -> span/8 (+1 rounding)
+    val b = li.agg(max("l_partkey") - min("l_partkey"),
+      max("l_suppkey") - min("l_suppkey")).as[(Long, Long)].collect().head
+    val (pTile, sTile) = (b._1 / 8 + 2, b._2 / 8 + 2)
+    val pStats = FooterStats.int64ColumnBounds(dir, "l_partkey")
+    val sStats = FooterStats.int64ColumnBounds(dir, "l_suppkey")
+    assert(pStats.nonEmpty && sStats.nonEmpty, "footers must be readable")
+    pStats.foreach { case (f, mn, mx, _, _) =>
+      assert(mx - mn <= pTile, s"$f partkey range ${mx - mn} exceeds the tile $pTile")
+    }
+    sStats.foreach { case (f, mn, mx, _, _) =>
+      assert(mx - mn <= sTile, s"$f suppkey range ${mx - mn} exceeds the tile $sTile")
+    }
+    // control: the same data written WITHOUT the layout leaves suppkey
+    // unskippable (some file spans nearly the full range)
+    val ctlDir = java.nio.file.Files.createTempDirectory("layoutctl").toString
+    li.repartition(8).write.mode("overwrite").parquet(ctlDir)
+    val ctl = FooterStats.int64ColumnBounds(ctlDir, "l_suppkey")
+    assert(ctl.exists { case (_, mn, mx, _, _) => mx - mn > sTile * 2 },
+      "control files should be wide on suppkey for this proof to mean anything")
+  }
+
   test("scaledSql: constant column scales to 0; extremes hit the grid edges") {
     val df = Seq((5L, 5L, 1L, 0L, 100L, 100L), (105L, 5L, 100L, 100L, 100L, 100L))
       .toDF("v", "vmin", "vspan", "expect", "cmin", "cspan")
