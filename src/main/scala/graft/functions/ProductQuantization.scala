@@ -138,6 +138,73 @@ object ProductQuantization {
       tables, q, model.m, model.k))
   }
 
+  /** IVF-PQ: the production ANN combination — the IVF coarse codebook
+    * routes each query to `nprobe` cells (bounding the SCAN), the PQ codes
+    * score the met candidates via ADC (bounding the FOOTPRINT: cells hold
+    * 8-byte codes, not vectors), then the exact cosine re-rank runs only
+    * on the per-query shortlist. Against plain [[topK]] the full-corpus
+    * ADC pass becomes a cells-only pass; against `ivfTopK` the per-
+    * candidate cost drops from dim multiplies to m lookups and the state
+    * that must live near the scan shrinks 32×.
+    */
+  def ivfPqTopK(corpus: DataFrame, queries: Array[(Long, Array[Float])],
+                k: Int, model: PqModel, coarseCodebook: Array[Array[Float]],
+                nprobe: Int, idCol: String, vecCol: String,
+                shortlist: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.graft.{ColumnBridge => EU}
+    require(queries.nonEmpty, "need at least one query")
+    def cells(vec: Column, n: Int): Column =
+      EU.column(graft.functions.expressions.NearestCentroidsExpr(
+        EU.expression(vec), coarseCodebook, n))
+    val coded = corpus.select(col(idCol).as("corpus_id"),
+      col(vecCol).cast("array<float>").as("__v"))
+      .withColumn("cell", element_at(cells(col("__v"), 1), 1))
+      .withColumn("__codes", encode(model, col("__v")))
+    // queries are driver-side: route them to cells driver-side too (the
+    // coarse codebook is already here), ship (qi, cell) as a literal frame
+    val probeRows = queries.zipWithIndex.flatMap { case ((_, v), qi) =>
+      nearestCells(coarseCodebook, unit(v.padTo(model.dim, 0.0f)), nprobe)
+        .map(c => (qi, c))
+    }.toSeq
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val probes = probeRows.toDF("__qi", "cell")
+    val met = coded.join(broadcast(probes), Seq("cell"))
+    val scored = met
+      .withColumn("__adcAll", adcScores(model, queries.map(_._2), col("__codes")))
+      .withColumn("__s", element_at(col("__adcAll"), col("__qi") + 1))
+    val w = Window.partitionBy(col("__qi")).orderBy(col("__s").desc, col("corpus_id"))
+    val short = scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= shortlist)
+    val qDf = queries.zipWithIndex.map { case ((qid, v), i) =>
+      (i, qid, unit(v.padTo(model.dim, 0.0f))) }.toSeq
+    val qCol = map(qDf.flatMap { case (i, _, v) => Seq(lit(i), typedLit(v.toSeq)) }: _*)
+    val qIds = map(qDf.flatMap { case (i, qid, _) => Seq(lit(i), lit(qid)) }: _*)
+    val exact = short
+      .withColumn("__qv", element_at(qCol, col("__qi")))
+      .withColumn("query_id", element_at(qIds, col("__qi")))
+      .filter(col("corpus_id") =!= col("query_id"))
+      .withColumn("cosine", round(VectorSimilarity.cosine(col("__qv"), col("__v")), 6))
+    val w2 = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("corpus_id"))
+    exact.withColumn("rank", row_number().over(w2))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("corpus_id"), col("cosine"))
+  }
+
+  /** Driver-side mirror of the NearestCentroids routing (dot-product order,
+    * ties → lower index) for the already-collected query batch.
+    */
+  private def nearestCells(codebook: Array[Array[Float]], q: Array[Float],
+                           n: Int): Seq[Int] =
+    codebook.zipWithIndex.map { case (c, i) =>
+      var s = 0.0; var j = 0
+      val d = math.min(c.length, q.length)
+      while (j < d) { s += q(j).toDouble * c(j); j += 1 }
+      (-s, i)
+    }.sorted.take(n).map(_._2).toSeq
+
   /** PQ top-k: encode the corpus once (map-side), ADC-score every code
     * against the query batch, take an ADC shortlist of `shortlist` per
     * query, then EXACT-re-rank the shortlist by true cosine (one small
