@@ -130,6 +130,36 @@ class PlanPostureSpec extends SparkSpec {
     ("q12_priority_shipping", "lineitem", 6),
     ("q4_order_priority", "orders", 4))
 
+  // Pruning-only probes (no filter to push, but the scan must still read
+  // just the columns the query touches): the round-11 map-side queries
+  // project 1-2 documents/lineitem columns — a scan reading all of them
+  // would be the brief's anti-pattern hiding behind a cheap query.
+  private val pruningProbes = Seq(
+    ("mm_container_demux", "documents", 1),   // doc_id only
+    ("doc_nfc_normalize", "documents", 2),    // doc_id, text
+    ("doc_html_strip", "documents", 2),
+    ("text_script_profile", "documents", 2),
+    ("layout_zorder", "lineitem", 2),         // l_partkey, l_suppkey
+    ("layout_hilbert", "lineitem", 2))
+
+  for ((name, table, maxCols) <- pruningProbes) {
+    test(s"$name: $table scan reads at most $maxCols columns") {
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      df.write.format("noop").mode("overwrite").save()
+      val scans = collectNodes(df.queryExecution.executedPlan)
+        .collect {
+          case s: org.apache.spark.sql.execution.FileSourceScanExec
+            if s.relation.location.rootPaths.exists(_.toString.contains(table)) => s
+        }
+      assert(scans.nonEmpty, s"no parquet scan of $table in the plan")
+      scans.foreach { s =>
+        assert(s.requiredSchema.size <= maxCols,
+          s"$table scan reads ${s.requiredSchema.size} columns " +
+            s"(${s.requiredSchema.fieldNames.mkString(",")}); pruning regressed")
+      }
+    }
+  }
+
   for ((name, table, maxCols) <- pushdownProbes) {
     test(s"$name: filters pushed to the $table scan; columns pruned") {
       val df = SparkEntry.queries(name)(spark, sfDir)
