@@ -1607,6 +1607,23 @@ object SparkEntry {
         .orderBy("bucket")
     }),
 
+    // salted skew join: events (user_id is the skewed fact key) against a
+    // per-user dimension built as an aggregate — the salt is INVISIBLE in
+    // the result (it only spreads hot keys over `factor` tasks), so the
+    // oracle replays the plain join + aggregation
+    "q_skew_salted_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val userDim = ev.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"), round(avg(col("value")), 4).as("avg_value"))
+      SkewJoin.saltedJoin(
+        ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id"), col("value")),
+        userDim, key = "user_id", rowId = "event_id", factor = 8)
+        .select(col("event_id"), col("user_id"),
+          round(col("value"), 4).as("value"), col("n_events"), col("avg_value"))
+        .orderBy(col("event_id"))
+    }),
+
     // the WEB-corpus composition: raw crawl payloads (markup-wrapped text +
     // synthetic URLs, both inject SQLs shared verbatim) through
     // strip → NFC → blocklist → canonical-URL dedup → quality gate →
@@ -3224,6 +3241,17 @@ object SparkEntry {
            |            ELSE CAST(0 AS BIGINT) END AS blocked
            |FROM n GROUP BY host ORDER BY host""".stripMargin
       },
+
+      // the salt is invisible in the result: plain join + agg replay
+      "q_skew_salted_join" ->
+        """WITH dim AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+          |               round(avg(value), 4) AS avg_value
+          |             FROM events GROUP BY user_id)
+          |SELECT e.event_id, e.user_id, round(e.value, 4) AS value,
+          |       d.n_events, d.avg_value
+          |FROM events e JOIN dim d ON e.user_id = d.user_id
+          |WHERE e.event_type = 'purchase'
+          |ORDER BY e.event_id""".stripMargin,
 
       // replays the full web composition: strip chain + nfc_normalize +
       // host blocklist + canonical-URL keep-first + the same gate/dedup/
