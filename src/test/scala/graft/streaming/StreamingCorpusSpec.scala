@@ -166,6 +166,44 @@ class StreamingCorpusSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  // PQ encoding and ADC scoring are stateless Columns once the model is
+  // trained batch-side (the frozen-model deployment, same trade as the
+  // frozen DSIR table / Bloom probe): a stream of new embeddings encodes
+  // and scores identically to batch, row by row, no state store.
+  test("frozen-model PQ encode + ADC score run identically under streaming") {
+    import graft.functions.ProductQuantization
+    implicit val sqlCtx = spark.sqlContext
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val model = ProductQuantization.train(emb, "vec_id", "embedding", 64)
+    val q = emb.filter(col("vec_id") === 5L)
+      .select(col("embedding").cast("array<float>")).head().getSeq[Float](0).toArray
+    val rows = emb.filter($"vec_id".between(200, 220))
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+      .as[VecRow].collect().toSeq
+    def stage(df: DataFrame): DataFrame = df
+      .select($"vec_id",
+        ProductQuantization.encode(model, $"embedding").as("codes"),
+        element_at(ProductQuantization.adcScores(model, Array(q),
+          ProductQuantization.encode(model, $"embedding")), 1).as("score"))
+    val input = MemoryStream[VecRow]
+    val sq = stage(input.toDS().toDF())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("pq_stream_out")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("pqckpt").toString)
+      .start()
+    try {
+      input.addData(rows: _*)
+      sq.processAllAvailable()
+      val streamed = spark.table("pq_stream_out")
+        .collect().map(r => (r.getLong(0), r.getAs[Array[Byte]](1).toSeq, r.getDouble(2))).toSet
+      val batch = stage(rows.toDF().withColumnRenamed("embedding", "embedding"))
+        .collect().map(r => (r.getLong(0), r.getAs[Array[Byte]](1).toSeq, r.getDouble(2))).toSet
+      assert(streamed == batch)
+      assert(streamed.nonEmpty)
+    } finally sq.stop()
+  }
+
   // Budgeted mixtures are two-phase by nature: per-source token totals are
   // measured batch-side over the historical corpus (one bounded agg), and
   // the derived rates are a stateless per-key hash filter — so the SAME
