@@ -45,12 +45,16 @@ object BloomDedup {
     df.select(key.cast("long").as("__bloom_key"))
       .stat.bloomFilter("__bloom_key", expectedItems, fpp)
 
-  /** The filter as a plan-embeddable stateless predicate. */
+  /** The filter as a plan-embeddable stateless predicate. The key is
+    * widened to long to mirror [[buildLong]] — both the interpreted and
+    * codegen eval paths then accept any integral key type.
+    */
   def mightContain(filter: BloomFilter, key: Column): Column = {
     val out = new ByteArrayOutputStream()
     filter.writeTo(out)
     ExpressionUtils.column(
-      BloomMightContainExpr(ExpressionUtils.expression(key), out.toByteArray))
+      BloomMightContainExpr(ExpressionUtils.expression(key.cast("long")),
+        out.toByteArray))
   }
 
   /** EXACT new-key detection: Bloom prefilter + exact anti-join on the

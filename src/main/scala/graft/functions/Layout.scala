@@ -97,6 +97,8 @@ object Layout {
       min(yCol).cast("long"), max(yCol).cast("long")).head()
     val b = GridBounds2d(r.getLong(0), math.max(r.getLong(1) - r.getLong(0), 1L),
       r.getLong(2), math.max(r.getLong(3) - r.getLong(2), 1L))
+    requireScaleSafe(b.xSpan, bits, xCol)
+    requireScaleSafe(b.ySpan, bits, yCol)
     val zx = expr(scaledSql(xCol, b.xMin.toString, b.xSpan.toString, bits, duck = false))
     val zy = expr(scaledSql(yCol, b.yMin.toString, b.ySpan.toString, bits, duck = false))
     val key = if (hilbert) hilbertKey(bits, zx, zy) else zOrderKey(bits, zx, zy)
@@ -188,10 +190,25 @@ object Layout {
       tHi >= lo && tLo <= hi
     }
 
+  /** The scaled-grid math computes `(v - min) * (2^bits - 1)` BEFORE the
+    * integer divide, in 64-bit — a wide-span column (epoch microseconds:
+    * span ~1e15) with bits=16 overflows and wraps IDENTICALLY in both
+    * engines, so the oracle cannot catch it. Rejected up front instead:
+    * span · (2^bits − 1) must fit a long. (Wide domains: pre-bucket the
+    * column — e.g. microseconds → seconds — before layout.)
+    */
+  private[graft] def requireScaleSafe(span: Long, bits: Int, col: String): Unit = {
+    val m = (1L << bits) - 1
+    require(span <= Long.MaxValue / m,
+      s"layout scaling of '$col' would overflow: span=$span * (2^$bits-1)=$m " +
+        "exceeds Long range — reduce bits or pre-bucket the column")
+  }
+
   /** Driver-side mirror of [[scaledSql]] — maps a raw predicate constant
     * onto the grid so [[bucketsForRange]] can route it.
     */
   def scaleValue(v: Long, min: Long, span: Long, bits: Int): Long = {
+    requireScaleSafe(span, bits, "scaleValue")
     val m = (1L << bits) - 1
     val clamped = math.min(math.max(v, min), min + span)
     (clamped - min) * m / span

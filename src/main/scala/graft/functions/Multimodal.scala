@@ -519,9 +519,15 @@ object Multimodal {
       .flatMap { r =>
         val id = r.getLong(0)
         val bytes = if (r.isNullAt(1)) Array.empty[Byte] else r.getAs[Array[Byte]](1)
+        // Re-derive each mdat's header length: a largesize box (size32 == 1)
+        // carries a 16-byte header, and slicing a fixed 8 would leak the
+        // 8 largesize bytes into the first frame.
         val mdat = parseBoxes(bytes).collect {
-          case ("mdat", off, size, _) if size > 8 =>
-            java.util.Arrays.copyOfRange(bytes, off.toInt + 8, (off + size).toInt)
+          case ("mdat", off, size, _)
+              if size > (if (be32(bytes, off.toInt) == 1L) 16 else 8) =>
+            val headerLen = if (be32(bytes, off.toInt) == 1L) 16 else 8
+            java.util.Arrays.copyOfRange(bytes, off.toInt + headerLen,
+              (off + size).toInt)
         }
         val frames = mdat.iterator.flatMap(_.grouped(frameBytes)).zipWithIndex
         frames.collect { case (chunk, i) if i % everyN == 0 => Row(id, i, chunk) }

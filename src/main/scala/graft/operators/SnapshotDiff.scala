@@ -27,13 +27,19 @@ object SnapshotDiff {
     */
   def diff(oldSnap: DataFrame, newSnap: DataFrame, idCol: String,
            fingerprint: Column): DataFrame = {
-    val o = oldSnap.select(col(idCol), fingerprint.as("__fp_old"))
-    val n = newSnap.select(col(idCol), fingerprint.as("__fp_new"))
+    // Presence is carried explicitly (not inferred from fingerprint nullness):
+    // a key present on both sides with a NULL fingerprint (e.g. null text)
+    // must compare by presence, and two null fingerprints are "unchanged" —
+    // hence the null-safe <=> below.
+    val o = oldSnap.select(col(idCol), fingerprint.as("__fp_old"),
+      lit(true).as("__in_old"))
+    val n = newSnap.select(col(idCol), fingerprint.as("__fp_new"),
+      lit(true).as("__in_new"))
     o.join(n, Seq(idCol), "full_outer")
       .select(col(idCol),
-        when(col("__fp_old").isNull, lit("added"))
-          .when(col("__fp_new").isNull, lit("removed"))
-          .when(col("__fp_old") === col("__fp_new"), lit("unchanged"))
+        when(col("__in_old").isNull, lit("added"))
+          .when(col("__in_new").isNull, lit("removed"))
+          .when(col("__fp_old") <=> col("__fp_new"), lit("unchanged"))
           .otherwise(lit("changed")).as("status"))
   }
 }

@@ -26,6 +26,25 @@ class BloomDedupSpec extends SparkSpec {
     assert(missed == 0, s"$missed inserted keys probed false — contract broken")
   }
 
+  test("integer-typed probe key works in BOTH eval paths (widened like the build)") {
+    val longs = Seq(1L, 2L, 3L).toDF("k")
+    val f = BloomDedup.buildLong(longs, $"k", 3L, 0.01)
+    // codegen path over an IntegerType column — no false negatives
+    val ints = Seq(1, 2, 3).toDF("k")
+    assert(ints.filter(BloomDedup.mightContain(f, $"k")).count() == 3)
+    // interpreted path: eval the same shape mightContain builds — the probe
+    // widened to long over an int input (pre-fix the raw int key threw
+    // ClassCastException in nullSafeEval)
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Literal}
+    import org.apache.spark.sql.types.LongType
+    val out = new java.io.ByteArrayOutputStream()
+    f.writeTo(out)
+    val e = graft.functions.expressions.BloomMightContainExpr(
+      Cast(Literal(2), LongType), out.toByteArray)
+    assert(e.eval(InternalRow.empty) == true)
+  }
+
   test("exact mode is bit-identical to the plain anti-join") {
     val viaBloom = BloomDedup.newKeysExact(incoming, corpus, "fp", filter)
       .select($"doc_id").as[Long].collect().sorted.toSeq

@@ -69,6 +69,18 @@ class BmffDemuxSpec extends SparkSpec {
     assert(!frames.flatMap(_.getAs[Array[Byte]]("frame")).contains(99.toByte))
   }
 
+  test("sampleFramesDemuxed skips the 16-byte largesize header (no leak into frame 0)") {
+    val payload = Array.tabulate(4)(i => (i + 1).toByte)
+    val large = be32(1L) ++ "mdat".getBytes("US-ASCII") ++
+      Array[Byte](0, 0, 0, 0) ++ be32(16L + payload.length) ++ payload
+    val df = Seq((3L, large)).toDF("media_id", "payload")
+    val frames = Multimodal.sampleFramesDemuxed(df, frameBytes = 2, everyN = 1)
+      .orderBy($"frame_no").collect()
+    // the 8 largesize bytes are header, not content: frames are exactly [1,2][3,4]
+    assert(frames.map(r => r.getAs[Array[Byte]]("frame").toSeq).toSeq == Seq(
+      Seq[Byte](1, 2), Seq[Byte](3, 4)))
+  }
+
   test("fuzz: random bytes never throw; emitted boxes tile the input in order") {
     val rnd = new scala.util.Random(1234) // seeded: deterministic fuzz corpus
     for (_ <- 0 until 200) {

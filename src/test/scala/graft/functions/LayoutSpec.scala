@@ -177,4 +177,23 @@ class LayoutSpec extends SparkSpec {
     assert(got(0) == ((0L, 0L)), "v at min -> 0; constant column -> 0")
     assert(got(1)._1 == 65535L, "v at max -> 2^16-1")
   }
+
+  test("overflow guard: wide-span scaling is rejected up front, not silently wrapped") {
+    // span ~1e15 (epoch microseconds over ~30 years) at bits=16 overflows
+    // (v-min)*(2^16-1) in 64-bit — both engines would wrap identically, so
+    // the oracle can't catch it; the API must refuse instead.
+    val wideSpan = 1000000000000000L
+    intercept[IllegalArgumentException] {
+      Layout.scaleValue(wideSpan / 2, 0L, wideSpan, 16)
+    }
+    // the same span is fine at a coarser grid
+    assert(Layout.scaleValue(wideSpan / 2, 0L, wideSpan, 8) == 127L)
+    // and layoutWrite2d refuses before writing anything
+    import spark.implicits._
+    val df = Seq((0L, 0L), (wideSpan, 1L)).toDF("x", "y")
+    val dir = java.nio.file.Files.createTempDirectory("layoutovf").toString
+    intercept[IllegalArgumentException] {
+      Layout.layoutWrite2d(df, "x", "y", bits = 16, prefixBits = 4, dir)
+    }
+  }
 }

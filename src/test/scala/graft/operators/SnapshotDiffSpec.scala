@@ -26,6 +26,21 @@ class SnapshotDiffSpec extends SparkSpec {
     assert(got.keySet == Set("unchanged") && got("unchanged") == snap.count())
   }
 
+  test("null fingerprints: presence decides added/removed; null<=>null is unchanged") {
+    // id 1: both sides, both fingerprints null -> unchanged (not "changed")
+    // id 2: both sides, null -> value            -> changed
+    // id 3: only new side, null fingerprint      -> added (not misread as absent)
+    // id 4: only old side, null fingerprint      -> removed
+    val old = Seq((1L, Option.empty[String]), (2L, Option.empty[String]),
+      (4L, Option.empty[String])).toDF("id", "text")
+    val neu = Seq((1L, Option.empty[String]), (2L, Option("beta")),
+      (3L, Option.empty[String])).toDF("id", "text")
+    val got = SnapshotDiff.diff(old, neu, "id", md5($"text"))
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "added", 4L -> "removed"))
+  }
+
   test("merge-regression identity: applying the reconstructed feed reproduces today") {
     val docs = spark.read.parquet(s"$sf/documents.parquet").select($"doc_id", $"text")
     val yesterday = docs.filter($"doc_id" % 7 =!= 0)
