@@ -1392,6 +1392,27 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rnk"))
     }),
 
+    // exhaustive-probe IVF-PQ: with nprobe = ALL cells and the re-rank
+    // shortlist unbounded, the approximate path degenerates to exact top-k
+    // BY CONSTRUCTION — the whole routing/encode/ADC/re-rank plumbing runs
+    // end-to-end against the same hash-matching oracle as knn_cosine_topk
+    // (the approximate contracts stay covered by the rows-only ann_*
+    // queries and the AnnRecallSpec floors)
+    "ann_ivfpq_exhaustive" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val qArr = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id"), col("embedding").cast("array<float>"))
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+        .sortBy(_._1)
+      val model = ProductQuantization.train(emb, "vec_id", "embedding", dim = 64)
+      val coarse = VectorSimilarity.trainCoarseCodebook(emb, maxCentroids = 64)
+      ProductQuantization.ivfPqTopK(emb, qArr, k = 5, model, coarse,
+        nprobe = coarse.length, idCol = "vec_id", vecCol = "embedding",
+        shortlist = Int.MaxValue)
+        .withColumnRenamed("rank", "rnk")
+        .orderBy(col("query_id"), col("rnk"))
+    }),
+
     // exact cosine threshold self-join (embedding near-dup detection)
     "vec_threshold_join" -> ((s, dir) => {
       VectorSimilarity.thresholdJoin(
@@ -3111,6 +3132,20 @@ object SparkEntry {
           |ORDER BY n DESC, token""".stripMargin,
 
       "knn_cosine_topk" ->
+        """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+          |           FROM embeddings WHERE vec_id < 10),
+          |c AS (SELECT vec_id AS corpus_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+          |s AS (SELECT query_id, corpus_id,
+          |        round(list_cosine_similarity(cv, qv), 6) AS cosine
+          |      FROM c CROSS JOIN q WHERE corpus_id != query_id)
+          |SELECT query_id, corpus_id, cosine, CAST(rn AS BIGINT) AS rnk
+          |FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id) AS rn FROM s)
+          |WHERE rn <= 5
+          |ORDER BY query_id, rnk""".stripMargin,
+
+      // exhaustive-probe IVF-PQ == exact top-k by construction, so it
+      // shares the brute-force oracle text
+      "ann_ivfpq_exhaustive" ->
         """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
           |           FROM embeddings WHERE vec_id < 10),
           |c AS (SELECT vec_id AS corpus_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),

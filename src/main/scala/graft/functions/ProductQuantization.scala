@@ -177,8 +177,11 @@ object ProductQuantization {
     val w = Window.partitionBy(col("__qi")).orderBy(col("__s").desc, col("corpus_id"))
     val short = scored.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= shortlist)
+    // RAW query vectors in the exact re-rank (cosine is normalization-
+    // invariant): the arithmetic is then bit-identical to bruteForceTopK's,
+    // so an exhaustive-probe configuration hash-matches the exact oracle
     val qDf = queries.zipWithIndex.map { case ((qid, v), i) =>
-      (i, qid, unit(v.padTo(model.dim, 0.0f))) }.toSeq
+      (i, qid, v.padTo(model.dim, 0.0f)) }.toSeq
     val qCol = map(qDf.flatMap { case (i, _, v) => Seq(lit(i), typedLit(v.toSeq)) }: _*)
     val qIds = map(qDf.flatMap { case (i, qid, _) => Seq(lit(i), lit(qid)) }: _*)
     val exact = short
@@ -224,7 +227,8 @@ object ProductQuantization {
     val w = Window.partitionBy(col("__qi")).orderBy(col("__s").desc, col("corpus_id"))
     val short = scored.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") <= shortlist)
-    val qDf = queries.zipWithIndex.map { case ((qid, v), i) => (i, qid, unit(v.padTo(model.dim, 0.0f))) }
+    // raw query vectors, same reason as in ivfPqTopK: exact-oracle parity
+    val qDf = queries.zipWithIndex.map { case ((qid, v), i) => (i, qid, v.padTo(model.dim, 0.0f)) }
       .toSeq
     val qCol = map(qDf.flatMap { case (i, _, v) =>
       Seq(lit(i), typedLit(v.toSeq))

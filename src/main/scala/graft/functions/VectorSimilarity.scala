@@ -445,6 +445,18 @@ object VectorSimilarity {
     * codebook is ~1 MB at the 4096 × 64-dim default. Returned in id order
     * for a reproducible centroid indexing.
     */
+  /** Public coarse-codebook trainer: the sampled + Lloyd-refined codebook
+    * [[ivfTopK]] builds internally, for callers that need the codebook
+    * itself (IVF-PQ routing, cell diagnostics). Deterministic; ≤
+    * `maxCentroids` centroids at any corpus size.
+    */
+  def trainCoarseCodebook(corpus: DataFrame, maxCentroids: Int,
+                          idCol: String = "vec_id", vecCol: String = "embedding",
+                          refineIters: Int = 3,
+                          refineSampleRows: Int = 32768): Array[Array[Float]] =
+    refineCodebook(corpus, sampleCodebook(corpus, maxCentroids, idCol, vecCol),
+      refineIters, refineSampleRows, idCol, vecCol)
+
   private[functions] def sampleCodebook(corpus: DataFrame, maxCentroids: Int,
                                         idCol: String, vecCol: String): Array[Array[Float]] =
     corpus.select(col(idCol).as("__id"), col(vecCol).cast("array<float>").as("__v"))
