@@ -1500,6 +1500,19 @@ object SparkEntry {
         .orderBy(col("media_id"))
     }),
 
+    // multimodal: REAL javax.sound.sampled decode — synthesized RIFF/WAVE
+    // PCM16 fixtures (sample count + values derive arithmetically from
+    // doc_id, PCM is lossless) flow through the partition-mapped audio
+    // decode stage; the oracle replays every decoded statistic from doc_id
+    "mm_audio_features" -> ((s, dir) => {
+      val media = Multimodal.synthesizeAudio(t(s, dir, "documents"), "doc_id")
+      Multimodal.audioFeatures(media)
+        .select(col("media_id"), col("n_bytes"), col("sample_rate"),
+          col("channels"), col("n_samples"), col("duration_ms"),
+          round(col("rms"), 4).as("rms"), col("peak"), col("zero_crossings"))
+        .orderBy(col("media_id"))
+    }),
+
     // HTML → visible text: the corpus is plain text, so each doc is
     // wrapped in deterministic markup (script/style/comment blocks, tags,
     // entities, conditional anchor — inject SQL shared VERBATIM with the
@@ -3248,6 +3261,31 @@ object SparkEntry {
           |       CAST(list_min(vals) AS INTEGER) AS px_min,
           |       CAST(list_max(vals) AS INTEGER) AS px_max
           |FROM px
+          |ORDER BY media_id""".stripMargin,
+
+      // replays Multimodal.encodeWav's arithmetic: n = id%97 + 16 samples,
+      // sample(i) = (id·31 + i·7919) % 65536 − 32768; PCM16 is lossless so
+      // the real javax.sound decode recovers exactly these values
+      "mm_audio_features" ->
+        """WITH ids AS (SELECT doc_id, (doc_id % 97) + 16 AS n FROM documents),
+          |s AS (SELECT doc_id, n, unnest(range(n)) AS i FROM ids),
+          |sm AS (SELECT doc_id, n, i,
+          |         ((doc_id * 31 + i * 7919) % 65536) - 32768 AS smp FROM s),
+          |lg AS (SELECT doc_id, n, i, smp,
+          |         lag(smp) OVER (PARTITION BY doc_id ORDER BY i) AS prev FROM sm),
+          |f AS (SELECT doc_id, any_value(n) AS n,
+          |        round(sqrt(avg(CAST(smp AS DOUBLE) * smp)), 4) AS rms,
+          |        CAST(max(abs(smp)) AS INTEGER) AS peak,
+          |        CAST(sum(CASE WHEN prev IS NOT NULL
+          |                       AND ((prev >= 0) <> (smp >= 0))
+          |                 THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+          |      FROM lg GROUP BY doc_id)
+          |SELECT doc_id AS media_id, CAST(44 + 2 * n AS INTEGER) AS n_bytes,
+          |       CAST(8000 AS INTEGER) AS sample_rate, CAST(1 AS INTEGER) AS channels,
+          |       CAST(n AS BIGINT) AS n_samples,
+          |       CAST(n * 1000 // 8000 AS BIGINT) AS duration_ms,
+          |       rms, peak, zero_crossings
+          |FROM f
           |ORDER BY media_id""".stripMargin,
 
       // replays injection (VERBATIM shared SQL) + the normalization chain;

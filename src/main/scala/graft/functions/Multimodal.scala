@@ -580,4 +580,148 @@ object Multimodal {
         lit(null).cast("int").as("height"),
         (col("media_id") % 97 * 40).as("duration_ms")))
   }
+
+  // ============================ audio (WAV/PCM) ============================
+  // javax.sound.sampled decodes RIFF/WAVE PCM with no native dependencies —
+  // the one audio codec inside pure-JVM reach (MP3/AAC stay honestly out,
+  // like the BMFF track-decode gap). Same device as the PNG path: the
+  // fixture WAV's samples derive arithmetically from the id, the decode is
+  // REAL (AudioSystem parses the actual RIFF framing), and every emitted
+  // statistic is replayable by a SQL oracle from the id alone.
+
+  /** Output schema of the decoded-audio statistics stage. */
+  val audioFeatureSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("n_bytes", IntegerType, nullable = false),
+    StructField("sample_rate", IntegerType, nullable = true),
+    StructField("channels", IntegerType, nullable = true),
+    StructField("n_samples", LongType, nullable = true),
+    StructField("duration_ms", LongType, nullable = true),
+    StructField("rms", DoubleType, nullable = true),
+    StructField("peak", IntegerType, nullable = true),
+    StructField("zero_crossings", LongType, nullable = true)))
+
+  private val WavSampleRate = 8000
+
+  /** Sample i of fixture id — full int16 range, sign-alternating enough to
+    * exercise the zero-crossing counter. Mirrored verbatim by the oracle.
+    */
+  private def wavSample(id: Long, i: Int): Int =
+    (((id * 31 + i.toLong * 7919) % 65536) - 32768).toInt
+
+  /** Encode a REAL RIFF/WAVE file (PCM16 mono little-endian, 8 kHz) whose
+    * sample count and values derive arithmetically from a non-negative id:
+    * n = id%97 + 16, sample(i) = (id·31 + i·7919) % 65536 − 32768. PCM is
+    * lossless, so a decode recovers these exact values.
+    */
+  private[graft] def encodeWav(id: Long): Array[Byte] = {
+    require(id >= 0, "encodeWav derives sample count/values from id modulos")
+    val n = (id % 97).toInt + 16
+    val dataLen = n * 2
+    val out = new ByteArrayOutputStream(44 + dataLen)
+    def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >>> 8) & 0xff) }
+    def le32(v: Int): Unit = { le16(v & 0xffff); le16((v >>> 16) & 0xffff) }
+    out.write("RIFF".getBytes("US-ASCII")); le32(36 + dataLen)
+    out.write("WAVE".getBytes("US-ASCII"))
+    out.write("fmt ".getBytes("US-ASCII")); le32(16)
+    le16(1)                    // PCM
+    le16(1)                    // mono
+    le32(WavSampleRate)
+    le32(WavSampleRate * 2)    // byte rate
+    le16(2)                    // block align
+    le16(16)                   // bits per sample
+    out.write("data".getBytes("US-ASCII")); le32(dataLen)
+    var i = 0
+    while (i < n) { le16(wavSample(id, i) & 0xffff); i += 1 }
+    out.toByteArray
+  }
+
+  /** Synthesized-WAV fixture path, mirroring [[synthesizeImages]]. */
+  def synthesizeAudio(df: DataFrame, idCol: String): DataFrame = {
+    val enc = udf { id: Long => encodeWav(id) }
+    df.select(col(idCol).cast("long").as("media_id"))
+      .withColumn("payload", enc(col("media_id")))
+      .withColumn("meta", struct(
+        lit("audio/wav").as("mime"),
+        lit(null).cast("int").as("width"),
+        lit(null).cast("int").as("height"),
+        ((col("media_id") % 97 + 16) * 1000 / WavSampleRate).cast("long")
+          .as("duration_ms")))
+  }
+
+  /** Real audio decode + per-clip statistics: `AudioSystem` parses the
+    * container/format layer (RIFF framing, fmt chunk), samples decode per
+    * the format's own endianness/width, stats run over channel-interleaved
+    * frames' first channel. Unrecognized/corrupt/non-16-bit payloads yield
+    * null stats — the stage never fakes a decode. Zero crossings count
+    * sign-bucket changes ((prev ≥ 0) ≠ (cur ≥ 0)) between consecutive
+    * samples. Partition-mapped like the image decode stage.
+    */
+  def audioFeatures(media: DataFrame, idCol: String = "media_id",
+                    payloadCol: String = "payload"): DataFrame = {
+    val enc = RowEncoder.encoderFor(audioFeatureSchema)
+    media.select(col(idCol).cast("long"), col(payloadCol))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val bytes = if (r.isNullAt(1)) Array.empty[Byte] else r.getAs[Array[Byte]](1)
+          decodeWavStats(bytes) match {
+            case Some((sr, ch, samples)) =>
+              val n = samples.length.toLong
+              var sumSq = 0L
+              var peak = 0
+              var zc = 0L
+              var i = 0
+              while (i < samples.length) {
+                val s = samples(i)
+                sumSq += s.toLong * s
+                val a = math.abs(s)
+                if (a > peak) peak = a
+                if (i > 0 && ((samples(i - 1) >= 0) != (s >= 0))) zc += 1
+                i += 1
+              }
+              val rms = if (n == 0) 0.0 else math.sqrt(sumSq.toDouble / n)
+              Row(id, bytes.length, sr, ch, n, n * 1000L / sr, rms, peak, zc)
+            case None =>
+              Row(id, bytes.length, null, null, null, null, null, null, null)
+          }
+        }
+      }(enc).toDF()
+  }
+
+  /** Decode WAV bytes via javax.sound.sampled: (sampleRate, channels,
+    * channel-0 samples). None when the payload isn't decodable 16-bit PCM.
+    */
+  private[graft] def decodeWavStats(bytes: Array[Byte]): Option[(Int, Int, Array[Int])] = {
+    if (bytes == null || bytes.length == 0) return None
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new ByteArrayInputStream(bytes))
+      try {
+        val fmt = ais.getFormat
+        val ok = fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+          fmt.getSampleSizeInBits == 16
+        if (!ok) return None
+        val frameSize = fmt.getFrameSize
+        val raw = ais.readAllBytes()
+        if (frameSize <= 0 || raw.length % frameSize != 0) return None
+        val nFrames = raw.length / frameSize
+        val samples = new Array[Int](nFrames)
+        val bigEndian = fmt.isBigEndian
+        var f = 0
+        while (f < nFrames) {
+          val o = f * frameSize // first channel of the frame
+          val v =
+            if (bigEndian) (raw(o) << 8) | (raw(o + 1) & 0xff)
+            else (raw(o + 1) << 8) | (raw(o) & 0xff)
+          samples(f) = v.toShort.toInt
+          f += 1
+        }
+        Some((fmt.getSampleRate.toInt, fmt.getChannels, samples))
+      } finally ais.close()
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException => None
+      case _: java.io.IOException => None
+    }
+  }
 }
