@@ -96,23 +96,89 @@ object Bpe {
             Ordering.Tuple3(Ordering.Long, Ordering.String.reverse, Ordering.String.reverse))
           ._1
         merges += best
-        val joined = best._1 + best._2
-        table = table.map { case (toks, f) =>
-          val out = mutable.ListBuffer.empty[String]
-          var rest = toks
-          while (rest.nonEmpty) {
-            rest match {
-              case a :: b :: tl if a == best._1 && b == best._2 =>
-                out += joined; rest = tl
-              case a :: tl => out += a; rest = tl
-              case Nil => ()
-            }
-          }
-          (out.toList, f)
-        }
+        table = table.map { case (toks, f) => (mergeWord(toks, best._1, best._2), f) }
         k += 1
       }
     }
+    BpeVocab(merges.toIndexedSeq)
+  }
+
+  /** Greedy left-to-right non-overlapping collapse of one merge rule over a
+    * word's token sequence — the single definition both the local and the
+    * distributed trainer apply, so their merge sequences cannot drift.
+    */
+  private[graft] def mergeWord(toks: List[String], a: String, b: String): List[String] = {
+    val joined = a + b
+    val out = scala.collection.mutable.ListBuffer.empty[String]
+    var rest = toks
+    while (rest.nonEmpty) {
+      rest match {
+        case x :: y :: tl if x == a && y == b => out += joined; rest = tl
+        case x :: tl => out += x; rest = tl
+        case Nil => ()
+      }
+    }
+    out.toList
+  }
+
+  /** DISTRIBUTED BPE training over the FULL corpus — the 100 TB path the
+    * sampled trainer deliberately avoids. The corpus collapses once into a
+    * distributed (word-type, frequency) table (distinct pre-tokens — the
+    * only state, and it shrinks as merges fuse tokens); each merge round is
+    * then one bounded aggregation: adjacent-pair counts weighted by word
+    * frequency, `orderBy(...).limit(1)` (a TakeOrdered, no full sort)
+    * sending exactly ONE row to the driver. Word bodies re-map per round
+    * with [[mergeWord]] — the same collapse the local trainer applies, and
+    * frequency ties break by the same (count, pair) ordering, so the merge
+    * SEQUENCE is identical to [[train]] run over the same corpus
+    * (spec-pinned in `BpeSpec`).
+    *
+    * Cost: numMerges rounds × (one map + one pair-count shuffle over word
+    * TYPES, not corpus rows). Lineage is cut every `checkpointEvery` rounds
+    * so round N's plan doesn't carry N map stages. Driver state: the merge
+    * list (≤ numMerges pairs) — never a sample, never the corpus.
+    */
+  def trainDistributed(df: DataFrame, textCol: String, numMerges: Int,
+                       checkpointEvery: Int = 16): BpeVocab = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    require(numMerges >= 0 && checkpointEvery >= 1)
+    var words = df.select(col(textCol).cast("string").as("__t"))
+      .filter(col("__t").isNotNull).as[String]
+      .flatMap(t => BpeVocab.preTokenize(t))
+      .groupBy(col("value")).agg(count(lit(1)).as("f"))
+      .as[(String, Long)]
+      .map { case (w, f) => (BpeVocab.toByteTokens(w).toArray, f) }
+      .filter(_._1.nonEmpty)
+      .persist()
+    words.count()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var k = 0
+    var exhausted = false
+    while (k < numMerges && !exhausted) {
+      // one bounded agg per merge round; exactly one row reaches the driver
+      val top = words.flatMap { case (toks, f) =>
+        (0 until toks.length - 1).iterator.map(i => (toks(i), toks(i + 1), f)) }
+        .groupBy(col("_1"), col("_2")).agg(sum(col("_3")).as("__f"))
+        .orderBy(col("__f").desc, col("_1").asc, col("_2").asc)
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val a = top(0).getString(0)
+        val b = top(0).getString(1)
+        merges += ((a, b))
+        val prev = words
+        val mapped = prev.map { case (toks, f) =>
+          (mergeWord(toks.toList, a, b).toArray, f) }
+        words =
+          if ((k + 1) % checkpointEvery == 0) mapped.localCheckpoint()
+          else mapped.persist()
+        words.count()
+        prev.unpersist()
+        k += 1
+      }
+    }
+    words.unpersist()
     BpeVocab(merges.toIndexedSeq)
   }
 

@@ -93,4 +93,27 @@ class BpeSpec extends SparkSpec {
     assert(v1.merges == v2.merges, "sample must be partition-independent")
     assert(v1.merges.size == 16)
   }
+
+  test("distributed training produces the EXACT local merge sequence (full corpus)") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("text").limit(48).cache()
+    val local = Bpe.train(
+      docs.as[String](org.apache.spark.sql.Encoders.STRING).collect().toSeq, 24)
+    // repartitioned input + checkpointEvery=5 exercises partition
+    // independence and the mid-run lineage cut in one run; equality with
+    // the local sequence subsumes a separate determinism check
+    val dist = Bpe.trainDistributed(docs.repartition(5), "text", 24,
+      checkpointEvery = 5)
+    assert(dist.merges == local.merges,
+      "distributed merge sequence must equal the local trainer's")
+    docs.unpersist()
+  }
+
+  test("distributed training exhausts early on a tiny corpus, like the local trainer") {
+    val tiny = Seq("aa aa", "aa").toDF("text")
+    val local = Bpe.train(Seq("aa aa", "aa"), 10)
+    val dist = Bpe.trainDistributed(tiny, "text", 10)
+    assert(dist.merges == local.merges)
+    assert(dist.merges.size < 10, "a tiny corpus must run out of pairs early")
+  }
 }
