@@ -1641,6 +1641,29 @@ object SparkEntry {
         .orderBy("bucket")
     }),
 
+    // the composed file-skipping path e2e: lineitem written under the
+    // Morton layout, a range predicate on the SECOND curve dimension
+    // routed through bucket routing + parquet-footer min/max, scanning
+    // only surviving files. Pruning is lossless by construction (the
+    // require below additionally proves files were SKIPPED, not just
+    // selected), so the oracle replays the plain filtered aggregate.
+    "layout_pruned_scan" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
+      val out = java.nio.file.Files.createTempDirectory("graft_layout_scan").toString
+      val bounds = Layout.layoutWrite2d(li, "l_partkey", "l_suppkey",
+        bits = 16, prefixBits = 6, out)
+      val (scanned, stats) = Layout.prunedRangeScan2d(s, out, bounds,
+        bits = 16, prefixBits = 6, "l_partkey", "l_suppkey",
+        dim = 1, lo = 5L, hi = 20L)
+      require(stats.filesAfterFooters < stats.filesTotal,
+        s"pruned scan must skip files, got $stats")
+      scanned.groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(col("l_orderkey")).cast("long").as("sum_ok"))
+        .orderBy(col("l_suppkey"))
+    }),
+
     // salted skew join: events (user_id is the skewed fact key) against a
     // per-user dimension built as an aggregate — the salt is INVISIBLE in
     // the result (it only spreads hot keys over `factor` tasks), so the
@@ -3450,6 +3473,14 @@ object SparkEntry {
 
       // replays scaling + Morton interleave from the SAME generated term
       // list the Spark Column was built from (Layout.scaledSql /
+      // pruning is lossless: the routed + footer-skipped scan equals the
+      // plain filtered aggregate
+      "layout_pruned_scan" ->
+        """SELECT l_suppkey, CAST(count(*) AS BIGINT) AS n,
+          |       CAST(sum(l_orderkey) AS BIGINT) AS sum_ok
+          |FROM lineitem WHERE l_suppkey BETWEEN 5 AND 20
+          |GROUP BY l_suppkey ORDER BY l_suppkey""".stripMargin,
+
       // Layout.zOrderSql) — the two engines cannot drift
       "layout_zorder" -> {
         val zx = Layout.scaledSql("l_partkey", "pmin", "pspan", 16, duck = true)

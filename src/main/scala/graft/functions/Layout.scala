@@ -214,6 +214,63 @@ object Layout {
     (clamped - min) * m / span
   }
 
+  /** How much the read-side router skipped: total files in the layout,
+    * files surviving bucket routing, files surviving the footer min/max
+    * overlap check (= files actually opened for rows).
+    */
+  final case class PruneStats(filesTotal: Int, filesAfterBuckets: Int,
+                              filesAfterFooters: Int)
+
+  /** The composed read side of the layout story, end-to-end: scale the raw
+    * predicate onto the grid, route it to curve-prefix buckets
+    * ([[bucketsForRange]] — partition-level pruning), then drop every
+    * surviving file whose parquet FOOTER min/max doesn't overlap the range
+    * (file-level pruning, metadata-only reads via
+    * [[graft.tools.FooterStats]]), and scan only what's left. The result is
+    * bit-identical to the unpruned filtered scan — pruning only removes
+    * files the predicate can't match (spec-asserted in `LayoutSpec`).
+    *
+    * This is what a transactional catalog's data-skipping does from its
+    * stats manifest; without one, the footers ARE the manifest. At 100 TB
+    * the footer pass reads a few KB per file, not rows — and only for files
+    * that already survived bucket routing, so it's proportional to the
+    * SELECTED fraction, not the corpus. `dim` 0/1 selects which curve
+    * dimension the range predicate targets.
+    */
+  def prunedRangeScan2d(spark: org.apache.spark.sql.SparkSession, path: String,
+                        b: GridBounds2d, bits: Int, prefixBits: Int,
+                        xCol: String, yCol: String, dim: Int, lo: Long, hi: Long,
+                        hilbert: Boolean = false)
+      : (org.apache.spark.sql.DataFrame, PruneStats) = {
+    require(dim == 0 || dim == 1, "dim selects xCol (0) or yCol (1)")
+    val predCol = if (dim == 0) xCol else yCol
+    val (dMin, dSpan) = if (dim == 0) (b.xMin, b.xSpan) else (b.yMin, b.ySpan)
+    val gLo = scaleValue(lo, dMin, dSpan, bits)
+    val gHi = scaleValue(hi, dMin, dSpan, bits)
+    val buckets =
+      bucketsForRange(bits, 2, prefixBits, dim, gLo, gHi, hilbert).toSet
+    // per-file bounds from the actual footers (metadata-only)
+    val perFile = graft.tools.FooterStats.int64ColumnBounds(path, predCol)
+      .groupBy(_._1).map { case (f, gs) =>
+        (f, gs.map(_._2).min, gs.map(_._3).max)
+      }.toSeq
+    val bucketRe = ".*[/\\\\]bucket=(\\d+)[/\\\\].*".r
+    val inBuckets = perFile.filter { case (f, _, _) =>
+      f match {
+        case bucketRe(bs) => buckets.contains(bs.toLong)
+        case _ => true // unbucketed files can't be ruled out by routing
+      }
+    }
+    val selected = inBuckets.filter { case (_, mn, mx) => mx >= lo && mn <= hi }
+    val base =
+      if (selected.isEmpty)
+        spark.read.option("basePath", path).parquet(path).filter(lit(false))
+      else
+        spark.read.option("basePath", path).parquet(selected.map(_._1): _*)
+    (base.filter(col(predCol).between(lo, hi)),
+      PruneStats(perFile.size, inBuckets.size, selected.size))
+  }
+
   def hilbertSqlCte(order: Int, srcCte: String, xCol: String, yCol: String,
                     carry: Seq[String]): String = {
     val s0 = 1L << (order - 1)

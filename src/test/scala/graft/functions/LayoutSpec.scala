@@ -178,6 +178,34 @@ class LayoutSpec extends SparkSpec {
     assert(got(1)._1 == 65535L, "v at max -> 2^16-1")
   }
 
+  test("prunedRangeScan2d: files skipped at both levels; result identical to the full scan") {
+    for (hil <- Seq(false, true)) {
+      val dir = java.nio.file.Files.createTempDirectory(s"layoutscan$hil").toString
+      val li = spark.read.parquet(s"$sf/lineitem.parquet")
+        .select($"l_orderkey", $"l_partkey", $"l_suppkey")
+      val bounds = Layout.layoutWrite2d(li, "l_partkey", "l_suppkey", 16, 6, dir, hil)
+      val (scanned, stats) = Layout.prunedRangeScan2d(spark, dir, bounds,
+        16, 6, "l_partkey", "l_suppkey", dim = 1, lo = 5L, hi = 20L, hilbert = hil)
+      // (a) the router + footers actually skip files
+      assert(stats.filesAfterBuckets < stats.filesTotal,
+        s"hil=$hil: bucket routing skipped nothing: $stats")
+      assert(stats.filesAfterFooters <= stats.filesAfterBuckets)
+      assert(stats.filesAfterFooters < stats.filesTotal,
+        s"hil=$hil: no file-level skipping: $stats")
+      // (b) pruning is lossless — identical multiset of rows
+      val got = scanned.select($"l_orderkey", $"l_partkey", $"l_suppkey")
+        .as[(Long, Long, Long)].collect().sorted.toSeq
+      val want = li.filter($"l_suppkey".between(5L, 20L))
+        .as[(Long, Long, Long)].collect().sorted.toSeq
+      assert(got == want, s"hil=$hil: pruned scan lost or invented rows")
+      // and the plan touches no file outside the selected set (a selected
+      // file can still yield 0 rows — footer overlap is necessary, not
+      // sufficient — hence <=)
+      val filesRead = scanned.select(input_file_name()).distinct().count()
+      assert(filesRead <= stats.filesAfterFooters)
+    }
+  }
+
   test("overflow guard: wide-span scaling is rejected up front, not silently wrapped") {
     // span ~1e15 (epoch microseconds over ~30 years) at bits=16 overflows
     // (v-min)*(2^16-1) in 64-bit — both engines would wrap identically, so
