@@ -1698,6 +1698,23 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // day-2 incremental composition, one call: the new batch (doc_id%5==0)
+    // runs the in-batch prepare chain (gates, fingerprint dedup, splits),
+    // then EXACT Bloom-prefiltered dedup against the standing corpus
+    // (doc_id%5!=0), then the bipartite near-dup funnel against it. Both
+    // against-corpus stages are exact-or-verified, so the whole composition
+    // replays in SQL; the audit frame's contract is pinned in
+    // CorpusPipelineSpec.
+    "corpus_prepare_incremental" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val standing = docs.filter(pmod(col("doc_id"), lit(5L)) =!= 0L)
+      val incoming = docs.filter(pmod(col("doc_id"), lit(5L)) === 0L)
+      val (accepted, _) = CorpusPipeline.prepareIncremental(
+        incoming, standing,
+        CorpusPipeline.Config(nearDupThreshold = None, decontamThreshold = None))
+      accepted.select(col("doc_id"), col("split")).orderBy(col("doc_id"))
+    }),
+
     // shard manifest: the integrity artifact a 100 TB training run writes
     // next to its shards — per shard: doc count, token mass, position
     // density (max pos == count proves no gaps), and a modular fingerprint
@@ -2313,6 +2330,57 @@ object SparkEntry {
            |WHERE i.doc_id % 5 = 0 AND NOT EXISTS (
            |  SELECT 1 FROM fp c WHERE c.doc_id % 5 <> 0 AND c.fp = i.fp)
            |ORDER BY i.doc_id""".stripMargin,
+
+      // composes the corpus_prepare gate/dedup/split fragments over the
+      // incoming batch, the 60-bit fingerprint NOT-IN for the exact
+      // against-corpus stage (dedup_incremental_bloom's device), and the
+      // exact-Jaccard shingle funnel for the near-dup stage
+      // (dedup_against_corpus's device)
+      "corpus_prepare_incremental" ->
+        s"""WITH inc AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
+           |corp AS (SELECT doc_id, $normText AS norm FROM documents WHERE doc_id % 5 <> 0),
+           |base AS (
+           |  SELECT doc_id, $normText AS norm,
+           |    length(text) AS nc,
+           |    CASE WHEN length(text) = 0 THEN 0.0
+           |         ELSE len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) * 1.0 / length(text) END AS p,
+           |    CASE WHEN length(text) = 0 THEN 0.0
+           |         ELSE len(regexp_extract_all(text, '[0-9]')) * 1.0 / length(text) END AS d,
+           |    CASE WHEN length(trim(text)) = 0 THEN 0.0
+           |         ELSE length(regexp_replace(text, '\\s+', '', 'g')) * 1.0
+           |              / len(regexp_split_to_array(trim(text), '\\s+')) END AS m,
+           |    len(regexp_extract_all(lower(text), '$stopEn')) AS h_en,
+           |    len(regexp_extract_all(lower(text), '$stopDe')) AS h_de,
+           |    len(regexp_extract_all(lower(text), '$stopFr')) AS h_fr,
+           |    len(regexp_extract_all(lower(text), '$stopEs')) AS h_es
+           |  FROM inc),
+           |q AS (SELECT * FROM base
+           |      WHERE greatest(h_en, h_de, h_fr, h_es) > 0
+           |        AND nc BETWEEN 20 AND 20000 AND p < 0.2
+           |        AND m BETWEEN 2.0 AND 12.0 AND d < 0.25),
+           |keep AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY md5(norm)),
+           |sp AS (SELECT q.doc_id, q.norm,
+           |    CASE WHEN substr(md5(CAST(q.doc_id AS VARCHAR)), 1, 4) < '${Sampling.thresholdHex(0.05)}' THEN 'test'
+           |         WHEN substr(md5(CAST(q.doc_id AS VARCHAR)), 1, 4) < '${Sampling.thresholdHex(0.10)}' THEN 'val'
+           |         ELSE 'train' END AS split
+           |  FROM q JOIN keep USING (doc_id)),
+           |ex AS (SELECT sp.* FROM sp
+           |       WHERE CAST('0x' || substr(md5(sp.norm), 1, 15) AS UBIGINT) NOT IN
+           |         (SELECT CAST('0x' || substr(md5(norm), 1, 15) AS UBIGINT) FROM corp)),
+           |gi AS (SELECT DISTINCT doc_id, CASE WHEN len(norm) < 5 THEN norm ELSE norm[i:i+4] END AS sh
+           |       FROM ex, LATERAL (SELECT unnest(range(1, greatest(len(norm) - 3, 2))) AS i) r),
+           |gc AS (SELECT DISTINCT doc_id, CASE WHEN len(norm) < 5 THEN norm ELSE norm[i:i+4] END AS sh
+           |       FROM corp, LATERAL (SELECT unnest(range(1, greatest(len(norm) - 3, 2))) AS i) r),
+           |ci AS (SELECT doc_id, count(*) AS n FROM gi GROUP BY 1),
+           |cc AS (SELECT doc_id, count(*) AS n FROM gc GROUP BY 1),
+           |inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS i
+           |          FROM gc a JOIN gi b ON a.sh = b.sh GROUP BY 1, 2),
+           |dropped AS (SELECT DISTINCT ib
+           |            FROM inter JOIN cc ca ON ca.doc_id = ia JOIN ci cb ON cb.doc_id = ib
+           |            WHERE round(i * 1.0 / (ca.n + cb.n - i), 4) >= 0.8)
+           |SELECT doc_id, split FROM ex
+           |WHERE doc_id NOT IN (SELECT ib FROM dropped)
+           |ORDER BY doc_id""".stripMargin,
 
       "dedup_keep_best" ->
         s"""WITH scored AS (

@@ -326,4 +326,62 @@ object CorpusPipeline {
       case _ => semDecontaminated
     }
   }
+
+  /** Day-2 ingest, one call: prepare a NEW batch against a STANDING corpus.
+    *
+    *   1. the full [[prepare]] chain over the new batch (cleanup, gates,
+    *      in-batch dedup, splits — whatever `cfg` enables),
+    *   2. EXACT dedup against the standing corpus, Bloom-prefiltered:
+    *      the corpus's normalized-text fingerprints build a filter once
+    *      (distributed, driver holds bits only), definitely-new rows skip
+    *      the anti-join entirely, and the candidate sliver is resolved
+    *      exactly ([[BloomDedup.newKeysExact]] — bit-identical to the plain
+    *      anti-join, so the stage is invisible to an oracle),
+    *   3. near-dup dedup against the corpus (cross-side-only bipartite LSH
+    *      funnel, [[MinHashLsh.dedupAgainst]] — new-vs-new pairs are stage
+    *      1's job, corpus-vs-corpus pairs are day-1's),
+    *   4. a snapshot-diff audit frame: per-status counts of
+    *      corpus → corpus ∪ accepted (every accepted row must surface as
+    *      `added`, the corpus as `unchanged` — the regression check an
+    *      ingest round commits next to its output).
+    *
+    * Returns (accepted rows, audit). Scale posture: the corpus contributes
+    * one keys-only filter-build pass, one distinct-key sliver join, and the
+    * banded signature pass — its text never moves; each stage is the
+    * already-bounded primitive it names.
+    */
+  def prepareIncremental(newDocs: DataFrame, standingCorpus: DataFrame,
+                         cfg: Config = Config(),
+                         againstThreshold: Option[Double] = Some(0.8),
+                         numHashes: Int = 64, bands: Int = 16,
+                         bloomFpp: Double = 0.01): (DataFrame, DataFrame) = {
+    val text = col(cfg.textCol)
+    val key = TextFunctions.md5Hash60(TextFunctions.normalized(text))
+
+    // 1. in-batch preparation
+    val prepared = prepare(newDocs, cfg)
+
+    // 2. exact against-corpus dedup (Bloom prefilter + exact sliver join)
+    val corpusKeys = standingCorpus.select(key.as("__ck"))
+    val expected = math.max(corpusKeys.count(), 1L)
+    val filter = BloomDedup.buildLong(corpusKeys, col("__ck"), expected, bloomFpp)
+    val exactNew = BloomDedup.newKeysExact(
+      prepared.withColumn("__ck", key),
+      corpusKeys, "__ck", filter).drop("__ck")
+
+    // 3. near-dup against the corpus (bipartite funnel, keep survivors)
+    val accepted = againstThreshold.fold(exactNew) { th =>
+      MinHashLsh.dedupAgainst(
+        standingCorpus, exactNew, cfg.idCol,
+        TextFunctions.shingleHashes(text, 5), numHashes, bands, th)
+    }
+
+    // 4. ingest audit: old corpus vs composed corpus, per-status counts
+    val composed = standingCorpus
+      .unionByName(accepted.select(standingCorpus.columns.map(col): _*))
+    val audit = graft.operators.SnapshotDiff
+      .diff(standingCorpus, composed, cfg.idCol, TextFunctions.fingerprint(text))
+      .groupBy(col("status")).agg(count(lit(1)).cast("long").as("n"))
+    (accepted, audit)
+  }
 }

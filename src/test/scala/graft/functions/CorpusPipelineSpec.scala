@@ -187,4 +187,33 @@ class CorpusPipelineSpec extends SparkSpec {
     // budgeted rates actually down-sample (2000 tokens << corpus mass)
     assert(out.count() > 0 && out.count() < base.count())
   }
+
+  test("prepareIncremental: accepted == manual stage composition; audit is exact") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val standing = docs.filter(pmod($"doc_id", lit(5L)) =!= 0L)
+    val incoming = docs.filter(pmod($"doc_id", lit(5L)) === 0L)
+    val cfg = CorpusPipeline.Config(nearDupThreshold = None, decontamThreshold = None)
+    val (accepted, audit) = CorpusPipeline.prepareIncremental(incoming, standing, cfg)
+    val acceptedIds = accepted.select("doc_id").as[Long].collect().toSet
+
+    // manual composition: prepare -> plain exact anti-join -> bipartite drop
+    val prepared = CorpusPipeline.prepare(incoming, cfg)
+    val key = TextFunctions.md5Hash60(TextFunctions.normalized($"text"))
+    val exact = prepared.withColumn("__k", key)
+      .join(standing.select(key.as("__k")).distinct(), Seq("__k"), "left_anti")
+      .drop("__k")
+    val manual = MinHashLsh.dedupAgainst(standing, exact, "doc_id",
+        TextFunctions.shingleHashes($"text", 5), 64, 16, 0.8)
+      .select("doc_id").as[Long].collect().toSet
+    assert(acceptedIds == manual,
+      "the one-call composition must equal its manual stage chain")
+    // the against-corpus stages actually dropped something here
+    assert(acceptedIds.size < prepared.count())
+
+    // audit: every accepted row is 'added', the corpus itself 'unchanged'
+    val counts = audit.as[(String, Long)].collect().toMap
+    assert(counts.keySet == Set("added", "unchanged"))
+    assert(counts("added") == acceptedIds.size.toLong)
+    assert(counts("unchanged") == standing.count())
+  }
 }
