@@ -343,12 +343,14 @@ object SparkEntry {
       val supEu = t(s, dir, "supplier")
         .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
         .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
-      // `ps` is ∝ lineitem's key diversity — shuffle join; supEu is a dim
+      // `ps` is ∝ lineitem's key diversity — shuffle join; supEu is a dim.
+      // Best-supplier-per-part as a rank window (ties kept, matching the
+      // oracle's max-equality join): ONE shuffle on l_partkey instead of the
+      // classic aggregate + join-back pair.
       val cand = ps.join(broadcast(supEu), col("l_suppkey") === col("s_suppkey"))
-      val best = cand.groupBy(col("l_partkey").as("bp_partkey"))
-        .agg(max(col("s_acctbal")).as("best_bal"))
-      cand.join(best, col("l_partkey") === col("bp_partkey") &&
-          col("s_acctbal") === col("best_bal"))
+      cand.withColumn("bal_rank", rank().over(
+          Window.partitionBy(col("l_partkey")).orderBy(col("s_acctbal").desc)))
+        .filter(col("bal_rank") === 1)
         .join(t(s, dir, "part").filter(col("p_size") === 10),
           col("l_partkey") === col("p_partkey"))
         .select(col("s_acctbal"), col("s_name"), col("n_name"), col("p_partkey"), col("p_type"))
@@ -1343,6 +1345,53 @@ object SparkEntry {
         .filter(col("n") > col("n_total") / lit(cap.toDouble))
         .select(col("token"), col("n"))
         .orderBy(col("n").desc, col("token"))
+    }),
+
+    // TF-IDF topic profile: top-3 terms per document, idf = ln(N/df) —
+    // the standard cluster-labeling / mixture-audit feature. Term-keyed df
+    // join (vocabulary never broadcasts), 1-row corpus scalar, one window.
+    "text_tfidf_topterms" -> ((s, dir) => {
+      Retrieval.tfidfTopTerms(t(s, dir, "documents"), "doc_id", col("text"), k = 3)
+        .orderBy(col("doc_id"), col("score").desc, col("term"))
+    }),
+
+    // BM25 retrieval for a fixed query-term bag — the ranking half of
+    // retrieval-style decontamination. The explode stream is filtered to
+    // the query terms BEFORE any shuffle: per-query cost ∝ postings, not
+    // corpus size; doc length is the fused map-side token counter.
+    "text_bm25_search" -> ((s, dir) => {
+      Retrieval.bm25Rank(t(s, dir, "documents"), "doc_id", col("text"),
+        queryTerms = Seq("data", "model", "training"), topK = 20)
+    }),
+
+    // fixed-iteration PageRank over the order graph (customer↔supplier,
+    // both directions so no vertex dangles structurally) — the link-graph
+    // importance signal of web-corpus curation. Per iteration: one shuffle
+    // join + one agg; degree-weighted edges persist once. Ordering is on
+    // the ROUNDED rank so both engines break the top-100 boundary on the
+    // same total order.
+    "graph_pagerank" -> ((s, dir) => {
+      // vertex ids are packed LONGS (customer = 2k, supplier = 2k+1): an
+      // 8-byte key shuffles and joins ~2.5× faster than a prefixed string
+      // (measured on this graph); the display label is computed on the 100
+      // output rows only, after the limit
+      val pairs = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("p"))
+        .distinct()
+      // both directions in ONE pass over pairs (explode of a 2-element
+      // array) — a self-union would evaluate the join+distinct twice
+      val edges = pairs.select(explode(array(
+          struct(col("c").as("src"), col("p").as("dst")),
+          struct(col("p").as("src"), col("c").as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      val disp = when(col("v") % 2 === 0, concat(lit("c"), (col("v") / 2).cast("long")))
+        .otherwise(concat(lit("s"), ((col("v") - 1) / 2).cast("long")))
+      PageRank.run(edges, "src", "dst", iterations = 3)
+        .select(col("v"), (round(col("rank"), 4) + lit(0.0)).as("rank"))
+        .orderBy(col("rank").desc, col("v"))
+        .limit(100)
+        .select(disp.as("v"), col("rank"))
     }),
 
     // brute-force cosine top-k (exact ANN baseline)
@@ -3234,6 +3283,88 @@ object SparkEntry {
           |GROUP BY token, n_total
           |HAVING count(*) > n_total / 30.0
           |ORDER BY n DESC, token""".stripMargin,
+
+      "text_tfidf_topterms" ->
+        """WITH toks AS (
+          |  SELECT doc_id,
+          |         unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+          |  FROM documents),
+          |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+          |       WHERE term != '' GROUP BY doc_id, term),
+          |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+          |nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+          |scored AS (
+          |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+          |         round(tf.tf * ln(nd.n_docs / CAST(df.df AS DOUBLE)), 4) + 0.0 AS score
+          |  FROM tf JOIN df USING (term), nd),
+          |ranked AS (
+          |  SELECT *, row_number() OVER (
+          |    PARTITION BY doc_id ORDER BY score DESC, term) AS rk
+          |  FROM scored)
+          |SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, score
+          |FROM ranked WHERE rk <= 3
+          |ORDER BY doc_id, score DESC, term""".stripMargin,
+
+      "text_bm25_search" ->
+        """WITH toks AS (
+          |  SELECT doc_id,
+          |         unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+          |  FROM documents),
+          |hits AS (SELECT doc_id, term FROM toks
+          |         WHERE term IN ('data', 'model', 'training')),
+          |tf AS (SELECT doc_id, term, count(*) AS tf FROM hits GROUP BY doc_id, term),
+          |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+          |lens AS (
+          |  SELECT doc_id,
+          |         CASE WHEN trim(text) = '' THEN 0.0 ELSE
+          |           CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS DOUBLE)
+          |         END AS dl
+          |  FROM documents),
+          |sc AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM lens)
+          |SELECT tf.doc_id,
+          |       round(sum(
+          |         ln(1.0 + (sc.n_docs - df.df + 0.5) / (df.df + 0.5)) *
+          |         (tf.tf * 2.2) /
+          |         (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * lens.dl / sc.avgdl))
+          |       ), 4) + 0.0 AS score
+          |FROM tf JOIN df USING (term) JOIN lens USING (doc_id), sc
+          |GROUP BY tf.doc_id
+          |ORDER BY score DESC, tf.doc_id
+          |LIMIT 20""".stripMargin,
+
+      // the same 3 PageRank iterations, unrolled as CTEs; dangling mass
+      // drops in both engines, ordering on the rounded rank
+      "graph_pagerank" ->
+        """WITH pairs AS (
+          |  SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS p
+          |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+          |edges AS (SELECT c AS src, p AS dst FROM pairs
+          |          UNION ALL SELECT p, c FROM pairs),
+          |verts AS (SELECT DISTINCT src AS v FROM edges
+          |          UNION SELECT DISTINCT dst FROM edges),
+          |outd AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+          |r0 AS (SELECT v, 1.0 AS rank FROM verts),
+          |c1 AS (SELECT e.dst AS v, sum(r.rank / o.deg) AS c
+          |       FROM edges e JOIN outd o USING (src) JOIN r0 r ON r.v = e.src
+          |       GROUP BY e.dst),
+          |r1 AS (SELECT verts.v, 0.15 + 0.85 * coalesce(c1.c, 0.0) AS rank
+          |       FROM verts LEFT JOIN c1 USING (v)),
+          |c2 AS (SELECT e.dst AS v, sum(r.rank / o.deg) AS c
+          |       FROM edges e JOIN outd o USING (src) JOIN r1 r ON r.v = e.src
+          |       GROUP BY e.dst),
+          |r2 AS (SELECT verts.v, 0.15 + 0.85 * coalesce(c2.c, 0.0) AS rank
+          |       FROM verts LEFT JOIN c2 USING (v)),
+          |c3 AS (SELECT e.dst AS v, sum(r.rank / o.deg) AS c
+          |       FROM edges e JOIN outd o USING (src) JOIN r2 r ON r.v = e.src
+          |       GROUP BY e.dst),
+          |r3 AS (SELECT verts.v, 0.15 + 0.85 * coalesce(c3.c, 0.0) AS rank
+          |       FROM verts LEFT JOIN c3 USING (v)),
+          |top AS (SELECT v, round(rank, 4) + 0.0 AS rank
+          |        FROM r3 ORDER BY rank DESC, v LIMIT 100)
+          |SELECT CASE WHEN v % 2 = 0 THEN 'c' || CAST(v / 2 AS BIGINT)
+          |            ELSE 's' || CAST((v - 1) / 2 AS BIGINT) END AS v,
+          |       rank
+          |FROM top""".stripMargin,
 
       "knn_cosine_topk" ->
         """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv

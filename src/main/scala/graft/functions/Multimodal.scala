@@ -318,47 +318,28 @@ object Multimodal {
     * bilinear Graphics2D draw (deterministic software rendering), re-encode
     * as PNG. Images already within the bound, and payloads that are not
     * decodable images, pass through unchanged — use [[resizePayload]] for
-    * opaque byte budgets.
+    * opaque byte budgets. Fused [[expressions.ResizeImageExpr]] (not a
+    * ScalaUDF): the surrounding projection stays in one codegen stage.
     */
   def resizeImage(media: DataFrame, maxDim: Int,
                   payloadCol: String = "payload"): DataFrame = {
     require(maxDim > 0)
-    val rz = udf { bytes: Array[Byte] =>
-      readImage(bytes) match {
-        case Some(img) if math.max(img.getWidth, img.getHeight) > maxDim =>
-          val scale = maxDim.toDouble / math.max(img.getWidth, img.getHeight)
-          val w = math.max(1, math.round(img.getWidth * scale).toInt)
-          val h = math.max(1, math.round(img.getHeight * scale).toInt)
-          val t = if (img.getType == BufferedImage.TYPE_CUSTOM)
-            BufferedImage.TYPE_INT_RGB else img.getType
-          val out = new BufferedImage(w, h, t)
-          val g = out.createGraphics()
-          g.setRenderingHint(RenderingHints.KEY_INTERPOLATION,
-            RenderingHints.VALUE_INTERPOLATION_BILINEAR)
-          g.drawImage(img, 0, 0, w, h, null)
-          g.dispose()
-          writePng(out)
-        case _ => bytes
-      }
-    }
-    media.withColumn(payloadCol, rz(col(payloadCol)))
+    import org.apache.spark.sql.graft.ColumnBridge
+    media.withColumn(payloadCol, ColumnBridge.column(
+      expressions.ResizeImageExpr(ColumnBridge.expression(col(payloadCol)), maxDim)))
   }
 
   /** Opaque byte-budget downsample: cap any payload at `targetBytes` by
     * stride sampling. This is deliberately NOT an image operation (no
     * decode — it works on payloads of any modality); see [[resizeImage]]
-    * for the real raster resize.
+    * for the real raster resize. Fused [[expressions.StridedResizeExpr]].
     */
   def resizePayload(media: DataFrame, targetBytes: Int,
                     idCol: String = "media_id", payloadCol: String = "payload"): DataFrame = {
-    val resize = udf { bytes: Array[Byte] =>
-      if (bytes == null || bytes.length <= targetBytes) bytes
-      else {
-        val stride = bytes.length.toDouble / targetBytes
-        Array.tabulate(targetBytes)(i => bytes((i * stride).toInt))
-      }
-    }
-    media.withColumn(payloadCol, resize(col(payloadCol)))
+    require(targetBytes > 0)
+    import org.apache.spark.sql.graft.ColumnBridge
+    media.withColumn(payloadCol, ColumnBridge.column(
+      expressions.StridedResizeExpr(ColumnBridge.expression(col(payloadCol)), targetBytes)))
   }
 
   /** Synthesize a media frame from any table (test/demo path): payload bytes

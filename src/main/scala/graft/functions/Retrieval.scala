@@ -1,0 +1,86 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-level retrieval scoring: TF-IDF term profiles and BM25 ranking
+  * (Robertson & Spärck Jones; the BM25 form with the +1 idf floor used by
+  * Lucene — public literature). The training-data angle: TF-IDF top terms
+  * are the standard topic-profile features for cluster labeling and mixture
+  * audits, and BM25 is the retrieval half of retrieval-augmented dedup and
+  * decontamination funnels.
+  *
+  * Scale shape:
+  *   - one explode pass builds per-(doc, term) counts — shuffled on the
+  *     composite key, so partial aggregation collapses repeats map-side;
+  *   - document frequency is a term-keyed aggregate of the (doc, term)
+  *     pairs — vocabulary-sized, joined back on the term key (equi-join,
+  *     never broadcast: a 100 TB corpus's vocabulary is unbounded);
+  *   - corpus scalars (N docs, mean doc length) ride a 1-row broadcast;
+  *   - BM25 filters the exploded stream to the query's terms BEFORE any
+  *     shuffle — the per-query cost is ∝ query-term postings, not corpus
+  *     size; doc length comes from the fused map-side token counter, not a
+  *     second explode.
+  *
+  * Tokenizer = the engine-wide whitespace dialect (`trim` + split on
+  * `\s+`), identical to the histogram/LM family so oracles replay it.
+  */
+object Retrieval {
+
+  private def tokens(docs: DataFrame, idCol: String, text: Column): DataFrame =
+    docs.select(col(idCol), explode(split(trim(lower(text)), "[ \\t\\n\\f\\r]+")).as("term"))
+      .filter(col("term") =!= "")
+
+  /** Per-document top-`k` terms by tf·idf, idf = ln(N / df). Ties break on
+    * term ascending, so the result is deterministic and SQL-replayable.
+    * Output: (idCol, term, tf, df, score) — score rounded to 4 decimals.
+    */
+  def tfidfTopTerms(docs: DataFrame, idCol: String, text: Column, k: Int): DataFrame = {
+    val tf = tokens(docs, idCol, text)
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.select(countDistinct(col(idCol)).as("n_docs"))
+    val scored = tf.join(df, "term")
+      .crossJoin(broadcast(nDocs)) // 1-row corpus scalar
+      .withColumn("score", (round(col("tf") * log(col("n_docs") / col("df")), 4) + lit(0.0)))
+    scored
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col(idCol)).orderBy(col("score").desc, col("term"))))
+      .filter(col("rk") <= k)
+      .select(col(idCol), col("term"), col("tf").cast("long"), col("df").cast("long"), col("score"))
+  }
+
+  /** BM25 document ranking for a fixed bag of query terms.
+    *
+    * score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·|d|/avgdl)),
+    * idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5))  (always positive).
+    *
+    * Output: (idCol, score) for documents matching ≥1 term, score rounded
+    * to 4 decimals, ordered score desc then idCol, limited to `topK`.
+    */
+  def bm25Rank(docs: DataFrame, idCol: String, text: Column, queryTerms: Seq[String],
+               k1: Double = 1.2, b: Double = 0.75, topK: Int = 20): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25Rank needs at least one query term")
+    val q = queryTerms.map(_.toLowerCase).distinct
+    // map-side funnel: only query-term postings survive the explode
+    val hits = tokens(docs, idCol, text).filter(col("term").isin(q: _*))
+    val tf = hits.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // doc length via the fused counter — no second explode over the corpus
+    val lens = docs.select(col(idCol),
+      TextFunctions.tokenCount(lower(text)).cast("double").as("dl"))
+    val scalars = lens.agg(count(lit(1)).cast("double").as("n_docs"),
+      avg(col("dl")).as("avgdl"))
+    val idf = log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val tfNorm = (col("tf") * (lit(k1) + 1.0)) /
+      (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl")))
+    tf.join(dfT, "term")
+      .join(lens, idCol)
+      .crossJoin(broadcast(scalars)) // 1-row corpus scalars
+      .groupBy(col(idCol))
+      .agg((round(sum(idf * tfNorm), 4) + lit(0.0)).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(topK)
+  }
+}

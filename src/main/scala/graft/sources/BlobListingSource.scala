@@ -100,6 +100,13 @@ object BlobListingSource {
     def fromDdl(ddl: String): org.apache.spark.sql.types.StructType =
       org.apache.spark.sql.types.StructType.fromDDL(ddl)
 
+    /** An Avro schema JSON string — the wire format the reference's JSON
+      * scanner takes (JsonScanner.scala:20-163). See [[AvroSchemaConverter]]
+      * for the type mapping.
+      */
+    def fromAvro(avroJson: String): org.apache.spark.sql.types.StructType =
+      AvroSchemaConverter.toStructType(avroJson)
+
     /** The reference's wire format: Base64 of a parquet file; the schema is
       * read from its footer (reference decodes the same payload through its
       * ParquetScanner, BlobListingParquetStreamingSource.scala:43-46).

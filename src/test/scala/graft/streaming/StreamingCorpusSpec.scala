@@ -378,4 +378,83 @@ class StreamingCorpusSpec extends SparkSpec {
       assert(streamed == Set(2L, 4L), "near-reference rows dropped in both modes")
     } finally q.stop()
   }
+
+  // Misra–Gries is mergeable (Agarwal et al. 2013), so the same
+  // TypedImperativeAggregate runs as a streaming aggregation: the bounded
+  // ≤capacity summary IS the state-store row, updated batch by batch in
+  // complete mode — the vocabulary-path counterpart of the stateless gates
+  // above. With capacity ≥ |vocab| the summary is exact, so streamed
+  // candidates must equal the batch token counts bit for bit.
+  test("Misra–Gries heavy hitters aggregate identically under streaming and batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Doc]
+    def tokens(df: DataFrame): DataFrame =
+      df.select(explode(split(lower(col("text")), "[^a-z0-9]+")).as("tok"))
+        .filter(length(col("tok")) > 0)
+    val q = tokens(input.toDS().toDF())
+      .agg(TextFunctions.misraGries(col("tok"), capacity = 64).as("hh"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("hh_stream_out")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("hhckpt").toString)
+      .start()
+    val docs = Seq(
+      Doc(1L, "the cat and the dog and the bird"),
+      Doc(2L, "a cat a dog a cat"),
+      Doc(3L, "the end of the stream the end"))
+    try {
+      input.addData(docs.take(1): _*)
+      q.processAllAvailable()
+      input.addData(docs.drop(1): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("hh_stream_out")
+        .selectExpr("inline(hh)").as[(String, Long)].collect().toSeq
+      val batch = tokens(docs.toDF())
+        .agg(TextFunctions.misraGries(col("tok"), capacity = 64).as("hh"))
+        .selectExpr("inline(hh)").as[(String, Long)].collect().toSeq
+      assert(streamed == batch, "same candidates, same order, same estimates")
+      val exact = tokens(docs.toDF()).groupBy($"tok").count()
+        .as[(String, Long)].collect().toMap
+      assert(streamed.toMap == exact, "capacity ≥ |vocab| → summary is exact")
+    } finally q.stop()
+  }
+
+  // Under-capacity streaming run: estimates may undercount, but the MG
+  // guarantee (every token with freq > N/capacity present; estimates within
+  // N/capacity of truth) must hold across micro-batch merges.
+  test("streaming Misra–Gries keeps its error guarantee below capacity") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Doc]
+    val capacity = 4
+    def tokens(df: DataFrame): DataFrame =
+      df.select(explode(split(lower(col("text")), "[^a-z0-9]+")).as("tok"))
+        .filter(length(col("tok")) > 0)
+    val q = tokens(input.toDS().toDF())
+      .agg(TextFunctions.misraGries(col("tok"), capacity).as("hh"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("hh_cap_stream_out")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("hhcapckpt").toString)
+      .start()
+    val docs = Seq(
+      Doc(1L, ("alpha " * 20) + ("beta " * 12) + "one two three"),
+      Doc(2L, ("alpha " * 10) + ("gamma " * 9) + "four five six"),
+      Doc(3L, ("beta " * 8) + "seven eight nine ten"))
+    try {
+      docs.foreach { d => input.addData(d); q.processAllAvailable() }
+      val est = spark.table("hh_cap_stream_out")
+        .selectExpr("inline(hh)").as[(String, Long)].collect().toMap
+      val exact = tokens(docs.toDF()).groupBy($"tok").count()
+        .as[(String, Long)].collect().toMap
+      val n = exact.values.sum
+      val slack = n / capacity
+      exact.foreach { case (tok, c) =>
+        if (c > slack) assert(est.contains(tok), s"frequent '$tok' ($c > $slack) must survive")
+      }
+      est.foreach { case (tok, e) =>
+        val c = exact(tok)
+        assert(e <= c && e >= c - slack, s"'$tok' estimate $e outside [${c - slack}, $c]")
+      }
+    } finally q.stop()
+  }
 }
