@@ -129,6 +129,14 @@ object GraftExtensions {
     },
     "graft_fix_mojibake" -> { args =>
       arity(args, 1, "graft_fix_mojibake"); FixMojibakeExpr(args.head)
+    },
+    "graft_strided_resize" -> { args =>
+      arity(args, 2, "graft_strided_resize")
+      StridedResizeExpr(args.head, intLit(args, 1, "graft_strided_resize"))
+    },
+    "graft_resize_image" -> { args =>
+      arity(args, 2, "graft_resize_image")
+      ResizeImageExpr(args.head, intLit(args, 1, "graft_resize_image"))
     }
   )
 }

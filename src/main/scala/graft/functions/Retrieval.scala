@@ -83,4 +83,47 @@ object Retrieval {
       .orderBy(col("score").desc, col(idCol))
       .limit(topK)
   }
+
+  /** Frozen BM25 corpus statistics: per-query-term document frequency plus
+    * the two corpus scalars. |queryTerms| + 2 numbers — the same
+    * frozen-model device as the DSIR/PQ streaming twins: train on the
+    * standing corpus once, score arrivals with a STATELESS column.
+    */
+  final case class Bm25Model(nDocs: Double, avgdl: Double, df: Map[String, Long],
+                             k1: Double, b: Double)
+
+  /** Collect the frozen statistics (≤|queryTerms| df rows + 2 scalars —
+    * driver-bounded by the query size, never the corpus).
+    */
+  def freezeBm25(docs: DataFrame, idCol: String, text: Column, queryTerms: Seq[String],
+                 k1: Double = 1.2, b: Double = 0.75): Bm25Model = {
+    val q = queryTerms.map(_.toLowerCase).distinct
+    val hits = tokens(docs, idCol, text).filter(col("term").isin(q: _*))
+    val dfRows = hits.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sc = docs.agg(count(lit(1)).cast("double"),
+      avg(TextFunctions.tokenCount(lower(text)).cast("double"))).head()
+    Bm25Model(sc.getDouble(0), sc.getDouble(1), dfRows, k1, b)
+  }
+
+  /** Stateless BM25 score of one document against the frozen model — a
+    * pure Column (one tokenize, |queryTerms| filtered counts), so the SAME
+    * expression scores a batch frame and a Structured Streaming arrival
+    * row-by-row with no state store. Terms absent from the frozen corpus
+    * contribute 0 (tf multiplies the whole term). Rounded to 4 decimals,
+    * matching [[bm25Rank]]'s output exactly on the training corpus.
+    */
+  def bm25ScoreColumn(text: Column, model: Bm25Model): Column = {
+    val toks = split(trim(lower(text)), "[ \\t\\n\\f\\r]+")
+    val dl = TextFunctions.tokenCount(lower(text)).cast("double")
+    val norm = lit(model.k1) * (lit(1.0) - lit(model.b) + lit(model.b) * dl / lit(model.avgdl))
+    val terms = model.df.toSeq.sortBy(_._1).map { case (term, df) =>
+      val idf = math.log(1.0 + (model.nDocs - df + 0.5) / (df + 0.5))
+      val tf = size(filter(toks, t => t === lit(term))).cast("double")
+      lit(idf) * (tf * (model.k1 + 1.0)) / (tf + norm)
+    }
+    val total = terms.reduceOption(_ + _).getOrElse(lit(0.0))
+    round(total, 4) + lit(0.0)
+  }
 }

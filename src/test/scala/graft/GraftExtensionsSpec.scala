@@ -42,6 +42,13 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(r2.getString(0) == "Café", "combining acute composes")
     assert(r2.getDouble(1) < 0.2)
     assert(r2.getLong(2) == 3L)
+    val r3 = spark.sql(
+      """SELECT graft_strided_resize(CAST('abcdefgh' AS BINARY), 4) AS strided,
+        |  graft_resize_image(CAST('not an image' AS BINARY), 4) AS img
+        |FROM range(1)""".stripMargin).head()
+    assert(r3.getAs[Array[Byte]](0).length == 4, "8 bytes strided down to 4")
+    assert(new String(r3.getAs[Array[Byte]](1)) == "not an image",
+      "non-image payloads pass through unchanged")
   }
 
   test("non-literal size argument is rejected with a clear error") {

@@ -419,6 +419,48 @@ class StreamingCorpusSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  // Frozen-model BM25: corpus statistics (df per query term, N, avgdl)
+  // freeze once, arrivals score through the SAME stateless Column — the
+  // retrieval counterpart of the DSIR/PQ frozen twins. Scores must equal
+  // the batch funnel's on the training corpus itself.
+  test("frozen BM25 scoring applies statelessly under streaming, matches batch ranks") {
+    import graft.functions.Retrieval
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq(
+      Doc(1L, "data model training data data pipeline"),
+      Doc(2L, "the model is trained on data"),
+      Doc(3L, "nothing relevant here at all"),
+      Doc(4L, "training training training"),
+      Doc(5L, "data"))
+    val terms = Seq("data", "model", "training")
+    val model = Retrieval.freezeBm25(docs.toDF(), "doc_id", col("text"), terms)
+    assert(model.df == Map("data" -> 3L, "model" -> 2L, "training" -> 2L))
+
+    val input = MemoryStream[Doc]
+    val q = input.toDS().toDF()
+      .withColumn("score", Retrieval.bm25ScoreColumn(col("text"), model))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("bm25_stream_out")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("bm25ckpt").toString)
+      .start()
+    try {
+      input.addData(docs.take(2): _*)
+      q.processAllAvailable()
+      input.addData(docs.drop(2): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("bm25_stream_out")
+        .select($"doc_id", $"score").as[(Long, Double)].collect().toMap
+      val batch = Retrieval.bm25Rank(docs.toDF(), "doc_id", col("text"), terms, topK = 10)
+        .as[(Long, Double)].collect().toMap
+      batch.foreach { case (id, s) =>
+        assert(streamed(id) == s, s"doc $id: streamed ${streamed(id)} != batch $s")
+      }
+      assert(streamed(3L) == 0.0, "no query term → zero score")
+      assert(!batch.contains(3L), "batch funnel drops zero-hit docs before ranking")
+    } finally q.stop()
+  }
+
   // Under-capacity streaming run: estimates may undercount, but the MG
   // guarantee (every token with freq > N/capacity present; estimates within
   // N/capacity of truth) must hold across micro-batch merges.
