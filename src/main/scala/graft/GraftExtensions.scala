@@ -130,6 +130,9 @@ object GraftExtensions {
     "graft_fix_mojibake" -> { args =>
       arity(args, 1, "graft_fix_mojibake"); FixMojibakeExpr(args.head)
     },
+    "graft_vector_mean" -> { args =>
+      arity(args, 1, "graft_vector_mean"); VectorMeanAgg(args.head)
+    },
     "graft_strided_resize" -> { args =>
       arity(args, 2, "graft_strided_resize")
       StridedResizeExpr(args.head, intLit(args, 1, "graft_strided_resize"))

@@ -1394,6 +1394,35 @@ object SparkEntry {
         .select(disp.as("v"), col("rank"))
     }),
 
+    // per-label embedding centroids (class prototypes / mean-pooling) via
+    // the mergeable vector-mean aggregate: state = ONE dim-length buffer
+    // per label, map-side partials — the posexplode row×dimension shuffle
+    // never exists. Oracle replays it positionally.
+    "vec_label_centroids" -> ((s, dir) => {
+      t(s, dir, "embeddings")
+        .groupBy(col("label").cast("long").as("label"))
+        .agg(VectorSimilarity.vectorMean(col("embedding")).as("c"),
+          count(lit(1)).as("n"))
+        .select(col("label"),
+          transform(col("c"), x => round(x, 4) + lit(0.0)).as("centroid"),
+          col("n"))
+        .orderBy(col("label"))
+    }),
+
+    // declarative data-quality audit (Deequ-shape, Schelter 2018): N
+    // expectations = ONE scan + ONE 1-row aggregation, no per-expectation
+    // job. The lang_en_frac expectation deliberately fails (0.436 < 0.5)
+    // so the pass=false path is oracle-exercised too.
+    "corpus_expectations" -> ((s, dir) => {
+      Expectations.audit(t(s, dir, "documents"), Seq(
+        Expectations.completeness("text"),
+        Expectations.uniqueness("doc_id"),
+        Expectations.inRange("n_chars", 20, 10000, atLeast = 0.99),
+        Expectations.satisfies("lang_en_frac", "lang", col("lang") === "en",
+          atLeast = 0.5)))
+        .orderBy(col("metric"))
+    }),
+
     // brute-force cosine top-k (exact ANN baseline)
     "knn_cosine_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -3365,6 +3394,42 @@ object SparkEntry {
           |            ELSE 's' || CAST((v - 1) / 2 AS BIGINT) END AS v,
           |       rank
           |FROM top""".stripMargin,
+
+      "vec_label_centroids" ->
+        """WITH e AS (
+          |  SELECT label, unnest(embedding) AS x,
+          |         generate_subscripts(embedding, 1) AS pos
+          |  FROM embeddings),
+          |m AS (SELECT label, pos, avg(x) AS mx FROM e GROUP BY label, pos)
+          |SELECT CAST(label AS BIGINT) AS label,
+          |       list(round(mx, 4) + 0.0 ORDER BY pos) AS centroid,
+          |       (SELECT CAST(count(*) AS BIGINT) FROM embeddings e2
+          |        WHERE e2.label = m.label) AS n
+          |FROM m
+          |GROUP BY label
+          |ORDER BY label""".stripMargin,
+
+      "corpus_expectations" ->
+        """WITH m AS (SELECT
+          |  round(avg(CASE WHEN text IS NOT NULL THEN 1.0 ELSE 0.0 END), 6) + 0.0 AS m0,
+          |  round(CAST(count(DISTINCT doc_id) AS DOUBLE) / count(*), 6) + 0.0 AS m1,
+          |  round(avg(CASE WHEN n_chars BETWEEN 20 AND 10000 THEN 1.0 ELSE 0.0 END), 6) + 0.0 AS m2,
+          |  round(avg(CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END), 6) + 0.0 AS m3
+          |  FROM documents)
+          |SELECT * FROM (
+          |  SELECT 'completeness' AS metric, 'text' AS col_name, m0 AS value,
+          |         CAST(1.0 AS DOUBLE) AS lo, CAST(1.0 AS DOUBLE) AS hi,
+          |         m0 >= 1.0 AND m0 <= 1.0 AS pass FROM m
+          |  UNION ALL SELECT 'uniqueness', 'doc_id', m1,
+          |         CAST(1.0 AS DOUBLE), CAST(1.0 AS DOUBLE),
+          |         m1 >= 1.0 AND m1 <= 1.0 FROM m
+          |  UNION ALL SELECT 'in_range', 'n_chars', m2,
+          |         CAST(0.99 AS DOUBLE), CAST(1.0 AS DOUBLE),
+          |         m2 >= 0.99 AND m2 <= 1.0 FROM m
+          |  UNION ALL SELECT 'lang_en_frac', 'lang', m3,
+          |         CAST(0.5 AS DOUBLE), CAST(1.0 AS DOUBLE),
+          |         m3 >= 0.5 AND m3 <= 1.0 FROM m)
+          |ORDER BY metric""".stripMargin,
 
       "knn_cosine_topk" ->
         """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv

@@ -29,6 +29,16 @@ object VectorSimilarity {
   /** L2 norm. */
   def norm(a: Column): Column = sqrt(dot(a, a))
 
+  /** Element-wise mean of an embedding column ([[expressions.VectorMeanAgg]]):
+    * mean-pooling / centroid aggregate with ONE dim-length double buffer of
+    * state per group, built map-side and merged pairwise — no posexplode
+    * row×dimension shuffle. `array<double>`; null for an all-null group.
+    */
+  def vectorMean(embedding: Column): Column =
+    ExpressionUtils.column(
+      expressions.VectorMeanAgg(ExpressionUtils.expression(embedding))
+        .toAggregateExpression())
+
   /** Cosine similarity; 0 when either vector has zero norm. Single fused
     * codegen pass ([[expressions.CosineSimilarityExpr]]) — ~10× the
     * interpreted `aggregate(zip_with(...))` route on 64-dim floats.
