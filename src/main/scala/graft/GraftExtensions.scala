@@ -20,11 +20,14 @@ import graft.functions.expressions._
   * construction), use [[GraftExtensions.register]].
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach { case (name, builder) =>
       ext.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo(classOf[GraftExtensions].getName, name), builder))
     }
+    // collapse redundant idempotent-kernel applications (see the rule's doc)
+    ext.injectOptimizerRule(_ => GraftOptimizations)
+  }
 }
 
 object GraftExtensions {
