@@ -59,6 +59,46 @@ final class ParquetTarget(spark: SparkSession, dir: String) {
     next
   }
 
+  /** Live (readable) snapshot versions, ascending — committed versions that
+    * have not been expired. Orphan dirs above the pointer are excluded.
+    */
+  def versions: Seq[Int] = {
+    val cur = currentVersion.getOrElse(return Nil)
+    listVersions().filter(_ <= cur).sorted
+  }
+
+  /** Time travel: read snapshot `v` exactly as committed (the Iceberg
+    * `VERSION AS OF` contract, scaled down). Fails with a clear error when
+    * `v` was never committed or has been expired — a silent empty frame
+    * would corrupt any downstream diff.
+    */
+  def readVersion(v: Int): DataFrame = {
+    val live = versions
+    require(live.contains(v),
+      s"snapshot v$v not available in $dir (live: ${live.mkString(",")})" +
+        " — expired or never committed")
+    spark.read.parquet(versionDir(v).toString)
+  }
+
+  /** Incremental consumption between two snapshots (the Iceberg
+    * incremental-scan / CDC-read contract): per-key
+    * added/removed/changed/unchanged status, reconstructed by
+    * [[graft.operators.SnapshotDiff]] over the two time-travel reads —
+    * fingerprints shuffle, payloads never do. `fingerprintCols` defaults to
+    * every non-key column.
+    */
+  def changesBetween(fromV: Int, toV: Int, keyCol: String,
+                     fingerprintCols: Seq[String] = Nil): DataFrame = {
+    require(fromV < toV, s"changesBetween needs fromV < toV, got $fromV >= $toV")
+    import org.apache.spark.sql.functions._
+    val oldSnap = readVersion(fromV)
+    val newSnap = readVersion(toV)
+    val cols = if (fingerprintCols.nonEmpty) fingerprintCols
+      else oldSnap.columns.filterNot(_ == keyCol).toSeq
+    val fp = md5(concat_ws("", cols.map(c => col(c).cast("string")): _*))
+    graft.operators.SnapshotDiff.diff(oldSnap, newSnap, keyCol, fp)
+  }
+
   /** Snapshot expiration (maintenance X2 analog): delete all but the last
     * `keep` snapshot directories.
     */

@@ -25,6 +25,40 @@ class ParquetTargetSpec extends SparkSpec {
     assert(expired.nonEmpty)
     assert(tgt.read().count() == 1) // latest snapshot intact
   }
+
+  test("time travel reads any live snapshot; expired versions fail loudly") {
+    val dir = Files.createTempDirectory("ptargettt").toString
+    val tgt = new ParquetTarget(spark, dir)
+    tgt.commit(Seq((1L, "a")).toDF("id", "v"))
+    tgt.commit(Seq((1L, "a2"), (2L, "b")).toDF("id", "v"))
+    tgt.commit(Seq((2L, "b"), (3L, "c")).toDF("id", "v"))
+    assert(tgt.versions == Seq(1, 2, 3))
+    assert(tgt.readVersion(1).as[(Long, String)].collect().toSet == Set((1L, "a")))
+    assert(tgt.readVersion(2).count() == 2)
+    assert(tgt.readVersion(3).as[(Long, String)].collect().toSet ==
+      Set((2L, "b"), (3L, "c")))
+    tgt.expireSnapshots(keep = 2)
+    assert(tgt.versions == Seq(2, 3))
+    val e = intercept[IllegalArgumentException](tgt.readVersion(1))
+    assert(e.getMessage.contains("expired or never committed"))
+    intercept[IllegalArgumentException](tgt.readVersion(99))
+  }
+
+  test("changesBetween reconstructs the changefeed between two snapshots") {
+    val dir = Files.createTempDirectory("ptargetcb").toString
+    val tgt = new ParquetTarget(spark, dir)
+    tgt.commit(Seq((1L, "a", 10), (2L, "b", 20), (3L, "c", 30)).toDF("id", "v", "n"))
+    tgt.commit(Seq((1L, "a", 10), (2L, "B2", 20), (4L, "d", 40)).toDF("id", "v", "n"))
+    val status = tgt.changesBetween(1, 2, keyCol = "id")
+      .as[(Long, String)].collect().toMap
+    assert(status == Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "removed", 4L -> "added"))
+    // fingerprint restricted to a stable column subset: v changes invisible
+    val narrow = tgt.changesBetween(1, 2, keyCol = "id", fingerprintCols = Seq("n"))
+      .as[(Long, String)].collect().toMap
+    assert(narrow(2L) == "unchanged", "v excluded from the fingerprint")
+    intercept[IllegalArgumentException](tgt.changesBetween(2, 1, "id"))
+  }
 }
 
 /** The reference's minimum end-to-end slice (SURVEY §7.3): a folder of
