@@ -140,13 +140,34 @@ class PlanPostureSpec extends SparkSpec {
     ("doc_html_strip", "documents", 2),
     ("text_script_profile", "documents", 2),
     ("layout_zorder", "lineitem", 2),         // l_partkey, l_suppkey
-    ("layout_hilbert", "lineitem", 2))
+    ("layout_hilbert", "lineitem", 2),
+    // r12: retrieval + graph + audit queries touch 1-3 columns each
+    ("text_tfidf_topterms", "documents", 2),  // doc_id, text
+    ("text_bm25_search", "documents", 2),
+    ("graph_pagerank", "lineitem", 2),        // l_orderkey, l_suppkey
+    ("graph_pagerank", "orders", 2),          // o_orderkey, o_custkey
+    ("vec_label_centroids", "embeddings", 2), // label, embedding
+    ("corpus_expectations", "documents", 4))  // text, doc_id, n_chars, lang
+
+  // pruning probes must also see scans buried inside cached relations
+  // (graph_pagerank persists its edge list, so the parquet scans live in
+  // the InMemoryRelation's cached plan, not the outer executed plan)
+  private def collectWithCached(p: SparkPlan): Seq[SparkPlan] = {
+    val all = collectNodes(p)
+    all ++ all.flatMap {
+      case m: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+        collectWithCached(m.relation.cachedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        collectWithCached(q.plan)
+      case _ => Nil
+    }
+  }
 
   for ((name, table, maxCols) <- pruningProbes) {
     test(s"$name: $table scan reads at most $maxCols columns") {
       val df = SparkEntry.queries(name)(spark, sfDir)
       df.write.format("noop").mode("overwrite").save()
-      val scans = collectNodes(df.queryExecution.executedPlan)
+      val scans = collectWithCached(df.queryExecution.executedPlan)
         .collect {
           case s: org.apache.spark.sql.execution.FileSourceScanExec
             if s.relation.location.rootPaths.exists(_.toString.contains(table)) => s
