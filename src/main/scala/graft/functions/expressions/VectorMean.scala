@@ -72,16 +72,29 @@ case class VectorMeanAgg(
       val arr = v.asInstanceOf[ArrayData]
       val values = new Array[Double](arr.numElements())
       var i = 0
+      // a null ELEMENT has no defensible mean semantics (ArrayData.getFloat
+      // would silently read 0) — fail loudly instead of skewing the centroid
       elementType match {
         case FloatType =>
-          while (i < values.length) { values(i) = arr.getFloat(i).toDouble; i += 1 }
+          while (i < values.length) {
+            if (arr.isNullAt(i)) throw nullElement(i)
+            values(i) = arr.getFloat(i).toDouble; i += 1
+          }
         case _ =>
-          while (i < values.length) { values(i) = arr.getDouble(i); i += 1 }
+          while (i < values.length) {
+            if (arr.isNullAt(i)) throw nullElement(i)
+            values(i) = arr.getDouble(i); i += 1
+          }
       }
       buffer.add(values)
     }
     buffer
   }
+
+  private def nullElement(i: Int): IllegalStateException =
+    new IllegalStateException(
+      s"vector_mean: null element at position $i — a null component has no " +
+        "mean semantics; clean or filter the vector upstream")
 
   override def merge(buffer: VecSumBuffer, other: VecSumBuffer): VecSumBuffer = {
     buffer.merge(other)

@@ -95,7 +95,14 @@ final class ParquetTarget(spark: SparkSession, dir: String) {
     val newSnap = readVersion(toV)
     val cols = if (fingerprintCols.nonEmpty) fingerprintCols
       else oldSnap.columns.filterNot(_ == keyCol).toSeq
-    val fp = md5(concat_ws("", cols.map(c => col(c).cast("string")): _*))
+    // per-column "len:value" framing with an explicit null tag: concat_ws
+    // SKIPS nulls, so ("a", null) vs (null, "a") -- and boundary shifts
+    // like ("ab","c") vs ("a","bc") -- would otherwise fingerprint
+    // identically and a real change would read as "unchanged"
+    val fp = md5(concat_ws("|", cols.map { c =>
+      val s = col(c).cast("string")
+      coalesce(concat(length(s).cast("string"), lit(":"), s), lit("null"))
+    }: _*))
     graft.operators.SnapshotDiff.diff(oldSnap, newSnap, keyCol, fp)
   }
 

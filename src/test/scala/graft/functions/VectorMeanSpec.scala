@@ -45,6 +45,19 @@ class VectorMeanSpec extends SparkSpec {
       Option(e.getCause).exists(_.getMessage.contains("inconsistent dimensions")))
   }
 
+  test("a null ELEMENT fails loudly instead of silently reading 0") {
+    val bad = Seq((0, Array[Option[Float]](Some(1.0f), None)),
+      (0, Array[Option[Float]](Some(2.0f), Some(3.0f))))
+      .toDF("label", "embedding")
+      .selectExpr("label", "transform(embedding, x -> x) AS embedding")
+    val e = intercept[Exception] {
+      bad.groupBy($"label").agg(VectorSimilarity.vectorMean($"embedding")).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("null element")))
+  }
+
   test("SQL surface: graft_vector_mean aggregates in a GROUP BY") {
     graft.GraftExtensions.register(spark)
     Seq((0, Array(1.0f, 1.0f)), (0, Array(3.0f, 5.0f)))

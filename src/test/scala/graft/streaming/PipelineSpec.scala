@@ -59,6 +59,20 @@ class ParquetTargetSpec extends SparkSpec {
     assert(narrow(2L) == "unchanged", "v excluded from the fingerprint")
     intercept[IllegalArgumentException](tgt.changesBetween(2, 1, "id"))
   }
+
+  test("changefeed fingerprint distinguishes null shifts and boundary shifts") {
+    val dir = Files.createTempDirectory("ptargetnb").toString
+    val tgt = new ParquetTarget(spark, dir)
+    // v1→v2: key 1 shifts null between columns; key 2 shifts a boundary
+    // character between columns — both MUST read as "changed"
+    tgt.commit(Seq((1L, Some("a"), None: Option[String]), (2L, Some("ab"), Some("c")))
+      .toDF("id", "x", "y"))
+    tgt.commit(Seq((1L, None: Option[String], Some("a")), (2L, Some("a"), Some("bc")))
+      .toDF("id", "x", "y"))
+    val status = tgt.changesBetween(1, 2, keyCol = "id")
+      .as[(Long, String)].collect().toMap
+    assert(status == Map(1L -> "changed", 2L -> "changed"))
+  }
 }
 
 /** The reference's minimum end-to-end slice (SURVEY §7.3): a folder of
