@@ -1,0 +1,138 @@
+package graft
+
+import graft.operators.{Expectations, PageRank}
+import graft.sources.AvroSchemaConverter
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property invariants over the round-12 operators, same seeded-sampling
+  * device as [[PropertySpec]].
+  */
+class Round12PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def forAllSampled[A](gen: Gen[A], n: Int = 8)(body: A => Unit): Unit =
+    (0 until n).foreach { i =>
+      body(gen.pureApply(Gen.Parameters.default, Seed(7000L + i)))
+    }
+
+  private val edgesGen: Gen[List[(Int, Int)]] = for {
+    n <- Gen.choose(3, 12)
+    m <- Gen.choose(n, 3 * n)
+    edges <- Gen.listOfN(m, for {
+      s <- Gen.choose(0, n - 1)
+      d0 <- Gen.choose(0, n - 2) // skip s without a retrying filter
+    } yield (s, if (d0 >= s) d0 + 1 else d0))
+  } yield edges.distinct
+
+  test("PageRank invariants: floor, mass bound, determinism") {
+    forAllSampled(edgesGen) { edges =>
+      if (edges.nonEmpty) {
+        val df = edges.toDF("src", "dst")
+        val ranks = PageRank.run(df, "src", "dst", iterations = 3)
+          .as[(Int, Double)].collect().toMap
+        val nVerts = (edges.map(_._1) ++ edges.map(_._2)).distinct.size
+        assert(ranks.size == nVerts, "every vertex appears exactly once")
+        // floor: (1-d) is the minimum any vertex can hold
+        ranks.values.foreach(r => assert(r >= 0.15 - 1e-12))
+        // mass: dangling vertices only LEAK mass, never create it
+        assert(ranks.values.sum <= nVerts + 1e-9)
+        val again = PageRank.run(df, "src", "dst", iterations = 3)
+          .as[(Int, Double)].collect().toMap
+        assert(again == ranks, "deterministic across runs")
+      }
+    }
+  }
+
+  test("PageRank on a permutation graph conserves mass exactly") {
+    forAllSampled(Gen.choose(2, 10)) { n =>
+      val perm = (0 until n).map(i => (i, (i + 1) % n)) // directed ring
+      val total = PageRank.run(perm.toDF("src", "dst"), "src", "dst", 4)
+        .as[(Int, Double)].collect().map(_._2).sum
+      assert(math.abs(total - n) < 1e-9)
+    }
+  }
+
+  // Avro grammar: primitives, logical types, nullable unions, arrays —
+  // the expected Spark type is constructed alongside the schema text, so
+  // the property checks the full mapping, not one hand-picked case.
+  private val leafGen: Gen[(String, DataType)] = Gen.oneOf(
+    ("\"long\"", LongType), ("\"int\"", IntegerType), ("\"string\"", StringType),
+    ("\"double\"", DoubleType), ("\"boolean\"", BooleanType),
+    ("{\"type\":\"int\",\"logicalType\":\"date\"}", DateType),
+    ("{\"type\":\"long\",\"logicalType\":\"timestamp-micros\"}", TimestampType),
+    ("{\"type\":\"bytes\",\"logicalType\":\"decimal\",\"precision\":10,\"scale\":2}",
+      DecimalType(10, 2)))
+
+  private val fieldGen: Gen[(String, String, DataType, Boolean)] = for {
+    (avro, spark) <- leafGen
+    shape <- Gen.oneOf("plain", "nullable", "array")
+  } yield shape match {
+    case "plain" => (avro, avro, spark, false)
+    case "nullable" => (s"""["null",$avro]""", avro, spark, true)
+    case "array" =>
+      (s"""{"type":"array","items":$avro}""", avro,
+        ArrayType(spark, containsNull = false), false)
+  }
+
+  test("Avro conversion maps every generated field to its expected Spark type") {
+    forAllSampled(Gen.listOfN(5, fieldGen), n = 12) { fields =>
+      val json = fields.zipWithIndex
+        .map { case ((avro, _, _, _), i) => s"""{"name":"f$i","type":$avro}""" }
+        .mkString("""{"type":"record","name":"R","fields":[""", ",", "]}")
+      val st = AvroSchemaConverter.toStructType(json)
+      fields.zipWithIndex.foreach { case ((_, _, expected, nullable), i) =>
+        assert(st(s"f$i").dataType === expected, s"field f$i of $json")
+        assert(st(s"f$i").nullable === nullable)
+      }
+    }
+  }
+
+  private val valuesGen: Gen[List[Int]] = Gen.listOfN(12, Gen.choose(-50, 50))
+
+  test("Expectations: the pass verdict is exactly value-within-band; holds agrees") {
+    forAllSampled(valuesGen) { values =>
+      if (values.nonEmpty) {
+        val df = values.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "v")
+        val exps = Seq(
+          Expectations.inRange("v", -10, 10, atLeast = 0.3),
+          Expectations.minOf("v", atLeast = -25.0),
+          Expectations.maxOf("v", atMost = 25.0),
+          Expectations.uniqueness("id"))
+        val rows = Expectations.audit(df, exps).collect()
+        rows.foreach { r =>
+          val (value, lo, hi, pass) =
+            (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getBoolean(5))
+          assert(pass == (value >= lo && value <= hi),
+            s"${r.getString(0)}: pass=$pass but value=$value band=[$lo,$hi]")
+        }
+        assert(Expectations.holds(df, exps) == rows.forall(_.getBoolean(5)))
+      }
+    }
+  }
+
+  private val vecsGen: Gen[List[List[Float]]] = for {
+    dim <- Gen.choose(1, 5)
+    n <- Gen.choose(1, 8)
+    vs <- Gen.listOfN(n, Gen.listOfN(dim, Gen.choose(-100, 100).map(_.toFloat)))
+  } yield vs
+
+  test("vector_mean equals the local arithmetic mean, at any partitioning") {
+    forAllSampled(vecsGen) { vecs =>
+      val dim = vecs.head.size
+      val expected = (0 until dim).map(j =>
+        vecs.map(_(j).toDouble).sum / vecs.size)
+      for (parts <- Seq(1, 3)) {
+        val got = vecs.map(v => Tuple1(v.toArray)).toDF("embedding")
+          .repartition(parts)
+          .agg(graft.functions.VectorSimilarity.vectorMean($"embedding"))
+          .head().getSeq[Double](0)
+        got.zip(expected).foreach { case (g, e) =>
+          assert(math.abs(g - e) < 1e-6, s"parts=$parts got=$got expected=$expected")
+        }
+      }
+    }
+  }
+}
