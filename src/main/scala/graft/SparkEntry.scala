@@ -901,6 +901,27 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // leakage-safe split: hash the near-dup CLUSTER representative, not the
+    // document id, so every member of a dup cluster lands in the same
+    // split — per-doc hashing puts near-copies of a training doc in the
+    // eval set (the classic split-contamination trap). Singletons fall
+    // back to their own id; the cluster funnel is the dedup_minhash_
+    // clusters one, the split the doc_split_assign one — composed.
+    "doc_split_leakage_safe" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = MinHashLsh.nearDupPairsHashed(docs, "doc_id",
+        TextFunctions.shingleHashes(col("text"), 5),
+        numHashes = 64, bands = 16, threshold = 0.8)
+      val reps = ConnectedComponents.minLabel(pairs)
+        .select(col("id").as("doc_id"), col("comp").as("rep"))
+      docs.select(col("doc_id")).join(reps, Seq("doc_id"), "left")
+        .withColumn("cluster_rep", coalesce(col("rep"), col("doc_id")))
+        .select(col("doc_id"), col("cluster_rep"),
+          Sampling.assignSplit(col("cluster_rep"),
+            Seq("test" -> 0.05, "val" -> 0.05)).as("split"))
+        .orderBy(col("doc_id"))
+    }),
+
     // deterministic corpus shuffle: md5 order is a pseudorandom
     // permutation of the corpus, split into independent shard streams
     // with in-shard positions — the pre-training layout step (shard
@@ -2524,6 +2545,32 @@ object SparkEntry {
            |SELECT a AS doc_id, least(a, min(b)) AS cluster_rep
            |FROM reach GROUP BY a
            |ORDER BY doc_id""".stripMargin,
+
+      // same transitive-closure CTEs as dedup_minhash_clusters, then the
+      // md5-threshold split of doc_split_assign applied to the CLUSTER
+      // representative (singletons fall back to their own id)
+      "doc_split_leakage_safe" ->
+        s"""WITH RECURSIVE t AS (SELECT doc_id, $normText AS norm FROM documents),
+           |g AS (SELECT DISTINCT doc_id, CASE WHEN len(norm) < 5 THEN norm ELSE norm[i:i+4] END AS sh
+           |      FROM t, LATERAL (SELECT unnest(range(1, greatest(len(norm) - 3, 2))) AS i) r),
+           |cnt AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
+           |inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS i
+           |          FROM g a JOIN g b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
+           |p AS (SELECT ia, ib
+           |      FROM inter JOIN cnt ca ON ca.doc_id = ia JOIN cnt cb ON cb.doc_id = ib
+           |      WHERE round(i * 1.0 / (ca.n + cb.n - i), 4) >= 0.8),
+           |e AS (SELECT ia AS a, ib AS b FROM p UNION SELECT ib, ia FROM p),
+           |reach AS (
+           |  SELECT a, b FROM e
+           |  UNION
+           |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+           |reps AS (SELECT a AS doc_id, least(a, min(b)) AS rep FROM reach GROUP BY a)
+           |SELECT d.doc_id, coalesce(r.rep, d.doc_id) AS cluster_rep,
+           |  CASE WHEN substr(md5(CAST(coalesce(r.rep, d.doc_id) AS VARCHAR)), 1, 4) < '${Sampling.thresholdHex(0.05)}' THEN 'test'
+           |       WHEN substr(md5(CAST(coalesce(r.rep, d.doc_id) AS VARCHAR)), 1, 4) < '${Sampling.thresholdHex(0.10)}' THEN 'val'
+           |       ELSE 'train' END AS split
+           |FROM documents d LEFT JOIN reps r USING (doc_id)
+           |ORDER BY d.doc_id""".stripMargin,
 
       // same transitive-closure CTEs as dedup_minhash_clusters, then the
       // per-cluster survivor by (n_chars DESC, doc_id) — everything not
