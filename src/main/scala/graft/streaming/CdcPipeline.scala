@@ -28,10 +28,20 @@ final case class PipelineConfig(
     maintenanceEvery: Int = 10,             // run maintenance every Nth batch
     snapshotsToKeep: Int = 3,
     targetPartitions: Option[Int] = None,   // clamp files per commit
-    mergeViaSql: Boolean = false)           // route the merge through the
+    mergeViaSql: Boolean = false,           // route the merge through the
                                             // rendered MERGE INTO text
                                             // (MergeSqlBuilder→MergeSqlExecutor)
                                             // instead of the DataFrame dialect
+    // Admission gate: expectations evaluated against every incoming batch
+    // BEFORE filtering/dedup/merge (one extra 1-row aggregation per batch).
+    // On violation: "fail" stops the stream (operator intervenes — the
+    // default, because silently merging corrupt CDC data is the worst
+    // outcome); "skip" quarantines the batch — the merge is skipped but
+    // the watermark still commits, so the stream moves on and the rejected
+    // batch count surfaces in metrics (use when the source occasionally
+    // emits junk batches that a re-pull would only repeat).
+    expectations: Seq[graft.operators.Expectations.Expectation] = Nil,
+    onExpectationFailure: String = "fail")  // "fail" | "skip"
 
 final class CdcPipeline(spark: SparkSession, dialect: MergeDialect,
                         cfg: PipelineConfig, watermarks: WatermarkStore,
@@ -77,6 +87,27 @@ final class CdcPipeline(spark: SparkSession, dialect: MergeDialect,
       return
     }
     GraftMetrics.inc(GraftMetrics.RowsIncoming, changes.count())
+
+    // Data-quality admission gate (Deequ-style): one 1-row aggregation over
+    // the persisted batch; see PipelineConfig.onExpectationFailure for the
+    // fail-vs-quarantine trade.
+    if (cfg.expectations.nonEmpty &&
+        !graft.operators.Expectations.holds(changes, cfg.expectations)) {
+      GraftMetrics.inc(GraftMetrics.ExpectationBatchesRejected)
+      cfg.onExpectationFailure match {
+        case "skip" =>
+          commitWatermark(targetName, watermark)
+          return
+        case _ =>
+          val audit = graft.operators.Expectations.audit(changes, cfg.expectations)
+            .filter(!col("pass")).collect()
+            .map(r => s"${r.getString(0)}(${r.getString(1)})=${r.get(2)}")
+            .mkString(", ")
+          throw new IllegalStateException(
+            s"batch rejected by expectations for $targetName: $audit")
+      }
+    }
+
     // P1/P2 field filtering (columns prune into the scan)
     val filtered0 =
       if (cfg.includeColumns.nonEmpty)

@@ -43,6 +43,7 @@ object GraftMetrics {
   val BackfillShardsStaged = "arcane.stream.backfill.shards_staged"
   val BackfillShardsCombined = "arcane.stream.backfill.shards_combined"
   val TargetOptimizeDuration = "arcane.stream.target.optimize_duration"
+  val ExpectationBatchesRejected = "arcane.stream.expectations.batches_rejected"
   val TargetSnapshotExpireDuration = "arcane.stream.target.snapshot_expire_duration"
 }
 
