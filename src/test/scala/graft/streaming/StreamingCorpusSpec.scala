@@ -461,6 +461,42 @@ class StreamingCorpusSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  // vector_mean is a TypedImperativeAggregate with a dim-length buffer, so
+  // it runs as a streaming aggregation the same way Misra–Gries does: the
+  // buffer is the state-store row, merged batch by batch. Sums of the same
+  // values must agree with batch bit for bit (addition order differs, but
+  // these fixtures are exact in binary).
+  test("vector_mean centroids aggregate identically under streaming and batch") {
+    import graft.functions.VectorSimilarity
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[VecRow]
+    val q = input.toDS().toDF()
+      .groupBy((col("vec_id") % 2).as("grp"))
+      .agg(VectorSimilarity.vectorMean(col("embedding")).as("c"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("vm_stream_out")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("vmckpt").toString)
+      .start()
+    val rows = Seq(
+      VecRow(0L, Array(1f, 2f, 3f, 4f)), VecRow(1L, Array(0f, 1f, 0f, 1f)),
+      VecRow(2L, Array(3f, 2f, 1f, 0f)), VecRow(3L, Array(2f, 1f, 2f, 1f)))
+    try {
+      input.addData(rows.take(2): _*)
+      q.processAllAvailable()
+      input.addData(rows.drop(2): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("vm_stream_out")
+        .as[(Long, Array[Double])].collect().toMap.view.mapValues(_.toSeq).toMap
+      val batch = rows.toDF().groupBy((col("vec_id") % 2).as("grp"))
+        .agg(VectorSimilarity.vectorMean(col("embedding")).as("c"))
+        .as[(Long, Array[Double])].collect().toMap.view.mapValues(_.toSeq).toMap
+      assert(streamed == batch)
+      assert(streamed(0L) == Seq(2.0, 2.0, 2.0, 2.0), "mean of rows 0 and 2")
+      assert(streamed(1L) == Seq(1.0, 1.0, 1.0, 1.0), "mean of rows 1 and 3")
+    } finally q.stop()
+  }
+
   // Under-capacity streaming run: estimates may undercount, but the MG
   // guarantee (every token with freq > N/capacity present; estimates within
   // N/capacity of truth) must hold across micro-batch merges.
