@@ -361,8 +361,12 @@ object CorpusPipeline {
     // 1. in-batch preparation
     val prepared = prepare(newDocs, cfg)
 
-    // 2. exact against-corpus dedup (Bloom prefilter + exact sliver join)
+    // 2. exact against-corpus dedup (Bloom prefilter + exact sliver join).
+    // corpusKeys is read three times (sizing count, filter build, sliver
+    // anti-join) and each read would re-scan + re-hash the corpus — persist
+    // the slim 8-byte-key projection once (the count materializes it)
     val corpusKeys = standingCorpus.select(key.as("__ck"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val expected = math.max(corpusKeys.count(), 1L)
     val filter = BloomDedup.buildLong(corpusKeys, col("__ck"), expected, bloomFpp)
     val exactNew = BloomDedup.newKeysExact(
