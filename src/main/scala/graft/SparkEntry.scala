@@ -17,6 +17,28 @@ import org.apache.spark.sql.functions._
   */
 object SparkEntry {
 
+  // layout_pruned_scan fixture: one curve-layout write per (JVM, sf dir),
+  // deleted on JVM exit — see the query's comment
+  private val layoutScanCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, graft.functions.Layout.GridBounds2d)]()
+
+  private def layoutScanFixture(s: SparkSession, dir: String)
+      : (String, graft.functions.Layout.GridBounds2d) =
+    layoutScanCache.computeIfAbsent(dir, _ => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
+      val out = java.nio.file.Files.createTempDirectory("graft_layout_scan")
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        val stream = java.nio.file.Files.walk(out)
+        try stream.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+        finally stream.close()
+      }))
+      val bounds = Layout.layoutWrite2d(li, "l_partkey", "l_suppkey",
+        bits = 16, prefixBits = 6, out.toString)
+      (out.toString, bounds)
+    })
+
   private def t(s: SparkSession, dir: String, name: String): DataFrame = {
     val df = s.read.parquet(s"$dir/$name.parquet")
     // events.ts is INT64 TIMESTAMP(NANOS) parquet, which Spark only reads as
@@ -1747,11 +1769,11 @@ object SparkEntry {
     // require below additionally proves files were SKIPPED, not just
     // selected), so the oracle replays the plain filtered aggregate.
     "layout_pruned_scan" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
-      val out = java.nio.file.Files.createTempDirectory("graft_layout_scan").toString
-      val bounds = Layout.layoutWrite2d(li, "l_partkey", "l_suppkey",
-        bits = 16, prefixBits = 6, out)
+      // the layout fixture is written ONCE per JVM and sf dir (the curve
+      // write is the fixture, the pruned READ is the operator under test);
+      // per-invocation temp dirs would leak a lineitem-sized parquet copy
+      // every bench repeat and bill the write into the read's clock
+      val (out, bounds) = layoutScanFixture(s, dir)
       val (scanned, stats) = Layout.prunedRangeScan2d(s, out, bounds,
         bits = 16, prefixBits = 6, "l_partkey", "l_suppkey",
         dim = 1, lo = 5L, hi = 20L)

@@ -364,7 +364,12 @@ object CorpusPipeline {
     // 2. exact against-corpus dedup (Bloom prefilter + exact sliver join).
     // corpusKeys is read three times (sizing count, filter build, sliver
     // anti-join) and each read would re-scan + re-hash the corpus — persist
-    // the slim 8-byte-key projection once (the count materializes it)
+    // the slim 8-byte-key projection once (the count materializes it).
+    // CACHE LIFETIME: the returned frames reference this cache, so it can't
+    // be released here; a long-lived ingest service should unpersist it
+    // (spark.catalog.clearCache(), or track getPersistentRDDs) after
+    // materializing accepted+audit, or one corpus-keys-sized entry
+    // accumulates per batch
     val corpusKeys = standingCorpus.select(key.as("__ck"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val expected = math.max(corpusKeys.count(), 1L)

@@ -207,8 +207,9 @@ object Layout {
   /** Driver-side mirror of [[scaledSql]] — maps a raw predicate constant
     * onto the grid so [[bucketsForRange]] can route it.
     */
-  def scaleValue(v: Long, min: Long, span: Long, bits: Int): Long = {
-    requireScaleSafe(span, bits, "scaleValue")
+  def scaleValue(v: Long, min: Long, span: Long, bits: Int,
+                 colName: String = "value"): Long = {
+    requireScaleSafe(span, bits, colName)
     val m = (1L << bits) - 1
     val clamped = math.min(math.max(v, min), min + span)
     (clamped - min) * m / span
@@ -245,8 +246,8 @@ object Layout {
     require(dim == 0 || dim == 1, "dim selects xCol (0) or yCol (1)")
     val predCol = if (dim == 0) xCol else yCol
     val (dMin, dSpan) = if (dim == 0) (b.xMin, b.xSpan) else (b.yMin, b.ySpan)
-    val gLo = scaleValue(lo, dMin, dSpan, bits)
-    val gHi = scaleValue(hi, dMin, dSpan, bits)
+    val gLo = scaleValue(lo, dMin, dSpan, bits, predCol)
+    val gHi = scaleValue(hi, dMin, dSpan, bits, predCol)
     val buckets =
       bucketsForRange(bits, 2, prefixBits, dim, gLo, gHi, hilbert).toSet
     // per-file bounds from the actual footers (metadata-only)

@@ -680,8 +680,11 @@ object Multimodal {
         new ByteArrayInputStream(bytes))
       try {
         val fmt = ais.getFormat
+        // sample rate is a raw fmt-chunk field the reader does NOT validate:
+        // a crafted/corrupt WAV declaring rate 0 would otherwise reach the
+        // duration division and crash the stage instead of yielding nulls
         val ok = fmt.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
-          fmt.getSampleSizeInBits == 16
+          fmt.getSampleSizeInBits == 16 && fmt.getSampleRate >= 1f
         if (!ok) return None
         val frameSize = fmt.getFrameSize
         val raw = ais.readAllBytes()

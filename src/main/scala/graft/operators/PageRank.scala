@@ -31,6 +31,14 @@ object PageRank {
   /** Returns (v, rank) for every vertex appearing as src or dst.
     * `edges` must be duplicate-free: parallel edges would double-count
     * contributions (dedupe upstream — degree math assumes simple edges).
+    *
+    * CACHE LIFETIME: with `persistLinks` (the default) the edge, link, and
+    * vertex frames stay cached after the returned ranks are consumed —
+    * they are what make the iterations cheap, and the result's lineage
+    * references them, so they cannot be released here. Callers running
+    * many graphs in one session should unpersist between runs
+    * (`spark.catalog.clearCache()` or track `getPersistentRDDs`), or pass
+    * `persistLinks = false` and accept the recomputation.
     */
   def run(edges: DataFrame, src: String, dst: String,
           iterations: Int, damping: Double = 0.85,

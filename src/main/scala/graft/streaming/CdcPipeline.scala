@@ -47,6 +47,12 @@ final class CdcPipeline(spark: SparkSession, dialect: MergeDialect,
                         cfg: PipelineConfig, watermarks: WatermarkStore,
                         retry0: RetryPolicy = RetryPolicy()) {
 
+  // misconfiguration must fail at construction, not mid-stream: a typo like
+  // "quarantine" silently routing to the fail branch would kill the stream
+  // on the first junk batch the operator expected to be skipped
+  require(Set("fail", "skip").contains(cfg.onExpectationFailure),
+    s"onExpectationFailure must be 'fail' or 'skip', got '${cfg.onExpectationFailure}'")
+
   // every retried transient failure surfaces in the metrics, composing with
   // whatever hook the caller installed (reference logs its retry schedule)
   private val retry: RetryPolicy = retry0.copy(onRetry = (a, t) => {
@@ -88,23 +94,28 @@ final class CdcPipeline(spark: SparkSession, dialect: MergeDialect,
     }
     GraftMetrics.inc(GraftMetrics.RowsIncoming, changes.count())
 
-    // Data-quality admission gate (Deequ-style): one 1-row aggregation over
-    // the persisted batch; see PipelineConfig.onExpectationFailure for the
-    // fail-vs-quarantine trade.
-    if (cfg.expectations.nonEmpty &&
-        !graft.operators.Expectations.holds(changes, cfg.expectations)) {
-      GraftMetrics.inc(GraftMetrics.ExpectationBatchesRejected)
-      cfg.onExpectationFailure match {
-        case "skip" =>
-          commitWatermark(targetName, watermark)
-          return
-        case _ =>
-          val audit = graft.operators.Expectations.audit(changes, cfg.expectations)
-            .filter(!col("pass")).collect()
-            .map(r => s"${r.getString(0)}(${r.getString(1)})=${r.get(2)}")
-            .mkString(", ")
-          throw new IllegalStateException(
-            s"batch rejected by expectations for $targetName: $audit")
+    // Data-quality admission gate (Deequ-style): ONE 1-row aggregation over
+    // the persisted batch, collected once — the verdict and the diagnostic
+    // both come from the same rows (no second pass, no eviction race). A
+    // NULL verdict (metric aggregated to NULL) counts as a violation and
+    // stays in the message — `!pass` would silently drop exactly the rows
+    // that caused the rejection.
+    if (cfg.expectations.nonEmpty) {
+      val audit = graft.operators.Expectations.audit(changes, cfg.expectations).collect()
+      val failed = audit.filterNot(r => java.lang.Boolean.TRUE.equals(r.get(5)))
+      if (failed.nonEmpty) {
+        GraftMetrics.inc(GraftMetrics.ExpectationBatchesRejected)
+        cfg.onExpectationFailure match {
+          case "skip" =>
+            commitWatermark(targetName, watermark)
+            return
+          case _ =>
+            val msg = failed
+              .map(r => s"${r.getString(0)}(${r.getString(1)})=${r.get(2)}")
+              .mkString(", ")
+            throw new IllegalStateException(
+              s"batch rejected by expectations for $targetName: $msg")
+        }
       }
     }
 

@@ -17,9 +17,16 @@ import org.apache.parquet.hadoop.util.HadoopInputFile
   */
 object FooterStats {
 
-  /** (file, min, max, nulls, rows) per row group for one INT64 column,
-    * across every parquet file under `dir` (recursive). Driver-side and
-    * metadata-only; cost is one footer read per file.
+  /** (file, min, max, nulls, rows) per row group for one integer column
+    * (INT64 native; INT32 widened), across every parquet file under `dir`
+    * (recursive). Driver-side and metadata-only; cost is one footer read
+    * per file.
+    *
+    * Pruning built on these bounds must be CONSERVATIVE, so a row group
+    * whose stats are unusable — column chunk missing (schema drift), stats
+    * disabled, all-null values, or a non-integer physical type — reports
+    * the full long range instead of being dropped or crashing: a file
+    * data-skipping cannot rule out must stay in the scan.
     */
   def int64ColumnBounds(dir: String, column: String,
                         conf: Configuration = new Configuration())
@@ -37,14 +44,25 @@ object FooterStats {
     files.flatMap { p =>
       val reader = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
       try {
-        reader.getFooter.getBlocks.asScala.toSeq.flatMap { block =>
-          block.getColumns.asScala.find(
-            _.getPath.toDotString == column).toSeq.map { cc =>
-            val st = cc.getStatistics
-            (p.toString,
-              st.genericGetMin.asInstanceOf[java.lang.Long].longValue(),
-              st.genericGetMax.asInstanceOf[java.lang.Long].longValue(),
-              st.getNumNulls, block.getRowCount)
+        reader.getFooter.getBlocks.asScala.toSeq.map { block =>
+          val bounds = block.getColumns.asScala
+            .find(_.getPath.toDotString == column)
+            .flatMap { cc =>
+              val st = cc.getStatistics
+              if (st == null || st.isEmpty || !st.hasNonNullValue) None
+              else (st.genericGetMin, st.genericGetMax) match {
+                case (mn: java.lang.Long, mx: java.lang.Long) =>
+                  Some((mn.longValue(), mx.longValue(), st.getNumNulls))
+                case (mn: java.lang.Integer, mx: java.lang.Integer) =>
+                  Some((mn.longValue(), mx.longValue(), st.getNumNulls))
+                case _ => None
+              }
+            }
+          bounds match {
+            case Some((mn, mx, nulls)) =>
+              (p.toString, mn, mx, nulls, block.getRowCount)
+            case None => // unusable stats → unbounded (never prunable)
+              (p.toString, Long.MinValue, Long.MaxValue, 0L, block.getRowCount)
           }
         }
       } finally reader.close()

@@ -64,6 +64,18 @@ class AudioFeaturesSpec extends SparkSpec {
       "undecodable payloads must yield null stats")
   }
 
+  test("a WAV declaring sample rate 0 yields null stats instead of dividing by zero") {
+    // javax.sound does not validate the fmt-chunk rate field; an unguarded
+    // duration division would crash the stage on one crafted clip
+    val wav = Multimodal.encodeWav(7L)
+    val zeroRate = wav.clone()
+    for (i <- 24 until 28) zeroRate(i) = 0 // fmt sample-rate field (LE32)
+    val rows = Multimodal.audioFeatures(
+      Seq((1L, zeroRate)).toDF("media_id", "payload")).collect()
+    assert(rows.length == 1 && rows.head.isNullAt(2) && rows.head.isNullAt(5),
+      "rate-0 WAV must take the null-stats path")
+  }
+
   test("the meta duration matches the decoded duration") {
     val ids = (0L until 200L).toDF("doc_id")
     val media = Multimodal.synthesizeAudio(ids, "doc_id")

@@ -224,4 +224,28 @@ class LayoutSpec extends SparkSpec {
       Layout.layoutWrite2d(df, "x", "y", bits = 16, prefixBits = 4, dir)
     }
   }
+
+  test("footer bounds are conservative: INT32 widens, null/missing stats never prune") {
+    import graft.tools.FooterStats
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("footercons").toString
+    Seq((7, Option.empty[Long], "a"), (9, Option.empty[Long], "b"))
+      .toDF("i32", "allnull", "s")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    // INT32 physical type: promoted to long bounds, not a ClassCastException
+    val i32 = FooterStats.int64ColumnBounds(dir, "i32")
+    assert(i32.nonEmpty && i32.forall { case (_, mn, mx, _, _) => mn == 7L && mx == 9L })
+    // all-null column: no usable stats → full-range bounds, not an NPE
+    val nul = FooterStats.int64ColumnBounds(dir, "allnull")
+    assert(nul.nonEmpty && nul.forall { case (_, mn, mx, _, _) =>
+      mn == Long.MinValue && mx == Long.MaxValue })
+    // column absent from the file entirely: same conservative full range
+    val missing = FooterStats.int64ColumnBounds(dir, "no_such_col")
+    assert(missing.nonEmpty && missing.forall { case (_, mn, mx, _, _) =>
+      mn == Long.MinValue && mx == Long.MaxValue })
+    // non-integer physical type: conservative, not a ClassCastException
+    val str = FooterStats.int64ColumnBounds(dir, "s")
+    assert(str.nonEmpty && str.forall { case (_, mn, mx, _, _) =>
+      mn == Long.MinValue && mx == Long.MaxValue })
+  }
 }
