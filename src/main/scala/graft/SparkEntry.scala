@@ -103,6 +103,40 @@ object SparkEntry {
   private val nfcInjectSql: String =
     "text || ' Café über éü Ångström ascii tail'"
 
+  /** Multi-line page fixture for doc_gopher_gate — deterministic arms add
+    * bullet lines, an ellipsis ending, symbol noise, and a stopword-rich
+    * line (even ids only, so the ≥2-stop-words rule bites on odd ids,
+    * whose word-soup body carries only "the"). Shared VERBATIM with the
+    * oracle.
+    */
+  private val gopherInjectSql: String =
+    """text || chr(10)
+      | || CASE WHEN doc_id % 4 = 0 THEN '- first bullet item' || chr(10) || '- second bullet item' || chr(10) ELSE '' END
+      | || CASE WHEN doc_id % 5 = 0 THEN 'this part trails off into more...' || chr(10) ELSE '' END
+      | || CASE WHEN doc_id % 7 = 0 THEN '### 404 ### noise #' || chr(10) ELSE '' END
+      | || CASE WHEN doc_id % 2 = 0 THEN 'all of the words that we have come with and be counted' || chr(10) ELSE '' END
+      | || 'closing line for page ' || CAST(doc_id AS STRING)"""
+      .stripMargin.replace("\n", " ")
+
+  /** Multi-line page fixture for doc_c4_clean — every C4 rule has an arm:
+    * a no-terminal-punctuation heading, a well-formed sentence, a
+    * javascript line, a <5-word line, a lorem-ipsum page poison, a
+    * curly-brace page poison, the word-soup body with a terminal period,
+    * and a final line that is a proper question only for doc_id%4==0
+    * (which is what pushes those pages to the ≥3-sentence floor). Shared
+    * VERBATIM with the oracle.
+    */
+  private val c4InjectSql: String =
+    """'Heading Without Terminal Punctuation' || chr(10)
+      | || 'This is a well formed sentence for page ' || CAST(doc_id AS STRING) || '.' || chr(10)
+      | || CASE WHEN doc_id % 3 = 0 THEN 'Please enable javascript support to view this page properly.' || chr(10) ELSE '' END
+      | || CASE WHEN doc_id % 5 = 0 THEN 'Too short a line.' || chr(10) ELSE '' END
+      | || CASE WHEN doc_id % 11 = 0 THEN 'This page quotes lorem ipsum dolor sit amet somewhere.' || chr(10) ELSE '' END
+      | || CASE WHEN doc_id % 13 = 0 THEN 'var config = { enabled: true };' || chr(10) ELSE '' END
+      | || text || '.' || chr(10)
+      | || CASE WHEN doc_id % 4 = 0 THEN 'Does this final line ask a proper question?' ELSE 'Trailing fragment' END"""
+      .stripMargin.replace("\n", " ")
+
   /** Deterministic HTML wrapper per document for doc_html_strip —
     * engine-portable SQL run verbatim by both engines. Covers: script with
     * a stray `<` inside, style, comment, heading/paragraph tags, entities
@@ -1915,6 +1949,95 @@ object SparkEntry {
           col("offset").as("box_off"), col("size").as("box_size"),
           col("level").as("box_level"))
         .orderBy(col("media_id"), col("box_no"))
+    }),
+
+    // Gopher document-shape quality heuristics (Rae et al. 2021 table A1 —
+    // the half the repetition gate doesn't cover): eight signals + the
+    // keep decision, all from ONE let-bound tokenize/line-split pass per
+    // document (map-side, zero shuffle); deterministic multi-line fixture
+    // (inject SQL shared VERBATIM) adds bullets, an ellipsis line, symbol
+    // noise, and a stopword-rich line on even ids only
+    "doc_gopher_gate" -> ((s, dir) => {
+      val st = GopherQuality.stats(col("page"))
+      t(s, dir, "documents")
+        .withColumn("page", expr(gopherInjectSql))
+        .select(col("doc_id"),
+          st.getField("n_words").as("n_words"),
+          (round(st.getField("mean_word_len"), 4) + lit(0.0)).as("mean_word_len"),
+          (round(st.getField("symbol_word_ratio"), 4) + lit(0.0)).as("symbol_word_ratio"),
+          (round(st.getField("bullet_line_frac"), 4) + lit(0.0)).as("bullet_line_frac"),
+          (round(st.getField("ellipsis_line_frac"), 4) + lit(0.0)).as("ellipsis_line_frac"),
+          (round(st.getField("alpha_word_frac"), 4) + lit(0.0)).as("alpha_word_frac"),
+          st.getField("stopword_hits").as("stopword_hits"),
+          st.getField("n_lines").as("n_lines"),
+          GopherQuality.gate(col("page")).as("keep"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // C4 cleaning rules (Raffel et al. 2020 §2.2): line retention
+    // (terminal punctuation + ≥5 words + no "javascript") rebuilt via
+    // array HOFs — zero shuffle — then the page-level gates (≥3 sentences
+    // in the cleaned text, no lorem ipsum, no curly brace on the raw
+    // page); deterministic fixture gives every rule an arm
+    "doc_c4_clean" -> ((s, dir) => {
+      C4Rules.clean(
+          t(s, dir, "documents")
+            .withColumn("page", expr(c4InjectSql))
+            .select(col("doc_id"), col("page")),
+          textCol = "page")
+        .select(col("doc_id"), col("text_clean"),
+          regexp_count(col("text_clean"), lit("[.!?]")).cast("long").as("n_sentences"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // hashed-feature multinomial Naive Bayes (the fastText-style corpus
+    // classifier): self-train on lang over 512 md5Hash60 buckets — model
+    // state bounded at buckets×|labels| at any corpus size, one explode
+    // pass feeds both the model and the per-doc counts, label fan-out is
+    // a map-side literal explode (no BNLJ), scoring joins broadcast the
+    // bounded model table
+    "doc_nb_classify" -> ((s, dir) => {
+      NbClassifier.trainScore(t(s, dir, "documents"), "doc_id", col("text"),
+          col("lang"), buckets = 512)
+        .orderBy(col("doc_id"))
+    }),
+
+    // time-series gap-fill: resample events to a per-user daily grid
+    // (sequence + explode — grid ∝ users × days, never a cross join) with
+    // last-observation-carried-forward over the gaps; the per-user agg and
+    // the LOCF window share the user-keyed exchange
+    "q_events_resample_locf" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val daily = ev.groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
+        .agg((round(avg(col("value")), 4) + lit(0.0)).as("day_avg"))
+      val spans = ev.groupBy(col("user_id"))
+        .agg(date_trunc("day", min(col("ts"))).as("d0"),
+          date_trunc("day", max(col("ts"))).as("d1"))
+      val grid = spans.select(col("user_id"),
+        explode(sequence(col("d0"), col("d1"), expr("INTERVAL 1 DAY"))).as("day"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(daily, Seq("user_id", "day"), "left")
+        .select(col("user_id"), col("day"),
+          last(col("day_avg"), ignoreNulls = true).over(w).as("value_locf"),
+          col("day_avg").isNull.as("is_gap"))
+        .orderBy(col("user_id"), col("day"))
+    }),
+
+    // multi-level aggregation surface: ROLLUP over (returnflag, status)
+    // with the subtotal and grand-total rows — one pass, partial-agg per
+    // grouping set, group keys coalesced so the oracle sort is
+    // engine-independent
+    "q_rollup_pricing" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          (round(sum(col("l_quantity")), 2) + lit(0.0)).as("sum_qty"),
+          (round(sum(col("l_extendedprice")), 2) + lit(0.0)).as("sum_price"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("n"), col("sum_qty"), col("sum_price"))
+        .orderBy(col("rf"), col("ls"))
     }),
 
     // X6: additive schema evolution result surfaced as rows (rows-only)
@@ -3853,7 +3976,127 @@ object SparkEntry {
            |       min(zx) AS x_min, max(zx) AS x_max,
            |       min(zy) AS y_min, max(zy) AS y_max
            |FROM hil WHERE hs = 0 GROUP BY bucket ORDER BY bucket""".stripMargin
-      }
+      },
+
+      // replays all eight Gopher table-A1 signals over the shared-verbatim
+      // fixture: list_filter word/line splits (the pinned [ \t\n\f\r]
+      // class), regexp_extract_all symbol/bullet/ellipsis counts, the
+      // distinct-stopword membership fold, and the same raw-double gate
+      // conjunction (counts divide exactly, so the unrounded comparisons
+      // agree bit-for-bit)
+      "doc_gopher_gate" ->
+        s"""WITH inj AS (SELECT doc_id, $gopherInjectSql AS page FROM documents),
+           |b AS (SELECT doc_id, page,
+           |        list_filter(regexp_split_to_array(page, '[ \\t\\n\\f\\r]+'), w -> w != '') AS ws,
+           |        list_filter(string_split(page, chr(10)), l -> trim(l) != '') AS ls
+           |      FROM inj),
+           |sig AS (SELECT doc_id, len(ws) AS n_words, len(ls) AS n_lines,
+           |        CASE WHEN len(ws) = 0 THEN 0.0
+           |             ELSE list_aggregate(list_transform(ws, w -> length(w)), 'sum') * 1.0 / len(ws) END AS mwl,
+           |        CASE WHEN len(ws) = 0 THEN 0.0
+           |             ELSE len(regexp_extract_all(page, '#|\\.\\.\\.|…')) * 1.0 / len(ws) END AS swr,
+           |        CASE WHEN len(ls) = 0 THEN 0.0
+           |             ELSE len(list_filter(ls, l -> regexp_matches(ltrim(l), '^[-*•‣▪]'))) * 1.0 / len(ls) END AS blf,
+           |        CASE WHEN len(ls) = 0 THEN 0.0
+           |             ELSE len(list_filter(ls, l -> regexp_matches(rtrim(l), '(\\.\\.\\.|…)$$'))) * 1.0 / len(ls) END AS elf,
+           |        CASE WHEN len(ws) = 0 THEN 0.0
+           |             ELSE len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]'))) * 1.0 / len(ws) END AS awf,
+           |        len(list_filter(['and','be','have','of','that','the','to','with'],
+           |              s -> len(list_filter(ws, w -> lower(w) = s)) > 0)) AS sh
+           |      FROM b)
+           |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+           |  round(mwl, 4) + 0.0 AS mean_word_len,
+           |  round(swr, 4) + 0.0 AS symbol_word_ratio,
+           |  round(blf, 4) + 0.0 AS bullet_line_frac,
+           |  round(elf, 4) + 0.0 AS ellipsis_line_frac,
+           |  round(awf, 4) + 0.0 AS alpha_word_frac,
+           |  CAST(sh AS BIGINT) AS stopword_hits,
+           |  CAST(n_lines AS BIGINT) AS n_lines,
+           |  (n_words BETWEEN 50 AND 100000) AND (mwl BETWEEN 3.0 AND 10.0)
+           |    AND swr <= 0.1 AND blf <= 0.9 AND elf <= 0.3
+           |    AND awf >= 0.8 AND sh >= 2 AS keep
+           |FROM sig ORDER BY doc_id""".stripMargin,
+
+      // replays the C4 line filter (terminal punct + ≥5 words + no
+      // javascript) via list_filter + array_to_string, then the page gates
+      // over cleaned/raw text
+      "doc_c4_clean" ->
+        s"""WITH inj AS (SELECT doc_id, $c4InjectSql AS page FROM documents),
+           |cl AS (SELECT doc_id, page,
+           |        array_to_string(list_filter(string_split(page, chr(10)), l ->
+           |          regexp_matches(trim(l), '[.!?"]$$')
+           |          AND len(list_filter(regexp_split_to_array(trim(l), '[ \\t\\n\\f\\r]+'), w -> w != '')) >= 5
+           |          AND NOT regexp_matches(lower(l), '\\bjavascript\\b')), chr(10)) AS text_clean
+           |      FROM inj)
+           |SELECT doc_id, text_clean,
+           |  CAST(len(regexp_extract_all(text_clean, '[.!?]')) AS BIGINT) AS n_sentences
+           |FROM cl
+           |WHERE len(regexp_extract_all(text_clean, '[.!?]')) >= 3
+           |  AND NOT contains(lower(page), 'lorem ipsum')
+           |  AND NOT contains(page, '{')
+           |ORDER BY doc_id""".stripMargin,
+
+      // replays the hashed-NB funnel: md5Hash60 word buckets (the DSIR
+      // device), per-(bucket,label) counts, Laplace-smoothed log2
+      // probabilities, per-doc×label posterior sums + log2 priors, argmax
+      // at the shared 4-dp rounding with the label-ascending tie rule
+      "doc_nb_classify" ->
+        """WITH w AS (SELECT doc_id, lang,
+          |        unnest(regexp_split_to_array(text, '\s+')) AS w FROM documents),
+          |toks AS (SELECT doc_id, lang,
+          |        CAST(CAST('0x' || substr(md5(w), 1, 15) AS UBIGINT) % 512 AS BIGINT) AS b
+          |      FROM w WHERE w != ''),
+          |counts AS (SELECT b, lang, count(*) AS c FROM toks GROUP BY b, lang),
+          |tot AS (SELECT lang, sum(c) AS tot FROM counts GROUP BY lang),
+          |nd AS (SELECT count(*) AS nd FROM documents),
+          |priors AS (SELECT lang, log2(count(*) * 1.0 / (SELECT nd FROM nd)) AS prior
+          |           FROM documents GROUP BY lang),
+          |db AS (SELECT doc_id, b, count(*) AS n FROM toks GROUP BY doc_id, b),
+          |labels AS (SELECT DISTINCT lang FROM documents),
+          |sc AS (SELECT db.doc_id, l.lang,
+          |         sum(db.n * log2((coalesce(c.c, 0) + 1.0) / (t.tot + 512.0))) AS s
+          |       FROM db CROSS JOIN labels l
+          |       JOIN tot t ON t.lang = l.lang
+          |       LEFT JOIN counts c ON c.b = db.b AND c.lang = l.lang
+          |       GROUP BY db.doc_id, l.lang),
+          |posts AS (SELECT d.doc_id, l.lang,
+          |            round(p.prior + coalesce(sc.s, 0.0), 4) + 0.0 AS p
+          |          FROM documents d CROSS JOIN labels l
+          |          JOIN priors p ON p.lang = l.lang
+          |          LEFT JOIN sc ON sc.doc_id = d.doc_id AND sc.lang = l.lang),
+          |best AS (SELECT doc_id, lang, p,
+          |           row_number() OVER (PARTITION BY doc_id ORDER BY p DESC, lang ASC) AS rk
+          |         FROM posts)
+          |SELECT doc_id, lang AS predicted, p AS score FROM best WHERE rk = 1
+          |ORDER BY doc_id""".stripMargin,
+
+      // replays the daily resample: per-user day aggregate, generate_series
+      // grid between each user's first and last day, LOCF via
+      // last_value IGNORE NULLS over the ordered per-user window
+      "q_events_resample_locf" ->
+        """WITH daily AS (SELECT user_id, date_trunc('day', ts) AS day,
+          |        round(avg(value), 4) + 0.0 AS day_avg
+          |      FROM events GROUP BY 1, 2),
+          |spans AS (SELECT user_id, date_trunc('day', min(ts)) AS d0,
+          |        date_trunc('day', max(ts)) AS d1
+          |      FROM events GROUP BY 1),
+          |grid AS (SELECT user_id,
+          |        unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day FROM spans)
+          |SELECT g.user_id, g.day,
+          |  last_value(d.day_avg IGNORE NULLS) OVER (PARTITION BY g.user_id
+          |    ORDER BY g.day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_locf,
+          |  d.day_avg IS NULL AS is_gap
+          |FROM grid g LEFT JOIN daily d ON g.user_id = d.user_id AND g.day = d.day
+          |ORDER BY g.user_id, g.day""".stripMargin,
+
+      "q_rollup_pricing" ->
+        """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+          |  coalesce(l_linestatus, 'ALL') AS ls,
+          |  CAST(count(*) AS BIGINT) AS n,
+          |  round(sum(l_quantity), 2) + 0.0 AS sum_qty,
+          |  round(sum(l_extendedprice), 2) + 0.0 AS sum_price
+          |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+          |ORDER BY rf, ls""".stripMargin
     )
   }
 }

@@ -96,6 +96,12 @@ object CorpusPipeline {
     *                               `md5Hash60(normalized(text))` keys; drops
     *                               every might-contain (stateless, fpp false
     *                               drops — the streaming-compatible trade)
+    * @param c4LineRules            apply the C4 line retention + page bans
+    *                               ([[C4Rules]]) after the markup strip,
+    *                               rewriting textCol to the kept lines
+    * @param gopherQuality          add the Gopher document-shape quality
+    *                               arm ([[GopherQuality.gate]]) to the gate
+    *                               conjunction
     */
   final case class Config(
       idCol: String = "doc_id",
@@ -131,7 +137,9 @@ object CorpusPipeline {
       urlCol: Option[String] = None,
       blockedHosts: Seq[String] = Nil,
       minCompressionRatio: Option[Double] = None,
-      dedupAgainstBloom: Option[org.apache.spark.util.sketch.BloomFilter] = None)
+      dedupAgainstBloom: Option[org.apache.spark.util.sketch.BloomFilter] = None,
+      c4LineRules: Boolean = false,
+      gopherQuality: Option[GopherQuality.Thresholds] = None)
 
   /** Fused numeric quality gate ([[expressions.QualityGateExpr]]: one
     * stats pass + band checks in a single boolean). Prefer this in
@@ -166,10 +174,21 @@ object CorpusPipeline {
     val cleaned0 =
       if (cfg.stripHtml) cleanedEnc.withColumn(cfg.textCol, HtmlStrip.stripHtml(text))
       else cleanedEnc
-    val cleaned =
+    val cleanedNfc =
       if (cfg.nfcNormalize)
         cleaned0.withColumn(cfg.textCol, TextFunctions.nfcNormalize(col(cfg.textCol)))
       else cleaned0
+
+    // 0.75 optional C4 line/page rules (Raffel 2020 §2.2) — after the
+    // markup strip (the rules assume visible text), before any gate: line
+    // retention rewrites textCol in place, the page bans filter. All
+    // map-side array HOFs, zero shuffle.
+    val cleaned =
+      if (cfg.c4LineRules) {
+        cleanedNfc.withColumn("__c4", C4Rules.cleanText(col(cfg.textCol)))
+          .filter(C4Rules.keepPage(col(cfg.textCol), col("__c4")))
+          .withColumn(cfg.textCol, col("__c4")).drop("__c4")
+      } else cleanedNfc
 
     // 0.5 optional provenance stage: host blocklist gate (map-side), then
     // canonical-URL keep-first dedup — the RefinedWeb "one document per
@@ -195,8 +214,13 @@ object CorpusPipeline {
     val gate0 = cfg.repetition.fold(langGate)(th => langGate && repetitionGate(text, th))
     // Gopher's compression arm: drop what deflate collapses (templated /
     // repetitive), same fused-predicate shape as the other gates
-    val gate = cfg.minCompressionRatio.fold(gate0)(v =>
+    val gate1 = cfg.minCompressionRatio.fold(gate0)(v =>
       gate0 && TextFunctions.compressionRatio(text) >= v)
+    // Gopher's document-shape arm (table A1 quality half): word bounds,
+    // word-length band, symbol/bullet/ellipsis ratios, alpha fraction,
+    // stop-word floor — one let-bound tokenize pass ([[GopherQuality.gate]])
+    val gate = cfg.gopherQuality.fold(gate1)(th =>
+      gate1 && GopherQuality.gate(text, th))
     val qualityPreBloom = provenanced.filter(gate)
 
     // 1.5 optional incremental-ingest membership probe vs a standing

@@ -74,6 +74,33 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(fp == fpCleaned, "NFC inside the pipeline must unify spellings")
   }
 
+  test("c4 line rules + gopher quality arm compose in the pipeline") {
+    val goodPage = Seq(
+      "The first sentence of this page is a perfectly ordinary one.",
+      "A second complete sentence follows with the usual english words in it.",
+      "The third sentence makes the page long enough to survive every floor.")
+      .mkString("\n")
+    val shortPage = Seq(
+      "The tiny first sentence sits here.",
+      "The tiny second sentence too.",
+      "The tiny third sentence ends.").mkString("\n")
+    val docs = Seq(
+      (1L, goodPage, "src0"),                                       // survives
+      (2L, goodPage + "\nlorem ipsum filler", "src0"),              // C4 page ban
+      (3L, "A heading without punctuation\nAnother bare fragment", "src0"), // C4 sentence floor
+      (4L, shortPage, "src0"))                                      // Gopher word floor
+      .toDF("doc_id", "text", "source")
+    val out = CorpusPipeline.prepare(docs, CorpusPipeline.Config(
+      nearDupThreshold = None, decontamThreshold = None,
+      c4LineRules = true,
+      gopherQuality = Some(GopherQuality.Thresholds(minWords = 20))))
+    val ids = out.select($"doc_id").as[Long].collect().toSet
+    assert(ids == Set(1L),
+      s"got $ids: 2 lorem-banned, 3 below the sentence floor, 4 below the gopher word floor")
+    val text = out.filter($"doc_id" === 1L).select($"text").as[String].head()
+    assert(text == goodPage, "downstream stages see the C4-cleaned page")
+  }
+
   test("mojibake knob repairs encoding before every later stage") {
     val clean = "a perfectly ordinary document with the usual english words " +
       "and enough of them to pass the gate — déjà vu"

@@ -128,6 +128,48 @@ class StreamingCorpusSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  // The Gopher document-shape gate and the C4 line/page cleaner are pure
+  // Column compositions (let-bound splits + HOF filters), so continuous
+  // ingest gates and rewrites pages identically to the batch pass.
+  test("gopher quality gate + C4 clean run identically under streaming and batch") {
+    import graft.functions.{C4Rules, GopherQuality}
+    implicit val sqlCtx = spark.sqlContext
+    def cleanAndGate(df: DataFrame): DataFrame =
+      df.withColumn("__c4", C4Rules.cleanText($"text"))
+        .filter(C4Rules.keepPage($"text", $"__c4") &&
+          GopherQuality.gate($"__c4", GopherQuality.Thresholds(minWords = 15)))
+        .select($"doc_id", $"__c4".as("clean"))
+    val goodPage = Seq(
+      "The first sentence of this page is a perfectly ordinary one.",
+      "A second complete sentence follows with the usual english words in it.",
+      "The third sentence makes the page long enough to survive every floor.")
+      .mkString("\n")
+    val docs = Seq(
+      Doc(1L, goodPage),                                   // survives
+      Doc(2L, goodPage + "\nlorem ipsum filler"),          // C4 page ban
+      Doc(3L, "Heading only\nAnother bare fragment"),      // C4 sentence floor
+      Doc(4L, "The tiny sentence sits here.\nThe second one too now.\nThe third one ends it."))
+      // ^ passes C4 (3 kept lines, 3 sentences) but fails the gopher
+      //   stop-word floor: "the" is its only stop word
+    val input = MemoryStream[Doc]
+    val q = cleanAndGate(input.toDS().toDF())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("gopher_c4_stream_out")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("gc4ckpt").toString)
+      .start()
+    try {
+      input.addData(docs: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("gopher_c4_stream_out")
+        .as[(Long, String)].collect().toMap
+      val batch = cleanAndGate(docs.toDF()).as[(Long, String)].collect().toMap
+      assert(streamed == batch)
+      assert(streamed.keySet == Set(1L))
+      assert(streamed(1L) == goodPage)
+    } finally q.stop()
+  }
+
   // URL canonicalization, HTML stripping and the frozen Bloom corpus-
   // membership probe are all stateless projections — continuous ingest
   // normalizes/strips/drops identically to batch. The Bloom deployment
