@@ -2040,6 +2040,31 @@ object SparkEntry {
         .orderBy(col("rf"), col("ls"))
     }),
 
+    // ASYMMETRIC containment dedup (Broder's containment — the
+    // quote/subset detector symmetric Jaccard misses): |A∩B|/|A| ≥ 0.8
+    // over word 3-gram sets, both orientations; same posting-list funnel
+    // + stop-gram cap as dedup_ngram_jaccard
+    "dedup_containment" -> ((s, dir) => {
+      NgramJaccard.containmentPairs(t(s, dir, "documents"), "doc_id",
+        TextFunctions.wordNgramHashes(col("text"), 3), threshold = 0.8,
+        maxDocFreq = 100L)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // sliding-window aggregation (§2.6/streaming family): 2-hour windows
+    // sliding by 1 hour — each event lands in exactly two windows, the
+    // fan-out is a map-side explode inside Spark's window() and a 2-element
+    // unnest in the oracle
+    "q_events_sliding" -> ((s, dir) => {
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "2 hours", "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).cast("long").as("n_events"),
+          (round(sum(col("value")), 4) + lit(0.0)).as("sum_value"))
+        .select(col("w.start").as("w_start"), col("event_type"),
+          col("n_events"), col("sum_value"))
+        .orderBy(col("w_start"), col("event_type"))
+    }),
+
     // X6: additive schema evolution result surfaced as rows (rows-only)
     "schema_evolution" -> ((s, dir) => {
       import graft.core.SchemaEvolution
@@ -4088,6 +4113,35 @@ object SparkEntry {
           |  d.day_avg IS NULL AS is_gap
           |FROM grid g LEFT JOIN daily d ON g.user_id = d.user_id AND g.day = d.day
           |ORDER BY g.user_id, g.day""".stripMargin,
+
+      // same grams/cap CTEs as dedup_ngram_jaccard, asymmetric verify:
+      // i / |A| over BOTH orientations (a.doc_id != b.doc_id)
+      "dedup_containment" ->
+        s"""WITH t AS (SELECT doc_id, $normText AS norm FROM documents),
+           |tk AS (SELECT doc_id, regexp_split_to_array(norm, ' ') AS toks FROM t),
+           |g0 AS (SELECT DISTINCT doc_id,
+           |        CASE WHEN len(toks) < 3 THEN array_to_string(toks, ' ')
+           |             ELSE array_to_string(toks[i:i+2], ' ') END AS gram
+           |      FROM tk, LATERAL (SELECT unnest(range(1, greatest(len(toks) - 1, 2))) AS i) r),
+           |g AS (SELECT doc_id, gram FROM g0
+           |      WHERE gram NOT IN (SELECT gram FROM g0 GROUP BY gram HAVING count(*) > 100)),
+           |cnt AS (SELECT doc_id, count(*) AS n FROM g GROUP BY 1),
+           |inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS i
+           |          FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id != b.doc_id GROUP BY 1, 2)
+           |SELECT ia AS id_a, ib AS id_b, round(i * 1.0 / ca.n, 4) AS containment
+           |FROM inter JOIN cnt ca ON ia = ca.doc_id
+           |WHERE round(i * 1.0 / ca.n, 4) >= 0.8
+           |ORDER BY id_a, id_b""".stripMargin,
+
+      // each event into its two 2h/1h sliding windows via a 2-element unnest
+      "q_events_sliding" ->
+        """WITH e AS (SELECT event_type, value, date_trunc('hour', ts) AS h FROM events),
+          |x AS (SELECT event_type, value,
+          |        unnest([h, h - INTERVAL 1 HOUR]) AS w_start FROM e)
+          |SELECT w_start, event_type, CAST(count(*) AS BIGINT) AS n_events,
+          |  round(sum(value), 4) + 0.0 AS sum_value
+          |FROM x GROUP BY 1, 2
+          |ORDER BY 1, 2""".stripMargin,
 
       "q_rollup_pricing" ->
         """SELECT coalesce(l_returnflag, 'ALL') AS rf,

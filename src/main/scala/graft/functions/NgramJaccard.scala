@@ -28,36 +28,7 @@ object NgramJaccard {
     */
   def pairs(df: DataFrame, idCol: String, ngrams: Column,
             threshold: Double, maxDocFreq: Long = -1L): DataFrame = {
-    // FanOut: parallelism floor for the gram-hashing map stage (no-op at
-    // scale); repartition: ONE exchange on the join key shared by the stop
-    // agg, per-doc counts, and both self-join sides — without it each branch
-    // plans its own exchange and re-runs the gram computation
-    val g0 = FanOut(df).select(col(idCol).as("__id"), explode(ngrams).as("__gram"))
-      .repartition(col("__gram"))
-    val g =
-      if (maxDocFreq == 0) g0
-      else {
-        // anti-join against the stop grams (few by construction: only grams
-        // above the cap), not an inner join against all rare grams — the
-        // rare set is ∝ distinct grams and could never broadcast at corpus
-        // scale, while the stop set stays small enough for AQE to broadcast.
-        // The auto cap (max(1000, 1% of corpus)) derives the corpus size
-        // INSIDE the plan — a one-row broadcast from an id-only scan — so
-        // building the query launches no eager count job (callers compose
-        // this lazily; an extra full-input job per call was the round-3
-        // finding). Explicit caps skip that branch entirely.
-        val capCol =
-          if (maxDocFreq > 0) lit(maxDocFreq)
-          else col("__cap")
-        val stop0 = g0.groupBy("__gram").agg(count("*").as("__df"))
-        val stop =
-          (if (maxDocFreq > 0) stop0
-           else stop0.crossJoin(broadcast(df.select(
-             greatest(lit(1000L), approx_count_distinct(col(idCol)) / 100)
-               .cast("long").as("__cap")))))
-            .filter(col("__df") > capCol).select("__gram")
-        g0.join(stop, Seq("__gram"), "left_anti")
-      }
+    val g = cappedGrams(df, idCol, ngrams, maxDocFreq)
     val cnt = g.groupBy(col("__id")).agg(count("*").as("__n"))
     val inter = g.as("a").join(g.as("b"),
         col("a.__gram") === col("b.__gram") && col("a.__id") < col("b.__id"))
@@ -70,6 +41,80 @@ object NgramJaccard {
         round(col("__i") / (col("ca.__n") + col("cb.__n") - col("__i")), 4))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** ASYMMETRIC containment pairs (Broder 1997's containment, the
+    * quote/subset-duplicate detector): (id_a, id_b, containment) with
+    * containment(A→B) = |grams(A) ∩ grams(B)| / |grams(A)| >= `threshold`,
+    * id_a ≠ id_b, BOTH orientations emitted. A short document pasted
+    * inside a much longer one scores near 1 here while its symmetric
+    * Jaccard (which [[pairs]] thresholds) stays near |A|/|B| — the case
+    * every quote-heavy web corpus hits. Same posting-list funnel and
+    * stop-gram cap as [[pairs]]; only the verification arithmetic and the
+    * pair orientation differ (the a ≠ b join emits each candidate pair
+    * twice, still candidate-proportional).
+    */
+  def containmentPairs(df: DataFrame, idCol: String, ngrams: Column,
+                       threshold: Double, maxDocFreq: Long = -1L): DataFrame = {
+    val g = cappedGrams(df, idCol, ngrams, maxDocFreq)
+    val cnt = g.groupBy(col("__id")).agg(count("*").as("__n"))
+    // each unordered pair joins and aggregates ONCE (the `<` predicate,
+    // same as [[pairs]] — an a ≠ b join would double the posting-list
+    // join and the pair aggregation, measured 3.5× the jaccard funnel);
+    // both orientations then derive arithmetically from the one
+    // intersection count via a 2-element explode
+    val inter = g.as("a").join(g.as("b"),
+        col("a.__gram") === col("b.__gram") && col("a.__id") < col("b.__id"))
+      .groupBy(col("a.__id").as("__ida"), col("b.__id").as("__idb"))
+      .agg(count("*").as("__i"))
+    inter
+      .join(cnt.as("ca"), col("__ida") === col("ca.__id"))
+      .join(cnt.as("cb"), col("__idb") === col("cb.__id"))
+      .select(explode(array(
+        struct(col("__ida").as("id_a"), col("__idb").as("id_b"),
+          round(col("__i") / col("ca.__n"), 4).as("containment")),
+        struct(col("__idb").as("id_a"), col("__ida").as("id_b"),
+          round(col("__i") / col("cb.__n"), 4).as("containment")))).as("__p"))
+      .select(col("__p.id_a").as("id_a"), col("__p.id_b").as("id_b"),
+        col("__p.containment").as("containment"))
+      .filter(col("containment") >= threshold)
+  }
+
+  /** The shared (id, gram) stream with the stop-gram cap applied.
+    *
+    * FanOut: parallelism floor for the gram-hashing map stage (no-op at
+    * scale); repartition: ONE exchange on the join key shared by the stop
+    * agg, per-doc counts, and both self-join sides — without it each branch
+    * plans its own exchange and re-runs the gram computation.
+    *
+    * The cap anti-joins against the stop grams (few by construction: only
+    * grams above the cap), not an inner join against all rare grams — the
+    * rare set is ∝ distinct grams and could never broadcast at corpus
+    * scale, while the stop set stays small enough for AQE to broadcast.
+    * The auto cap (max(1000, 1% of corpus)) derives the corpus size INSIDE
+    * the plan — a one-row broadcast from an id-only scan — so building the
+    * query launches no eager count job (callers compose this lazily; an
+    * extra full-input job per call was the round-3 finding). Explicit caps
+    * skip that branch entirely.
+    */
+  private def cappedGrams(df: DataFrame, idCol: String, ngrams: Column,
+                          maxDocFreq: Long): DataFrame = {
+    val g0 = FanOut(df).select(col(idCol).as("__id"), explode(ngrams).as("__gram"))
+      .repartition(col("__gram"))
+    if (maxDocFreq == 0) g0
+    else {
+      val capCol =
+        if (maxDocFreq > 0) lit(maxDocFreq)
+        else col("__cap")
+      val stop0 = g0.groupBy("__gram").agg(count("*").as("__df"))
+      val stop =
+        (if (maxDocFreq > 0) stop0
+         else stop0.crossJoin(broadcast(df.select(
+           greatest(lit(1000L), approx_count_distinct(col(idCol)) / 100)
+             .cast("long").as("__cap")))))
+          .filter(col("__df") > capCol).select("__gram")
+      g0.join(stop, Seq("__gram"), "left_anti")
+    }
   }
 
   /** Bipartite variant: (id_left, id_right) pairs ACROSS two corpora with

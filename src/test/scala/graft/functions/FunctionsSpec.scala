@@ -185,6 +185,27 @@ class MinHashSpec extends SparkSpec {
     assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((0L, 1L)))
   }
 
+  test("containment pairs: subset doc scores 1.0 toward its superset, jaccard misses it") {
+    val d = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "totally different content and words entirely here")).toDF("doc_id", "text")
+    val grams = TextFunctions.wordNgrams($"text", 3)
+    // A's 3 grams all sit inside B's 6 → containment(A→B) = 1.0 but
+    // jaccard = 3/6 = 0.5: the quote case the symmetric rule can't see
+    val cont = NgramJaccard.containmentPairs(d, "doc_id", grams,
+        threshold = 0.8, maxDocFreq = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(cont == Set((1L, 2L, 1.0)), s"got $cont")
+    assert(NgramJaccard.pairs(d, "doc_id", grams, threshold = 0.8, maxDocFreq = 0L)
+      .collect().isEmpty, "symmetric jaccard at 0.8 misses the quote pair")
+    // a lower floor exposes the reverse orientation at 3/6
+    val both = NgramJaccard.containmentPairs(d, "doc_id", grams,
+        threshold = 0.5, maxDocFreq = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(both == Set((1L, 2L, 1.0), (2L, 1L, 0.5)))
+  }
+
   test("ngram auto-cap derives corpus size in-plan: no eager job at build time") {
     val sc = spark.sparkContext
     val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
