@@ -693,6 +693,26 @@ object SparkEntry {
         .orderBy(col("user_id"))
     }),
 
+    // M5+: type-2 history build — the history-preserving companion to the
+    // type-1 merges above. events replays as the CDC feed (user_id key,
+    // event_id version, event_type the tracked state, 'error' rows as
+    // tombstones); one key exchange, three chained windows (Scd2.scala).
+    "m5_scd2_history" -> ((s, dir) => {
+      Scd2.buildHistory(eventsBase(s, dir), "user_id", "event_id",
+        tracked = Seq("event_type"), isDelete = col("event_type") === "error")
+        .orderBy(col("user_id"), col("valid_from"))
+    }),
+
+    // M5+ point-in-time lookup: the dimension state each key held at the
+    // merge pivot version — what an as-of fact join would read.
+    "m5_scd2_asof" -> ((s, dir) => {
+      val h = Scd2.buildHistory(eventsBase(s, dir), "user_id", "event_id",
+        tracked = Seq("event_type"), isDelete = col("event_type") === "error")
+      Scd2.asOf(h, lit(MergePivot))
+        .select(col("user_id"), col("event_type"), col("valid_from"))
+        .orderBy(col("user_id"))
+    }),
+
     // M7/B2: backfill-overwrite dedup + tombstone filter + swap source
     "b2_backfill_overwrite_dedup" -> ((s, dir) => {
       val full = eventsBase(s, dir)
@@ -1439,6 +1459,43 @@ object SparkEntry {
     "text_bm25_search" -> ((s, dir) => {
       Retrieval.bm25Rank(t(s, dir, "documents"), "doc_id", col("text"),
         queryTerms = Seq("data", "model", "training"), topK = 20)
+    }),
+
+    // distribution drift between two corpus snapshots (PSI, Laplace-smoothed
+    // buckets): the "did the distribution move" audit next to corpus_diff's
+    // row-level "which rows changed". Each side collapses to ≤K bucket
+    // counts map-side before the sides meet — O(K) join/window regardless
+    // of corpus size. Even/odd doc_id plays the two snapshots.
+    "corpus_drift_psi" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val ref = docs.filter(col("doc_id") % 2 === 0)
+      val cur = docs.filter(col("doc_id") % 2 =!= 0)
+      val edges = Seq(100.0, 250.0, 500.0, 1000.0, 2000.0, 4000.0)
+      val num = Drift.psiNumeric(ref, cur, col("n_chars"), edges)
+        .select(lit("n_chars").as("feature"), col("bucket").cast("string").as("bucket"),
+          col("ref_n"), col("cur_n"), col("psi_term"), col("psi_total"))
+      val cat = Drift.psiCategorical(ref, cur, col("lang"))
+        .select(lit("lang").as("feature"), col("bucket"),
+          col("ref_n"), col("cur_n"), col("psi_term"), col("psi_total"))
+      num.unionByName(cat).orderBy(col("feature"), col("bucket"))
+    }),
+
+    // hybrid retrieval: BM25 lexical shortlist + embedding-cosine semantic
+    // shortlist (query = vector 0, the embedding twin of the term bag),
+    // fused by reciprocal rank — no score calibration across modalities.
+    // Both shortlists are top-50 (bounded), so fusion cost is independent
+    // of corpus size; the corpus-scale work is inside the two retrievers.
+    "retrieval_rrf_fusion" -> ((s, dir) => {
+      val lex = Retrieval.bm25Rank(t(s, dir, "documents"), "doc_id", col("text"),
+        queryTerms = Seq("data", "model", "training"), topK = 50)
+      val emb = t(s, dir, "embeddings")
+      val qv = emb.filter(col("vec_id") === 0).select(col("embedding").as("__qv"))
+      val sem = emb.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(qv)) // 1-row query-vector broadcast
+        .select(col("vec_id").as("doc_id"),
+          (round(VectorSimilarity.cosine(col("embedding"), col("__qv")), 6) + lit(0.0)).as("score"))
+        .orderBy(col("score").desc, col("doc_id")).limit(50)
+      Retrieval.rrfFuse(Seq(lex, sem), "doc_id", "score", k0 = 60, topK = 20)
     }),
 
     // fixed-iteration PageRank over the order graph (customer↔supplier,
@@ -2524,6 +2581,47 @@ object SparkEntry {
       "m4_merge_upsert_blob" ->
         mergeOracle("false", "event_id", whereDeletes = false),
 
+      "m5_scd2_history" ->
+        """WITH b AS (
+          |  SELECT user_id, event_id, event_type,
+          |    (event_type = 'error') AS del,
+          |    (row_number() OVER w = 1
+          |     OR event_type IS DISTINCT FROM lag(event_type) OVER w
+          |     OR (event_type = 'error') IS DISTINCT FROM lag(event_type = 'error') OVER w
+          |    ) AS boundary
+          |  FROM events
+          |  WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+          |), runs AS (
+          |  SELECT user_id, event_type, del, event_id AS valid_from,
+          |    lead(event_id) OVER (PARTITION BY user_id ORDER BY event_id) AS valid_to
+          |  FROM b WHERE boundary
+          |)
+          |SELECT user_id, event_type, valid_from, valid_to,
+          |  (valid_to IS NULL) AS is_current
+          |FROM runs WHERE NOT del
+          |ORDER BY user_id, valid_from""".stripMargin,
+
+      "m5_scd2_asof" ->
+        s"""WITH b AS (
+          |  SELECT user_id, event_id, event_type,
+          |    (event_type = 'error') AS del,
+          |    (row_number() OVER w = 1
+          |     OR event_type IS DISTINCT FROM lag(event_type) OVER w
+          |     OR (event_type = 'error') IS DISTINCT FROM lag(event_type = 'error') OVER w
+          |    ) AS boundary
+          |  FROM events
+          |  WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+          |), runs AS (
+          |  SELECT user_id, event_type, del, event_id AS valid_from,
+          |    lead(event_id) OVER (PARTITION BY user_id ORDER BY event_id) AS valid_to
+          |  FROM b WHERE boundary
+          |)
+          |SELECT user_id, event_type, valid_from
+          |FROM runs
+          |WHERE NOT del AND valid_from <= $MergePivot
+          |  AND (valid_to IS NULL OR valid_to > $MergePivot)
+          |ORDER BY user_id""".stripMargin,
+
       "b2_backfill_overwrite_dedup" ->
         """SELECT user_id, event_id, event_type
           |FROM events
@@ -3576,6 +3674,118 @@ object SparkEntry {
           |FROM tf JOIN df USING (term) JOIN lens USING (doc_id), sc
           |GROUP BY tf.doc_id
           |ORDER BY score DESC, tf.doc_id
+          |LIMIT 20""".stripMargin,
+
+      "corpus_drift_psi" ->
+        """WITH ref AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+          |cur AS (SELECT * FROM documents WHERE doc_id % 2 = 1),
+          |nb_ref AS (
+          |  SELECT CASE WHEN n_chars IS NULL THEN -1 ELSE
+          |    (CASE WHEN n_chars >= 100 THEN 1 ELSE 0 END) +
+          |    (CASE WHEN n_chars >= 250 THEN 1 ELSE 0 END) +
+          |    (CASE WHEN n_chars >= 500 THEN 1 ELSE 0 END) +
+          |    (CASE WHEN n_chars >= 1000 THEN 1 ELSE 0 END) +
+          |    (CASE WHEN n_chars >= 2000 THEN 1 ELSE 0 END) +
+          |    (CASE WHEN n_chars >= 4000 THEN 1 ELSE 0 END) END AS bucket,
+          |    CAST(count(*) AS BIGINT) AS ref_n
+          |  FROM ref GROUP BY 1),
+          |nb_cur AS (
+          |  SELECT CASE WHEN n_chars IS NULL THEN -1 ELSE
+          |    (CASE WHEN n_chars >= 100 THEN 1 ELSE 0 END) +
+          |    (CASE WHEN n_chars >= 250 THEN 1 ELSE 0 END) +
+          |    (CASE WHEN n_chars >= 500 THEN 1 ELSE 0 END) +
+          |    (CASE WHEN n_chars >= 1000 THEN 1 ELSE 0 END) +
+          |    (CASE WHEN n_chars >= 2000 THEN 1 ELSE 0 END) +
+          |    (CASE WHEN n_chars >= 4000 THEN 1 ELSE 0 END) END AS bucket,
+          |    CAST(count(*) AS BIGINT) AS cur_n
+          |  FROM cur GROUP BY 1),
+          |nj AS (
+          |  SELECT bucket, coalesce(ref_n, 0) AS ref_n, coalesce(cur_n, 0) AS cur_n
+          |  FROM nb_ref FULL OUTER JOIN nb_cur USING (bucket)),
+          |np AS (
+          |  SELECT *,
+          |    (ref_n + 0.5) / (sum(ref_n) OVER () + 0.5 * 7) AS p,
+          |    (cur_n + 0.5) / (sum(cur_n) OVER () + 0.5 * 7) AS q
+          |  FROM nj),
+          |num AS (
+          |  SELECT 'n_chars' AS feature, CAST(bucket AS VARCHAR) AS bucket,
+          |    ref_n, cur_n,
+          |    round((p - q) * ln(p / q), 6) + 0.0 AS psi_term,
+          |    round(sum((p - q) * ln(p / q)) OVER (), 4) + 0.0 AS psi_total
+          |  FROM np),
+          |cb_ref AS (
+          |  SELECT coalesce(CAST(lang AS VARCHAR), '__null__') AS bucket,
+          |    CAST(count(*) AS BIGINT) AS ref_n
+          |  FROM ref GROUP BY 1),
+          |cb_cur AS (
+          |  SELECT coalesce(CAST(lang AS VARCHAR), '__null__') AS bucket,
+          |    CAST(count(*) AS BIGINT) AS cur_n
+          |  FROM cur GROUP BY 1),
+          |cj AS (
+          |  SELECT bucket, coalesce(ref_n, 0) AS ref_n, coalesce(cur_n, 0) AS cur_n
+          |  FROM cb_ref FULL OUTER JOIN cb_cur USING (bucket)),
+          |cp AS (
+          |  SELECT *,
+          |    (ref_n + 0.5) / (sum(ref_n) OVER () + 0.5 * count(*) OVER ()) AS p,
+          |    (cur_n + 0.5) / (sum(cur_n) OVER () + 0.5 * count(*) OVER ()) AS q
+          |  FROM cj),
+          |cat AS (
+          |  SELECT 'lang' AS feature, bucket, ref_n, cur_n,
+          |    round((p - q) * ln(p / q), 6) + 0.0 AS psi_term,
+          |    round(sum((p - q) * ln(p / q)) OVER (), 4) + 0.0 AS psi_total
+          |  FROM cp)
+          |SELECT * FROM num UNION ALL SELECT * FROM cat
+          |ORDER BY feature, bucket""".stripMargin,
+
+      "retrieval_rrf_fusion" ->
+        """WITH toks AS (
+          |  SELECT doc_id,
+          |         unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+          |  FROM documents),
+          |hits AS (SELECT doc_id, term FROM toks
+          |         WHERE term IN ('data', 'model', 'training')),
+          |tf AS (SELECT doc_id, term, count(*) AS tf FROM hits GROUP BY doc_id, term),
+          |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+          |lens AS (
+          |  SELECT doc_id,
+          |         CASE WHEN trim(text) = '' THEN 0.0 ELSE
+          |           CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS DOUBLE)
+          |         END AS dl
+          |  FROM documents),
+          |sc AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM lens),
+          |lex0 AS (
+          |  SELECT tf.doc_id,
+          |         round(sum(
+          |           ln(1.0 + (sc.n_docs - df.df + 0.5) / (df.df + 0.5)) *
+          |           (tf.tf * 2.2) /
+          |           (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * lens.dl / sc.avgdl))
+          |         ), 4) + 0.0 AS score
+          |  FROM tf JOIN df USING (term) JOIN lens USING (doc_id), sc
+          |  GROUP BY tf.doc_id
+          |  ORDER BY score DESC, tf.doc_id
+          |  LIMIT 50),
+          |lex AS (SELECT doc_id,
+          |          row_number() OVER (ORDER BY score DESC, doc_id) AS r
+          |        FROM lex0),
+          |sem0 AS (
+          |  SELECT vec_id AS doc_id,
+          |         round(list_cosine_similarity(
+          |           CAST(embedding AS DOUBLE[]),
+          |           (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)
+          |         ), 6) + 0.0 AS score
+          |  FROM embeddings WHERE vec_id != 0
+          |  ORDER BY score DESC, doc_id
+          |  LIMIT 50),
+          |sem AS (SELECT doc_id,
+          |          row_number() OVER (ORDER BY score DESC, doc_id) AS r
+          |        FROM sem0),
+          |u AS (SELECT doc_id, r FROM lex UNION ALL SELECT doc_id, r FROM sem)
+          |SELECT doc_id,
+          |  round(sum(1.0 / (60 + r)), 6) + 0.0 AS rrf_score,
+          |  CAST(count(*) AS BIGINT) AS n_lists
+          |FROM u
+          |GROUP BY doc_id
+          |ORDER BY rrf_score DESC, doc_id
           |LIMIT 20""".stripMargin,
 
       // the same 3 PageRank iterations, unrolled as CTEs; dangling mass

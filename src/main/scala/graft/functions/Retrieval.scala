@@ -126,4 +126,36 @@ object Retrieval {
     val total = terms.reduceOption(_ + _).getOrElse(lit(0.0))
     round(total, 4) + lit(0.0)
   }
+
+  /** Reciprocal-rank fusion (Cormack/Clarke/Buettcher 2009) of N scored
+    * candidate lists — the standard way to combine a lexical (BM25) and a
+    * semantic (embedding-cosine) retriever without score calibration:
+    *
+    *   rrf(d) = Σ_lists 1 / (k0 + rank_list(d)),   k0 = 60 by convention.
+    *
+    * Each input frame is one retriever's candidate list with (`idCol`,
+    * `scoreCol`); ranks are assigned here (score desc, id asc — the same
+    * deterministic tiebreak the rankers themselves use) so callers fuse raw
+    * scored lists without pre-ranking.
+    *
+    * Scale: inputs are POST-shortlist candidate lists (top-N per retriever,
+    * bounded by construction) — the single-partition rank window and the
+    * fusion agg run over ≤ N·lists rows regardless of corpus size; all the
+    * heavy lifting stays in the upstream retrievers, which scan the corpus
+    * with their own distributed plans.
+    */
+  def rrfFuse(lists: Seq[DataFrame], idCol: String, scoreCol: String = "score",
+              k0: Int = 60, topK: Int = 20): DataFrame = {
+    require(lists.nonEmpty, "rrfFuse needs at least one candidate list")
+    val ranked = lists.map { df =>
+      df.select(col(idCol), row_number().over(
+        Window.orderBy(col(scoreCol).desc, col(idCol))).as("__rank"))
+    }
+    ranked.reduce(_ unionByName _)
+      .groupBy(col(idCol))
+      .agg((round(sum(lit(1.0) / (lit(k0) + col("__rank"))), 6) + lit(0.0)).as("rrf_score"),
+        count(lit(1)).as("n_lists"))
+      .orderBy(col("rrf_score").desc, col(idCol))
+      .limit(topK)
+  }
 }

@@ -1,0 +1,158 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Slowly-changing-dimension type-2 history: turn a CDC change stream into a
+  * validity-interval table (one row per distinct state run, `valid_from` /
+  * `valid_to` / `is_current`), and maintain it incrementally as new batches
+  * arrive.
+  *
+  * The reference's merge consumers collapse each key to its LATEST state
+  * (type-1 — /root/reference/src/main/scala/models/batches/SqlServerChangeTracking.scala:17-58
+  * keeps only the newest version per ARCANE_MERGE_KEY); this operator is the
+  * history-preserving companion: the same deduplicated change feed, but every
+  * observed state transition is kept as an interval row. Downstream joins can
+  * then reconstruct "what did the dimension look like when this fact
+  * happened" (the `asOf` helper).
+  *
+  * Semantics, per key, ordering by the monotone version column:
+  *   - a row opens a new interval iff it is the key's first row or its
+  *     tracked-attribute tuple differs (null-safely) from the previous row's;
+  *   - consecutive rows with identical tracked state collapse into one
+  *     interval (re-delivered CDC rows don't fragment history);
+  *   - `valid_to` = the version that superseded the interval (exclusive),
+  *     NULL while current;
+  *   - a delete row closes the current interval and opens nothing — a later
+  *     re-insert opens a fresh interval.
+  *
+  * Scale: ONE hash exchange on the key; boundary detection, interval
+  * assembly, and the delete filter are three window passes over the SAME
+  * partitioning (Spark reuses the exchange — `.explain` shows a single
+  * Exchange feeding chained Window nodes). No joins, no data expansion:
+  * output rows ≤ input rows. At 100 TB the cost is the one shuffle any
+  * per-key operator pays.
+  */
+object Scd2 {
+
+  private val From = "valid_from"
+  private val To = "valid_to"
+  private val Cur = "is_current"
+
+  /** Build the full type-2 history from a change stream.
+    *
+    * @param changes    one row per observed (key, version) state; versions
+    *                   must be totally ordered within a key (duplicate
+    *                   versions are collapsed to one arbitrary-but-
+    *                   deterministic row first, making replays idempotent)
+    * @param keyCol     merge-key column name
+    * @param versionCol monotone version column name (CDC version, LSN, ts)
+    * @param tracked    columns whose (null-safe) change opens a new interval
+    * @param isDelete   predicate marking a row as a tombstone
+    */
+  def buildHistory(changes: DataFrame, keyCol: String, versionCol: String,
+                   tracked: Seq[String],
+                   isDelete: Column = lit(false)): DataFrame = {
+    val k = col(keyCol)
+    val v = col(versionCol)
+    val w = Window.partitionBy(k).orderBy(v)
+    val state = struct(tracked.map(col): _*)
+
+    // Replay idempotence: a re-delivered (key, version) row must not
+    // fragment or duplicate intervals. The collapse is a lag over the SAME
+    // key-only partitioning the interval windows use (a per-(key, version)
+    // window would force a second hashpartitioning(k, v) exchange); the
+    // (version, tracked, delete) sort makes the survivor deterministic and
+    // its (k, v, ...) order already satisfies the later windows' (k, v)
+    // prefix, so no re-sort either.
+    val dedupOrd = v +: tracked.map(col) :+ col("__del")
+    val wDedup = Window.partitionBy(k).orderBy(dedupOrd: _*)
+    val unique = changes
+      .withColumn("__del", isDelete)
+      .withColumn("__pv", lag(v, 1).over(wDedup))
+      .filter(!(col("__pv") <=> v))
+      .drop("__pv")
+
+    // Boundary: first row of the key, a tracked-state change, or crossing a
+    // delete edge in either direction (delete rows participate as a state of
+    // their own so a post-delete re-insert reopens).
+    val prevState = lag(state, 1).over(w)
+    val prevDel = lag(col("__del"), 1).over(w)
+    val boundary = row_number().over(w) === 1 ||
+      !(state <=> prevState) || !(col("__del") <=> prevDel)
+
+    val runs = unique
+      .withColumn("__b", boundary)
+      .filter(col("__b"))
+      .withColumn(From, v)
+      .withColumn(To, lead(v, 1).over(w))
+
+    runs
+      .filter(!col("__del")) // tombstone intervals are closures, not rows
+      .withColumn(Cur, col(To).isNull)
+      .select((keyCol +: tracked).map(col) ++ Seq(col(From), col(To), col(Cur)): _*)
+  }
+
+  /** Reconstruct the change stream a history table encodes: one change per
+    * interval open, plus a synthetic delete wherever an interval was closed
+    * by something other than the next interval's open (i.e. by a tombstone).
+    * Exact inverse of [[buildHistory]] up to collapsed duplicate states.
+    */
+  private def toChanges(history: DataFrame, keyCol: String, versionCol: String,
+                        tracked: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(From))
+    val nextFrom = lead(col(From), 1).over(w)
+    val opens = history
+      .withColumn("__implicit_del",
+        col(To).isNotNull && !(col(To) <=> nextFrom))
+      .select(col(keyCol) +: tracked.map(col) :+
+        col(From).as(versionCol) :+ lit(false).as("__was_del") :+
+        col("__implicit_del") :+ col(To).as("__del_at"): _*)
+    val dels = opens.filter(col("__implicit_del"))
+      .select(col(keyCol) +: tracked.map(c => lit(null).cast(history.schema(c).dataType).as(c)) :+
+        col("__del_at").as(versionCol) :+ lit(true).as("__was_del"): _*)
+    opens.drop("__implicit_del", "__del_at").unionByName(dels)
+  }
+
+  /** Incrementally fold a new change batch into an existing history.
+    *
+    * Only the keys PRESENT in the batch are rebuilt (their stored intervals
+    * are replayed as changes, unioned with the batch, and re-run through
+    * [[buildHistory]]); untouched keys pass through with a key-partitioned
+    * anti-join. With the CDC watermark guarantee (batch versions ≥ all stored
+    * versions for the key — the same contract [[CdcMerge]] relies on),
+    * `applyChanges(buildHistory(a), b) == buildHistory(a ∪ b)` — pinned as a
+    * property test in `Scd2Spec`.
+    *
+    * Scale: the rebuild side is proportional to the CHANGED keys' history,
+    * not the table — the day-2 cost profile of a MERGE, without a
+    * transactional catalog.
+    */
+  def applyChanges(history: DataFrame, batch: DataFrame, keyCol: String,
+                   versionCol: String, tracked: Seq[String],
+                   isDelete: Column = lit(false)): DataFrame = {
+    val touchedKeys = batch.select(col(keyCol)).distinct()
+    val affected = history.join(touchedKeys, Seq(keyCol), "left_semi")
+    val untouched = history.join(touchedKeys, Seq(keyCol), "left_anti")
+
+    val replayed = toChanges(affected, keyCol, versionCol, tracked)
+    val newRows = batch
+      .withColumn("__was_del", isDelete)
+      .select(col(keyCol) +: tracked.map(col) :+ col(versionCol) :+ col("__was_del"): _*)
+
+    val rebuilt = buildHistory(
+      replayed.unionByName(newRows), keyCol, versionCol, tracked,
+      isDelete = col("__was_del"))
+
+    untouched.unionByName(rebuilt)
+  }
+
+  /** Point-in-time lookup: the state of each key as of `version` (inclusive
+    * of opens at `version`, exclusive of closes at it). Keys deleted or not
+    * yet born at `version` are absent.
+    */
+  def asOf(history: DataFrame, version: Column): DataFrame =
+    history.filter(col(From) <= version &&
+      (col(To).isNull || col(To) > version))
+}

@@ -1,0 +1,107 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.prop.TableDrivenPropertyChecks
+
+class Scd2Spec extends SparkSpec with TableDrivenPropertyChecks {
+  import spark.implicits._
+
+  // change stream: (key, version, state, isDelete)
+  private def changes(rows: (String, Long, String, Boolean)*): DataFrame =
+    rows.toDF("k", "v", "state", "del")
+
+  private def build(df: DataFrame): DataFrame =
+    Scd2.buildHistory(df, "k", "v", Seq("state"), isDelete = col("del"))
+
+  private def collected(df: DataFrame): Seq[(String, String, Long, Option[Long], Boolean)] =
+    df.select($"k", $"state", $"valid_from", $"valid_to", $"is_current")
+      .as[(String, String, Long, Option[Long], Boolean)]
+      .collect().sortBy(r => (r._1, r._3)).toSeq
+
+  test("state runs collapse; transitions open intervals; last is current") {
+    val out = collected(build(changes(
+      ("k1", 1L, "a", false), ("k1", 2L, "a", false), // same state → one run
+      ("k1", 3L, "b", false),                         // transition
+      ("k1", 5L, "a", false))))                       // back to a → new run
+    assert(out == Seq(
+      ("k1", "a", 1L, Some(3L), false),
+      ("k1", "b", 3L, Some(5L), false),
+      ("k1", "a", 5L, None, true)))
+  }
+
+  test("delete closes the interval; re-insert reopens") {
+    val out = collected(build(changes(
+      ("k1", 1L, "a", false),
+      ("k1", 4L, "a", true),    // tombstone: closes at 4, emits no row
+      ("k1", 9L, "a", false))))
+    assert(out == Seq(
+      ("k1", "a", 1L, Some(4L), false),
+      ("k1", "a", 9L, None, true)))
+  }
+
+  test("re-delivered (key, version) rows do not fragment history") {
+    val once = changes(("k1", 1L, "a", false), ("k1", 3L, "b", false))
+    val replayed = once.union(once)
+    assert(collected(build(replayed)) == collected(build(once)))
+  }
+
+  test("asOf returns the state live at the version, exclusive of closes") {
+    val h = build(changes(
+      ("k1", 1L, "a", false), ("k1", 3L, "b", false),
+      ("k2", 2L, "x", false), ("k2", 5L, "x", true)))
+    def at(v: Long): Seq[(String, String)] =
+      Scd2.asOf(h, lit(v)).select($"k", $"state").as[(String, String)]
+        .collect().sorted.toSeq
+    assert(at(1L) == Seq("k1" -> "a"))
+    assert(at(2L) == Seq("k1" -> "a", "k2" -> "x"))
+    assert(at(4L) == Seq("k1" -> "b", "k2" -> "x"))
+    assert(at(5L) == Seq("k1" -> "b")) // k2 deleted at 5 (exclusive close)
+    assert(at(0L) == Seq.empty)
+  }
+
+  test("incremental applyChanges == full rebuild, across split points") {
+    // a stream with runs, deletes, re-inserts, and a key absent from batch 2
+    val all = Seq(
+      ("k1", 1L, "a", false), ("k1", 2L, "a", false), ("k1", 3L, "b", false),
+      ("k1", 6L, "b", true), ("k1", 8L, "c", false),
+      ("k2", 1L, "x", false), ("k2", 4L, "y", false),
+      ("k3", 2L, "m", false))
+    val expected = collected(build(changes(all: _*)))
+    forAll(Table("split", 1, 3, 5, 7)) { split =>
+      val (a, b) = all.partition(_._2 <= split)
+      val h0 = build(changes(a: _*))
+      val h1 = Scd2.applyChanges(h0, changes(b: _*), "k", "v", Seq("state"),
+        isDelete = col("del"))
+      assert(collected(h1) == expected, s"split at $split")
+    }
+  }
+
+  test("applyChanges replaying an already-applied batch is a no-op") {
+    val a = changes(("k1", 1L, "a", false), ("k2", 2L, "x", false))
+    val b = changes(("k1", 5L, "b", false), ("k2", 6L, "x", true))
+    val h1 = Scd2.applyChanges(build(a), b, "k", "v", Seq("state"), col("del"))
+    val h2 = Scd2.applyChanges(h1, b, "k", "v", Seq("state"), col("del"))
+    assert(collected(h2) == collected(h1))
+  }
+
+  test("null tracked state is handled null-safely (no phantom boundaries)") {
+    val df = Seq(
+      ("k1", 1L, None: Option[String], false),
+      ("k1", 2L, None: Option[String], false), // null == null → same run
+      ("k1", 3L, Some("a"), false))            // null → a is a transition
+      .toDF("k", "v", "state", "del")
+    val out = Scd2.buildHistory(df, "k", "v", Seq("state"), col("del"))
+      .select($"state", $"valid_from").as[(Option[String], Long)]
+      .collect().sortBy(_._2).toSeq
+    assert(out == Seq((None, 1L), (Some("a"), 3L)))
+  }
+
+  test("one exchange: boundary + interval windows share the key partitioning") {
+    val plan = build(changes(("k1", 1L, "a", false))).queryExecution
+      .executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected a single key exchange, plan:\n$plan")
+  }
+}
