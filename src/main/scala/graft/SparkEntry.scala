@@ -703,6 +703,20 @@ object SparkEntry {
         .orderBy(col("user_id"), col("valid_from"))
     }),
 
+    // M5+ day-2 path: history built from the pre-pivot stream, then the
+    // post-pivot batch folded in INCREMENTALLY (only touched keys rebuilt).
+    // Hash-checked against the SAME full-history oracle as m5_scd2_history
+    // — the incremental path must be indistinguishable from a full rebuild.
+    "m5_scd2_incremental" -> ((s, dir) => {
+      val pre = eventsBase(s, dir).filter(col("event_id") < MergePivot)
+      val post = eventsBase(s, dir).filter(col("event_id") >= MergePivot)
+      val h0 = Scd2.buildHistory(pre, "user_id", "event_id",
+        tracked = Seq("event_type"), isDelete = col("event_type") === "error")
+      Scd2.applyChanges(h0, post, "user_id", "event_id",
+        tracked = Seq("event_type"), isDelete = col("event_type") === "error")
+        .orderBy(col("user_id"), col("valid_from"))
+    }),
+
     // M5+ point-in-time lookup: the dimension state each key held at the
     // merge pivot version — what an as-of fact join would read.
     "m5_scd2_asof" -> ((s, dir) => {
@@ -2153,6 +2167,30 @@ object SparkEntry {
     * the same parquet tables. Omitted keys get a weaker rows-only check.
     */
   def oracleSql: Map[String, String] = {
+    // SCD2 history rebuilt in SQL: boundary rows (first / state change /
+    // delete-edge crossing) → interval assembly via lead() → tombstone rows
+    // dropped. Shared by the full-build AND the incremental query — the
+    // incremental engine path must match the same rebuilt truth.
+    val scd2HistorySql =
+      """WITH b AS (
+        |  SELECT user_id, event_id, event_type,
+        |    (event_type = 'error') AS del,
+        |    (row_number() OVER w = 1
+        |     OR event_type IS DISTINCT FROM lag(event_type) OVER w
+        |     OR (event_type = 'error') IS DISTINCT FROM lag(event_type = 'error') OVER w
+        |    ) AS boundary
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+        |), runs AS (
+        |  SELECT user_id, event_type, del, event_id AS valid_from,
+        |    lead(event_id) OVER (PARTITION BY user_id ORDER BY event_id) AS valid_to
+        |  FROM b WHERE boundary
+        |)
+        |SELECT user_id, event_type, valid_from, valid_to,
+        |  (valid_to IS NULL) AS is_current
+        |FROM runs WHERE NOT del
+        |ORDER BY user_id, valid_from""".stripMargin
+
     // shared CTE prefix for the span-duplication funnel: 8-token lead-chain
     // grams (1-based positions), md5Hash60 span hashes, first-occurrence
     // rule, interval-union coverage — all-integer window math
@@ -2581,25 +2619,11 @@ object SparkEntry {
       "m4_merge_upsert_blob" ->
         mergeOracle("false", "event_id", whereDeletes = false),
 
-      "m5_scd2_history" ->
-        """WITH b AS (
-          |  SELECT user_id, event_id, event_type,
-          |    (event_type = 'error') AS del,
-          |    (row_number() OVER w = 1
-          |     OR event_type IS DISTINCT FROM lag(event_type) OVER w
-          |     OR (event_type = 'error') IS DISTINCT FROM lag(event_type = 'error') OVER w
-          |    ) AS boundary
-          |  FROM events
-          |  WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
-          |), runs AS (
-          |  SELECT user_id, event_type, del, event_id AS valid_from,
-          |    lead(event_id) OVER (PARTITION BY user_id ORDER BY event_id) AS valid_to
-          |  FROM b WHERE boundary
-          |)
-          |SELECT user_id, event_type, valid_from, valid_to,
-          |  (valid_to IS NULL) AS is_current
-          |FROM runs WHERE NOT del
-          |ORDER BY user_id, valid_from""".stripMargin,
+      // one SQL text, two engine paths: the incremental fold must be
+      // indistinguishable from the full rebuild
+      "m5_scd2_incremental" -> scd2HistorySql,
+
+      "m5_scd2_history" -> scd2HistorySql,
 
       "m5_scd2_asof" ->
         s"""WITH b AS (
