@@ -1022,6 +1022,19 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // contrastive negative-pair sampling: k deterministic pseudo-random
+    // negatives per anchor (md5 draw over the other n−1 rows, no RNG
+    // state), negatives' payload fetched by an 8-byte-key equi-join —
+    // the training-pair generator for embedding/contrastive objectives
+    "pairs_negative_sample" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Sampling.negativePairs(docs, "doc_id", k = 2)
+        .join(docs.select(col("doc_id").as("neg_id"), col("source").as("neg_source")),
+          "neg_id")
+        .select(col("anchor_id"), col("pair_idx"), col("neg_id"), col("neg_source"))
+        .orderBy(col("anchor_id"), col("pair_idx"))
+    }),
+
     // per-source mixture weighting: one map-side deterministic filter
     // re-weights a multi-source corpus toward a target mixture
     "doc_mixture_sample" -> ((s, dir) => {
@@ -3097,6 +3110,22 @@ object SparkEntry {
       // replays the md5-permutation shuffle: same 4-hex-digit shard
       // bucket as doc_pack_sequences, in-shard order by the full md5 hex
       // (identical strings in both engines) with the key as tiebreak
+      "pairs_negative_sample" ->
+        """WITH sc AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+          |base AS (SELECT doc_id AS anchor_id, CAST(j AS BIGINT) AS pair_idx
+          |         FROM documents CROSS JOIN (SELECT unnest([0, 1]) AS j)),
+          |h AS (SELECT anchor_id, pair_idx,
+          |        CAST('0x' || substr(md5(CAST(anchor_id AS VARCHAR) || '#' ||
+          |          CAST(pair_idx AS VARCHAR)), 1, 8) AS BIGINT) AS hv
+          |      FROM base),
+          |p AS (SELECT anchor_id, pair_idx, hv % (sc.n - 1) AS neg0 FROM h, sc),
+          |q AS (SELECT anchor_id, pair_idx,
+          |        CASE WHEN neg0 >= anchor_id THEN neg0 + 1 ELSE neg0 END AS neg_id
+          |      FROM p)
+          |SELECT anchor_id, pair_idx, neg_id, d.source AS neg_source
+          |FROM q JOIN documents d ON d.doc_id = q.neg_id
+          |ORDER BY anchor_id, pair_idx""".stripMargin,
+
       "doc_shuffle_shards" ->
         """WITH h AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS hx FROM documents),
           |a AS (SELECT doc_id, hx,

@@ -66,6 +66,40 @@ object Drift {
     smoothedPsi(counts(ref), counts(cur), edges.size + 1)
   }
 
+  /** Frozen reference histogram: K bucket counts + a total — the whole
+    * model is ≤ edges.size + 2 numbers on the driver, the same frozen-model
+    * device as the DSIR / PQ / BM25 streaming twins.
+    */
+  final case class FrozenHistogram(edges: Seq[Double], counts: Map[Long, Long]) {
+    def total: Long = counts.valuesIterator.sum
+    def k: Int = edges.size + 1
+  }
+
+  /** Collect the reference side ONCE (one bounded agg; ≤K rows reach the
+    * driver). Use with [[psiAgainstFrozen]] to monitor a stream of arriving
+    * batches against a standing reference without rescanning it.
+    */
+  def freezeNumeric(ref: DataFrame, feature: Column, edges: Seq[Double]): FrozenHistogram = {
+    val rows = ref.groupBy(bucketOf(feature, edges).as("bucket"))
+      .agg(count(lit(1)).as("n")).collect()
+    FrozenHistogram(edges, rows.map(r => r.getLong(0) -> r.getLong(1)).toMap)
+  }
+
+  /** PSI of `cur` against a frozen reference — identical output (same
+    * buckets, same smoothing, same rounding) to [[psiNumeric]] run against
+    * the original reference frame, pinned in `DriftSpec`. The reference
+    * side is a literal K-row local relation, so per batch the only work is
+    * the current side's map-side bucket count.
+    */
+  def psiAgainstFrozen(cur: DataFrame, feature: Column, frozen: FrozenHistogram): DataFrame = {
+    val spark = cur.sparkSession
+    import spark.implicits._
+    val refC = frozen.counts.toSeq.toDF("bucket", "n")
+    val curC = cur.groupBy(bucketOf(feature, frozen.edges).as("bucket"))
+      .agg(count(lit(1)).as("n"))
+    smoothedPsi(refC, curC, frozen.edges.size + 1)
+  }
+
   /** Categorical-feature PSI: buckets are the observed category values
     * (NULL → its own bucket). K is the union domain size, computed from the
     * bounded bucket frames themselves — callers use this for low-cardinality

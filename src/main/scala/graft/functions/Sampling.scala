@@ -152,6 +152,38 @@ object Sampling {
     withHash.withColumn("pos", row_number().over(w).cast("long")).drop("__h")
   }
 
+  /** Deterministic pseudo-random NEGATIVE sampling for contrastive-pair
+    * training data: `k` negatives per anchor row, drawn uniformly from the
+    * other rows by md5 arithmetic — no RNG state, no shuffle to generate
+    * (the expansion is a map-side explode), and the same (anchor, pair_idx)
+    * always maps to the same negative, so pair sets are reproducible across
+    * runs and engines (the md5-prefix device of [[shuffleAssign]]).
+    *
+    * Requires ids dense in [0, n): the draw is `h % (n-1)` with a +1 skip
+    * over the anchor itself (uniform over the n-1 others). Non-dense
+    * corpora index first (`row_number`/`zipWithIndex` at write time — the
+    * shuffle-shard layout already provides exactly this).
+    *
+    * Output: (anchor_id, pair_idx, neg_id). Join `neg_id` back to the
+    * corpus for the negative's payload — an 8-byte-key equi-join that
+    * scales like any fact join (n·k rows against n).
+    */
+  def negativePairs(df: DataFrame, idCol: String, k: Int): DataFrame = {
+    require(k >= 1, "need at least one negative per anchor")
+    val n1 = df.agg(count(lit(1)).cast("long").as("__n"))
+    val id = col(idCol).cast("long")
+    df.crossJoin(broadcast(n1)) // 1-row corpus scalar
+      .select(id.as("anchor_id"), col("__n"),
+        explode(array((0 until k).map(j => lit(j.toLong)): _*)).as("pair_idx"))
+      .withColumn("__h", conv(substring(md5(
+        concat(col("anchor_id").cast("string"), lit("#"), col("pair_idx").cast("string"))),
+        1, 8), 16, 10).cast("long"))
+      .withColumn("__neg0", col("__h") % (col("__n") - 1))
+      .withColumn("neg_id",
+        when(col("__neg0") >= col("anchor_id"), col("__neg0") + 1).otherwise(col("__neg0")))
+      .select(col("anchor_id"), col("pair_idx"), col("neg_id"))
+  }
+
   /** Measured token totals per source — the one (bounded) action in the
     * budgeted-mixture path: |sources| rows reach the driver, never corpus
     * rows. `tokens` is any per-row count column, e.g. `Bpe.tokenCount`

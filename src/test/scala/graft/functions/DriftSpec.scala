@@ -42,6 +42,18 @@ class DriftSpec extends SparkSpec {
     assert(out.forall(r => !r.getAs[Double]("psi_total").isNaN))
   }
 
+  test("psiAgainstFrozen is bit-identical to psiNumeric over the same reference") {
+    val ref = (1 to 200).map(i => i * 7 % 900).toDF("v")
+    val cur = (1 to 150).map(i => i * 13 % 1100).toDF("v")
+    val edges = Seq(150.0, 450.0, 750.0)
+    val direct = Drift.psiNumeric(ref, cur, col("v"), edges)
+      .orderBy($"bucket").collect().toSeq
+    val frozen = Drift.freezeNumeric(ref, col("v"), edges)
+    val monitored = Drift.psiAgainstFrozen(cur, col("v"), frozen)
+      .orderBy($"bucket").collect().toSeq
+    assert(monitored == direct)
+  }
+
   test("bucketOf counts edges at and below the value") {
     val df = Seq(50, 150, 450, 800).toDF("v")
     val out = df.select(Drift.bucketOf(col("v"), Seq(100.0, 400.0, 700.0)).as("b"))

@@ -120,6 +120,22 @@ class SamplingSpec extends SparkSpec {
       "untouched shards' checksums must not move")
   }
 
+  test("negativePairs: k per anchor, never self, in range, deterministic") {
+    val ids = (0L until 100L).toDF("doc_id")
+    val out = Sampling.negativePairs(ids, "doc_id", k = 3)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out.length == 300)
+    assert(out.forall { case (a, _, n) => n != a && n >= 0 && n < 100 },
+      "negatives must be other in-range rows")
+    assert(out.groupBy(_._1).forall(_._2.map(_._2).sorted == Seq(0L, 1L, 2L)))
+    val again = Sampling.negativePairs(ids, "doc_id", k = 3)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(again.toSet == out.toSet, "same (anchor, pair_idx) → same negative")
+    // rough uniformity: every row should be drawn as a negative somewhere
+    val drawn = out.map(_._3).distinct.size
+    assert(drawn > 80, s"expected wide coverage of the corpus, got $drawn/100")
+  }
+
   test("mixtureSample applies per-group rates with default for unlisted") {
     val out = Sampling.mixtureSample(docs, col("doc_id"), col("source"),
       Map("src0" -> 1.0, "src1" -> 0.0), defaultRate = 0.5)
