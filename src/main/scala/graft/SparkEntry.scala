@@ -603,6 +603,23 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // robust-stats outlier clipping (winsorization): per-group exact
+    // p05/p95 bounds — a bounded |groups|-row broadcast — clip map-side.
+    // Bounds are ROUNDED before clipping so both engines make identical
+    // boundary decisions.
+    "q_events_winsorize" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val bounds = ev.groupBy(col("event_type")).agg(
+        round(expr("percentile(value, 0.05)"), 4).as("p_lo"),
+        round(expr("percentile(value, 0.95)"), 4).as("p_hi"))
+      ev.join(broadcast(bounds), "event_type")
+        .select(col("event_id"), col("event_type"),
+          round(greatest(least(col("value"), col("p_hi")), col("p_lo")), 4)
+            .as("value_clipped"),
+          (col("value") < col("p_lo") || col("value") > col("p_hi")).as("clipped"))
+        .orderBy(col("event_id"))
+    }),
+
     // gap-based sessionization (30-min inactivity): lag + cumulative flag —
     // the batch twin of the mapGroupsWithState streaming path
     "q_events_sessions" -> ((s, dir) => {
@@ -1019,6 +1036,16 @@ object SparkEntry {
     "doc_shuffle_shards" -> ((s, dir) => {
       Sampling.shuffleAssign(t(s, dir, "documents"), col("doc_id"), shards = 8)
         .select(col("doc_id"), col("shard"), col("pos"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // distributed zipWithIndex: dense 0..n−1 ids with NO global sort —
+    // per-shard window positions + an exclusive prefix sum over the
+    // bounded shard counts; ids depend only on key md5, so reruns and
+    // repartitions reproduce them (monotonically_increasing_id does not)
+    "doc_dense_ids" -> ((s, dir) => {
+      Sampling.denseIds(t(s, dir, "documents"), col("doc_id"), shards = 8)
+        .select(col("doc_id"), col("shard"), col("pos"), col("dense_id"))
         .orderBy(col("doc_id"))
     }),
 
@@ -2582,6 +2609,18 @@ object SparkEntry {
           |GROUP BY event_type
           |ORDER BY event_type""".stripMargin,
 
+      "q_events_winsorize" ->
+        """WITH b AS (
+          |  SELECT event_type,
+          |    round(quantile_cont(value, 0.05), 4) AS p_lo,
+          |    round(quantile_cont(value, 0.95), 4) AS p_hi
+          |  FROM events GROUP BY event_type)
+          |SELECT event_id, e.event_type,
+          |  round(greatest(least(value, p_hi), p_lo), 4) AS value_clipped,
+          |  (value < p_lo OR value > p_hi) AS clipped
+          |FROM events e JOIN b USING (event_type)
+          |ORDER BY event_id""".stripMargin,
+
       "q_events_sessions" ->
         """WITH flagged AS (
           |  SELECT user_id, event_id, ts, value,
@@ -3110,6 +3149,16 @@ object SparkEntry {
       // replays the md5-permutation shuffle: same 4-hex-digit shard
       // bucket as doc_pack_sequences, in-shard order by the full md5 hex
       // (identical strings in both engines) with the key as tiebreak
+      "doc_dense_ids" ->
+        """WITH h AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS hx FROM documents),
+          |a AS (SELECT doc_id, hx,
+          |        CAST(CAST('0x' || substr(hx, 1, 4) AS INT) % 8 AS BIGINT) AS shard
+          |      FROM h)
+          |SELECT doc_id, shard,
+          |  CAST(row_number() OVER (PARTITION BY shard ORDER BY hx, doc_id) AS BIGINT) AS pos,
+          |  CAST(row_number() OVER (ORDER BY shard, hx, doc_id) - 1 AS BIGINT) AS dense_id
+          |FROM a ORDER BY doc_id""".stripMargin,
+
       "pairs_negative_sample" ->
         """WITH sc AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
           |base AS (SELECT doc_id AS anchor_id, CAST(j AS BIGINT) AS pair_idx

@@ -152,6 +152,30 @@ object Sampling {
     withHash.withColumn("pos", row_number().over(w).cast("long")).drop("__h")
   }
 
+  /** Deterministic dense id assignment WITHOUT a global sort — the
+    * distributed `zipWithIndex`: ids are 0..n−1, stable across reruns and
+    * partitionings (they depend only on key md5, not on Spark's physical
+    * layout, unlike `monotonically_increasing_id`).
+    *
+    * Shape: [[shuffleAssign]]'s per-shard positions (one key exchange,
+    * per-shard window sorts) + an exclusive prefix sum over the ≤`shards`
+    * bucket counts (a bounded frame — the only single-partition window) +
+    * a broadcast offsets join. dense_id = offset(shard) + pos − 1 ≡
+    * row_number over (shard, md5, key) − 1, which is what the oracle
+    * replays. This is the indexing step [[negativePairs]]' dense-id
+    * contract asks for.
+    */
+  def denseIds(df: DataFrame, key: Column, shards: Int): DataFrame = {
+    val assigned = shuffleAssign(df, key, shards)
+    val offsets = assigned.groupBy(col("shard")).agg(count(lit(1)).as("__cnt"))
+      .withColumn("__offset",
+        sum(col("__cnt")).over(Window.orderBy(col("shard"))) - col("__cnt"))
+      .select(col("shard"), col("__offset"))
+    assigned.join(broadcast(offsets), "shard")
+      .withColumn("dense_id", col("__offset") + col("pos") - 1)
+      .drop("__offset")
+  }
+
   /** Deterministic pseudo-random NEGATIVE sampling for contrastive-pair
     * training data: `k` negatives per anchor row, drawn uniformly from the
     * other rows by md5 arithmetic — no RNG state, no shuffle to generate

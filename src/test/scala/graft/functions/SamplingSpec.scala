@@ -120,6 +120,17 @@ class SamplingSpec extends SparkSpec {
       "untouched shards' checksums must not move")
   }
 
+  test("denseIds: exact 0..n-1 bijection, stable under repartitioning") {
+    val ids = (0L until 257L).toDF("doc_id")
+    val out = Sampling.denseIds(ids, col("doc_id"), shards = 8)
+      .select($"doc_id", $"dense_id").as[(Long, Long)].collect().toMap
+    assert(out.values.toSeq.sorted == (0L until 257L).toSeq,
+      "dense ids must be a bijection onto 0..n-1")
+    val re = Sampling.denseIds(ids.repartition(13), col("doc_id"), shards = 8)
+      .select($"doc_id", $"dense_id").as[(Long, Long)].collect().toMap
+    assert(re == out, "ids depend on the key hash, not physical layout")
+  }
+
   test("negativePairs: k per anchor, never self, in range, deterministic") {
     val ids = (0L until 100L).toDF("doc_id")
     val out = Sampling.negativePairs(ids, "doc_id", k = 3)
