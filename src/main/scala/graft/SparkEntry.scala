@@ -1543,7 +1543,10 @@ object SparkEntry {
       val lex = Retrieval.bm25Rank(t(s, dir, "documents"), "doc_id", col("text"),
         queryTerms = Seq("data", "model", "training"), topK = 50)
       val emb = t(s, dir, "embeddings")
-      val qv = emb.filter(col("vec_id") === 0).select(col("embedding").as("__qv"))
+      // the query vector as a GLOBAL AGGREGATE (not a filtered scan): the
+      // broadcast side is ≤1 row BY CONSTRUCTION, which is what the plan
+      // posture sweep's scalar-attach exemption requires
+      val qv = emb.filter(col("vec_id") === 0).agg(min(col("embedding")).as("__qv"))
       val sem = emb.filter(col("vec_id") =!= 0)
         .crossJoin(broadcast(qv)) // 1-row query-vector broadcast
         .select(col("vec_id").as("doc_id"),
