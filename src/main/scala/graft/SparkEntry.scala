@@ -2154,6 +2154,38 @@ object SparkEntry {
         .orderBy(col("rf"), col("ls"))
     }),
 
+    // CUBE completes the grouping-sets family (ROLLUP above): all four
+    // grouping combinations in ONE pass — Spark expands grouping sets
+    // inside a single Expand + one aggregation exchange, not N scans.
+    // grouping() disambiguates real NULL keys from subtotal rows.
+    "q_cube_pricing" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          (round(sum(col("l_quantity")), 2) + lit(0.0)).as("sum_qty"),
+          grouping(col("l_returnflag")).cast("long").as("g_rf"),
+          grouping(col("l_linestatus")).cast("long").as("g_ls"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("g_rf"), col("g_ls"), col("n"), col("sum_qty"))
+        .orderBy(col("g_rf"), col("g_ls"), col("rf"), col("ls"))
+    }),
+
+    // analytic-window trio over partitioned groups: ntile deciles,
+    // percent_rank, cume_dist — per-key windows (one key exchange), the
+    // deterministic (price, orderkey) total order on both engines
+    "q_orders_decile" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          ntile(10).over(w).cast("long").as("decile"),
+          (round(percent_rank().over(w), 6) + lit(0.0)).as("pct_rank"),
+          (round(cume_dist().over(w), 6) + lit(0.0)).as("cume"))
+        .filter(col("decile") === 10)
+        .orderBy(col("o_orderkey"))
+    }),
+
     // ASYMMETRIC containment dedup (Broder's containment — the
     // quote/subset detector symmetric Jaccard misses): |A∩B|/|A| ≥ 0.8
     // over word 3-gram sets, both orientations; same posting-list funnel
@@ -4465,7 +4497,32 @@ object SparkEntry {
           |  round(sum(l_quantity), 2) + 0.0 AS sum_qty,
           |  round(sum(l_extendedprice), 2) + 0.0 AS sum_price
           |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
-          |ORDER BY rf, ls""".stripMargin
+          |ORDER BY rf, ls""".stripMargin,
+
+      "q_cube_pricing" ->
+        """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+          |  coalesce(l_linestatus, 'ALL') AS ls,
+          |  CAST(grouping(l_returnflag) AS BIGINT) AS g_rf,
+          |  CAST(grouping(l_linestatus) AS BIGINT) AS g_ls,
+          |  CAST(count(*) AS BIGINT) AS n,
+          |  round(sum(l_quantity), 2) + 0.0 AS sum_qty
+          |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+          |ORDER BY g_rf, g_ls, rf, ls""".stripMargin,
+
+      "q_orders_decile" ->
+        """SELECT o_orderkey, o_orderpriority, CAST(decile AS BIGINT) AS decile,
+          |  round(pr, 6) + 0.0 AS pct_rank,
+          |  round(cd, 6) + 0.0 AS cume
+          |FROM (
+          |  SELECT o_orderkey, o_orderpriority,
+          |    ntile(10) OVER w AS decile,
+          |    percent_rank() OVER w AS pr,
+          |    cume_dist() OVER w AS cd
+          |  FROM orders
+          |  WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+          |)
+          |WHERE decile = 10
+          |ORDER BY o_orderkey""".stripMargin
     )
   }
 }

@@ -57,6 +57,43 @@ object Sessionize {
     closed.result().iterator
   }
 
+  /** The same gap sessions via Spark's NATIVE `session_window` aggregation —
+    * no user state function at all: the engine merges overlapping
+    * [ts, ts+gap) windows per key inside a regular (partial-aggregating)
+    * hash aggregate, and in streaming mode closes a session when the
+    * watermark passes its end. Prefer this path when the per-session output
+    * is expressible as aggregates (count/sum/min/max); drop to
+    * [[sessions]]' `flatMapGroupsWithState` only for imperative per-session
+    * logic the aggregate language can't express.
+    *
+    * Output matches [[sessions]]' shape: `end` is the LAST EVENT's
+    * timestamp (session_window's raw end is lastTs + gap; the gap is
+    * subtracted here), so the two paths are directly comparable —
+    * `SessionizeSpec` pins the parity. Boundary nuance: session_window
+    * merges strictly-closer-than-gap events (`<`), [[sessions]] uses `<=`;
+    * identical except for events exactly at the gap.
+    *
+    * In streaming mode pass `watermark` (append output emits only
+    * watermark-closed sessions — the watermark must live on the SAME
+    * event-time column the session groups on); in batch mode leave it
+    * None and every session is emitted.
+    */
+  def sessionsNative(events: Dataset[Event], gapMillis: Long,
+                     watermark: Option[String] = None): Dataset[ClosedSession] = {
+    import org.apache.spark.sql.functions._
+    implicit val closedEnc = Encoders.product[ClosedSession]
+    val timed = events.toDF().withColumn("__ts", timestamp_millis(col("tsMillis")))
+    watermark.fold(timed)(timed.withWatermark("__ts", _))
+      .groupBy(col("userId"),
+        session_window(col("__ts"), s"$gapMillis milliseconds").as("__w"))
+      .agg(count(lit(1)).as("nEvents"), sum(col("value")).as("sumValue"))
+      .select(col("userId"),
+        unix_millis(col("__w.start")).as("start"),
+        (unix_millis(col("__w.end")) - gapMillis).as("end"),
+        col("nEvents"), col("sumValue"))
+      .as[ClosedSession]
+  }
+
   /** Wire the sessionizer over a keyed event Dataset (works identically for
     * a streaming Dataset — same function, Append mode).
     *

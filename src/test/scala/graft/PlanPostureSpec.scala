@@ -147,7 +147,15 @@ class PlanPostureSpec extends SparkSpec {
     ("graph_pagerank", "lineitem", 2),        // l_orderkey, l_suppkey
     ("graph_pagerank", "orders", 2),          // o_orderkey, o_custkey
     ("vec_label_centroids", "embeddings", 2), // label, embedding
-    ("corpus_expectations", "documents", 4))  // text, doc_id, n_chars, lang
+    ("corpus_expectations", "documents", 4),  // text, doc_id, n_chars, lang
+    // r12 second wave: SCD2 / drift / pairs / ids / window trio
+    ("corpus_drift_psi", "documents", 3),     // doc_id, n_chars, lang
+    ("doc_dense_ids", "documents", 1),        // doc_id only
+    ("pairs_negative_sample", "documents", 2),// doc_id, source
+    ("q_orders_decile", "orders", 3),         // key, priority, totalprice
+    ("q_cube_pricing", "lineitem", 3),        // rf, ls, quantity
+    ("m5_scd2_history", "events", 3),         // user_id, event_id, event_type
+    ("q_events_winsorize", "events", 3))      // event_id, event_type, value
 
   // pruning probes must also see scans buried inside cached relations
   // (graph_pagerank persists its edge list, so the parquet scans live in
