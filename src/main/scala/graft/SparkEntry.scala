@@ -1622,6 +1622,18 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rnk"))
     }),
 
+    // scalar-quantized (int8) ANN by inner product — the 4×-compression
+    // quantization tier below PQ's 32×. Unlike IVF/LSH/PQ this path is
+    // deterministic arithmetic end to end (calibrate → encode → decode →
+    // dot → rank), so it is the ONE quantized-ANN family member with a
+    // full hash-matching oracle: DuckDB replays the quantization loss
+    // exactly, not just within a recall bound.
+    "ann_sq8_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      VectorSimilarity.sq8TopK(emb, emb.filter(col("vec_id") < 10), k = 5)
+        .orderBy(col("query_id"), col("rnk"))
+    }),
+
     // IVF-bucketed approximate top-k (scale path; rows-only check).
     // nprobe=32 of 64 cells: the synthetic embeddings are near-uniform, so
     // recall tracks the probed fraction almost linearly (0.40 at nprobe=4,
@@ -3994,6 +4006,34 @@ object SparkEntry {
           |         CAST(0.5 AS DOUBLE), CAST(1.0 AS DOUBLE),
           |         m3 >= 0.5 AND m3 <= 1.0 FROM m)
           |ORDER BY metric""".stripMargin,
+
+      "ann_sq8_topk" ->
+        """WITH arrs AS (
+          |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS av FROM embeddings),
+          |dims AS (
+          |  SELECT vec_id, unnest(av) AS v,
+          |    CAST(unnest(range(1, len(av) + 1)) AS INT) AS d
+          |  FROM arrs),
+          |rng AS (SELECT d, min(v) AS mn, max(v) AS mx FROM dims GROUP BY d),
+          |enc AS (
+          |  SELECT vec_id, dims.d,
+          |    CASE WHEN mx = mn THEN 0
+          |         ELSE CAST(round((v - mn) / (mx - mn) * 255) AS BIGINT) END AS code,
+          |    mn, mx
+          |  FROM dims JOIN rng USING (d)),
+          |deq AS (SELECT vec_id, d,
+          |    mn + CAST(code AS DOUBLE) * (mx - mn) / 255.0 AS dv
+          |  FROM enc),
+          |dl AS (SELECT vec_id, list(dv ORDER BY d) AS dvec FROM deq GROUP BY vec_id),
+          |ql AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qvec
+          |       FROM embeddings WHERE vec_id < 10),
+          |s AS (SELECT query_id, dl.vec_id AS corpus_id,
+          |        round(list_dot_product(dvec, qvec), 6) + 0.0 AS score
+          |      FROM dl CROSS JOIN ql WHERE dl.vec_id != query_id)
+          |SELECT query_id, corpus_id, score, CAST(rn AS BIGINT) AS rnk
+          |FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, corpus_id) AS rn FROM s)
+          |WHERE rn <= 5
+          |ORDER BY query_id, rnk""".stripMargin,
 
       "knn_cosine_topk" ->
         """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv

