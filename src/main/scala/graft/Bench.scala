@@ -169,8 +169,11 @@ object Bench {
       s""""unit":"sec","sf":"$sfDir"}"""
     println(line)
     // Belt-and-braces: the full untruncated record also lands in the repo
-    // as a versioned file the round can commit.
-    try {
+    // as a versioned file the round can commit. A FILTERED run
+    // (SPARK_GRAFT_BENCH_ONLY) must not clobber the committed full record
+    // unless the caller explicitly pointed SPARK_GRAFT_BENCH_FILE elsewhere.
+    val partialRun = only.isDefined && sys.env.get("SPARK_GRAFT_BENCH_FILE").isEmpty
+    if (!partialRun) try {
       java.nio.file.Files.write(
         java.nio.file.Paths.get(
           sys.env.getOrElse("SPARK_GRAFT_BENCH_FILE", "/root/repo/BENCH_FULL.json")),
