@@ -603,6 +603,42 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // ordered conversion funnel (view → click → purchase, each step
+    // strictly after the previous): per step one pushed filter + one
+    // key-min aggregation + one key join; intermediates shrink
+    // monotonically down the funnel — no window over raw events
+    "q_events_funnel" -> ((s, dir) => {
+      val steps = Seq(
+        "view" -> (col("event_type") === "view"),
+        "click" -> (col("event_type") === "click"),
+        "purchase" -> (col("event_type") === "purchase"))
+      Funnel.ordered(t(s, dir, "events"), "user_id", "ts", steps)
+        .withColumn("furthest", Funnel.furthest(steps.map(_._1)))
+        .orderBy(col("user_id"))
+    }),
+
+    // robust outlier detection: median absolute deviation (the robust
+    // z-score). Two bounded per-group percentile aggregations broadcast
+    // back; both med and mad are ROUNDED before reuse so the two engines
+    // agree on every boundary decision.
+    "q_events_mad_outliers" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val med = ev.groupBy(col("event_type"))
+        .agg(round(expr("percentile(value, 0.5)"), 4).as("med"))
+      val dev = ev.join(broadcast(med), "event_type")
+        .withColumn("absdev", abs(col("value") - col("med")))
+      val mad = dev.groupBy(col("event_type"))
+        .agg(round(expr("percentile(absdev, 0.5)"), 4).as("mad"))
+      dev.join(broadcast(mad), "event_type")
+        .filter(col("mad") > 0)
+        .withColumn("robust_z",
+          round(abs(col("value") - col("med")) / (lit(1.4826) * col("mad")), 4))
+        .filter(col("robust_z") > lit(3.5))
+        .select(col("event_id"), col("event_type"),
+          round(col("value"), 4).as("value"), col("robust_z"))
+        .orderBy(col("event_id"))
+    }),
+
     // robust-stats outlier clipping (winsorization): per-group exact
     // p05/p95 bounds — a bounded |groups|-row broadcast — clip map-side.
     // Bounds are ROUNDED before clipping so both engines make identical
@@ -2655,6 +2691,44 @@ object SparkEntry {
           |FROM events
           |GROUP BY event_type
           |ORDER BY event_type""".stripMargin,
+
+      "q_events_funnel" ->
+        """WITH v AS (
+          |  SELECT user_id, min(ts) AS t_view FROM events
+          |  WHERE event_type = 'view' GROUP BY 1),
+          |c AS (
+          |  SELECT e.user_id, min(e.ts) AS t_click FROM events e
+          |  JOIN v ON e.user_id = v.user_id
+          |  WHERE e.event_type = 'click' AND e.ts > v.t_view GROUP BY 1),
+          |p AS (
+          |  SELECT e.user_id, min(e.ts) AS t_purchase FROM events e
+          |  JOIN c ON e.user_id = c.user_id
+          |  WHERE e.event_type = 'purchase' AND e.ts > c.t_click GROUP BY 1)
+          |SELECT v.user_id, v.t_view, c.t_click, p.t_purchase,
+          |  CASE WHEN p.user_id IS NOT NULL THEN 'purchase'
+          |       WHEN c.user_id IS NOT NULL THEN 'click'
+          |       ELSE 'view' END AS furthest
+          |FROM v LEFT JOIN c ON v.user_id = c.user_id
+          |LEFT JOIN p ON v.user_id = p.user_id
+          |ORDER BY v.user_id""".stripMargin,
+
+      "q_events_mad_outliers" ->
+        """WITH med AS (
+          |  SELECT event_type, round(quantile_cont(value, 0.5), 4) AS med
+          |  FROM events GROUP BY event_type),
+          |dev AS (
+          |  SELECT e.event_id, e.event_type, e.value, med.med,
+          |    abs(e.value - med.med) AS absdev
+          |  FROM events e JOIN med USING (event_type)),
+          |mad AS (
+          |  SELECT event_type, round(quantile_cont(absdev, 0.5), 4) AS mad
+          |  FROM dev GROUP BY event_type)
+          |SELECT event_id, dev.event_type,
+          |  round(value, 4) AS value,
+          |  round(abs(value - med) / (1.4826 * mad), 4) AS robust_z
+          |FROM dev JOIN mad USING (event_type)
+          |WHERE mad > 0 AND round(abs(value - med) / (1.4826 * mad), 4) > 3.5
+          |ORDER BY event_id""".stripMargin,
 
       "q_events_winsorize" ->
         """WITH b AS (
