@@ -746,6 +746,26 @@ object SparkEntry {
         .orderBy(col("user_id"))
     }),
 
+    // M6+: incremental materialized-view maintenance (IVM) — the per-type
+    // count/sum view over the merged state, updated from the change batch
+    // by delta propagation (only touched keys recomputed, O(batch) not
+    // O(table)). Oracle aggregates the FULL merge result — the folded view
+    // must be indistinguishable from recomputing.
+    "m6_incremental_agg" -> ((s, dir) => {
+      val target = mergeTarget(s, dir, "SYS_CHANGE_VERSION")
+      val changes = mergeChanges(s, dir, "SYS_CHANGE_VERSION")
+        .withColumn("SYS_CHANGE_OPERATION",
+          when(col("event_type") === "error", "D").otherwise("U"))
+      val latest = Dedup.latestByKey(changes, col("user_id"),
+        Seq(col("SYS_CHANGE_VERSION")))
+      val view = IncrementalAgg.bootstrap(target, Seq("event_type"), "value")
+      IncrementalAgg.maintain(view, target, latest, "user_id", MsSqlCtDialect,
+        Seq("event_type"), "value")
+        .select(col("event_type"), col("cnt").cast("long").as("cnt"),
+          round(col("sum_value"), 2).as("sum_value"))
+        .orderBy(col("event_type"))
+    }),
+
     // M5+: type-2 history build — the history-preserving companion to the
     // type-1 merges above. events replays as the CDC feed (user_id key,
     // event_id version, event_type the tracked state, 'error' rows as
@@ -2791,6 +2811,15 @@ object SparkEntry {
 
       "m4_merge_upsert_blob" ->
         mergeOracle("false", "event_id", whereDeletes = false),
+
+      // IVM: the incrementally-maintained view must equal an aggregate of
+      // the full merge result (the merge oracle wrapped in a GROUP BY)
+      "m6_incremental_agg" ->
+        s"""SELECT event_type, CAST(count(*) AS BIGINT) AS cnt,
+           |  round(sum(value), 2) AS sum_value
+           |FROM (${mergeOracle("(event_type = 'error')", "event_id", whereDeletes = true)})
+           |GROUP BY event_type
+           |ORDER BY event_type""".stripMargin,
 
       // one SQL text, two engine paths: the incremental fold must be
       // indistinguishable from the full rebuild

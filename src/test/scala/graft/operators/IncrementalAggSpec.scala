@@ -1,0 +1,69 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.prop.TableDrivenPropertyChecks
+
+class IncrementalAggSpec extends SparkSpec with TableDrivenPropertyChecks {
+  import spark.implicits._
+
+  // change feed: (key, version, group, value, op)
+  private val feed = Seq(
+    ("k1", 1L, "a", 10.0, "U"), ("k2", 1L, "a", 20.0, "U"),
+    ("k3", 2L, "b", 30.0, "U"), ("k4", 2L, "b", 40.0, "U"),
+    ("k1", 3L, "b", 15.0, "U"),  // k1 moves group a -> b
+    ("k2", 4L, "a", 25.0, "U"),  // value update in place
+    ("k3", 5L, "b", 0.0, "D"),   // delete
+    ("k5", 6L, "a", 50.0, "U"),  // insert
+    ("k1", 7L, "a", 12.0, "U"))  // k1 moves back
+
+  private def df(rows: Seq[(String, Long, String, Double, String)]): DataFrame =
+    rows.toDF("k", "SYS_CHANGE_VERSION", "g", "v", "SYS_CHANGE_OPERATION")
+
+  private def mergedState(rows: Seq[(String, Long, String, Double, String)]): DataFrame = {
+    val latest = Dedup.latestByKey(df(rows), col("k"), Seq(col("SYS_CHANGE_VERSION")))
+    latest.filter(col("SYS_CHANGE_OPERATION") =!= "D")
+  }
+
+  private def viewOf(state: DataFrame): Seq[(String, Long, Double)] =
+    IncrementalAgg.bootstrap(state, Seq("g"), "v")
+      .select($"g", $"cnt", round($"sum_value", 6))
+      .as[(String, Long, Double)].collect().sortBy(_._1).toSeq
+
+  test("maintained view equals full recompute at every split point") {
+    forAll(Table("split", 1L, 2L, 4L, 6L)) { split =>
+      val (pre, post) = feed.partition(_._2 <= split)
+      val target = mergedState(pre).drop("SYS_CHANGE_OPERATION")
+      val latest = Dedup.latestByKey(df(post), col("k"), Seq(col("SYS_CHANGE_VERSION")))
+      val view0 = IncrementalAgg.bootstrap(target, Seq("g"), "v")
+      val maintained = IncrementalAgg.maintain(view0, target, latest, "k",
+        MsSqlCtDialect, Seq("g"), "v")
+        .select($"g", $"cnt", round($"sum_value", 6))
+        .as[(String, Long, Double)].collect().sortBy(_._1).toSeq
+      val expected = viewOf(mergedState(feed))
+      assert(maintained == expected, s"split at $split")
+    }
+  }
+
+  test("a group emptied by the batch disappears from the view") {
+    val target = Seq(("k1", 1L, "only", 5.0)).toDF("k", "SYS_CHANGE_VERSION", "g", "v")
+    val batch = Seq(("k1", 2L, "only", 0.0, "D"))
+    val latest = df(batch)
+    val view0 = IncrementalAgg.bootstrap(target, Seq("g"), "v")
+    val out = IncrementalAgg.maintain(view0, target, latest, "k", MsSqlCtDialect,
+      Seq("g"), "v").collect()
+    assert(out.isEmpty, "cnt=0 groups must drop, not linger as zero rows")
+  }
+
+  test("stale batch versions leave the view untouched") {
+    val target = Seq(("k1", 9L, "a", 5.0)).toDF("k", "SYS_CHANGE_VERSION", "g", "v")
+    val latest = df(Seq(("k1", 3L, "b", 99.0, "U"))) // stale: 3 < 9
+    val view0 = IncrementalAgg.bootstrap(target, Seq("g"), "v")
+    val out = IncrementalAgg.maintain(view0, target, latest, "k", MsSqlCtDialect,
+      Seq("g"), "v")
+      .select($"g", $"cnt", $"sum_value").as[(String, Long, Double)]
+      .collect().toSeq
+    assert(out == Seq(("a", 1L, 5.0)))
+  }
+}
