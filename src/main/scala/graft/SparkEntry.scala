@@ -603,6 +603,21 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // event-time RANGE frame: trailing-1-hour rolling sum/count per user —
+    // the true time-based frame (not N-rows), evaluated by the engine's
+    // sliding-frame machinery over one key exchange
+    "q_events_rolling_1h" -> ((s, dir) => {
+      t(s, dir, "events")
+        .selectExpr("user_id", "event_id",
+          "round(sum(value) OVER (PARTITION BY user_id ORDER BY ts " +
+            "RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW), 4) AS sum_1h",
+          "count(*) OVER (PARTITION BY user_id ORDER BY ts " +
+            "RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS n_1h")
+        .select(col("user_id"), col("event_id"), col("sum_1h"),
+          col("n_1h").cast("long").as("n_1h"))
+        .orderBy(col("event_id"))
+    }),
+
     // ordered conversion funnel (view → click → purchase, each step
     // strictly after the previous): per step one pushed filter + one
     // key-min aggregation + one key join; intermediates shrink
@@ -2711,6 +2726,15 @@ object SparkEntry {
           |FROM events
           |GROUP BY event_type
           |ORDER BY event_type""".stripMargin,
+
+      "q_events_rolling_1h" ->
+        """SELECT user_id, event_id,
+          |  round(sum(value) OVER w, 4) AS sum_1h,
+          |  CAST(count(*) OVER w AS BIGINT) AS n_1h
+          |FROM events
+          |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+          |  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+          |ORDER BY event_id""".stripMargin,
 
       "q_events_funnel" ->
         """WITH v AS (
