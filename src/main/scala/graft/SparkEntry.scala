@@ -1605,6 +1605,15 @@ object SparkEntry {
       num.unionByName(cat).orderBy(col("feature"), col("bucket"))
     }),
 
+    // index-once/query-many retrieval: the SAME ranking as text_bm25_search
+    // but answered from the materialized inverted index (postings +
+    // lengths + scalars) — the corpus text is never re-tokenized at query
+    // time; hash-checked against the same oracle as the scan-time path
+    "text_index_search" -> ((s, dir) => {
+      val idx = Retrieval.buildIndex(t(s, dir, "documents"), "doc_id", col("text"))
+      Retrieval.bm25FromIndex(idx, "doc_id", Seq("data", "model", "training"), topK = 20)
+    }),
+
     // hybrid retrieval: BM25 lexical shortlist + embedding-cosine semantic
     // shortlist (query = vector 0, the embedding twin of the term bag),
     // fused by reciprocal rank — no score calibration across modalities.
@@ -2348,6 +2357,36 @@ object SparkEntry {
         |  (valid_to IS NULL) AS is_current
         |FROM runs WHERE NOT del
         |ORDER BY user_id, valid_from""".stripMargin
+
+    // BM25 over the fixed query-term bag — shared by the scan-time path
+    // (text_bm25_search) and the inverted-index path (text_index_search):
+    // the index must change the PLAN, never the scores.
+    val bm25SearchSql =
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        |  FROM documents),
+        |hits AS (SELECT doc_id, term FROM toks
+        |         WHERE term IN ('data', 'model', 'training')),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM hits GROUP BY doc_id, term),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |lens AS (
+        |  SELECT doc_id,
+        |         CASE WHEN trim(text) = '' THEN 0.0 ELSE
+        |           CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS DOUBLE)
+        |         END AS dl
+        |  FROM documents),
+        |sc AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM lens)
+        |SELECT tf.doc_id,
+        |       round(sum(
+        |         ln(1.0 + (sc.n_docs - df.df + 0.5) / (df.df + 0.5)) *
+        |         (tf.tf * 2.2) /
+        |         (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * lens.dl / sc.avgdl))
+        |       ), 4) + 0.0 AS score
+        |FROM tf JOIN df USING (term) JOIN lens USING (doc_id), sc
+        |GROUP BY tf.doc_id
+        |ORDER BY score DESC, tf.doc_id
+        |LIMIT 20""".stripMargin
 
     // shared CTE prefix for the span-duplication funnel: 8-token lead-chain
     // grams (1-based positions), md5Hash60 span hashes, first-occurrence
@@ -3925,32 +3964,10 @@ object SparkEntry {
           |FROM ranked WHERE rk <= 3
           |ORDER BY doc_id, score DESC, term""".stripMargin,
 
-      "text_bm25_search" ->
-        """WITH toks AS (
-          |  SELECT doc_id,
-          |         unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
-          |  FROM documents),
-          |hits AS (SELECT doc_id, term FROM toks
-          |         WHERE term IN ('data', 'model', 'training')),
-          |tf AS (SELECT doc_id, term, count(*) AS tf FROM hits GROUP BY doc_id, term),
-          |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
-          |lens AS (
-          |  SELECT doc_id,
-          |         CASE WHEN trim(text) = '' THEN 0.0 ELSE
-          |           CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS DOUBLE)
-          |         END AS dl
-          |  FROM documents),
-          |sc AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM lens)
-          |SELECT tf.doc_id,
-          |       round(sum(
-          |         ln(1.0 + (sc.n_docs - df.df + 0.5) / (df.df + 0.5)) *
-          |         (tf.tf * 2.2) /
-          |         (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * lens.dl / sc.avgdl))
-          |       ), 4) + 0.0 AS score
-          |FROM tf JOIN df USING (term) JOIN lens USING (doc_id), sc
-          |GROUP BY tf.doc_id
-          |ORDER BY score DESC, tf.doc_id
-          |LIMIT 20""".stripMargin,
+      "text_bm25_search" -> bm25SearchSql,
+
+      // index path must be score-identical to the scan path — one SQL text
+      "text_index_search" -> bm25SearchSql,
 
       "corpus_drift_psi" ->
         """WITH ref AS (SELECT * FROM documents WHERE doc_id % 2 = 0),

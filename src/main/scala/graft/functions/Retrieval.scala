@@ -84,6 +84,51 @@ object Retrieval {
       .limit(topK)
   }
 
+  /** Materialized inverted index: the index-once/query-many production
+    * shape. One corpus pass builds three relations —
+    *
+    *   postings (term, idCol, tf)   — bucket/sort by `term` at write time
+    *   lengths  (idCol, dl)
+    *   scalars  (n_docs, avgdl)     — one row
+    *
+    * and [[bm25FromIndex]] then answers a query from the index ALONE: the
+    * postings scan is an equi-filter on `term` (partition-prunable when the
+    * index is written term-bucketed), document frequency is a ≤|terms|-row
+    * agg over the already-filtered sliver, and the corpus text is never
+    * touched again. Pinned output-identical to [[bm25Rank]].
+    */
+  final case class Bm25Index(postings: DataFrame, lengths: DataFrame,
+                             scalars: DataFrame)
+
+  def buildIndex(docs: DataFrame, idCol: String, text: Column): Bm25Index = {
+    val postings = tokens(docs, idCol, text)
+      .groupBy(col("term"), col(idCol)).agg(count(lit(1)).as("tf"))
+    val lengths = docs.select(col(idCol),
+      TextFunctions.tokenCount(lower(text)).cast("double").as("dl"))
+    val scalars = lengths.agg(count(lit(1)).cast("double").as("n_docs"),
+      avg(col("dl")).as("avgdl"))
+    Bm25Index(postings, lengths, scalars)
+  }
+
+  /** BM25 from the materialized index — same scores, no corpus scan. */
+  def bm25FromIndex(index: Bm25Index, idCol: String, queryTerms: Seq[String],
+                    k1: Double = 1.2, b: Double = 0.75, topK: Int = 20): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25FromIndex needs at least one query term")
+    val q = queryTerms.map(_.toLowerCase).distinct
+    val tf = index.postings.filter(col("term").isin(q: _*))
+    val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val idf = log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val tfNorm = (col("tf") * (lit(k1) + 1.0)) /
+      (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl")))
+    tf.join(dfT, "term")
+      .join(index.lengths, idCol)
+      .crossJoin(broadcast(index.scalars)) // 1-row corpus scalars
+      .groupBy(col(idCol))
+      .agg((round(sum(idf * tfNorm), 4) + lit(0.0)).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(topK)
+  }
+
   /** Frozen BM25 corpus statistics: per-query-term document frequency plus
     * the two corpus scalars. |queryTerms| + 2 numbers — the same
     * frozen-model device as the DSIR/PQ streaming twins: train on the

@@ -137,6 +137,31 @@ class Round12PropertySpec extends SparkSpec {
     }
   }
 
+  test("BM25 from a written-and-reloaded inverted index is score-identical to the scan path") {
+    import graft.functions.Retrieval
+    import org.apache.spark.sql.functions.col
+    forAllSampled(docsGen, n = 4) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val terms = Seq("data", "model", "training")
+      val scan = Retrieval.bm25Rank(docs, "doc_id", col("text"), terms, topK = 100)
+        .as[(Long, Double)].collect().toSeq
+      // materialize the index for real: write the three relations to
+      // parquet, reload, and answer from the reloaded frames only
+      val dir = java.nio.file.Files.createTempDirectory("bm25idx").toString
+      val built = Retrieval.buildIndex(docs, "doc_id", col("text"))
+      built.postings.write.mode("overwrite").parquet(s"$dir/postings")
+      built.lengths.write.mode("overwrite").parquet(s"$dir/lengths")
+      built.scalars.write.mode("overwrite").parquet(s"$dir/scalars")
+      val reloaded = Retrieval.Bm25Index(
+        spark.read.parquet(s"$dir/postings"),
+        spark.read.parquet(s"$dir/lengths"),
+        spark.read.parquet(s"$dir/scalars"))
+      val indexed = Retrieval.bm25FromIndex(reloaded, "doc_id", terms, topK = 100)
+        .as[(Long, Double)].collect().toSeq
+      assert(indexed == scan, "the index changes the plan, never the scores")
+    }
+  }
+
   test("TF-IDF invariants: corpus-wide terms score 0; per-doc rows ≤ k; df consistent") {
     import graft.functions.Retrieval
     import org.apache.spark.sql.functions.col
