@@ -7,7 +7,7 @@ import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
 import javax.imageio.{ImageIO, ImageReader, ImageWriter}
 import javax.imageio.stream.{MemoryCacheImageInputStream, MemoryCacheImageOutputStream}
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.catalyst.encoders.RowEncoder
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -707,5 +707,51 @@ object Multimodal {
       case _: javax.sound.sampled.UnsupportedAudioFileException => None
       case _: java.io.IOException => None
     }
+  }
+
+  // ---------------- content-defined chunking (blob-level dedup) ----------------
+
+  /** Content-defined chunks of a binary payload
+    * ([[expressions.GearChunksExpr]]): `array<struct<offset,length,hash>>`,
+    * boundaries determined by the payload bytes so an insert/delete only
+    * re-chunks its neighborhood — the primitive for dedup of
+    * near-identical blobs. Map-side codegen; the payload never shuffles.
+    */
+  def cdcChunks(payload: Column, minSize: Int = 256, avgBits: Int = 10,
+                maxSize: Int = 4096): Column = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    ColumnBridge.column(expressions.GearChunksExpr(
+      ColumnBridge.expression(payload), minSize, avgBits, maxSize))
+  }
+
+  /** Blob near-dup pairs by shared content-defined chunks: payloads whose
+    * shared-chunk BYTE mass is ≥ `minOverlap` of the smaller payload.
+    * Funnel: per-payload chunking map-side → explode (id, hash, length)
+    * triples only (the bytes stay put) → equi-join on the 8-byte chunk
+    * hash → per-pair shared-mass aggregation — candidate-proportional,
+    * identical shape to the text span dedup.
+    */
+  def payloadNearDupPairs(media: DataFrame, idCol: String, payloadCol: String,
+                          minOverlap: Double = 0.5, minSize: Int = 256,
+                          avgBits: Int = 10, maxSize: Int = 4096): DataFrame = {
+    val chunks = media
+      .select(col(idCol).as("__id"), length(col(payloadCol)).cast("long").as("__bytes"),
+        explode(cdcChunks(col(payloadCol), minSize, avgBits, maxSize)).as("c"))
+      .select(col("__id"), col("__bytes"), col("c.hash").as("__h"), col("c.length").as("__l"))
+      // identical repeated chunks within one payload must count once per hash
+      .groupBy(col("__id"), col("__bytes"), col("__h"))
+      .agg(min(col("__l")).as("__l"))
+    val a = chunks.select(col("__id").as("id_a"), col("__bytes").as("bytes_a"),
+      col("__h"), col("__l"))
+    val b = chunks.select(col("__id").as("id_b"), col("__bytes").as("bytes_b"),
+      col("__h"), col("__l").as("__lb"))
+    a.join(b, Seq("__h")).filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"), col("bytes_a"), col("bytes_b"))
+      .agg(sum(least(col("__l"), col("__lb"))).as("shared_bytes"))
+      .withColumn("overlap",
+        col("shared_bytes") / least(col("bytes_a"), col("bytes_b")))
+      .filter(col("overlap") >= minOverlap)
+      .select(col("id_a"), col("id_b"), col("shared_bytes"),
+        round(col("overlap"), 4).as("overlap"))
   }
 }
