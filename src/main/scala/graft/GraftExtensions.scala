@@ -136,6 +136,14 @@ object GraftExtensions {
     "graft_vector_mean" -> { args =>
       arity(args, 1, "graft_vector_mean"); VectorMeanAgg(args.head)
     },
+    "graft_vector_minmax" -> { args =>
+      arity(args, 1, "graft_vector_minmax"); VectorMinMaxAgg(args.head)
+    },
+    "graft_gear_chunks" -> { args =>
+      arity(args, 4, "graft_gear_chunks")
+      GearChunksExpr(args.head, intLit(args, 1, "graft_gear_chunks"),
+        intLit(args, 2, "graft_gear_chunks"), intLit(args, 3, "graft_gear_chunks"))
+    },
     "graft_strided_resize" -> { args =>
       arity(args, 2, "graft_strided_resize")
       StridedResizeExpr(args.head, intLit(args, 1, "graft_strided_resize"))

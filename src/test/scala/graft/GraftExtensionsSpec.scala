@@ -49,6 +49,13 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(r3.getAs[Array[Byte]](0).length == 4, "8 bytes strided down to 4")
     assert(new String(r3.getAs[Array[Byte]](1)) == "not an image",
       "non-image payloads pass through unchanged")
+    val r4 = spark.sql(
+      """SELECT graft_gear_chunks(CAST(repeat('payload bytes ', 100) AS BINARY), 64, 8, 1024) AS chunks,
+        |  graft_vector_minmax(v).mins[0] AS mn, graft_vector_minmax(v).maxs[0] AS mx
+        |FROM (SELECT array(CAST(id AS DOUBLE)) AS v FROM range(5))""".stripMargin).head()
+    val chunkLens = r4.getSeq[org.apache.spark.sql.Row](0).map(_.getLong(1))
+    assert(chunkLens.sum == 1400L, "chunks tile the payload from SQL too")
+    assert(r4.getDouble(1) == 0.0 && r4.getDouble(2) == 4.0)
   }
 
   test("non-literal size argument is rejected with a clear error") {

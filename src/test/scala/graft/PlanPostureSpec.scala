@@ -155,7 +155,10 @@ class PlanPostureSpec extends SparkSpec {
     ("q_orders_decile", "orders", 3),         // key, priority, totalprice
     ("q_cube_pricing", "lineitem", 3),        // rf, ls, quantity
     ("m5_scd2_history", "events", 3),         // user_id, event_id, event_type
-    ("q_events_winsorize", "events", 3))      // event_id, event_type, value
+    ("q_events_winsorize", "events", 3),      // event_id, event_type, value
+    ("q_events_rolling_1h", "events", 4),     // user_id, event_id, ts, value
+    ("text_index_search", "documents", 2),    // doc_id, text (index build)
+    ("q_events_funnel", "events", 3))         // user_id, ts, event_type
 
   // pruning probes must also see scans buried inside cached relations
   // (graph_pagerank persists its edge list, so the parquet scans live in
