@@ -41,7 +41,22 @@ final case class PipelineConfig(
     // batch count surfaces in metrics (use when the source occasionally
     // emits junk batches that a re-pull would only repeat).
     expectations: Seq[graft.operators.Expectations.Expectation] = Nil,
-    onExpectationFailure: String = "fail")  // "fail" | "skip"
+    onExpectationFailure: String = "fail",  // "fail" | "skip"
+    // Distribution-drift watch: PSI of every incoming batch against a
+    // frozen reference histogram (one bounded bucket agg per batch). Pure
+    // observability — the gauge and the flag counter surface in metrics;
+    // gating stays the expectations' job (drift is a trend signal, a
+    // single drifted batch is rarely ground to drop data).
+    driftMonitor: Option[DriftMonitorConfig] = None)
+
+/** Per-batch PSI watch config: the reference ships as ≤K driver-side
+  * numbers ([[graft.functions.Drift.freezeNumeric]]); `warnAbove` uses the
+  * conventional 0.25 "investigate" threshold.
+  */
+final case class DriftMonitorConfig(
+    featureColumn: String,
+    reference: graft.functions.Drift.FrozenHistogram,
+    warnAbove: Double = 0.25)
 
 final class CdcPipeline(spark: SparkSession, dialect: MergeDialect,
                         cfg: PipelineConfig, watermarks: WatermarkStore,
@@ -93,6 +108,17 @@ final class CdcPipeline(spark: SparkSession, dialect: MergeDialect,
       return
     }
     GraftMetrics.inc(GraftMetrics.RowsIncoming, changes.count())
+
+    // drift watch BEFORE any gate: the signal is about what the source
+    // sent, not about what survives admission
+    cfg.driftMonitor.foreach { dm =>
+      val psiRow = graft.functions.Drift
+        .psiAgainstFrozen(changes, col(dm.featureColumn), dm.reference)
+        .select(col("psi_total")).head()
+      val psi = if (psiRow.isNullAt(0)) 0.0 else psiRow.getDouble(0)
+      GraftMetrics.gauge(GraftMetrics.DriftPsiMilli, math.round(psi * 1000))
+      if (psi > dm.warnAbove) GraftMetrics.inc(GraftMetrics.DriftBatchesFlagged)
+    }
 
     // Data-quality admission gate (Deequ-style): ONE 1-row aggregation over
     // the persisted batch, collected once — the verdict and the diagnostic

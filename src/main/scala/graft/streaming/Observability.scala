@@ -44,6 +44,8 @@ object GraftMetrics {
   val BackfillShardsCombined = "arcane.stream.backfill.shards_combined"
   val TargetOptimizeDuration = "arcane.stream.target.optimize_duration"
   val ExpectationBatchesRejected = "arcane.stream.expectations.batches_rejected"
+  val DriftPsiMilli = "arcane.stream.drift.psi_milli"
+  val DriftBatchesFlagged = "arcane.stream.drift.batches_flagged"
   val TargetSnapshotExpireDuration = "arcane.stream.target.snapshot_expire_duration"
 }
 
