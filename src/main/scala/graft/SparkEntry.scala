@@ -781,6 +781,31 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
+    // M6+ non-invertible IVM: min/max can't delta-subtract, so the view
+    // maintains by recomputing ONLY the affected groups from the
+    // post-merge state (every other group's row passes through) — the
+    // standard IVM split next to m6_incremental_agg's delta propagation
+    "m6_incremental_minmax" -> ((s, dir) => {
+      val target = mergeTarget(s, dir, "SYS_CHANGE_VERSION")
+      val changes = mergeChanges(s, dir, "SYS_CHANGE_VERSION")
+        .withColumn("SYS_CHANGE_OPERATION",
+          when(col("event_type") === "error", "D").otherwise("U"))
+      val latest = Dedup.latestByKey(changes, col("user_id"),
+        Seq(col("SYS_CHANGE_VERSION")))
+      val view = target.groupBy(col("event_type"))
+        .agg(round(min(col("value")), 4).as("min_value"),
+          round(max(col("value")), 4).as("max_value"),
+          count(lit(1)).as("cnt"))
+      IncrementalAgg.maintainByGroupRecompute(view, target, latest, "user_id",
+        MsSqlCtDialect, Seq("event_type"), Seq(
+          "min_value" -> round(min(col("value")), 4),
+          "max_value" -> round(max(col("value")), 4),
+          "cnt" -> count(lit(1))))
+        .select(col("event_type"), col("min_value"), col("max_value"),
+          col("cnt").cast("long").as("cnt"))
+        .orderBy(col("event_type"))
+    }),
+
     // M5+: type-2 history build — the history-preserving companion to the
     // type-1 merges above. events replays as the CDC feed (user_id key,
     // event_id version, event_type the tracked state, 'error' rows as
@@ -2880,6 +2905,15 @@ object SparkEntry {
       "m6_incremental_agg" ->
         s"""SELECT event_type, CAST(count(*) AS BIGINT) AS cnt,
            |  round(sum(value), 2) AS sum_value
+           |FROM (${mergeOracle("(event_type = 'error')", "event_id", whereDeletes = true)})
+           |GROUP BY event_type
+           |ORDER BY event_type""".stripMargin,
+
+      "m6_incremental_minmax" ->
+        s"""SELECT event_type,
+           |  round(min(value), 4) AS min_value,
+           |  round(max(value), 4) AS max_value,
+           |  CAST(count(*) AS BIGINT) AS cnt
            |FROM (${mergeOracle("(event_type = 'error')", "event_id", whereDeletes = true)})
            |GROUP BY event_type
            |ORDER BY event_type""".stripMargin,

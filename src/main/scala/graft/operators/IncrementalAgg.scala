@@ -62,4 +62,39 @@ object IncrementalAgg {
     targetState.groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("cnt"),
         coalesce(sum(col(valueCol)), lit(0.0)).as("sum_value"))
+
+  /** Maintenance for NON-INVERTIBLE aggregates (min/max/count-distinct —
+    * anything you can't subtract a departed row from): recompute ONLY the
+    * AFFECTED GROUPS from the post-merge state, pass every other group's
+    * view row through untouched.
+    *
+    *   affected = groups of (old rows of touched keys) ∪ (their merged rows)
+    *   view'    = (view ⊖ affected) ∪ recompute(state' ⋉ affected)
+    *
+    * The group-recompute scan is a semi-join on the grouping key — with the
+    * state partitioned/bucketed by `groupCols` it partition-prunes to the
+    * affected slices, so cost is ∝ rows IN AFFECTED GROUPS, not the table.
+    * This is the standard IVM split: delta-propagate the invertible
+    * aggregates ([[maintain]]), group-recompute the rest.
+    *
+    * @param aggs (outputName, aggregate expression) evaluated per group
+    */
+  def maintainByGroupRecompute(view: DataFrame, targetState: DataFrame,
+                               latest: DataFrame, keyCol: String,
+                               dialect: MergeDialect, groupCols: Seq[String],
+                               aggs: Seq[(String, Column)]): DataFrame = {
+    val touched = latest.select(col(keyCol)).distinct()
+    val oldTouched = targetState.join(touched, Seq(keyCol), "left_semi")
+    val newTouched = CdcMerge.applyChanges(oldTouched, latest, keyCol, dialect)
+    val affected = oldTouched.select(groupCols.map(col): _*)
+      .unionByName(newTouched.select(groupCols.map(col): _*))
+      .distinct()
+    val newState = CdcMerge.applyChanges(targetState, latest, keyCol, dialect)
+    val recomputed = newState.join(affected, groupCols, "left_semi")
+      .groupBy(groupCols.map(col): _*)
+      .agg(aggs.head._2.as(aggs.head._1),
+        aggs.tail.map { case (n, c) => c.as(n) }: _*)
+    view.join(affected, groupCols, "left_anti")
+      .unionByName(recomputed)
+  }
 }

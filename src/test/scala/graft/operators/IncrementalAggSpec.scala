@@ -46,6 +46,43 @@ class IncrementalAggSpec extends SparkSpec with TableDrivenPropertyChecks {
     }
   }
 
+  test("min/max maintenance by group recompute equals full recompute at every split") {
+    val aggs = Seq(
+      "min_v" -> min(col("v")), "max_v" -> max(col("v")),
+      "cnt" -> count(lit(1)))
+    def fullView(state: DataFrame): Seq[(String, Double, Double, Long)] =
+      state.groupBy($"g").agg(aggs.head._2.as("min_v"), aggs(1)._2.as("max_v"),
+        aggs(2)._2.as("cnt"))
+        .as[(String, Double, Double, Long)].collect().sortBy(_._1).toSeq
+    forAll(Table("split", 1L, 3L, 5L)) { split =>
+      val (pre, post) = feed.partition(_._2 <= split)
+      val target = mergedState(pre).drop("SYS_CHANGE_OPERATION")
+      val latest = Dedup.latestByKey(df(post), col("k"), Seq(col("SYS_CHANGE_VERSION")))
+      val view0 = target.groupBy($"g").agg(aggs.head._2.as("min_v"),
+        aggs(1)._2.as("max_v"), aggs(2)._2.as("cnt"))
+      val out = IncrementalAgg.maintainByGroupRecompute(view0, target, latest,
+        "k", MsSqlCtDialect, Seq("g"), aggs)
+        .as[(String, Double, Double, Long)].collect().sortBy(_._1).toSeq
+      assert(out == fullView(mergedState(feed)), s"split at $split")
+    }
+  }
+
+  test("untouched groups pass through from the OLD view, not a recompute") {
+    // two groups; the batch touches only group 'b' — poison group 'a''s
+    // view row and assert the poison survives (proof of the pass-through)
+    val target = Seq(("k1", 1L, "a", 5.0), ("k2", 1L, "b", 7.0))
+      .toDF("k", "SYS_CHANGE_VERSION", "g", "v")
+    val latest = df(Seq(("k2", 2L, "b", 9.0, "U")))
+    val poisoned = Seq(("a", -999.0, -999.0, 42L), ("b", 7.0, 7.0, 1L))
+      .toDF("g", "min_v", "max_v", "cnt")
+    val out = IncrementalAgg.maintainByGroupRecompute(poisoned, target, latest,
+      "k", MsSqlCtDialect, Seq("g"),
+      Seq("min_v" -> min(col("v")), "max_v" -> max(col("v")), "cnt" -> count(lit(1))))
+      .as[(String, Double, Double, Long)].collect().sortBy(_._1).toSeq
+    assert(out == Seq(("a", -999.0, -999.0, 42L), ("b", 9.0, 9.0, 1L)),
+      "group a must carry the old view row verbatim; group b must recompute")
+  }
+
   test("a group emptied by the batch disappears from the view") {
     val target = Seq(("k1", 1L, "only", 5.0)).toDF("k", "SYS_CHANGE_VERSION", "g", "v")
     val batch = Seq(("k1", 2L, "only", 0.0, "D"))
