@@ -54,6 +54,44 @@ object SchemaEvolution {
       acc.add(f.copy(nullable = true))
     }
 
+  /** Safe numeric widening: the wider of two types when both sit on the
+    * same promotion chain (byte → short → int → long; float → double),
+    * None otherwise. Value-preserving by construction — no cross-chain
+    * coercion (long → double would silently lose precision above 2^53).
+    */
+  def widened(a: DataType, b: DataType): Option[DataType] = {
+    val ints: Seq[DataType] = Seq(ByteType, ShortType, IntegerType, LongType)
+    val floats: Seq[DataType] = Seq(FloatType, DoubleType)
+    def rank(chain: Seq[DataType], t: DataType): Option[Int] =
+      chain.indexOf(t) match { case -1 => None; case i => Some(i) }
+    if (a == b) Some(a)
+    else (rank(ints, a), rank(ints, b)) match {
+      case (Some(ra), Some(rb)) => Some(ints(math.max(ra, rb)))
+      case _ => (rank(floats, a), rank(floats, b)) match {
+        case (Some(ra), Some(rb)) => Some(floats(math.max(ra, rb)))
+        case _ => None
+      }
+    }
+  }
+
+  /** Additive evolution PLUS in-chain numeric widening (the Iceberg/Delta
+    * type-widening contract, opt-in beyond the reference's additive-only
+    * rule): a target int column receiving long batches becomes long; a
+    * float column receiving doubles becomes double. Conflicts outside a
+    * promotion chain still surface via [[conflictingFields]] — widening
+    * never coerces across kinds.
+    */
+  def evolveWidening(target: StructType, source: StructType): StructType = {
+    val bySource = source.fields.map(f => f.name.toLowerCase -> f).toMap
+    val retyped = StructType(target.fields.map { tf =>
+      bySource.get(tf.name.toLowerCase)
+        .flatMap(sf => widened(tf.dataType, sf.dataType))
+        .map(w => tf.copy(dataType = w))
+        .getOrElse(tf)
+    })
+    evolve(retyped, source)
+  }
+
   /** Conflicting fields: same name, incompatible type. The reference treats
     * these as a migration error (only additive changes are legal); surfacing
     * them lets the pipeline fail fast instead of writing corrupt data.

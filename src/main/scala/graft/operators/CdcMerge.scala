@@ -75,20 +75,54 @@ object CdcMerge {
     missing.foldLeft(df)((acc, f) => acc.withColumn(f.name, lit(null).cast(f.dataType)))
   }
 
+  /** [[alignTo]] plus value-preserving upcasts: any existing column whose
+    * type differs from the evolved schema's (only possible after
+    * [[SchemaEvolution.evolveWidening]] chose a wider in-chain type) is
+    * cast to it, so both merge sides share one exact schema.
+    */
+  private def alignAndCast(df: DataFrame, schema: StructType): DataFrame = {
+    val have = df.schema.fields.map(f => f.name.toLowerCase -> f.dataType).toMap
+    // cast ONLY value-preserving in-chain upcasts; a cross-kind mismatch
+    // must never silently downcast here (it is rejected upstream)
+    val widenedCols = schema.fields.filter { f =>
+      have.get(f.name.toLowerCase).exists(t =>
+        t != f.dataType &&
+          SchemaEvolution.widened(t, f.dataType).contains(f.dataType))
+    }
+    widenedCols.foldLeft(alignTo(df, schema)) { (acc, f) =>
+      acc.withColumn(f.name, col(s"`${f.name}`").cast(f.dataType))
+    }
+  }
+
   /** Apply a deduplicated change set to a target frame. `changes` must already
     * be unique per key (run [[Dedup.latestByKey]] first — mirrors the
     * reference's reduceExpr staging subquery).
     */
   def applyChanges(target: DataFrame, changes: DataFrame, keyCol: String,
                    dialect: MergeDialect,
-                   extraMatch: Option[(String => Column, String => Column) => Column] = None): DataFrame = {
-    val outSchema = SchemaEvolution.evolve(target.schema, changes.schema)
+                   extraMatch: Option[(String => Column, String => Column) => Column] = None,
+                   widenTypes: Boolean = false): DataFrame = {
+    val outSchema =
+      if (widenTypes) SchemaEvolution.evolveWidening(target.schema, changes.schema)
+      else SchemaEvolution.evolve(target.schema, changes.schema)
+    if (widenTypes) {
+      // declared widening means UNSAFE coercions are an error, not a silent
+      // cast: long vs double (precision loss above 2^53) must fail fast
+      val bad = SchemaEvolution.conflictingFields(outSchema, changes.schema)
+        .filter { case (tf, sf) =>
+          SchemaEvolution.widened(tf.dataType, sf.dataType).isEmpty }
+      require(bad.isEmpty,
+        "non-widenable type conflicts (same name, cross-kind types): " +
+          bad.map { case (tf, sf) =>
+            s"${tf.name}: ${tf.dataType.simpleString} vs ${sf.dataType.simpleString}"
+          }.mkString(", "))
+    }
     // Literal presence flags, not key-null checks: a row whose merge key is
     // NULL (possible when callers feed raw PKs rather than computed hashes)
     // must still read as "present" on its own side, or it would surface as
     // an all-null output row after the full-outer join.
-    val t = alignTo(target, outSchema).withColumn("__t_present", lit(true)).as("t")
-    val s = alignTo(changes, outSchema).withColumn("__s_present", lit(true)).as("s")
+    val t = alignAndCast(target, outSchema).withColumn("__t_present", lit(true)).as("t")
+    val s = alignAndCast(changes, outSchema).withColumn("__s_present", lit(true)).as("s")
     def tc(n: String): Column = col(s"t.`$n`")
     def sc(n: String): Column = col(s"s.`$n`")
 

@@ -44,6 +44,60 @@ class SchemaEvolutionSpec extends SparkSpec {
     val b = ArrayType(StructType(Seq(StructField("V", ShortType))))
     assert(SchemaEvolution.typeEquals(a, b))
   }
+
+  test("widened: within-chain promotion only, never across kinds") {
+    assert(SchemaEvolution.widened(IntegerType, LongType).contains(LongType))
+    assert(SchemaEvolution.widened(LongType, ShortType).contains(LongType))
+    assert(SchemaEvolution.widened(FloatType, DoubleType).contains(DoubleType))
+    assert(SchemaEvolution.widened(StringType, StringType).contains(StringType))
+    assert(SchemaEvolution.widened(LongType, DoubleType).isEmpty,
+      "long→double silently loses precision above 2^53 — must NOT widen")
+    assert(SchemaEvolution.widened(StringType, IntegerType).isEmpty)
+  }
+
+  test("evolveWidening retypes in-chain conflicts, appends, leaves cross-kind alone") {
+    val t = StructType(Seq(StructField("n", IntegerType), StructField("s", StringType)))
+    val src = StructType(Seq(StructField("N", LongType),
+      StructField("s", IntegerType), StructField("extra", FloatType)))
+    val out = SchemaEvolution.evolveWidening(t, src)
+    assert(out("n").dataType == LongType, "int column receiving longs widens")
+    assert(out("s").dataType == StringType, "cross-kind conflict keeps the target type")
+    assert(out("extra").dataType == FloatType)
+  }
+}
+
+class CdcMergeWideningSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.operators.{CdcMerge, UpsertBlobDialect}
+  import org.apache.spark.sql.functions.col
+
+  test("widenTypes merges an int-versioned target with a long batch, values intact") {
+    val target = Seq(("k1", 10, 1.5f), ("k2", 10, 2.5f))
+      .toDF("ARCANE_MERGE_KEY", "createdon", "score") // int version, float score
+    val changes = Seq(("k1", 20L, 9.5), ("k3", 20L, 3.5))
+      .toDF("ARCANE_MERGE_KEY", "createdon", "score") // long version, double score
+    val out = CdcMerge.applyChanges(target, changes, "ARCANE_MERGE_KEY",
+      UpsertBlobDialect, widenTypes = true)
+    assert(out.schema("createdon").dataType == LongType)
+    assert(out.schema("score").dataType == DoubleType)
+    val rows = out.select(col("ARCANE_MERGE_KEY"), col("createdon"), col("score"))
+      .as[(String, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(rows == Seq(("k1", 20L, 9.5), ("k2", 10L, 2.5), ("k3", 20L, 3.5)))
+  }
+
+  test("declared widening rejects cross-kind conflicts instead of silently casting") {
+    // long vs double is the dangerous pair: Spark's implicit coercion would
+    // go to double and lose precision above 2^53 — widenTypes must refuse
+    val target = Seq(("k1", 10L)).toDF("ARCANE_MERGE_KEY", "v")
+      .withColumn("createdon", col("v"))
+    val changes = Seq(("k1", 20.5)).toDF("ARCANE_MERGE_KEY", "v")
+      .withColumn("createdon", org.apache.spark.sql.functions.lit(20L))
+    val e = intercept[IllegalArgumentException] {
+      CdcMerge.applyChanges(target, changes, "ARCANE_MERGE_KEY",
+        UpsertBlobDialect, widenTypes = true)
+    }
+    assert(e.getMessage.contains("v: bigint vs double"))
+  }
 }
 
 class MergeKeySpec extends SparkSpec {
