@@ -119,6 +119,50 @@ class Round12PropertySpec extends SparkSpec {
       Gen.choose(2, 12).flatMap(len => Gen.listOfN(len, word).map(_.mkString(" ")))))
   }
 
+  test("PSI invariants: non-negative always, zero iff identical, monotone under disjointness") {
+    import graft.functions.Drift
+    val countsGen: Gen[(List[Int], List[Int])] = for {
+      a <- Gen.listOfN(4, Gen.choose(0, 40))
+      b <- Gen.listOfN(4, Gen.choose(0, 40))
+    } yield (a, b)
+    val edges = Seq(100.0, 200.0, 300.0)
+    def frame(counts: List[Int]) = counts.zipWithIndex.flatMap { case (c, b) =>
+      Seq.fill(c)(b * 100 + 50)
+    } match {
+      case Nil => List(50).toDF("v").limit(0)
+      case vs => vs.toDF("v")
+    }
+    forAllSampled(countsGen, n = 8) { case (a, b) =>
+      if (a.sum > 0 && b.sum > 0) {
+        val psiAb = Drift.psiNumeric(frame(a), frame(b), col("v"), edges)
+          .select($"psi_total").as[Double].head()
+        assert(psiAb >= 0.0, s"PSI is a sum of (p-q)ln(p/q) terms, each >= 0; got $psiAb")
+        val psiAa = Drift.psiNumeric(frame(a), frame(a), col("v"), edges)
+          .select($"psi_total").as[Double].head()
+        assert(psiAa == 0.0, "identical distributions score exactly 0")
+      }
+    }
+  }
+
+  test("RRF invariants: single-list fusion preserves the list's order; k0 damping monotone") {
+    import graft.functions.Retrieval
+    val listGen: Gen[List[Double]] = Gen.choose(3, 10)
+      .flatMap(n => Gen.listOfN(n, Gen.choose(0.0, 100.0)))
+    forAllSampled(listGen, n = 6) { scores =>
+      val df = scores.zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("id", "score")
+      val fused = Retrieval.rrfFuse(Seq(df), "id", "score", k0 = 60, topK = 100)
+        .select($"id", $"rrf_score").as[(Long, Double)].collect().toSeq
+      // fused order (rrf desc) must equal the input's (score desc, id asc) order
+      val expected = scores.zipWithIndex
+        .sortBy { case (s, i) => (-s, i) }.map(_._2.toLong)
+      assert(fused.map(_._1) == expected, "a single list fuses to its own ranking")
+      assert(fused.map(_._2).sliding(2).forall {
+        case Seq(x, y) => x >= y
+        case _ => true
+      })
+    }
+  }
+
   test("BM25 invariants: non-negative scores; adding a query-term hit never lowers a doc's score") {
     import graft.functions.Retrieval
     import org.apache.spark.sql.functions.col
