@@ -709,6 +709,101 @@ object Multimodal {
     }
   }
 
+  // ---------------- perceptual image hashing (image near-dup) ----------------
+
+  /** 64-bit perceptual hash (pHash, the DCT variant): block-average the
+    * decoded image to 32×32 grayscale, 2-D DCT-II, threshold the top-left
+    * 8×8 low-frequency coefficients (DC excluded) at their median. Images
+    * that LOOK the same — re-encoded, slightly brightened, lightly
+    * resampled — land within a few bits; unrelated images differ in ~32.
+    * None for undecodable payloads. Pure-JVM math over the existing
+    * `readImage` decode.
+    */
+  private[graft] def phash64(bytes: Array[Byte]): Option[Long] = readImage(bytes).map { img =>
+    val N = 32
+    val raster = img.getRaster
+    val (w, h, bands) = (img.getWidth, img.getHeight, raster.getNumBands)
+    val gray = Array.ofDim[Double](N, N)
+    var ty = 0
+    while (ty < N) {
+      var tx = 0
+      while (tx < N) {
+        val x0 = tx * w / N; val x1 = math.max(x0 + 1, (tx + 1) * w / N)
+        val y0 = ty * h / N; val y1 = math.max(y0 + 1, (ty + 1) * h / N)
+        var s = 0.0; var n = 0
+        var y = y0
+        while (y < y1 && y < h) {
+          var x = x0
+          while (x < x1 && x < w) {
+            var b = 0; var px = 0.0
+            while (b < bands) { px += raster.getSample(x, y, b); b += 1 }
+            s += px / bands; n += 1; x += 1
+          }
+          y += 1
+        }
+        gray(ty)(tx) = if (n == 0) 0.0 else s / n
+        tx += 1
+      }
+      ty += 1
+    }
+    // separable 2-D DCT-II
+    val cos = Array.tabulate(N, N)((k, i) => math.cos(math.Pi / N * (i + 0.5) * k))
+    val tmp = Array.ofDim[Double](N, N)
+    for (k <- 0 until N; x <- 0 until N) {
+      var s = 0.0; var y = 0
+      while (y < N) { s += gray(y)(x) * cos(k)(y); y += 1 }
+      tmp(k)(x) = s
+    }
+    val dct = Array.ofDim[Double](8, 8)
+    for (u <- 0 until 8; v <- 0 until 8) {
+      var s = 0.0; var x = 0
+      while (x < N) { s += tmp(u)(x) * cos(v)(x); x += 1 }
+      dct(u)(v) = s
+    }
+    val vals = (for (u <- 0 until 8; v <- 0 until 8 if u != 0 || v != 0) yield dct(u)(v)).toArray
+    val med = vals.sorted.apply(vals.length / 2)
+    var bits = 0L; var idx = 0
+    for (u <- 0 until 8; v <- 0 until 8 if u != 0 || v != 0) {
+      if (dct(u)(v) > med) bits |= (1L << idx)
+      idx += 1
+    }
+    bits
+  }
+
+  private val phashSchema = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("n_bytes", IntegerType, nullable = false),
+    StructField("phash", LongType, nullable = true)))
+
+  /** Per-payload perceptual hash stage: (media_id, n_bytes, phash), phash
+    * null for payloads that don't decode as images. mapPartitions, same
+    * shape as [[imageFeatures]] — ImageIO work dwarfs row overhead, and no
+    * Catalyst expression fits a raster decode.
+    */
+  def imagePhash(media: DataFrame, idCol: String = "media_id",
+                 payloadCol: String = "payload"): DataFrame = {
+    val enc = RowEncoder.encoderFor(phashSchema)
+    media.select(col(idCol).cast("long"), col(payloadCol))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val bytes = if (r.isNullAt(1)) Array.empty[Byte] else r.getAs[Array[Byte]](1)
+          Row(id, bytes.length, phash64(bytes).map(Long.box).orNull)
+        }
+      }(enc).toDF()
+  }
+
+  /** Image near-dup pairs: perceptual hashes through the SimHash pigeonhole
+    * funnel ([[SimHash.nearDupPairsByFingerprint]]) — candidates ∝ chunk
+    * collisions, never all-pairs; undecodable payloads drop out.
+    */
+  def imageNearDupPairs(media: DataFrame, idCol: String = "media_id",
+                        payloadCol: String = "payload", maxDist: Int = 6,
+                        maxChunkDocs: Long = 4096L): DataFrame =
+    SimHash.nearDupPairsByFingerprint(
+      imagePhash(media, idCol, payloadCol), "media_id", col("phash"),
+      maxDist, maxChunkDocs)
+
   // ---------------- content-defined chunking (blob-level dedup) ----------------
 
   /** Content-defined chunks of a binary payload

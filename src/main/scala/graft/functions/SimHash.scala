@@ -79,11 +79,25 @@ object SimHash {
 
   /** [[nearDupPairs]] over PRE-HASHED tokens — see [[fingerprintsHashed]]. */
   def nearDupPairsHashed(df: DataFrame, idCol: String, hashes: Column,
-                         maxDist: Int = 3, maxChunkDocs: Long = 4096L): DataFrame = {
+                         maxDist: Int = 3, maxChunkDocs: Long = 4096L): DataFrame =
+    pigeonholePairs(fingerprintsHashed(df, idCol, hashes)
+      .select(col("__id"), col("__simhash").as("__sh")), maxDist, maxChunkDocs)
+
+  /** Near-dup pairs over an ALREADY-COMPUTED 64-bit fingerprint column —
+    * the same pigeonhole funnel for fingerprints that don't come from
+    * token simhashing (image perceptual hashes, audio fingerprints, any
+    * 64-bit locality-sensitive code). Null fingerprints are excluded (an
+    * undecodable payload has no neighborhood).
+    */
+  def nearDupPairsByFingerprint(df: DataFrame, idCol: String, fingerprint: Column,
+                                maxDist: Int = 3, maxChunkDocs: Long = 4096L): DataFrame =
+    pigeonholePairs(df.select(col(idCol).as("__id"), fingerprint.as("__sh"))
+      .filter(col("__sh").isNotNull), maxDist, maxChunkDocs)
+
+  private def pigeonholePairs(base: DataFrame, maxDist: Int,
+                              maxChunkDocs: Long): DataFrame = {
     val chunks = maxDist + 1
     val bitsPer = 64 / chunks
-    val base = fingerprintsHashed(df, idCol, hashes)
-      .select(col("__id"), col("__simhash").as("__sh"))
     // one exchange on the join key for every consumer below (hot-value agg,
     // anti-join, both self-join sides) — partitioned here, the groupBy and
     // join need no further exchange and the fingerprint pass runs once
