@@ -598,7 +598,14 @@ object Multimodal {
   private[graft] def encodeWav(id: Long): Array[Byte] = {
     require(id >= 0, "encodeWav derives sample count/values from id modulos")
     val n = (id % 97).toInt + 16
-    val dataLen = n * 2
+    encodePcmWav(Array.tabulate(n)(i => wavSample(id, i)), WavSampleRate)
+  }
+
+  /** RIFF/WAVE writer for arbitrary PCM16 mono samples (the general form
+    * [[encodeWav]]'s id-derived fixture uses).
+    */
+  private[graft] def encodePcmWav(samples: Array[Int], rate: Int): Array[Byte] = {
+    val dataLen = samples.length * 2
     val out = new ByteArrayOutputStream(44 + dataLen)
     def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >>> 8) & 0xff) }
     def le32(v: Int): Unit = { le16(v & 0xffff); le16((v >>> 16) & 0xffff) }
@@ -607,13 +614,13 @@ object Multimodal {
     out.write("fmt ".getBytes("US-ASCII")); le32(16)
     le16(1)                    // PCM
     le16(1)                    // mono
-    le32(WavSampleRate)
-    le32(WavSampleRate * 2)    // byte rate
+    le32(rate)
+    le32(rate * 2)             // byte rate
     le16(2)                    // block align
     le16(16)                   // bits per sample
     out.write("data".getBytes("US-ASCII")); le32(dataLen)
     var i = 0
-    while (i < n) { le16(wavSample(id, i) & 0xffff); i += 1 }
+    while (i < samples.length) { le16(samples(i) & 0xffff); i += 1 }
     out.toByteArray
   }
 
@@ -707,6 +714,111 @@ object Multimodal {
       case _: javax.sound.sampled.UnsupportedAudioFileException => None
       case _: java.io.IOException => None
     }
+  }
+
+  // ---------------- audio fingerprinting (audio near-dup) ----------------
+
+  /** Haitsma–Kalker-style audio fingerprint: per 2048-sample frame
+    * (hop 1024), `bands` geometrically-spaced band energies via Goertzel,
+    * then one (bands−1)-bit code per frame from the SIGN of the band-energy
+    * time–frequency derivative
+    *
+    *   bit_b = (E[n][b] − E[n][b+1]) − (E[n−1][b] − E[n−1][b+1]) > 0.
+    *
+    * Uniform amplitude scaling preserves every sign (energy scales by a
+    * constant), and a hop-aligned time shift reindexes the codes without
+    * changing them — the two robustness properties the spec pins.
+    */
+  private[graft] def audioFrameCodes(samples: Array[Int], sampleRate: Int,
+                                     frame: Int = 2048, hop: Int = 1024,
+                                     bands: Int = 16): Array[Int] = {
+    if (samples.length < 2 * frame) return Array.empty
+    val fLo = 300.0
+    val fHi = 0.45 * sampleRate
+    val freqs = Array.tabulate(bands)(b => fLo * math.pow(fHi / fLo, b.toDouble / (bands - 1)))
+    def goertzel(from: Int, f: Double): Double = {
+      val w = 2.0 * math.Pi * f / sampleRate
+      val coeff = 2.0 * math.cos(w)
+      var s0 = 0.0; var s1 = 0.0; var s2 = 0.0
+      var i = 0
+      while (i < frame) {
+        s0 = samples(from + i) + coeff * s1 - s2
+        s2 = s1; s1 = s0
+        i += 1
+      }
+      s1 * s1 + s2 * s2 - coeff * s1 * s2 // band energy
+    }
+    val nFrames = (samples.length - frame) / hop + 1
+    val energies = Array.tabulate(nFrames, bands)((n, b) => goertzel(n * hop, freqs(b)))
+    Array.tabulate(nFrames - 1) { i =>
+      val n = i + 1
+      var code = 0
+      var b = 0
+      while (b < bands - 1) {
+        val d = (energies(n)(b) - energies(n)(b + 1)) -
+          (energies(n - 1)(b) - energies(n - 1)(b + 1))
+        if (d > 0) code |= (1 << b)
+        b += 1
+      }
+      code
+    }
+  }
+
+  private val audioFpSchema = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("n_codes", IntegerType, nullable = false),
+    StructField("codes", ArrayType(IntegerType, containsNull = false), nullable = true)))
+
+  /** Per-payload fingerprint stage: (media_id, n_codes, codes); codes null
+    * for payloads that don't decode as PCM WAV. Same mapPartitions shape
+    * as [[audioFeatures]] — the decode is the cost, not the row.
+    */
+  def audioFingerprints(media: DataFrame, idCol: String = "media_id",
+                        payloadCol: String = "payload"): DataFrame = {
+    val enc = RowEncoder.encoderFor(audioFpSchema)
+    media.select(col(idCol).cast("long"), col(payloadCol))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(0)
+          val bytes = if (r.isNullAt(1)) Array.empty[Byte] else r.getAs[Array[Byte]](1)
+          decodeWavStats(bytes) match {
+            case Some((rate, _, samples)) if rate > 0 =>
+              val codes = audioFrameCodes(samples, rate)
+              Row(id, codes.length, codes.toSeq)
+            case _ => Row(id, 0, null)
+          }
+        }
+      }(enc).toDF()
+  }
+
+  /** Audio near-dup pairs by shared frame codes: the (id, code) posting
+    * list joins on the 4-byte code value (payloads never shuffle), pairs
+    * keep when the shared DISTINCT-code fraction of the smaller side
+    * reaches `minShared`. Hop-shifted and amplitude-scaled twins share
+    * most codes; unrelated audio shares noise-level few.
+    */
+  def audioNearDupPairs(media: DataFrame, idCol: String = "media_id",
+                        payloadCol: String = "payload", minShared: Double = 0.35,
+                        maxCodeDocs: Long = 4096L): DataFrame = {
+    val fp = audioFingerprints(media, idCol, payloadCol)
+      .filter(col("codes").isNotNull && col("n_codes") > 0)
+    val codes0 = fp.select(col("media_id"), explode(col("codes")).as("__c")).distinct()
+    val nDistinct = codes0.groupBy(col("media_id")).agg(count(lit(1)).as("__n"))
+    val codes = codes0.join(nDistinct, "media_id")
+    val hot =
+      if (maxCodeDocs <= 0L) null
+      else codes.groupBy(col("__c")).agg(count(lit(1)).as("__df"))
+        .filter(col("__df") > maxCodeDocs).select(col("__c"))
+    val pruned = if (hot == null) codes else codes.join(hot, Seq("__c"), "left_anti")
+    val a = pruned.select(col("media_id").as("id_a"), col("__c"), col("__n").as("n_a"))
+    val b = pruned.select(col("media_id").as("id_b"), col("__c"), col("__n").as("n_b"))
+    a.join(b, Seq("__c")).filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"), col("n_a"), col("n_b"))
+      .agg(count(lit(1)).as("shared"))
+      .withColumn("share_frac", col("shared") / least(col("n_a"), col("n_b")))
+      .filter(col("share_frac") >= minShared)
+      .select(col("id_a"), col("id_b"), col("shared"),
+        round(col("share_frac"), 4).as("share_frac"))
   }
 
   // ---------------- perceptual image hashing (image near-dup) ----------------
