@@ -802,14 +802,28 @@ object Multimodal {
                         maxCodeDocs: Long = 4096L): DataFrame = {
     val fp = audioFingerprints(media, idCol, payloadCol)
       .filter(col("codes").isNotNull && col("n_codes") > 0)
-    val codes0 = fp.select(col("media_id"), explode(col("codes")).as("__c")).distinct()
+    sharedCodePairs(
+      fp.select(col("media_id"), explode(col("codes")).as("__c")).distinct(),
+      minShared, maxCodeDocs)
+  }
+
+  /** Shared-fingerprint pair funnel: input is one (media_id, __c) row per
+    * DISTINCT code a payload carries (any fixed-width code — audio frame
+    * codes, per-frame image phashes); pairs keep when the shared fraction
+    * of the smaller side reaches `minShared`. Posting join on the code
+    * value, hot-code cap, payloads never shuffle.
+    */
+  private def sharedCodePairs(codes0: DataFrame, minShared: Double,
+                              maxCodeDocs: Long): DataFrame = {
     val nDistinct = codes0.groupBy(col("media_id")).agg(count(lit(1)).as("__n"))
     val codes = codes0.join(nDistinct, "media_id")
-    val hot =
-      if (maxCodeDocs <= 0L) null
-      else codes.groupBy(col("__c")).agg(count(lit(1)).as("__df"))
-        .filter(col("__df") > maxCodeDocs).select(col("__c"))
-    val pruned = if (hot == null) codes else codes.join(hot, Seq("__c"), "left_anti")
+    val pruned =
+      if (maxCodeDocs <= 0L) codes
+      else {
+        val hot = codes.groupBy(col("__c")).agg(count(lit(1)).as("__df"))
+          .filter(col("__df") > maxCodeDocs).select(col("__c"))
+        codes.join(hot, Seq("__c"), "left_anti")
+      }
     val a = pruned.select(col("media_id").as("id_a"), col("__c"), col("__n").as("n_a"))
     val b = pruned.select(col("media_id").as("id_b"), col("__c"), col("__n").as("n_b"))
     a.join(b, Seq("__c")).filter(col("id_a") < col("id_b"))
@@ -819,6 +833,45 @@ object Multimodal {
       .filter(col("share_frac") >= minShared)
       .select(col("id_a"), col("id_b"), col("shared"),
         round(col("share_frac"), 4).as("share_frac"))
+  }
+
+  private val videoFpSchema = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("frame_no", IntegerType, nullable = false),
+    StructField("phash", LongType, nullable = true)))
+
+  /** Video fingerprint stage: demux mdat frames ([[sampleFramesDemuxed]]'s
+    * contract — fixed `frameBytes` chunks, every `everyN`-th kept), then
+    * perceptual-hash each frame that decodes as an image. phash null for
+    * non-image frames (real codec payloads need the out-of-JVM decoder the
+    * demux docs call out). (media_id, frame_no, phash).
+    */
+  def videoFingerprints(media: DataFrame, frameBytes: Int, everyN: Int = 1,
+                        idCol: String = "media_id",
+                        payloadCol: String = "payload"): DataFrame = {
+    val enc = RowEncoder.encoderFor(videoFpSchema)
+    sampleFramesDemuxed(media, frameBytes, everyN, idCol, payloadCol)
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val bytes = if (r.isNullAt(2)) Array.empty[Byte] else r.getAs[Array[Byte]](2)
+          Row(r.getLong(0), r.getInt(1), phash64(bytes).map(Long.box).orNull)
+        }
+      }(enc).toDF()
+  }
+
+  /** Video near-dup pairs by shared frame perceptual hashes — the
+    * image-phash code stream through the same shared-fingerprint funnel as
+    * [[audioNearDupPairs]]: re-encoded or lightly-edited cuts share most
+    * frame hashes; unrelated footage shares none.
+    */
+  def videoNearDupPairs(media: DataFrame, frameBytes: Int, everyN: Int = 1,
+                        idCol: String = "media_id", payloadCol: String = "payload",
+                        minShared: Double = 0.5, maxCodeDocs: Long = 4096L): DataFrame = {
+    val fp = videoFingerprints(media, frameBytes, everyN, idCol, payloadCol)
+      .filter(col("phash").isNotNull)
+    sharedCodePairs(
+      fp.select(col("media_id"), col("phash").as("__c")).distinct(),
+      minShared, maxCodeDocs)
   }
 
   // ---------------- perceptual image hashing (image near-dup) ----------------
@@ -872,11 +925,17 @@ object Multimodal {
       while (x < N) { s += tmp(u)(x) * cos(v)(x); x += 1 }
       dct(u)(v) = s
     }
-    val vals = (for (u <- 0 until 8; v <- 0 until 8 if u != 0 || v != 0) yield dct(u)(v)).toArray
+    // quantize before thresholding: degenerate images (stripes, flats)
+    // put many coefficients EXACTLY at the median, where last-ulp float
+    // residue (e.g. from a brightness shift, whose AC effect is
+    // analytically zero) would flip bits — 1e-6 rounding pins the ties
+    def q(x: Double): Double = math.rint(x * 1e6) / 1e6
+    val vals = (for (u <- 0 until 8; v <- 0 until 8 if u != 0 || v != 0)
+      yield q(dct(u)(v))).toArray
     val med = vals.sorted.apply(vals.length / 2)
     var bits = 0L; var idx = 0
     for (u <- 0 until 8; v <- 0 until 8 if u != 0 || v != 0) {
-      if (dct(u)(v) > med) bits |= (1L << idx)
+      if (q(dct(u)(v)) > med) bits |= (1L << idx)
       idx += 1
     }
     bits
