@@ -1630,6 +1630,28 @@ object SparkEntry {
       num.unionByName(cat).orderBy(col("feature"), col("bucket"))
     }),
 
+    // retrieval evaluation harness: MRR / precision@10 / binary NDCG@10 of
+    // the BM25 ranking against a deterministic gold set (docs containing
+    // ALL query terms) — one broadcast join + two 1-row aggs, ideal-DCG
+    // series computed in-plan from |gold|
+    "retrieval_eval_metrics" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val terms = Seq("data", "model", "training")
+      val ranked = Retrieval.bm25Rank(docs, "doc_id", col("text"), terms, topK = 20)
+        .withColumn("rank",
+          row_number().over(Window.orderBy(col("score").desc, col("doc_id"))))
+      // gold relevance: strongly-topical docs (≥5 query-term occurrences —
+      // the fixture's vocabulary never co-occurs all three terms, so a
+      // distinct-term gold would be empty; 33 docs qualify at sf0.01)
+      val gold = docs
+        .select(col("doc_id"),
+          explode(split(trim(lower(col("text"))), "[ \\t\\n\\f\\r]+")).as("term"))
+        .filter(col("term").isin(terms: _*))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("nh"))
+        .filter(col("nh") >= 5).select(col("doc_id"))
+      Retrieval.evalMetrics(ranked, gold, "doc_id", "rank", k = 10)
+    }),
+
     // index-once/query-many retrieval: the SAME ranking as text_bm25_search
     // but answered from the materialized inverted index (postings +
     // lengths + scalars) — the corpus text is never re-tokenized at query
@@ -3999,6 +4021,54 @@ object SparkEntry {
           |ORDER BY doc_id, score DESC, term""".stripMargin,
 
       "text_bm25_search" -> bm25SearchSql,
+
+      "retrieval_eval_metrics" ->
+        """WITH toks AS (
+          |  SELECT doc_id,
+          |         unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+          |  FROM documents),
+          |hits AS (SELECT doc_id, term FROM toks
+          |         WHERE term IN ('data', 'model', 'training')),
+          |tf AS (SELECT doc_id, term, count(*) AS tf FROM hits GROUP BY doc_id, term),
+          |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+          |lens AS (
+          |  SELECT doc_id,
+          |         CASE WHEN trim(text) = '' THEN 0.0 ELSE
+          |           CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS DOUBLE)
+          |         END AS dl
+          |  FROM documents),
+          |sc AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM lens),
+          |lex0 AS (
+          |  SELECT tf.doc_id,
+          |         round(sum(
+          |           ln(1.0 + (sc.n_docs - df.df + 0.5) / (df.df + 0.5)) *
+          |           (tf.tf * 2.2) /
+          |           (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * lens.dl / sc.avgdl))
+          |         ), 4) + 0.0 AS score
+          |  FROM tf JOIN df USING (term) JOIN lens USING (doc_id), sc
+          |  GROUP BY tf.doc_id
+          |  ORDER BY score DESC, tf.doc_id
+          |  LIMIT 20),
+          |ranked AS (SELECT doc_id,
+          |             row_number() OVER (ORDER BY score DESC, doc_id) AS r
+          |           FROM lex0),
+          |gold AS (SELECT doc_id FROM hits GROUP BY doc_id
+          |         HAVING count(*) >= 5),
+          |gn AS (SELECT CAST(count(*) AS BIGINT) AS gold_n FROM gold),
+          |h AS (SELECT r FROM ranked JOIN gold USING (doc_id)),
+          |m AS (SELECT
+          |        coalesce(1.0 / min(r), 0.0) AS mrr,
+          |        coalesce(sum(CASE WHEN r <= 10 THEN 1 ELSE 0 END) / 10.0, 0.0) AS p_at_k,
+          |        coalesce(sum(CASE WHEN r <= 10 THEN 1.0 / log2(r + 1) ELSE 0.0 END), 0.0) AS dcg
+          |      FROM h),
+          |i AS (SELECT coalesce(sum(1.0 / log2(v + 1)), 0.0) AS idcg
+          |      FROM (SELECT unnest(range(1, CAST(least(gold_n, 10) AS BIGINT) + 1)) AS v
+          |            FROM gn))
+          |SELECT round(mrr, 6) + 0.0 AS mrr,
+          |  round(p_at_k, 6) + 0.0 AS p_at_k,
+          |  round(CASE WHEN gold_n = 0 THEN 0.0 ELSE dcg / idcg END, 6) + 0.0 AS ndcg_at_k,
+          |  gold_n
+          |FROM m, i, gn""".stripMargin,
 
       // index path must be score-identical to the scan path — one SQL text
       "text_index_search" -> bm25SearchSql,

@@ -172,6 +172,46 @@ object Retrieval {
     round(total, 4) + lit(0.0)
   }
 
+  /** Ranking-quality evaluation against a gold relevance set: MRR,
+    * precision@k, and binary-relevance NDCG@k in ONE row —
+    *
+    *   mrr    = 1 / rank of the first gold hit (0 when none ranked)
+    *   p@k    = |gold ∩ top-k| / k
+    *   ndcg@k = Σ_{gold hits i ≤ k} 1/log2(rank_i + 1)
+    *            / Σ_{i=1..min(|gold|, k)} 1/log2(i + 1)
+    *
+    * `ranked` is a retriever's output with (`idCol`, `rankCol`, 1-based,
+    * bounded by the retriever's top-N); `gold` may be corpus-scale — it
+    * joins the bounded ranking by key and contributes one COUNT, so the
+    * evaluation costs one broadcast join + two 1-row aggregations no
+    * matter the corpus. NDCG's ideal-DCG series is computed in-plan from
+    * |gold| (`sequence` + `aggregate`, no driver round-trip).
+    */
+  def evalMetrics(ranked: DataFrame, gold: DataFrame, idCol: String,
+                  rankCol: String = "rank", k: Int = 10): DataFrame = {
+    val goldIds = gold.select(col(idCol)).distinct()
+    val goldN = goldIds.agg(count(lit(1)).as("gold_n"))
+    val hits = ranked.select(col(idCol), col(rankCol).cast("long").as("__rank"))
+      .join(goldIds, Seq(idCol), "left_semi")
+    val agg = hits.agg(
+      coalesce(lit(1.0) / min(col("__rank")), lit(0.0)).as("mrr"),
+      (sum(when(col("__rank") <= k, 1).otherwise(0)) / lit(k.toDouble)).as("p_at_k"),
+      sum(when(col("__rank") <= k,
+        lit(1.0) / log2(col("__rank") + 1)).otherwise(lit(0.0))).as("__dcg"))
+    val idcg = aggregate(
+      sequence(lit(1), least(col("gold_n"), lit(k)).cast("int")),
+      lit(0.0), (acc, i) => acc + lit(1.0) / log2(i.cast("double") + 1))
+    agg.crossJoin(broadcast(goldN)) // 1-row scalar
+      .select(
+        (round(coalesce(col("mrr"), lit(0.0)), 6) + lit(0.0)).as("mrr"),
+        (round(coalesce(col("p_at_k"), lit(0.0)), 6) + lit(0.0)).as("p_at_k"),
+        (round(
+          when(col("gold_n") === 0, lit(0.0))
+            .otherwise(coalesce(col("__dcg"), lit(0.0)) / idcg), 6) + lit(0.0))
+          .as("ndcg_at_k"),
+        col("gold_n").cast("long").as("gold_n"))
+  }
+
   /** Reciprocal-rank fusion (Cormack/Clarke/Buettcher 2009) of N scored
     * candidate lists — the standard way to combine a lexical (BM25) and a
     * semantic (embedding-cosine) retriever without score calibration:

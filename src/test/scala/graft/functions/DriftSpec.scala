@@ -62,6 +62,41 @@ class DriftSpec extends SparkSpec {
   }
 }
 
+class EvalMetricsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def metrics(ranked: Seq[(Long, Long)], gold: Seq[Long], k: Int = 10) =
+    Retrieval.evalMetrics(ranked.toDF("id", "rank"), gold.toDF("id"), "id", "rank", k)
+      .as[(Double, Double, Double, Long)].head()
+
+  test("perfect ranking scores 1.0 across the board") {
+    val (mrr, p, ndcg, gn) = metrics(
+      ranked = (1L to 10L).map(i => (i, i)), gold = (1L to 10L))
+    assert(mrr == 1.0 && p == 1.0 && ndcg == 1.0 && gn == 10L)
+  }
+
+  test("empty gold scores 0 without dividing by zero") {
+    val (mrr, p, ndcg, gn) = metrics(ranked = Seq((1L, 1L)), gold = Seq.empty)
+    assert(mrr == 0.0 && p == 0.0 && ndcg == 0.0 && gn == 0L)
+  }
+
+  test("no ranked hit scores 0 even with a non-empty gold") {
+    val (mrr, p, ndcg, gn) = metrics(ranked = Seq((1L, 1L), (2L, 2L)),
+      gold = Seq(99L, 98L))
+    assert(mrr == 0.0 && p == 0.0 && ndcg == 0.0 && gn == 2L)
+  }
+
+  test("single gold hit at rank 4: mrr 1/4, ndcg = 1/log2(5) against idcg 1") {
+    val (mrr, p, ndcg, _) = metrics(
+      ranked = (1L to 10L).map(i => (i, i)), gold = Seq(4L))
+    assert(mrr == 0.25)
+    assert(p == 0.1)
+    val expect = BigDecimal(1.0 / (math.log(5) / math.log(2)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(ndcg == expect)
+  }
+}
+
 class RrfFuseSpec extends SparkSpec {
   import spark.implicits._
 
