@@ -90,11 +90,23 @@ object IncrementalAgg {
       .unionByName(newTouched.select(groupCols.map(col): _*))
       .distinct()
     val newState = CdcMerge.applyChanges(targetState, latest, keyCol, dialect)
-    val recomputed = newState.join(affected, groupCols, "left_semi")
+    val recomputed = semiByGroups(newState, affected, groupCols, anti = false)
       .groupBy(groupCols.map(col): _*)
       .agg(aggs.head._2.as(aggs.head._1),
         aggs.tail.map { case (n, c) => c.as(n) }: _*)
-    view.join(affected, groupCols, "left_anti")
+    semiByGroups(view, affected, groupCols, anti = true)
       .unionByName(recomputed)
+  }
+
+  /** Null-safe grouped semi/anti join: a NULL group value is a real group
+    * (groupBy treats it as one), so the membership join must use `<=>` —
+    * a plain equi-join would silently drop the null group from the
+    * recompute AND keep its stale view row.
+    */
+  private def semiByGroups(df: DataFrame, groups: DataFrame,
+                           groupCols: Seq[String], anti: Boolean): DataFrame = {
+    val g = groups.toDF(groupCols.map(c => s"__g_$c"): _*)
+    val on = groupCols.map(c => col(c) <=> col(s"__g_$c")).reduce(_ && _)
+    df.join(g, on, if (anti) "left_anti" else "left_semi")
   }
 }

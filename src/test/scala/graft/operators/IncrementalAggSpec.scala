@@ -67,6 +67,25 @@ class IncrementalAggSpec extends SparkSpec with TableDrivenPropertyChecks {
     }
   }
 
+  test("NULL group values are a real group: recomputed and never stranded") {
+    // k1 sits in the NULL group; the batch updates it — a null-unsafe
+    // membership join would both miss the recompute AND keep the stale row
+    val target = Seq((Some("k1"), 1L, None: Option[String], 5.0),
+      (Some("k2"), 1L, Some("b"), 7.0))
+      .toDF("k", "SYS_CHANGE_VERSION", "g", "v")
+    val latest = Seq((Some("k1"), 2L, None: Option[String], 9.0, "U"))
+      .toDF("k", "SYS_CHANGE_VERSION", "g", "v", "SYS_CHANGE_OPERATION")
+    val view0 = target.groupBy($"g").agg(min($"v").as("min_v"),
+      max($"v").as("max_v"), count(lit(1)).as("cnt"))
+    val out = IncrementalAgg.maintainByGroupRecompute(view0, target, latest,
+      "k", MsSqlCtDialect, Seq("g"),
+      Seq("min_v" -> min(col("v")), "max_v" -> max(col("v")), "cnt" -> count(lit(1))))
+      .select($"g", $"min_v", $"max_v", $"cnt")
+      .as[(Option[String], Double, Double, Long)].collect()
+      .sortBy(_._1.getOrElse("")).toSeq
+    assert(out == Seq((None, 9.0, 9.0, 1L), (Some("b"), 7.0, 7.0, 1L)))
+  }
+
   test("untouched groups pass through from the OLD view, not a recompute") {
     // two groups; the batch touches only group 'b' — poison group 'a''s
     // view row and assert the poison survives (proof of the pass-through)

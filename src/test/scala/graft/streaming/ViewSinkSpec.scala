@@ -42,6 +42,37 @@ class ViewSinkSpec extends SparkSpec {
       collect(IncrementalAgg.bootstrap(full, Seq("g"), "v")))
   }
 
+  test("re-delivered batch converges (at-least-once replay)") {
+    val viewT = new ParquetTarget(spark, Files.createTempDirectory("viewsink_rd_v").toString)
+    val stateT = new ParquetTarget(spark, Files.createTempDirectory("viewsink_rd_s").toString)
+    batches.foreach(b => ViewSink.processBatch(viewT, stateT, df(b), "k",
+      MsSqlCtDialect, Seq("g"), "v"))
+    val before = collect(viewT.read())
+    ViewSink.processBatch(viewT, stateT, df(batches.last), "k",
+      MsSqlCtDialect, Seq("g"), "v")
+    assert(collect(viewT.read()) == before)
+  }
+
+  test("crash between commits recovers: stranded view rebuilds from the state") {
+    import graft.operators.CdcMerge
+    val viewT = new ParquetTarget(spark, Files.createTempDirectory("viewsink_cr_v").toString)
+    val stateT = new ParquetTarget(spark, Files.createTempDirectory("viewsink_cr_s").toString)
+    ViewSink.processBatch(viewT, stateT, df(batches.head), "k",
+      MsSqlCtDialect, Seq("g"), "v")
+    // simulate the crash window: batch 2 advanced the STATE but died
+    // before the view commit (incl. a group-vacating move of k1: a -> b)
+    val latest2 = Dedup.latestByKey(df(batches(1)), col("k"),
+      Seq(col("SYS_CHANGE_VERSION")))
+    stateT.commit(CdcMerge.applyChanges(stateT.read(), latest2, "k", MsSqlCtDialect))
+    assert(viewT.currentVersion != stateT.currentVersion, "fixture: versions out of step")
+    // next batch detects the mismatch, rebuilds, then folds incrementally
+    ViewSink.processBatch(viewT, stateT, df(batches(2)), "k",
+      MsSqlCtDialect, Seq("g"), "v")
+    val recomputed = collect(IncrementalAgg.bootstrap(stateT.read(), Seq("g"), "v"))
+    assert(collect(viewT.read()) == recomputed)
+    assert(viewT.currentVersion == stateT.currentVersion, "lockstep restored")
+  }
+
   test("empty batches commit nothing") {
     val viewT = new ParquetTarget(spark, Files.createTempDirectory("viewsink_ev").toString)
     val stateT = new ParquetTarget(spark, Files.createTempDirectory("viewsink_es").toString)
