@@ -830,6 +830,23 @@ object SparkEntry {
         .orderBy(col("user_id"), col("valid_from"))
     }),
 
+    // M5+ temporal join (consumption side of the history): each post-pivot
+    // event enriched with the event_type state its user held AT THAT
+    // EVENT'S version — key equi-join + interval filter, no range join
+    "m5_scd2_temporal_join" -> ((s, dir) => {
+      val h = Scd2.buildHistory(
+        eventsBase(s, dir).filter(col("event_id") < MergePivot),
+        "user_id", "event_id",
+        tracked = Seq("event_type"), isDelete = col("event_type") === "error")
+        .withColumnRenamed("event_type", "state_at_fact")
+      val facts = eventsBase(s, dir).filter(col("event_id") >= MergePivot)
+        .select(col("user_id"), col("event_id"), col("event_type"))
+      Scd2.asOfJoin(facts, h, "user_id", col("event_id"))
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("state_at_fact"), col("valid_from"))
+        .orderBy(col("event_id"))
+    }),
+
     // M5+ point-in-time lookup: the dimension state each key held at the
     // merge pivot version — what an as-of fact join would read.
     "m5_scd2_asof" -> ((s, dir) => {
@@ -2945,6 +2962,31 @@ object SparkEntry {
       "m5_scd2_incremental" -> scd2HistorySql,
 
       "m5_scd2_history" -> scd2HistorySql,
+
+      "m5_scd2_temporal_join" ->
+        s"""WITH b AS (
+           |  SELECT user_id, event_id, event_type,
+           |    (event_type = 'error') AS del,
+           |    (row_number() OVER w = 1
+           |     OR event_type IS DISTINCT FROM lag(event_type) OVER w
+           |     OR (event_type = 'error') IS DISTINCT FROM lag(event_type = 'error') OVER w
+           |    ) AS boundary
+           |  FROM events WHERE event_id < $MergePivot
+           |  WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+           |), runs AS (
+           |  SELECT user_id, event_type, del, event_id AS valid_from,
+           |    lead(event_id) OVER (PARTITION BY user_id ORDER BY event_id) AS valid_to
+           |  FROM b WHERE boundary
+           |), hist AS (
+           |  SELECT user_id, event_type AS state_at_fact, valid_from, valid_to
+           |  FROM runs WHERE NOT del
+           |)
+           |SELECT f.user_id, f.event_id, f.event_type, h.state_at_fact, h.valid_from
+           |FROM events f JOIN hist h ON f.user_id = h.user_id
+           |WHERE f.event_id >= $MergePivot
+           |  AND h.valid_from <= f.event_id
+           |  AND (h.valid_to IS NULL OR h.valid_to > f.event_id)
+           |ORDER BY f.event_id""".stripMargin,
 
       "m5_scd2_asof" ->
         s"""WITH b AS (

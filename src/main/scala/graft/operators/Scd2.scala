@@ -155,4 +155,27 @@ object Scd2 {
   def asOf(history: DataFrame, version: Column): DataFrame =
     history.filter(col(From) <= version &&
       (col(To).isNull || col(To) > version))
+
+  /** Temporal (as-of) join: each fact row enriched with the dimension state
+    * its key held AT THE FACT'S OWN VERSION — the consumption side of the
+    * history table ("what did the customer look like when this order was
+    * placed"). Inner semantics: facts before the key's birth, inside a
+    * deletion gap, or with no history row are dropped (pair with a
+    * left_anti on the same condition to audit them).
+    *
+    * Scale: an EQUI-join on the key (never a range/BNLJ — plan-asserted
+    * posture everywhere in this repo) followed by the interval filter;
+    * candidates per fact = that key's history rows, which run-collapse
+    * keeps proportional to real state changes. Both sides shuffle once on
+    * the key.
+    */
+  def asOfJoin(facts: DataFrame, history: DataFrame, keyCol: String,
+               factVersion: Column): DataFrame = {
+    val h = history.as("h")
+    val f = facts.as("f")
+    f.join(h, col(s"f.`$keyCol`") === col(s"h.`$keyCol`"), "inner")
+      .filter(col(s"h.$From") <= factVersion &&
+        (col(s"h.$To").isNull || col(s"h.$To") > factVersion))
+      .drop(col(s"h.`$keyCol`"))
+  }
 }

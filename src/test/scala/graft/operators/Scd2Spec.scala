@@ -61,6 +61,23 @@ class Scd2Spec extends SparkSpec with TableDrivenPropertyChecks {
     assert(at(0L) == Seq.empty)
   }
 
+  test("asOfJoin picks the interval covering each fact; gaps and pre-birth drop") {
+    val h = build(changes(
+      ("k1", 1L, "a", false), ("k1", 5L, "b", false),  // a:[1,5), b:[5,∞)
+      ("k2", 2L, "x", false), ("k2", 6L, "x", true)))  // x:[2,6), deleted
+    val facts = Seq(
+      ("k1", 3L), ("k1", 5L), ("k1", 9L), // a, b (open at 5), b
+      ("k2", 2L), ("k2", 7L),             // x, dropped (deletion gap)
+      ("k1", 0L),                         // dropped (pre-birth)
+      ("k3", 4L)                          // dropped (no history)
+    ).toDF("k", "fv")
+    val out = Scd2.asOfJoin(facts, h, "k", col("fv"))
+      .select($"k", $"fv", $"state").as[(String, Long, String)]
+      .collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(out == Seq(("k1", 3L, "a"), ("k1", 5L, "b"), ("k1", 9L, "b"),
+      ("k2", 2L, "x")))
+  }
+
   test("incremental applyChanges == full rebuild, across split points") {
     // a stream with runs, deletes, re-inserts, and a key absent from batch 2
     val all = Seq(
