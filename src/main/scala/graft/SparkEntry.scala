@@ -1152,6 +1152,16 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // weighted sampling without replacement (Efraimidis–Spirakis): longer
+    // documents proportionally more likely, deterministic md5 draws, the
+    // global top-k is TakeOrdered (per-partition heaps) not a full sort
+    "doc_sample_weighted" -> ((s, dir) => {
+      Sampling.weightedSample(t(s, dir, "documents"),
+        col("doc_id"), col("n_chars").cast("double"), k = 50)
+        .select(col("doc_id"), col("n_chars"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+
     // distributed zipWithIndex: dense 0..n−1 ids with NO global sort —
     // per-shard window positions + an exclusive prefix sum over the
     // bounded shard counts; ids depend only on key md5, so reruns and
@@ -3460,6 +3470,17 @@ object SparkEntry {
       // replays the md5-permutation shuffle: same 4-hex-digit shard
       // bucket as doc_pack_sequences, in-shard order by the full md5 hex
       // (identical strings in both engines) with the key as tiebreak
+      "doc_sample_weighted" ->
+        """WITH s AS (
+          |  SELECT doc_id, n_chars, source,
+          |    round(pow(
+          |      (CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) AS DOUBLE) + 0.5) / 4294967296.0,
+          |      1.0 / CAST(n_chars AS DOUBLE)), 6) + 0.0 AS wkey
+          |  FROM documents)
+          |SELECT doc_id, n_chars, source
+          |FROM (SELECT * FROM s ORDER BY wkey DESC, doc_id LIMIT 50)
+          |ORDER BY doc_id""".stripMargin,
+
       "doc_dense_ids" ->
         """WITH h AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS hx FROM documents),
           |a AS (SELECT doc_id, hx,

@@ -152,6 +152,30 @@ object Sampling {
     withHash.withColumn("pos", row_number().over(w).cast("long")).drop("__h")
   }
 
+  /** Weighted sampling WITHOUT replacement, deterministic
+    * (Efraimidis–Spirakis 2006): every row draws u ∈ (0,1) from its key's md5
+    * (no RNG state) and scores u^(1/w); the top-k scores are exactly a
+    * weight-proportional sample. One map-side score + one top-k — at scale
+    * the global top-k is the engine's TakeOrdered (per-partition heaps,
+    * k rows to the driver side of the exchange), never a full sort.
+    *
+    * Scores are ROUNDED (6 dp) before ranking with the key as tiebreak,
+    * so the selection boundary is engine-portable (the same md5→u→pow
+    * arithmetic replays in SQL).
+    */
+  def weightedSampleKey(key: Column, weight: Column): Column = {
+    // u from the md5 32-bit prefix, centered so u ∈ (0,1) exclusive
+    val u = (conv(substring(md5(key.cast("string")), 1, 8), 16, 10)
+      .cast("double") + lit(0.5)) / lit(4294967296.0)
+    round(pow(u, lit(1.0) / weight), 6) + lit(0.0)
+  }
+
+  def weightedSample(df: DataFrame, key: Column, weight: Column, k: Int): DataFrame =
+    df.withColumn("__wkey", weightedSampleKey(key, weight))
+      .orderBy(col("__wkey").desc, key)
+      .limit(k)
+      .drop("__wkey")
+
   /** Deterministic dense id assignment WITHOUT a global sort — the
     * distributed `zipWithIndex`: ids are 0..n−1, stable across reruns and
     * partitionings (they depend only on key md5, not on Spark's physical

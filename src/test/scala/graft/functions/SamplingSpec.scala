@@ -120,6 +120,29 @@ class SamplingSpec extends SparkSpec {
       "untouched shards' checksums must not move")
   }
 
+  test("weightedSample: weight-proportional, scale-invariant, deterministic") {
+    val ids = (0L until 500L).toDF("doc_id")
+    // heavy block: ids < 50 carry 1000x the weight — they should dominate
+    val weighted = ids.withColumn("w",
+      when(col("doc_id") < 50, 1000.0).otherwise(1.0))
+    val picked = Sampling.weightedSample(weighted, col("doc_id"), col("w"), k = 50)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(picked.count(_ < 50) >= 40,
+      s"1000x-weighted block must dominate the sample, got ${picked.count(_ < 50)}/50")
+    // Efraimidis-Spirakis keys are invariant under uniform weight scaling
+    // (u^(1/(cw)) is a monotone transform of u^(1/w))
+    val scaled = Sampling.weightedSample(
+      weighted.withColumn("w", col("w") * 2), col("doc_id"), col("w"), k = 50)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(scaled == picked, "uniform weight scaling must not change the sample")
+    // equal weights degrade to the plain hash sample (top-k by u)
+    val eq = Sampling.weightedSample(ids.withColumn("w", lit(1.0)),
+      col("doc_id"), col("w"), k = 20).select($"doc_id").as[Long].collect().toSet
+    val eq2 = Sampling.weightedSample(ids.withColumn("w", lit(7.0)),
+      col("doc_id"), col("w"), k = 20).select($"doc_id").as[Long].collect().toSet
+    assert(eq == eq2)
+  }
+
   test("denseIds: exact 0..n-1 bijection, stable under repartitioning") {
     val ids = (0L until 257L).toDF("doc_id")
     val out = Sampling.denseIds(ids, col("doc_id"), shards = 8)
