@@ -158,7 +158,10 @@ class PlanPostureSpec extends SparkSpec {
     ("q_events_winsorize", "events", 3),      // event_id, event_type, value
     ("q_events_rolling_1h", "events", 4),     // user_id, event_id, ts, value
     ("text_index_search", "documents", 2),    // doc_id, text (index build)
-    ("q_events_funnel", "events", 3))         // user_id, ts, event_type
+    ("q_events_funnel", "events", 3),         // user_id, ts, event_type
+    ("m5_scd2_temporal_join", "events", 3),   // user_id, event_id, event_type
+    ("retrieval_eval_metrics", "documents", 2), // doc_id, text
+    ("doc_sample_weighted", "documents", 3))  // doc_id, n_chars, source
 
   // pruning probes must also see scans buried inside cached relations
   // (graph_pagerank persists its edge list, so the parquet scans live in
