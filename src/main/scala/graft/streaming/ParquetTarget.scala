@@ -4,6 +4,7 @@ import java.nio.charset.StandardCharsets
 import java.nio.file.{Files, Paths, StandardCopyOption}
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.{col, expr, max, min}
 import org.apache.spark.sql.types.StructType
 
 /** Versioned parquet target table for local / test deployments.
@@ -121,6 +122,36 @@ final class ParquetTarget(spark: SparkSession, dir: String) {
     * `numFiles` files.
     */
   def compact(numFiles: Int): Int = commit(read(), Some(numFiles))
+
+  /** `OPTIMIZE ... ZORDER BY (x, y)` analog (X1's clustering sibling):
+    * rewrite the current snapshot ordered along a space-filling curve so
+    * each output file owns a CONTIGUOUS curve range — per-file x/y footer
+    * bounds become tight tiles and 2-D range scans skip most files
+    * (data-skipping is what the curve buys; `FooterStats`/
+    * `Layout.bucketsForRange` consume it). Content is byte-identical as a
+    * set; only layout changes. `repartitionByRange` on the key samples
+    * range boundaries (one pass + one shuffle), `sortWithinPartitions`
+    * finishes the clustering — no global single-partition sort.
+    */
+  def optimizeByCurve(xCol: String, yCol: String, bits: Int, numFiles: Int,
+                      hilbert: Boolean = false): Int = {
+    import graft.functions.Layout
+    val df = read()
+    val r = df.agg(min(col(xCol)).cast("long"), max(col(xCol)).cast("long"),
+      min(col(yCol)).cast("long"), max(col(yCol)).cast("long")).head()
+    val (xMin, xSpan) = (r.getLong(0), math.max(r.getLong(1) - r.getLong(0), 1L))
+    val (yMin, ySpan) = (r.getLong(2), math.max(r.getLong(3) - r.getLong(2), 1L))
+    Layout.requireScaleSafe(xSpan, bits, xCol)
+    Layout.requireScaleSafe(ySpan, bits, yCol)
+    val zx = expr(Layout.scaledSql(xCol, xMin.toString, xSpan.toString, bits, duck = false))
+    val zy = expr(Layout.scaledSql(yCol, yMin.toString, ySpan.toString, bits, duck = false))
+    val key = if (hilbert) Layout.hilbertKey(bits, zx, zy) else Layout.zOrderKey(bits, zx, zy)
+    val shaped = df.withColumn("__zk", key)
+      .repartitionByRange(numFiles, col("__zk"))
+      .sortWithinPartitions(col("__zk"))
+      .drop("__zk")
+    commit(shaped)
+  }
 
   /** Orphan cleanup (X3 analog): version dirs above the pointer (failed
     * commits) are unreachable — remove them.

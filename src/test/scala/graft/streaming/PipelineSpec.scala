@@ -44,6 +44,32 @@ class ParquetTargetSpec extends SparkSpec {
     intercept[IllegalArgumentException](tgt.readVersion(99))
   }
 
+  test("optimizeByCurve clusters files into tiles: content identical, scans skip") {
+    import graft.tools.FooterStats
+    val dir = Files.createTempDirectory("ptargetzo").toString
+    val tgt = new ParquetTarget(spark, dir)
+    // deliberately scattered layout: consecutive rows far apart in (x, y)
+    val rows = (0 until 10000).map(i => (i.toLong, (i * 37L) % 100, (i * 61L) % 100))
+    tgt.commit(rows.toDF("id", "x", "y").repartition(8))
+    val before = tgt.read().as[(Long, Long, Long)].collect().toSet
+    val v = tgt.optimizeByCurve("x", "y", bits = 8, numFiles = 8)
+    assert(tgt.currentVersion.contains(v))
+    assert(tgt.read().as[(Long, Long, Long)].collect().toSet == before,
+      "OPTIMIZE changes layout, never content")
+    // per-file footer bounds must tile: a 25x25 corner box should skip
+    // most of the 8 files (pre-optimize every file spans ~the full domain)
+    val vdir = f"$dir/v_$v%08d"
+    def matching(colName: String, lo: Long, hi: Long): Set[String] =
+      FooterStats.int64ColumnBounds(vdir, colName)
+        .filter { case (_, mn, mx, _, _) => mx >= lo && mn <= hi }
+        .map(_._1).toSet
+    val files = FooterStats.int64ColumnBounds(vdir, "x").map(_._1).distinct
+    val hit = matching("x", 0, 24).intersect(matching("y", 0, 24))
+    assert(files.size >= 4, s"fixture sanity: ${files.size} files")
+    assert(hit.size * 2 <= files.size,
+      s"box scan should skip most tiles: hit ${hit.size} of ${files.size}")
+  }
+
   test("changesBetween reconstructs the changefeed between two snapshots") {
     val dir = Files.createTempDirectory("ptargetcb").toString
     val tgt = new ParquetTarget(spark, dir)
