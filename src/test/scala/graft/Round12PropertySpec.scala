@@ -119,6 +119,66 @@ class Round12PropertySpec extends SparkSpec {
       Gen.choose(2, 12).flatMap(len => Gen.listOfN(len, word).map(_.mkString(" ")))))
   }
 
+  private val cdcFeedGen: Gen[List[(String, Long, String, Double, Boolean)]] = for {
+    n <- Gen.choose(6, 24)
+    rows <- Gen.listOfN(n, for {
+      k <- Gen.oneOf("k1", "k2", "k3", "k4")
+      g <- Gen.oneOf("a", "b", "c")
+      v <- Gen.choose(0.0, 100.0)
+      del <- Gen.frequency(4 -> false, 1 -> true)
+    } yield (k, g, v, del))
+  } yield rows.zipWithIndex.map { case ((k, g, v, del), i) =>
+    (k, i.toLong + 1, g, v, del) // unique monotone versions
+  }
+
+  test("SCD2 incremental == full rebuild on RANDOM change streams at random splits") {
+    import graft.operators.Scd2
+    import org.apache.spark.sql.functions.col
+    forAllSampled(cdcFeedGen, n = 6) { feed =>
+      val full = feed.toDF("k", "ver", "g", "v", "del")
+      val expected = Scd2.buildHistory(full, "k", "ver", Seq("g"), col("del"))
+        .select($"k", $"g", $"valid_from", $"valid_to", $"is_current")
+        .as[(String, String, Long, Option[Long], Boolean)]
+        .collect().sortBy(r => (r._1, r._3)).toSeq
+      val split = feed.length / 2
+      val pre = feed.filter(_._2 <= split).toDF("k", "ver", "g", "v", "del")
+      val post = feed.filter(_._2 > split).toDF("k", "ver", "g", "v", "del")
+      val h0 = Scd2.buildHistory(pre, "k", "ver", Seq("g"), col("del"))
+      val got = Scd2.applyChanges(h0, post, "k", "ver", Seq("g"), col("del"))
+        .select($"k", $"g", $"valid_from", $"valid_to", $"is_current")
+        .as[(String, String, Long, Option[Long], Boolean)]
+        .collect().sortBy(r => (r._1, r._3)).toSeq
+      assert(got == expected, s"feed: $feed")
+    }
+  }
+
+  test("IVM maintain == recompute on RANDOM change streams") {
+    import graft.operators.{Dedup, IncrementalAgg, MsSqlCtDialect}
+    import org.apache.spark.sql.functions.col
+    forAllSampled(cdcFeedGen, n = 6) { feed =>
+      def df(rows: List[(String, Long, String, Double, Boolean)]) =
+        rows.map { case (k, ver, g, v, del) =>
+          (k, ver, g, v, if (del) "D" else "U")
+        }.toDF("k", "SYS_CHANGE_VERSION", "g", "v", "SYS_CHANGE_OPERATION")
+      def stateOf(rows: List[(String, Long, String, Double, Boolean)]) =
+        Dedup.latestByKey(df(rows), col("k"), Seq(col("SYS_CHANGE_VERSION")))
+          .filter(col("SYS_CHANGE_OPERATION") =!= "D")
+      val split = feed.length / 2
+      val (pre, post) = feed.partition(_._2 <= split)
+      val target = stateOf(pre).drop("SYS_CHANGE_OPERATION")
+      val latest = Dedup.latestByKey(df(post), col("k"), Seq(col("SYS_CHANGE_VERSION")))
+      val view0 = IncrementalAgg.bootstrap(target, Seq("g"), "v")
+      val got = IncrementalAgg.maintain(view0, target, latest, "k",
+        MsSqlCtDialect, Seq("g"), "v")
+        .select($"g", $"cnt".cast("long"), org.apache.spark.sql.functions.round($"sum_value", 6))
+        .as[(String, Long, Double)].collect().sortBy(_._1).toSeq
+      val expected = IncrementalAgg.bootstrap(stateOf(feed), Seq("g"), "v")
+        .select($"g", $"cnt".cast("long"), org.apache.spark.sql.functions.round($"sum_value", 6))
+        .as[(String, Long, Double)].collect().sortBy(_._1).toSeq
+      assert(got == expected, s"feed: $feed")
+    }
+  }
+
   test("PSI invariants: non-negative always, zero iff identical, monotone under disjointness") {
     import graft.functions.Drift
     val countsGen: Gen[(List[Int], List[Int])] = for {
