@@ -1152,6 +1152,26 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // SFT pair construction: split each document at 70% of its tokens into
+    // (prompt, completion) and render the chat-template text — the
+    // fine-tuning-data assembly step; pure map-side array arithmetic
+    "doc_prompt_completion" -> ((s, dir) => {
+      val toks = split(trim(col("text")), "[ \\t\\n\\f\\r]+")
+      val n = size(toks)
+      val cut = ceil(n * lit(0.7)).cast("int")
+      t(s, dir, "documents")
+        .filter(length(trim(col("text"))) > 0)
+        .select(col("doc_id"),
+          array_join(slice(toks, lit(1), cut), " ").as("prompt"),
+          array_join(slice(toks, cut + 1, greatest(n - cut, lit(0))), " ").as("completion"),
+          cut.cast("long").as("n_prompt"),
+          (n - cut).cast("long").as("n_completion"))
+        .withColumn("sft_text",
+          concat(lit("Instruction:\n"), col("prompt"),
+            lit("\nResponse:\n"), col("completion")))
+        .orderBy(col("doc_id"))
+    }),
+
     // weighted sampling without replacement (Efraimidis–Spirakis): longer
     // documents proportionally more likely, deterministic md5 draws, the
     // global top-k is TakeOrdered (per-partition heaps) not a full sort
@@ -3470,6 +3490,25 @@ object SparkEntry {
       // replays the md5-permutation shuffle: same 4-hex-digit shard
       // bucket as doc_pack_sequences, in-shard order by the full md5 hex
       // (identical strings in both engines) with the key as tiebreak
+      "doc_prompt_completion" ->
+        """WITH tk AS (
+          |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+          |  FROM documents WHERE length(trim(text)) > 0),
+          |c AS (
+          |  SELECT doc_id, toks, len(toks) AS n,
+          |    CAST(ceil(len(toks) * 0.7) AS INT) AS cut
+          |  FROM tk)
+          |SELECT doc_id,
+          |  array_to_string(toks[1:cut], ' ') AS prompt,
+          |  array_to_string(toks[cut+1:n], ' ') AS completion,
+          |  CAST(cut AS BIGINT) AS n_prompt,
+          |  CAST(n - cut AS BIGINT) AS n_completion,
+          |  'Instruction:' || chr(10) || array_to_string(toks[1:cut], ' ') ||
+          |    chr(10) || 'Response:' || chr(10) ||
+          |    array_to_string(toks[cut+1:n], ' ') AS sft_text
+          |FROM c
+          |ORDER BY doc_id""".stripMargin,
+
       "doc_sample_weighted" ->
         """WITH s AS (
           |  SELECT doc_id, n_chars, source,
