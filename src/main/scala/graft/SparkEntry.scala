@@ -1152,6 +1152,23 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // corpus card (the "datasheet for datasets" artifact): one row per
+    // source with volume, token mass, length, language spread, and
+    // exact-dup rate — ONE scan, one grouped aggregation
+    "corpus_card" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).cast("long").as("n_docs"),
+          sum(TextFunctions.tokenCount(lower(col("text")))).cast("long").as("n_tokens"),
+          round(avg(col("n_chars")), 2).as("mean_chars"),
+          countDistinct(col("lang")).cast("long").as("n_langs"),
+          (count(lit(1)) - countDistinct(md5(col("text")))).cast("long").as("dup_docs"),
+          round(countDistinct(md5(col("text"))) / count(lit(1)).cast("double"), 4)
+            .as("uniq_frac"))
+        .orderBy(col("source"))
+    }),
+
     // SFT pair construction: split each document at 70% of its tokens into
     // (prompt, completion) and render the chat-template text — the
     // fine-tuning-data assembly step; pure map-side array arithmetic
@@ -3490,6 +3507,19 @@ object SparkEntry {
       // replays the md5-permutation shuffle: same 4-hex-digit shard
       // bucket as doc_pack_sequences, in-shard order by the full md5 hex
       // (identical strings in both engines) with the key as tiebreak
+      "corpus_card" ->
+        """SELECT source,
+          |  CAST(count(*) AS BIGINT) AS n_docs,
+          |  CAST(sum(CASE WHEN trim(text) = '' THEN 0
+          |    ELSE len(regexp_split_to_array(trim(lower(text)), '\s+')) END) AS BIGINT) AS n_tokens,
+          |  round(avg(n_chars), 2) AS mean_chars,
+          |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+          |  CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT) AS dup_docs,
+          |  round(count(DISTINCT md5(text)) / CAST(count(*) AS DOUBLE), 4) AS uniq_frac
+          |FROM documents
+          |GROUP BY source
+          |ORDER BY source""".stripMargin,
+
       "doc_prompt_completion" ->
         """WITH tk AS (
           |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
