@@ -235,20 +235,15 @@ class PlanPostureSpec extends SparkSpec {
       // aggregate below the hint means someone pinned a build side whose
       // size scales with the data — an OOM at 100× regardless of today's
       // numbers. Only explicit hints appear as ResolvedHint in the
-      // ANALYZED logical plan (the optimizer folds them into JoinHint); AQE runtime broadcasts never do.
-      val factScans = Set("lineitem", "orders", "events")
-      def logicalNodes(p: LogicalPlan): Seq[LogicalPlan] =
-        p +: p.children.flatMap(logicalNodes)
-      logicalNodes(df.queryExecution.analyzed)
-        .collect { case h: ResolvedHint if h.hints.strategy.isDefined => h }
-        .foreach { h =>
-          val sub = logicalNodes(h.child)
-          val readsFact = sub.exists(n =>
-            n.nodeName.contains("Relation") && factScans.exists(t => n.toString.contains(t)))
-          val aggregatedFirst = sub.exists(_.isInstanceOf[Aggregate])
-          assert(!readsFact || aggregatedFirst,
-            s"broadcast hint over un-aggregated fact-table subtree:\n${h.treeString}")
-        }
+      // ANALYZED logical plan (the optimizer folds them into JoinHint);
+      // AQE runtime broadcasts never do. Detection delegated to the
+      // user-facing PlanAudit tool (location-based fact matching — a node
+      // toString match would be vacuous, the path never prints).
+      val hintFindings = graft.tools.PlanAudit
+        .audit(df, factTables = Set("lineitem", "orders", "events"))
+        .filter(_.kind == "fact-broadcast-hint")
+      assert(hintFindings.isEmpty,
+        s"broadcast hint over un-aggregated fact-table subtree: $hintFindings")
     }
   }
 }
