@@ -167,11 +167,14 @@ object Sampling {
     // u from the md5 32-bit prefix, centered so u ∈ (0,1) exclusive
     val u = (conv(substring(md5(key.cast("string")), 1, 8), 16, 10)
       .cast("double") + lit(0.5)) / lit(4294967296.0)
-    round(pow(u, lit(1.0) / weight), 6) + lit(0.0)
+    // w ≤ 0 has no draw (1/w flips the exponent sign and u^(1/w) > 1 —
+    // garbage that would SILENTLY win the top-k): null key = excluded
+    when(weight > lit(0.0), round(pow(u, lit(1.0) / weight), 6) + lit(0.0))
   }
 
   def weightedSample(df: DataFrame, key: Column, weight: Column, k: Int): DataFrame =
     df.withColumn("__wkey", weightedSampleKey(key, weight))
+      .filter(col("__wkey").isNotNull) // w ≤ 0 rows carry no draw
       .orderBy(col("__wkey").desc, key)
       .limit(k)
       .drop("__wkey")

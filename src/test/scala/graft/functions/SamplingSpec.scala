@@ -141,6 +141,13 @@ class SamplingSpec extends SparkSpec {
     val eq2 = Sampling.weightedSample(ids.withColumn("w", lit(7.0)),
       col("doc_id"), col("w"), k = 20).select($"doc_id").as[Long].collect().toSet
     assert(eq == eq2)
+    // w <= 0 rows are excluded, never silently ranked
+    val mixed = ids.withColumn("w",
+      when(col("doc_id") < 490, 0.0).otherwise(1.0))
+    val onlyPositive = Sampling.weightedSample(mixed, col("doc_id"), col("w"), k = 20)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(onlyPositive.forall(_ >= 490) && onlyPositive.size == 10,
+      s"zero-weight rows must carry no draw, got $onlyPositive")
   }
 
   test("denseIds: exact 0..n-1 bijection, stable under repartitioning") {
