@@ -2374,6 +2374,23 @@ object SparkEntry {
         .orderBy(col("g_rf"), col("g_ls"), col("rf"), col("ls"))
     }),
 
+    // GROUPING SETS proper (the third grouping-sets form next to ROLLUP
+    // and CUBE): exactly the (returnflag) and (linestatus) marginals, no
+    // cross terms — one Expand + one exchange, not two scans
+    "q_grouping_sets" -> ((s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("__gs_lineitem")
+      s.sql("""
+        SELECT coalesce(l_returnflag, 'ALL') AS rf,
+               coalesce(l_linestatus, 'ALL') AS ls,
+               CAST(grouping(l_returnflag) AS BIGINT) AS g_rf,
+               CAST(grouping(l_linestatus) AS BIGINT) AS g_ls,
+               CAST(count(*) AS BIGINT) AS n,
+               round(sum(l_quantity), 2) + 0.0 AS sum_qty
+        FROM __gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        ORDER BY g_rf, g_ls, rf, ls""")
+    }),
+
     // analytic-window trio over partitioned groups: ntile deciles,
     // percent_rank, cume_dist — per-key windows (one key exchange), the
     // deterministic (price, orderkey) total order on both engines
@@ -4927,6 +4944,17 @@ object SparkEntry {
           |  CAST(count(*) AS BIGINT) AS n,
           |  round(sum(l_quantity), 2) + 0.0 AS sum_qty
           |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+          |ORDER BY g_rf, g_ls, rf, ls""".stripMargin,
+
+      "q_grouping_sets" ->
+        """SELECT coalesce(l_returnflag, 'ALL') AS rf,
+          |  coalesce(l_linestatus, 'ALL') AS ls,
+          |  CAST(grouping(l_returnflag) AS BIGINT) AS g_rf,
+          |  CAST(grouping(l_linestatus) AS BIGINT) AS g_ls,
+          |  CAST(count(*) AS BIGINT) AS n,
+          |  round(sum(l_quantity), 2) + 0.0 AS sum_qty
+          |FROM lineitem
+          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
           |ORDER BY g_rf, g_ls, rf, ls""".stripMargin,
 
       "q_orders_decile" ->
