@@ -52,9 +52,12 @@ object PageRank {
     val e0 = edges.select(col(src).as("src"), col(dst).as("dst"))
     val e = if (persistLinks) e0.persist(StorageLevel.MEMORY_AND_DISK) else e0
     // contribution weight folded into the edge list once: src → dst carries
-    // rank(src) * w, w = 1/outdeg(src)
-    val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    val links0 = e.join(outDeg, "src")
+    // rank(src) * w, w = 1/outdeg(src) — the degree attaches via a WINDOW
+    // over the src partitioning, not an aggregate + self-join: one exchange
+    // on src builds the weighted links instead of two sides meeting again
+    val links0 = e
+      .withColumn("deg", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("src"))))
       .select(col("src"), col("dst"), (lit(1.0) / col("deg")).as("w"))
     val links = if (persistLinks) links0.persist(StorageLevel.MEMORY_AND_DISK) else links0
     // links ≡ edges row-for-row (every src has an out-degree), so the vertex
