@@ -632,6 +632,19 @@ object SparkEntry {
         .orderBy(col("user_id"))
     }),
 
+    // windowed funnel: same steps, but each conversion must land within 24
+    // hours of the previous step — the strict-conversion-window report
+    "q_events_funnel_windowed" -> ((s, dir) => {
+      val steps = Seq(
+        "view" -> (col("event_type") === "view"),
+        "click" -> (col("event_type") === "click"),
+        "purchase" -> (col("event_type") === "purchase"))
+      Funnel.ordered(t(s, dir, "events"), "user_id", "ts", steps,
+        maxGap = Some(expr("INTERVAL 24 HOURS")))
+        .withColumn("furthest", Funnel.furthest(steps.map(_._1)))
+        .orderBy(col("user_id"))
+    }),
+
     // robust outlier detection: median absolute deviation (the robust
     // z-score). Two bounded per-group percentile aggregations broadcast
     // back; both med and mad are ROUNDED before reuse so the two engines
@@ -2915,6 +2928,28 @@ object SparkEntry {
           |  SELECT e.user_id, min(e.ts) AS t_purchase FROM events e
           |  JOIN c ON e.user_id = c.user_id
           |  WHERE e.event_type = 'purchase' AND e.ts > c.t_click GROUP BY 1)
+          |SELECT v.user_id, v.t_view, c.t_click, p.t_purchase,
+          |  CASE WHEN p.user_id IS NOT NULL THEN 'purchase'
+          |       WHEN c.user_id IS NOT NULL THEN 'click'
+          |       ELSE 'view' END AS furthest
+          |FROM v LEFT JOIN c ON v.user_id = c.user_id
+          |LEFT JOIN p ON v.user_id = p.user_id
+          |ORDER BY v.user_id""".stripMargin,
+
+      "q_events_funnel_windowed" ->
+        """WITH v AS (
+          |  SELECT user_id, min(ts) AS t_view FROM events
+          |  WHERE event_type = 'view' GROUP BY 1),
+          |c AS (
+          |  SELECT e.user_id, min(e.ts) AS t_click FROM events e
+          |  JOIN v ON e.user_id = v.user_id
+          |  WHERE e.event_type = 'click' AND e.ts > v.t_view
+          |    AND e.ts <= v.t_view + INTERVAL 24 HOURS GROUP BY 1),
+          |p AS (
+          |  SELECT e.user_id, min(e.ts) AS t_purchase FROM events e
+          |  JOIN c ON e.user_id = c.user_id
+          |  WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+          |    AND e.ts <= c.t_click + INTERVAL 24 HOURS GROUP BY 1)
           |SELECT v.user_id, v.t_view, c.t_click, p.t_purchase,
           |  CASE WHEN p.user_id IS NOT NULL THEN 'purchase'
           |       WHEN c.user_id IS NOT NULL THEN 'click'

@@ -16,12 +16,18 @@ import org.apache.spark.sql.functions._
   */
 object Funnel {
 
-  /** @param steps (name, predicate) in funnel order; output columns are
-    *              `t_<name>` (null = key never reached the step), one row
-    *              per key that completed the FIRST step.
+  /** @param steps   (name, predicate) in funnel order; output columns are
+    *                `t_<name>` (null = key never reached the step), one row
+    *                per key that completed the FIRST step.
+    * @param maxGap  optional conversion window: step i counts only when it
+    *                happens within `maxGap` of step i−1's time (strictly
+    *                after, at most that much later) — the "purchased within
+    *                an hour of clicking" form every funnel report wants.
+    *                None = unbounded (any later time converts).
     */
   def ordered(events: DataFrame, keyCol: String, tsCol: String,
-              steps: Seq[(String, Column)]): DataFrame = {
+              steps: Seq[(String, Column)],
+              maxGap: Option[Column] = None): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
     var acc: DataFrame = null
     var prevName: String = null
@@ -29,8 +35,12 @@ object Funnel {
       val base = events.filter(pred)
       val scoped =
         if (acc == null) base
-        else base.join(acc.select(col(keyCol), col(s"t_$prevName").as("__prev")), keyCol)
-          .filter(col(tsCol) > col("__prev"))
+        else {
+          val joined = base
+            .join(acc.select(col(keyCol), col(s"t_$prevName").as("__prev")), keyCol)
+            .filter(col(tsCol) > col("__prev"))
+          maxGap.fold(joined)(g => joined.filter(col(tsCol) <= col("__prev") + g))
+        }
       val stepTimes = scoped.groupBy(col(keyCol)).agg(min(col(tsCol)).as(s"t_$name"))
       acc = if (acc == null) stepTimes
             else acc.join(stepTimes, Seq(keyCol), "left_outer")

@@ -38,4 +38,16 @@ class FunnelSpec extends SparkSpec {
       (5L, 10L, Some(15L), None, "click")))  // earliest view anchors the funnel
     assert(!out.exists(_._1 == 4L), "keys that never complete step 1 are absent")
   }
+
+  test("maxGap bounds each conversion window; the slow click drops out") {
+    val out = Funnel.ordered(events, "user_id", "ts", steps,
+      maxGap = Some(org.apache.spark.sql.functions.lit(15L)))
+      .withColumn("furthest", Funnel.furthest(steps.map(_._1)))
+      .select($"user_id", $"furthest").as[(Long, String)]
+      .collect().sortBy(_._1).toSeq
+    // u2's click at 30 is 20 past its view at 10 — outside the 15-tick
+    // window, so u2 stops at view; u1 (gaps of 10) fully converts and
+    // u5 (gap 5) reaches click
+    assert(out == Seq((1L, "purchase"), (2L, "view"), (3L, "view"), (5L, "click")))
+  }
 }
