@@ -179,6 +179,50 @@ class Round12PropertySpec extends SparkSpec {
     }
   }
 
+  test("funnel is input-order and partitioning invariant on random feeds") {
+    import graft.operators.Funnel
+    import org.apache.spark.sql.functions.col
+    val feedGen: Gen[List[(Long, Long, String)]] = for {
+      n <- Gen.choose(8, 30)
+      rows <- Gen.listOfN(n, for {
+        u <- Gen.choose(1L, 5L)
+        t <- Gen.choose(0L, 100L)
+        e <- Gen.oneOf("view", "click", "purchase", "other")
+      } yield (u, t, e))
+    } yield rows
+    val steps = Seq(
+      "view" -> (col("event_type") === "view"),
+      "click" -> (col("event_type") === "click"),
+      "purchase" -> (col("event_type") === "purchase"))
+    forAllSampled(feedGen, n = 5) { feed =>
+      def run(rows: List[(Long, Long, String)], parts: Int) =
+        Funnel.ordered(rows.toDF("user_id", "ts", "event_type").repartition(parts),
+          "user_id", "ts", steps)
+          .select($"user_id", $"t_view", $"t_click", $"t_purchase")
+          .as[(Long, Long, Option[Long], Option[Long])]
+          .collect().sortBy(_._1).toSeq
+      assert(run(feed, 3) == run(scala.util.Random.javaRandomToRandom(
+        new java.util.Random(42)).shuffle(feed), 7),
+        "funnel depends on timestamps, never on row arrival order")
+    }
+  }
+
+  test("weighted sample invariants: subset of positive weights, exact size, in-corpus") {
+    import graft.functions.Sampling
+    import org.apache.spark.sql.functions.col
+    val wGen: Gen[List[Double]] = Gen.choose(5, 40)
+      .flatMap(n => Gen.listOfN(n, Gen.oneOf(0.0, 0.5, 1.0, 10.0, 1000.0)))
+    forAllSampled(wGen, n = 5) { ws =>
+      val df = ws.zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("id", "w")
+      val k = 5
+      val picked = Sampling.weightedSample(df, col("id"), col("w"), k)
+        .select($"id").as[Long].collect().toSet
+      val positive = ws.zipWithIndex.filter(_._1 > 0).map(_._2.toLong).toSet
+      assert(picked.subsetOf(positive), "only positive-weight rows can be drawn")
+      assert(picked.size == math.min(k, positive.size), "exact sample size")
+    }
+  }
+
   test("PSI invariants: non-negative always, zero iff identical, monotone under disjointness") {
     import graft.functions.Drift
     val countsGen: Gen[(List[Int], List[Int])] = for {
