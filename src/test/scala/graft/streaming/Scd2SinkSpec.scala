@@ -59,6 +59,29 @@ class Scd2SinkSpec extends SparkSpec {
     assert(collected(target.read()) == before)
   }
 
+  test("streaming facts enrich against the maintained history (temporal join per batch)") {
+    // the composition a real deployment runs: dimension changes maintain
+    // the history via the sink, and each FACT batch temporal-joins the
+    // history as of its own version
+    val target = new ParquetTarget(spark,
+      Files.createTempDirectory("scd2enrich").toString)
+    feed.foreach(b => Scd2Sink.processBatch(target, b.toDF(), "k", "v",
+      Seq("state"), col("del")))
+    val facts = Seq(
+      ("k1", 2L), ("k1", 5L), ("k1", 9L),
+      ("k2", 5L), ("k2", 8L),
+      ("k3", 6L)
+    ).toDF("k", "fv")
+    val out = Scd2.asOfJoin(facts, target.read(), "k", col("fv"))
+      .select($"k", $"fv", $"state").as[(String, Long, String)]
+      .collect().sortBy(r => (r._1, r._2)).toSeq
+    // history from the feed: k1 a:[1,3) b:[3,∞); k2 x:[1,4) deleted, y:[7,∞); k3 m:[4,∞)
+    assert(out == Seq(
+      ("k1", 2L, "a"), ("k1", 5L, "b"), ("k1", 9L, "b"),
+      ("k2", 8L, "y"), ("k3", 6L, "m")),
+      s"got $out") // k2@5 falls in the deletion gap [4,7) and drops
+  }
+
   test("empty batches do not commit a new snapshot") {
     val target = new ParquetTarget(spark,
       Files.createTempDirectory("scd2empty").toString)
