@@ -68,6 +68,10 @@ class ParquetTargetSpec extends SparkSpec {
     assert(files.size >= 4, s"fixture sanity: ${files.size} files")
     assert(hit.size * 2 <= files.size,
       s"box scan should skip most tiles: hit ${hit.size} of ${files.size}")
+    // the hilbert variant preserves content too (strictly better locality)
+    val v2 = tgt.optimizeByCurve("x", "y", bits = 8, numFiles = 8, hilbert = true)
+    assert(tgt.currentVersion.contains(v2))
+    assert(tgt.read().as[(Long, Long, Long)].collect().toSet == before)
   }
 
   test("changesBetween reconstructs the changefeed between two snapshots") {
