@@ -632,6 +632,31 @@ object SparkEntry {
         .orderBy(col("user_id"))
     }),
 
+    // cohort retention: users grouped by first-activity week, retention[k]
+    // = distinct users active k weeks later / cohort size — the classic
+    // product-analytics table; two key-grouped aggs + one bounded
+    // (cohort, k) agg, no window over raw events
+    "q_events_retention" -> ((s, dir) => {
+      val act = t(s, dir, "events")
+        .select(col("user_id"), date_trunc("week", col("ts")).as("week"))
+        .distinct()
+      val firstW = act.groupBy(col("user_id")).agg(min(col("week")).as("cohort_week"))
+      val joined = act.join(firstW, "user_id")
+        .withColumn("k",
+          (datediff(col("week").cast("date"), col("cohort_week").cast("date")) / 7)
+            .cast("long"))
+      val ret = joined.groupBy(col("cohort_week"), col("k"))
+        .agg(countDistinct(col("user_id")).cast("long").as("active"))
+      val sizes = firstW.groupBy(col("cohort_week"))
+        .agg(count(lit(1)).cast("long").as("cohort_size"))
+      ret.join(sizes, "cohort_week")
+        .withColumn("retention",
+          round(col("active") * lit(1.0) / col("cohort_size"), 4))
+        .select(col("cohort_week").cast("date").as("cohort_week"), col("k"),
+          col("active"), col("cohort_size"), col("retention"))
+        .orderBy(col("cohort_week"), col("k"))
+    }),
+
     // windowed funnel: same steps, but each conversion must land within 24
     // hours of the previous step — the strict-conversion-window report
     "q_events_funnel_windowed" -> ((s, dir) => {
@@ -2935,6 +2960,25 @@ object SparkEntry {
           |FROM v LEFT JOIN c ON v.user_id = c.user_id
           |LEFT JOIN p ON v.user_id = p.user_id
           |ORDER BY v.user_id""".stripMargin,
+
+      "q_events_retention" ->
+        """WITH act AS (
+          |  SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events),
+          |fw AS (SELECT user_id, min(week) AS cohort_week FROM act GROUP BY 1),
+          |j AS (
+          |  SELECT f.cohort_week,
+          |    CAST(date_diff('day', CAST(f.cohort_week AS DATE), CAST(a.week AS DATE)) / 7 AS BIGINT) AS k,
+          |    a.user_id
+          |  FROM act a JOIN fw f ON a.user_id = f.user_id),
+          |r AS (SELECT cohort_week, k, CAST(count(DISTINCT user_id) AS BIGINT) AS active
+          |      FROM j GROUP BY 1, 2),
+          |c AS (SELECT cohort_week, CAST(count(*) AS BIGINT) AS cohort_size
+          |      FROM fw GROUP BY 1)
+          |SELECT CAST(r.cohort_week AS DATE) AS cohort_week, r.k, r.active,
+          |  c.cohort_size,
+          |  round(r.active * 1.0 / c.cohort_size, 4) AS retention
+          |FROM r JOIN c USING (cohort_week)
+          |ORDER BY r.cohort_week, r.k""".stripMargin,
 
       "q_events_funnel_windowed" ->
         """WITH v AS (
