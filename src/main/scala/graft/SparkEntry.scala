@@ -1817,14 +1817,19 @@ object SparkEntry {
     // per-label embedding centroids (class prototypes / mean-pooling) via
     // the mergeable vector-mean aggregate: state = ONE dim-length buffer
     // per label, map-side partials — the posexplode row×dimension shuffle
-    // never exists. Oracle replays it positionally.
+    // never exists. Oracle replays it positionally. The centroid leaves
+    // the query as a formatted-string scalar ("%.4f" per dimension,
+    // comma-joined): array-typed result columns are unsortable/unhashable
+    // in the comparison harness, and the string pins every dimension's
+    // rounded value just as strongly.
     "vec_label_centroids" -> ((s, dir) => {
       t(s, dir, "embeddings")
         .groupBy(col("label").cast("long").as("label"))
         .agg(VectorSimilarity.vectorMean(col("embedding")).as("c"),
           count(lit(1)).as("n"))
         .select(col("label"),
-          transform(col("c"), x => round(x, 4) + lit(0.0)).as("centroid"),
+          concat_ws(",", transform(col("c"),
+            x => format_string("%.4f", round(x, 4) + lit(0.0)))).as("centroid"),
           col("n"))
         .orderBy(col("label"))
     }),
@@ -4454,7 +4459,8 @@ object SparkEntry {
           |  FROM embeddings),
           |m AS (SELECT label, pos, avg(x) AS mx FROM e GROUP BY label, pos)
           |SELECT CAST(label AS BIGINT) AS label,
-          |       list(round(mx, 4) + 0.0 ORDER BY pos) AS centroid,
+          |       string_agg(printf('%.4f', round(mx, 4) + 0.0), ','
+          |                  ORDER BY pos) AS centroid,
           |       (SELECT CAST(count(*) AS BIGINT) FROM embeddings e2
           |        WHERE e2.label = m.label) AS n
           |FROM m

@@ -229,7 +229,15 @@ object Sampling {
       .withColumn("__h", conv(substring(md5(
         concat(col("anchor_id").cast("string"), lit("#"), col("pair_idx").cast("string"))),
         1, 8), 16, 10).cast("long"))
-      .withColumn("__neg0", col("__h") % (col("__n") - 1))
+      // a 1-row corpus has no possible negative (__n − 1 = 0 → modulo by
+      // zero, which non-ANSI SQL would null out SILENTLY): assert_true
+      // rides the same expression (null → +0 when the corpus is big
+      // enough), so the check is codegen'd row-side, costs no extra action,
+      // and fails loudly instead of emitting null neg_ids
+      .withColumn("__neg0", col("__h") % (col("__n") - 1) +
+        coalesce(assert_true(col("__n") >= 2,
+          lit("negativePairs requires a corpus of at least 2 rows"))
+          .cast("long"), lit(0L)))
       .withColumn("neg_id",
         when(col("__neg0") >= col("anchor_id"), col("__neg0") + 1).otherwise(col("__neg0")))
       .select(col("anchor_id"), col("pair_idx"), col("neg_id"))

@@ -96,7 +96,10 @@ object VectorSimilarity {
   /** Uniform int8 encode against fixed per-dim ranges: code_d =
     * round((v − mn_d) / (mx_d − mn_d) · 255), 0 for a degenerate dimension.
     * Pure builtin `transform` — map-side, codegen'd; 255-level codes cut a
-    * float vector 4× (store as `array<tinyint>`/binary at rest).
+    * float vector 4×. At rest, store as `array<smallint>` or pack into
+    * `binary` — NOT `array<tinyint>`: codes span 0..255 and signed tinyint
+    * tops out at 127, so a tinyint cast would corrupt the upper half of
+    * the range (offset-encode to [−128,127] first if tinyint is required).
     */
   def sq8Encode(vec: Column, mins: Seq[Double], maxs: Seq[Double]): Column =
     transform(vec, (v, i) => {

@@ -28,6 +28,15 @@ import org.apache.spark.storage.StorageLevel
   */
 object PageRank {
 
+  /** Ranks plus the lifecycle handle for the frames the run persisted.
+    * Call `release()` once every consumer of `ranks` has materialized:
+    * it unpersists the edge/link/vertex caches so repeated graph runs in
+    * one session don't accumulate block-store state. After release, any
+    * NEW action on `ranks` recomputes from the raw edges (valid, just no
+    * longer cache-accelerated) — release is "I'm done", not "destroy".
+    */
+  final case class Ranked(ranks: DataFrame, release: () => Unit)
+
   /** Returns (v, rank) for every vertex appearing as src or dst.
     * `edges` must be duplicate-free: parallel edges would double-count
     * contributions (dedupe upstream — degree math assumes simple edges).
@@ -35,14 +44,24 @@ object PageRank {
     * CACHE LIFETIME: with `persistLinks` (the default) the edge, link, and
     * vertex frames stay cached after the returned ranks are consumed —
     * they are what make the iterations cheap, and the result's lineage
-    * references them, so they cannot be released here. Callers running
-    * many graphs in one session should unpersist between runs
-    * (`spark.catalog.clearCache()` or track `getPersistentRDDs`), or pass
-    * `persistLinks = false` and accept the recomputation.
+    * references them, so they cannot be released here. One-shot callers
+    * (one graph per session / the bench harness, which clears all state
+    * between queries) can use this; callers running MANY graphs in one
+    * session should use [[runManaged]] and release between runs.
     */
   def run(edges: DataFrame, src: String, dst: String,
           iterations: Int, damping: Double = 0.85,
-          persistLinks: Boolean = true): DataFrame = {
+          persistLinks: Boolean = true): DataFrame =
+    runManaged(edges, src, dst, iterations, damping, persistLinks).ranks
+
+  /** [[run]] with an explicit cache lifecycle: the returned handle's
+    * `release()` unpersists every frame this call persisted (the same
+    * consume-then-release contract `ConnectedComponents` keeps via
+    * `Checkpoints.release`).
+    */
+  def runManaged(edges: DataFrame, src: String, dst: String,
+                 iterations: Int, damping: Double = 0.85,
+                 persistLinks: Boolean = true): Ranked = {
     require(iterations >= 0, "iterations must be non-negative")
     // the edge list is read twice to build links (degree aggregate + join
     // side) and Spark does not share non-exchange subplans, so an expensive
@@ -81,6 +100,7 @@ object PageRank {
           (lit(1.0 - damping) + lit(damping) * coalesce(col("c"), lit(0.0))).as("rank"))
       i += 1
     }
-    ranks
+    val cached = if (persistLinks) Seq(e, links, verts) else Nil
+    Ranked(ranks, () => cached.foreach(_.unpersist(blocking = true)))
   }
 }

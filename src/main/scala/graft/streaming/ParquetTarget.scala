@@ -139,6 +139,10 @@ final class ParquetTarget(spark: SparkSession, dir: String) {
     val df = read()
     val r = df.agg(min(col(xCol)).cast("long"), max(col(xCol)).cast("long"),
       min(col(yCol)).cast("long"), max(col(yCol)).cast("long")).head()
+    // empty snapshot or an all-null curve column → no bounds to scale
+    // against (min/max aggregate to NULL; getLong would NPE on unboxing).
+    // Layout is moot without a key — fall back to a plain compaction.
+    if (r.isNullAt(0) || r.isNullAt(2)) return compact(numFiles)
     val (xMin, xSpan) = (r.getLong(0), math.max(r.getLong(1) - r.getLong(0), 1L))
     val (yMin, ySpan) = (r.getLong(2), math.max(r.getLong(3) - r.getLong(2), 1L))
     Layout.requireScaleSafe(xSpan, bits, xCol)

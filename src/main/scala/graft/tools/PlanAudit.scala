@@ -76,8 +76,12 @@ object PlanAudit {
     }
   }
 
+  // `subqueries` surfaces the plans nested inside scalar/IN/EXISTS
+  // expression subqueries — without walking them, a cartesian or
+  // scale-unsafe BNLJ hiding under a predicate's subquery would escape
+  // the audit entirely (children covers only the operator tree proper).
   private def collect(p: SparkPlan): Seq[SparkPlan] = {
-    val here = p +: p.children.flatMap(collect)
+    val here = p +: (p.children ++ p.subqueries).flatMap(collect)
     here ++ (p match {
       case a: AdaptiveSparkPlanExec => collect(a.executedPlan)
       case q: QueryStageExec => collect(q.plan)
@@ -86,7 +90,7 @@ object PlanAudit {
   }
 
   private def logical(p: LogicalPlan): Seq[LogicalPlan] =
-    p +: p.children.flatMap(logical)
+    p +: (p.children ++ p.subqueries).flatMap(logical)
 
   /** A BNLJ is scale-safe iff the broadcast side is guaranteed ≤1 row: a
     * no-grouping aggregate under the exchange (the scalar-attach idiom).

@@ -52,4 +52,28 @@ class PageRankSpec extends SparkSpec {
     val total = ranksOf(perm, 5).values.sum
     assert(math.abs(total - 4.0) < 1e-9)
   }
+
+  test("runManaged releases every frame the run persisted") {
+    // start from a clean slate so the assertion isolates THIS run's state
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+
+    val edges = Seq("a" -> "b", "b" -> "c", "c" -> "a", "a" -> "c").toDF("src", "dst")
+    val managed = PageRank.runManaged(edges, "src", "dst", iterations = 3)
+    val ranks = managed.ranks.as[(String, Double)].collect().toMap
+    assert(ranks.keySet === Set("a", "b", "c"))
+    assert(spark.sparkContext.getPersistentRDDs.nonEmpty,
+      "the run should have persisted its edge/link/vertex frames")
+
+    managed.release()
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "release() must drop every persisted frame the run created")
+
+    // ranks stay valid post-release: a fresh action recomputes from edges
+    val recomputed = managed.ranks.as[(String, Double)].collect().toMap
+    assert(recomputed === ranks)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "recomputation after release must not re-persist")
+  }
 }
