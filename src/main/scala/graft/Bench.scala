@@ -121,9 +121,13 @@ object Bench {
       System.err.println(f"[bench] $name%-32s $sec%8.2f s$detail")
       name -> sec
     }
-    // ANN recall@5 at the bench SF (logged, not gated, off the clock): the
-    // sf0.001 floors in AnnRecallSpec guard regressions, but codebook/LSH
-    // drift at the bench scale is only visible if each round records it.
+    // ANN recall@5 at the bench SF (recorded, not gated, off the clock):
+    // the sf0.001 floors in AnnRecallSpec guard regressions, but
+    // codebook/LSH drift at the bench scale is only visible if each round
+    // RECORDS it — the measured map lands in the JSON line's tail so the
+    // approximate-by-contract rows (ann_ivf/lsh/pq_topk) carry a
+    // per-round quality number the record's consumer can trend.
+    var recallJson = "{}"
     try {
       import org.apache.spark.sql.functions.col
       import graft.functions.VectorSimilarity
@@ -147,6 +151,7 @@ object Bench {
         .intersect(exact).size.toDouble / exact.size
       System.err.println(
         f"[bench] ann_recall@5 ivf=$ivf%.3f lsh=$lsh%.3f pq=$pq%.3f (sf=$sfDir)")
+      recallJson = f"""{"ivf":$ivf%.3f,"lsh":$lsh%.3f,"pq":$pq%.3f}"""
       resetState()
     } catch {
       case e: Throwable => System.err.println(s"[bench] ann_recall measurement failed: $e")
@@ -165,8 +170,8 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val line = s"""{"queries":$qs,"n_queries":${results.size},""" +
-      s""""slowest10":$slowest,"metric":"total","value":$total,""" +
-      s""""unit":"sec","sf":"$sfDir"}"""
+      s""""slowest10":$slowest,"recall":$recallJson,""" +
+      s""""metric":"total","value":$total,"unit":"sec","sf":"$sfDir"}"""
     println(line)
     // Belt-and-braces: the full untruncated record also lands in the repo
     // as a versioned file the round can commit. A FILTERED run
