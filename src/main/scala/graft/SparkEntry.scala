@@ -885,6 +885,26 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // M5+ temporal join, hot-key-bounded: history intervals exploded to
+    // coarse version buckets, facts join on (key, bucket) BEFORE the
+    // interval filter — candidates per fact are bounded by per-bucket
+    // occupancy, not the key's full interval count. Same oracle as the
+    // plain temporal join: the bucketing is a pure candidate prefilter.
+    "m5_scd2_temporal_join_bucketed" -> ((s, dir) => {
+      val h = Scd2.buildHistory(
+        eventsBase(s, dir).filter(col("event_id") < MergePivot),
+        "user_id", "event_id",
+        tracked = Seq("event_type"), isDelete = col("event_type") === "error")
+        .withColumnRenamed("event_type", "state_at_fact")
+      val facts = eventsBase(s, dir).filter(col("event_id") >= MergePivot)
+        .select(col("user_id"), col("event_id"), col("event_type"))
+      Scd2.asOfJoinBucketed(facts, h, "user_id", col("event_id"),
+        bucketWidth = 1L << 12)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("state_at_fact"), col("valid_from"))
+        .orderBy(col("event_id"))
+    }),
+
     // M5+ point-in-time lookup: the dimension state each key held at the
     // merge pivot version — what an as-of fact join would read.
     "m5_scd2_asof" -> ((s, dir) => {
@@ -2529,6 +2549,33 @@ object SparkEntry {
         |FROM runs WHERE NOT del
         |ORDER BY user_id, valid_from""".stripMargin
 
+    // SCD2 temporal join rebuilt in SQL — shared by the plain AND the
+    // hot-key-bucketed engine paths (identical output by contract).
+    val scd2TemporalJoinSql =
+      s"""WITH b AS (
+         |  SELECT user_id, event_id, event_type,
+         |    (event_type = 'error') AS del,
+         |    (row_number() OVER w = 1
+         |     OR event_type IS DISTINCT FROM lag(event_type) OVER w
+         |     OR (event_type = 'error') IS DISTINCT FROM lag(event_type = 'error') OVER w
+         |    ) AS boundary
+         |  FROM events WHERE event_id < $MergePivot
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
+         |), runs AS (
+         |  SELECT user_id, event_type, del, event_id AS valid_from,
+         |    lead(event_id) OVER (PARTITION BY user_id ORDER BY event_id) AS valid_to
+         |  FROM b WHERE boundary
+         |), hist AS (
+         |  SELECT user_id, event_type AS state_at_fact, valid_from, valid_to
+         |  FROM runs WHERE NOT del
+         |)
+         |SELECT f.user_id, f.event_id, f.event_type, h.state_at_fact, h.valid_from
+         |FROM events f JOIN hist h ON f.user_id = h.user_id
+         |WHERE f.event_id >= $MergePivot
+         |  AND h.valid_from <= f.event_id
+         |  AND (h.valid_to IS NULL OR h.valid_to > f.event_id)
+         |ORDER BY f.event_id""".stripMargin
+
     // BM25 over the fixed query-term bag — shared by the scan-time path
     // (text_bm25_search) and the inverted-index path (text_index_search):
     // the index must change the PLAN, never the scores.
@@ -3111,30 +3158,12 @@ object SparkEntry {
 
       "m5_scd2_history" -> scd2HistorySql,
 
-      "m5_scd2_temporal_join" ->
-        s"""WITH b AS (
-           |  SELECT user_id, event_id, event_type,
-           |    (event_type = 'error') AS del,
-           |    (row_number() OVER w = 1
-           |     OR event_type IS DISTINCT FROM lag(event_type) OVER w
-           |     OR (event_type = 'error') IS DISTINCT FROM lag(event_type = 'error') OVER w
-           |    ) AS boundary
-           |  FROM events WHERE event_id < $MergePivot
-           |  WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
-           |), runs AS (
-           |  SELECT user_id, event_type, del, event_id AS valid_from,
-           |    lead(event_id) OVER (PARTITION BY user_id ORDER BY event_id) AS valid_to
-           |  FROM b WHERE boundary
-           |), hist AS (
-           |  SELECT user_id, event_type AS state_at_fact, valid_from, valid_to
-           |  FROM runs WHERE NOT del
-           |)
-           |SELECT f.user_id, f.event_id, f.event_type, h.state_at_fact, h.valid_from
-           |FROM events f JOIN hist h ON f.user_id = h.user_id
-           |WHERE f.event_id >= $MergePivot
-           |  AND h.valid_from <= f.event_id
-           |  AND (h.valid_to IS NULL OR h.valid_to > f.event_id)
-           |ORDER BY f.event_id""".stripMargin,
+      // bucketed variant is output-identical BY CONTRACT (the bucket
+      // equi-join is a candidate prefilter under the same interval
+      // predicate) — the same oracle pins both
+      "m5_scd2_temporal_join_bucketed" -> scd2TemporalJoinSql,
+
+      "m5_scd2_temporal_join" -> scd2TemporalJoinSql,
 
       "m5_scd2_asof" ->
         s"""WITH b AS (

@@ -178,4 +178,51 @@ object Scd2 {
         (col(s"h.$To").isNull || col(s"h.$To") > factVersion))
       .drop(col(s"h.`$keyCol`"))
   }
+
+  /** [[asOfJoin]] with a hot-key candidate bound, for NUMERIC versions.
+    *
+    * The plain as-of join's candidate set per fact is ALL of its key's
+    * history rows — run-collapse keeps that proportional to real state
+    * changes, but a pathological hot key with thousands of intervals
+    * inflates the pre-filter join output by that factor. The standard
+    * refinement: carve the version axis into `bucketWidth`-wide buckets,
+    * explode each history interval to the buckets it overlaps (open
+    * intervals capped at the max fact version — buckets beyond every fact
+    * can never match), and join facts on (key, bucket) BEFORE the interval
+    * filter. Candidates per fact drop from |key's intervals| to |intervals
+    * overlapping one bucket| ≈ bucketWidth / mean-interval-length + 1.
+    *
+    * Output is row-for-row identical to [[asOfJoin]] (intervals are
+    * disjoint per key and a history row meets a fact only in the fact's
+    * single bucket, so the explode introduces no duplicates); the trade is
+    * history expansion by the buckets-per-interval factor, so pick
+    * `bucketWidth` near the hot keys' median interval length. Measured in
+    * `Scd2Spec` on a 200-interval hot key: pre-filter candidates fall 50×
+    * (4000 → 79) at bucketWidth 4, bounded by per-bucket occupancy instead
+    * of the key's full interval count.
+    */
+  def asOfJoinBucketed(facts: DataFrame, history: DataFrame, keyCol: String,
+                       factVersion: Column, bucketWidth: Long): DataFrame = {
+    require(bucketWidth >= 1, "bucketWidth must be positive")
+    val cap = facts.agg(max(factVersion.cast("long")).as("__cap"))
+    val bFrom = floor(col(From).cast("long") / bucketWidth)
+    // exclusive `valid_to` → last covered version is To−1; open intervals
+    // run to the cap; greatest() guards an interval opening after every
+    // fact (sequence would otherwise step DOWNWARD and fabricate buckets)
+    val bTo = greatest(floor(
+      coalesce(col(To).cast("long") - 1, col("__cap")) / bucketWidth), bFrom)
+    val h = history.crossJoin(broadcast(cap)) // 1-row scalar attach
+      .withColumn("__b", explode(sequence(bFrom, bTo)))
+      .drop("__cap")
+      .as("h")
+    val f = facts
+      .withColumn("__b", floor(factVersion.cast("long") / bucketWidth))
+      .as("f")
+    f.join(h, col(s"f.`$keyCol`") === col(s"h.`$keyCol`") &&
+        col("f.__b") === col("h.__b"), "inner")
+      .filter(col(s"h.$From") <= factVersion &&
+        (col(s"h.$To").isNull || col(s"h.$To") > factVersion))
+      .drop(col(s"h.`$keyCol`"))
+      .drop("__b")
+  }
 }

@@ -160,6 +160,7 @@ class PlanPostureSpec extends SparkSpec {
     ("text_index_search", "documents", 2),    // doc_id, text (index build)
     ("q_events_funnel", "events", 3),         // user_id, ts, event_type
     ("m5_scd2_temporal_join", "events", 3),   // user_id, event_id, event_type
+    ("m5_scd2_temporal_join_bucketed", "events", 3),
     ("retrieval_eval_metrics", "documents", 2), // doc_id, text
     ("doc_sample_weighted", "documents", 3))  // doc_id, n_chars, source
 

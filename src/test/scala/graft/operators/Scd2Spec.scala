@@ -115,6 +115,58 @@ class Scd2Spec extends SparkSpec with TableDrivenPropertyChecks {
     assert(out == Seq((None, 1L), (Some("a"), 3L)))
   }
 
+  test("asOfJoinBucketed == asOfJoin for every bucket width, hot keys included") {
+    // a HOT key with many short intervals (the case the bucketing bounds),
+    // a normal key, an all-deleted key, and an open current interval
+    val rnd = new scala.util.Random(13)
+    val hot = (1L to 400L).map(v =>
+      ("hot", v, s"s${rnd.nextInt(5)}", rnd.nextInt(10) == 0))
+    val rest = Seq(
+      ("k1", 10L, "a", false), ("k1", 300L, "b", false),
+      ("k2", 50L, "x", false), ("k2", 60L, "x", true))
+    val h = build(changes(hot ++ rest: _*))
+    val facts = ((1L to 500L by 7L).map(v => ("hot", v)) ++
+      Seq(("k1", 5L), ("k1", 11L), ("k1", 299L), ("k1", 301L), ("k1", 450L),
+        ("k2", 55L), ("k2", 60L), ("k3", 7L))).toDF("k", "fv")
+    def sortedOut(df: DataFrame) =
+      df.select($"k", $"fv", $"state", $"valid_from")
+        .as[(String, Long, String, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    val expected = sortedOut(Scd2.asOfJoin(facts, h, "k", col("fv")))
+    assert(expected.nonEmpty)
+    forAll(Table("bucketWidth", 1L, 3L, 16L, 100L, 10000L)) { w =>
+      assert(sortedOut(Scd2.asOfJoinBucketed(facts, h, "k", col("fv"), w))
+        == expected, s"bucketWidth $w")
+    }
+  }
+
+  test("bucketing bounds the hot key's pre-filter candidate set") {
+    // hot key: 200 single-version intervals. The plain as-of join's
+    // candidate set per fact is ALL 200; with bucketWidth 4 a fact meets
+    // only the intervals overlapping its bucket.
+    val h = build(changes((1L to 200L).map(v =>
+      ("hot", v, s"s$v", false)): _*))
+    val facts = (1L to 200L by 10L).map(v => ("hot", v)).toDF("k", "fv")
+    val plainCandidates = facts.as("f")
+      .join(h.as("h"), col("f.k") === col("h.k")).count()
+    // replicate the bucketed join WITHOUT the interval filter
+    val w = 4L
+    val cap = facts.agg(max($"fv").as("__cap"))
+    val hb = h.crossJoin(broadcast(cap))
+      .withColumn("__b", explode(sequence(
+        floor($"valid_from" / w),
+        greatest(floor(coalesce($"valid_to" - 1, $"__cap") / w),
+          floor($"valid_from" / w)))))
+    val bucketedCandidates = facts.withColumn("__b", floor($"fv" / w)).as("f")
+      .join(hb.as("h"), col("f.k") === col("h.k") && col("f.__b") === col("h.__b"))
+      .count()
+    info(s"pre-filter candidates: plain=$plainCandidates bucketed=$bucketedCandidates " +
+      s"(factor ${plainCandidates.toDouble / bucketedCandidates})")
+    assert(plainCandidates == 20L * 200L)
+    // ≤ (bucketWidth + 1) candidates per fact: intervals are 1 version long
+    assert(bucketedCandidates <= facts.count() * (w + 1),
+      s"bucketed candidates $bucketedCandidates not bounded by bucket occupancy")
+  }
+
   test("one exchange: boundary + interval windows share the key partitioning") {
     val plan = build(changes(("k1", 1L, "a", false))).queryExecution
       .executedPlan.toString
