@@ -137,6 +137,11 @@ object Bench {
         df.select("query_id", "corpus_id").collect()
           .map(r => (r.getLong(0), r.getLong(1))).toSet
       val exact = pairs(VectorSimilarity.bruteForceTopK(emb, queries, 5))
+      // an empty exact set (empty table / no matching queries) would turn
+      // every ratio below into 0.0/0 = NaN — which throws nothing, so the
+      // catch block would not reset recallJson and the record would carry
+      // invalid JSON; fail into the existing catch path instead
+      require(exact.nonEmpty, "no exact top-k pairs at this SF — recall undefined")
       val ivf = pairs(VectorSimilarity.ivfTopK(emb, queries, 5,
         nprobe = 32, maxCentroids = 64)).intersect(exact).size.toDouble / exact.size
       val lsh = pairs(VectorSimilarity.lshTopK(emb, queries, 5,

@@ -230,11 +230,14 @@ object Sampling {
         concat(col("anchor_id").cast("string"), lit("#"), col("pair_idx").cast("string"))),
         1, 8), 16, 10).cast("long"))
       // a 1-row corpus has no possible negative (__n − 1 = 0 → modulo by
-      // zero, which non-ANSI SQL would null out SILENTLY): assert_true
-      // rides the same expression (null → +0 when the corpus is big
-      // enough), so the check is codegen'd row-side, costs no extra action,
-      // and fails loudly instead of emitting null neg_ids
-      .withColumn("__neg0", col("__h") % (col("__n") - 1) +
+      // zero, which non-ANSI SQL would null out SILENTLY and ANSI mode
+      // would surface as an opaque DivideByZeroException): the divisor is
+      // guarded to ≥1 so the modulo itself never faults in either mode,
+      // and assert_true rides the same expression (null → +0 when the
+      // corpus is big enough), so the check is codegen'd row-side, costs
+      // no extra action, and fails loudly with a clear message instead of
+      // emitting null neg_ids
+      .withColumn("__neg0", col("__h") % greatest(col("__n") - 1, lit(1L)) +
         coalesce(assert_true(col("__n") >= 2,
           lit("negativePairs requires a corpus of at least 2 rows"))
           .cast("long"), lit(0L)))

@@ -206,11 +206,16 @@ object Scd2 {
     require(bucketWidth >= 1, "bucketWidth must be positive")
     val cap = facts.agg(max(factVersion.cast("long")).as("__cap"))
     val bFrom = floor(col(From).cast("long") / bucketWidth)
-    // exclusive `valid_to` → last covered version is To−1; open intervals
-    // run to the cap; greatest() guards an interval opening after every
-    // fact (sequence would otherwise step DOWNWARD and fabricate buckets)
+    // exclusive `valid_to` → last covered version is To−1; BOTH open and
+    // closed intervals clamp to the cap (buckets beyond every fact can never
+    // match, and a closed interval carrying a far-future sentinel close —
+    // e.g. Long.MaxValue instead of NULL — would otherwise explode
+    // (To−From)/bucketWidth buckets via sequence(), past Spark's array
+    // limit); greatest() guards an interval opening after every fact
+    // (sequence would otherwise step DOWNWARD and fabricate buckets)
     val bTo = greatest(floor(
-      coalesce(col(To).cast("long") - 1, col("__cap")) / bucketWidth), bFrom)
+      least(coalesce(col(To).cast("long") - 1, col("__cap")), col("__cap"))
+        / bucketWidth), bFrom)
     val h = history.crossJoin(broadcast(cap)) // 1-row scalar attach
       .withColumn("__b", explode(sequence(bFrom, bTo)))
       .drop("__cap")

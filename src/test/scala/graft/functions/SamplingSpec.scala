@@ -177,6 +177,28 @@ class SamplingSpec extends SparkSpec {
     assert(drawn > 80, s"expected wide coverage of the corpus, got $drawn/100")
   }
 
+  test("negativePairs on a 1-row corpus fails loudly in BOTH SQL modes") {
+    // the draw is __h % (n−1): with n=1 the raw modulo would null out
+    // silently (non-ANSI) or raise an opaque DivideByZeroException BEFORE
+    // the assert_true rider evaluates (ANSI) — the guarded divisor keeps
+    // the clear message as the failure in either mode
+    val one = Seq(0L).toDF("doc_id")
+    for (ansi <- Seq("false", "true")) {
+      val prev = spark.conf.get("spark.sql.ansi.enabled", "false")
+      spark.conf.set("spark.sql.ansi.enabled", ansi)
+      try {
+        val e = intercept[Exception] {
+          Sampling.negativePairs(one, "doc_id", k = 2).collect()
+        }
+        def messages(t: Throwable): Seq[String] =
+          Option(t).toSeq.flatMap(x =>
+            Option(x.getMessage).toSeq ++ messages(x.getCause))
+        assert(messages(e).exists(_.contains("at least 2 rows")),
+          s"ansi=$ansi: expected the corpus-size message, got $e")
+      } finally spark.conf.set("spark.sql.ansi.enabled", prev)
+    }
+  }
+
   test("mixtureSample applies per-group rates with default for unlisted") {
     val out = Sampling.mixtureSample(docs, col("doc_id"), col("source"),
       Map("src0" -> 1.0, "src1" -> 0.0), defaultRate = 0.5)

@@ -139,6 +139,27 @@ class Scd2Spec extends SparkSpec with TableDrivenPropertyChecks {
     }
   }
 
+  test("a far-future sentinel close (Long.MaxValue instead of NULL) cannot explode the bucketing") {
+    // buildHistory emits NULL valid_to for open intervals, but a history
+    // table written by another tool may carry a sentinel close instead;
+    // without the cap clamp on CLOSED intervals, sequence() would try to
+    // materialize (Long.MaxValue − from)/bucketWidth bucket ids and fail
+    // the job — with it the sentinel behaves exactly like an open interval
+    val h = Seq(
+      ("k1", "a", 1L, Some(5L)),
+      ("k1", "b", 5L, Some(Long.MaxValue)), // sentinel "open"
+      ("k2", "x", 2L, None: Option[Long]))  // genuinely open
+      .toDF("k", "state", "valid_from", "valid_to")
+    val facts = Seq(("k1", 3L), ("k1", 7L), ("k2", 9L)).toDF("k", "fv")
+    def sortedOut(df: DataFrame) =
+      df.select($"k", $"fv", $"state").as[(String, Long, String)]
+        .collect().sortBy(r => (r._1, r._2)).toSeq
+    val expected = sortedOut(Scd2.asOfJoin(facts, h, "k", col("fv")))
+    assert(expected == Seq(("k1", 3L, "a"), ("k1", 7L, "b"), ("k2", 9L, "x")))
+    assert(sortedOut(Scd2.asOfJoinBucketed(facts, h, "k", col("fv"), 2L))
+      == expected)
+  }
+
   test("bucketing bounds the hot key's pre-filter candidate set") {
     // hot key: 200 single-version intervals. The plain as-of join's
     // candidate set per fact is ALL 200; with bucketWidth 4 a fact meets
