@@ -905,6 +905,25 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // M5+ temporal join with the bucket width AUTO-derived from the
+    // history's interval-length distribution (approx median of closed
+    // lengths, scalar-attached — no caller-supplied tuning knob, no
+    // driver collect). Same oracle again: width choice only moves the
+    // candidate prefilter, never the answer.
+    "m5_scd2_temporal_join_auto" -> ((s, dir) => {
+      val h = Scd2.buildHistory(
+        eventsBase(s, dir).filter(col("event_id") < MergePivot),
+        "user_id", "event_id",
+        tracked = Seq("event_type"), isDelete = col("event_type") === "error")
+        .withColumnRenamed("event_type", "state_at_fact")
+      val facts = eventsBase(s, dir).filter(col("event_id") >= MergePivot)
+        .select(col("user_id"), col("event_id"), col("event_type"))
+      Scd2.asOfJoinBucketedAuto(facts, h, "user_id", col("event_id"))
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          col("state_at_fact"), col("valid_from"))
+        .orderBy(col("event_id"))
+    }),
+
     // M5+ point-in-time lookup: the dimension state each key held at the
     // merge pivot version — what an as-of fact join would read.
     "m5_scd2_asof" -> ((s, dir) => {
@@ -3162,6 +3181,8 @@ object SparkEntry {
       // equi-join is a candidate prefilter under the same interval
       // predicate) — the same oracle pins both
       "m5_scd2_temporal_join_bucketed" -> scd2TemporalJoinSql,
+
+      "m5_scd2_temporal_join_auto" -> scd2TemporalJoinSql,
 
       "m5_scd2_temporal_join" -> scd2TemporalJoinSql,
 

@@ -204,8 +204,56 @@ object Scd2 {
   def asOfJoinBucketed(facts: DataFrame, history: DataFrame, keyCol: String,
                        factVersion: Column, bucketWidth: Long): DataFrame = {
     require(bucketWidth >= 1, "bucketWidth must be positive")
+    // a literal width folds into the bucket arithmetic — no extra plan node
+    asOfJoinBucketedBy(facts, history, keyCol, factVersion,
+      attach = identity, width = lit(bucketWidth))
+  }
+
+  /** [[asOfJoinBucketed]] with the bucket width DERIVED from the history's
+    * own version distribution — usable without pre-knowledge of interval
+    * lengths. The width is the approximate median CLOSED-interval length
+    * ([[autoBucketWidthFrame]]): near it, history expansion stays ~2
+    * buckets per typical interval while a hot key's per-fact candidates
+    * are bounded by one bucket's occupancy — the operating point the
+    * manual parameter's doc tells callers to aim for. The width travels
+    * as a broadcast 1-row scalar (one tiny extra aggregation over the
+    * history, no driver collect), so the whole plan stays lazy.
+    */
+  def asOfJoinBucketedAuto(facts: DataFrame, history: DataFrame,
+                           keyCol: String, factVersion: Column): DataFrame = {
+    val widthDf = autoBucketWidthFrame(history)
+    asOfJoinBucketedBy(facts, history, keyCol, factVersion,
+      attach = _.crossJoin(broadcast(widthDf)), // 1-row scalar attach
+      width = col("__w"))
+  }
+
+  /** 1-row `__w` frame: approx median (accuracy 10⁴) of the closed
+    * intervals' lengths, clamped to ≥1. Histories with no closed interval
+    * (every key still on its first state) fall back to the full observed
+    * version span — each open interval then explodes to a handful of
+    * buckets instead of span/1 of them.
+    */
+  def autoBucketWidthFrame(history: DataFrame): DataFrame =
+    history.agg(
+      greatest(
+        coalesce(
+          percentile_approx(col(To).cast("long") - col(From).cast("long"),
+            lit(0.5), lit(10000)).cast("long"),
+          max(col(From).cast("long")) - min(col(From).cast("long")) + 1,
+          lit(1L)),
+        lit(1L)).as("__w"))
+
+  /** Shared bucketed-join body. `width` is either a literal (manual path —
+    * folds into the arithmetic) or a scalar column that `attach` glues onto
+    * each side as a broadcast 1-row frame (auto path); the join itself is
+    * identical either way.
+    */
+  private def asOfJoinBucketedBy(facts: DataFrame, history: DataFrame,
+                                 keyCol: String, factVersion: Column,
+                                 attach: DataFrame => DataFrame,
+                                 width: Column): DataFrame = {
     val cap = facts.agg(max(factVersion.cast("long")).as("__cap"))
-    val bFrom = floor(col(From).cast("long") / bucketWidth)
+    val bFrom = floor(col(From).cast("long") / width)
     // exclusive `valid_to` → last covered version is To−1; BOTH open and
     // closed intervals clamp to the cap (buckets beyond every fact can never
     // match, and a closed interval carrying a far-future sentinel close —
@@ -215,13 +263,14 @@ object Scd2 {
     // (sequence would otherwise step DOWNWARD and fabricate buckets)
     val bTo = greatest(floor(
       least(coalesce(col(To).cast("long") - 1, col("__cap")), col("__cap"))
-        / bucketWidth), bFrom)
-    val h = history.crossJoin(broadcast(cap)) // 1-row scalar attach
+        / width), bFrom)
+    val h = attach(history.crossJoin(broadcast(cap))) // 1-row scalar attach
       .withColumn("__b", explode(sequence(bFrom, bTo)))
-      .drop("__cap")
+      .drop("__cap", "__w")
       .as("h")
-    val f = facts
-      .withColumn("__b", floor(factVersion.cast("long") / bucketWidth))
+    val f = attach(facts)
+      .withColumn("__b", floor(factVersion.cast("long") / width))
+      .drop("__w")
       .as("f")
     f.join(h, col(s"f.`$keyCol`") === col(s"h.`$keyCol`") &&
         col("f.__b") === col("h.__b"), "inner")

@@ -43,4 +43,16 @@ object Scd2Sink {
                      tracked: Seq[String], isDelete: Column = lit(false))
       : (DataFrame, Long) => Unit =
     (df, _) => processBatch(target, df, keyCol, versionCol, tracked, isDelete)
+
+  /** Consumption-side default: enrich facts with the dimension state each
+    * key held at the fact's own version, read from the maintained history
+    * target. Uses the hot-key-bounded bucketed join with the bucket width
+    * AUTO-derived from the history's interval-length distribution
+    * ([[Scd2.asOfJoinBucketedAuto]]) — the streaming composition needs no
+    * pre-knowledge of the version distribution, and output is row-for-row
+    * identical to the plain [[Scd2.asOfJoin]].
+    */
+  def enrich(target: ParquetTarget, facts: DataFrame, keyCol: String,
+             factVersion: Column): DataFrame =
+    Scd2.asOfJoinBucketedAuto(facts, target.read(), keyCol, factVersion)
 }

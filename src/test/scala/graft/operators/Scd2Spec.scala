@@ -137,6 +137,51 @@ class Scd2Spec extends SparkSpec with TableDrivenPropertyChecks {
       assert(sortedOut(Scd2.asOfJoinBucketed(facts, h, "k", col("fv"), w))
         == expected, s"bucketWidth $w")
     }
+    // the auto-derived width is just another point on the same axis —
+    // identical output with no width parameter supplied
+    assert(sortedOut(Scd2.asOfJoinBucketedAuto(facts, h, "k", col("fv")))
+      == expected, "auto-derived bucket width")
+  }
+
+  test("auto width ≈ median closed-interval length; candidates bounded like the manual pick") {
+    // the hot-key fixture of the bound test: 200 single-version intervals,
+    // so the median closed length is exactly 1 — the width the manual
+    // parameter's doc tells callers to aim for
+    val h = build(changes((1L to 200L).map(v =>
+      ("hot", v, s"s$v", false)): _*))
+    val facts = (1L to 200L by 10L).map(v => ("hot", v)).toDF("k", "fv")
+    val w = Scd2.autoBucketWidthFrame(h).collect()(0).getLong(0)
+    assert(w == 1L, s"expected the median interval length 1, derived $w")
+    // candidate bound at the derived width matches the manual formula's:
+    // ≤ (w + 1) candidates per fact on single-version intervals
+    val cap = facts.agg(max($"fv").as("__cap"))
+    val hb = h.crossJoin(broadcast(cap))
+      .withColumn("__b", explode(sequence(
+        floor($"valid_from" / w),
+        greatest(floor(least(coalesce($"valid_to" - 1, $"__cap"), $"__cap") / w),
+          floor($"valid_from" / w)))))
+    val autoCandidates = facts.withColumn("__b", floor($"fv" / w)).as("f")
+      .join(hb.as("h"), col("f.k") === col("h.k") && col("f.__b") === col("h.__b"))
+      .count()
+    assert(autoCandidates <= facts.count() * (w + 1),
+      s"auto-width candidates $autoCandidates not bounded by bucket occupancy")
+  }
+
+  test("auto width falls back to the version span when every interval is open") {
+    // one interval per key, all open — no closed length to take a median
+    // of; the span fallback keeps the explode at a handful of buckets and
+    // the output identical to the plain join
+    val h = Seq(("k1", "a", 3L, None: Option[Long]),
+      ("k2", "b", 90L, None: Option[Long]))
+      .toDF("k", "state", "valid_from", "valid_to")
+    val facts = Seq(("k1", 5L), ("k2", 95L), ("k2", 89L)).toDF("k", "fv")
+    val w = Scd2.autoBucketWidthFrame(h).collect()(0).getLong(0)
+    assert(w == 88L, s"expected max(from)−min(from)+1 = 88, derived $w")
+    def sortedOut(df: DataFrame) =
+      df.select($"k", $"fv", $"state").as[(String, Long, String)]
+        .collect().sortBy(r => (r._1, r._2)).toSeq
+    assert(sortedOut(Scd2.asOfJoinBucketedAuto(facts, h, "k", col("fv")))
+      == sortedOut(Scd2.asOfJoin(facts, h, "k", col("fv"))))
   }
 
   test("a far-future sentinel close (Long.MaxValue instead of NULL) cannot explode the bucketing") {

@@ -72,14 +72,18 @@ class Scd2SinkSpec extends SparkSpec {
       ("k2", 5L), ("k2", 8L),
       ("k3", 6L)
     ).toDF("k", "fv")
-    val out = Scd2.asOfJoin(facts, target.read(), "k", col("fv"))
-      .select($"k", $"fv", $"state").as[(String, Long, String)]
-      .collect().sortBy(r => (r._1, r._2)).toSeq
+    def sorted(df: org.apache.spark.sql.DataFrame) =
+      df.select($"k", $"fv", $"state").as[(String, Long, String)]
+        .collect().sortBy(r => (r._1, r._2)).toSeq
+    val out = sorted(Scd2.asOfJoin(facts, target.read(), "k", col("fv")))
     // history from the feed: k1 a:[1,3) b:[3,∞); k2 x:[1,4) deleted, y:[7,∞); k3 m:[4,∞)
     assert(out == Seq(
       ("k1", 2L, "a"), ("k1", 5L, "b"), ("k1", 9L, "b"),
       ("k2", 8L, "y"), ("k3", 6L, "m")),
       s"got $out") // k2@5 falls in the deletion gap [4,7) and drops
+    // the composition's default enrich path (auto-width bucketed join)
+    // must be row-for-row identical to the plain as-of join
+    assert(sorted(Scd2Sink.enrich(target, facts, "k", col("fv"))) == out)
   }
 
   test("empty batches do not commit a new snapshot") {
