@@ -2513,28 +2513,25 @@ object SparkEntry {
         .orderBy(col("w_start"), col("event_type"))
     }),
 
-    // X6: additive schema evolution result surfaced as rows (rows-only)
+    // X6: additive schema evolution, oracle-checked on the post-evolution
+    // table CONTENT: a target with the events schema receives an orders-
+    // shaped batch; SchemaEvolution.evolve appends the batch's new fields
+    // (nullable), CdcMerge.alignTo back-fills each side's missing columns
+    // with typed NULLs — exactly the engine path CdcPipeline runs on an
+    // evolving stream. The DuckDB oracle replays the lifecycle as the
+    // equivalent typed-NULL UNION ALL, so rows + evolved schema + values
+    // are all hash-checked, not just surfaced.
     "schema_evolution" -> ((s, dir) => {
       import graft.core.SchemaEvolution
-      val evolved = SchemaEvolution.evolve(
-        t(s, dir, "events").schema, t(s, dir, "orders").schema)
-      s.createDataFrame(
-        evolved.fields.toSeq.map(f =>
-          org.apache.spark.sql.Row(f.name, f.dataType.simpleString)).asJava_,
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("field_name", org.apache.spark.sql.types.StringType),
-          org.apache.spark.sql.types.StructField("data_type", org.apache.spark.sql.types.StringType))))
-        .orderBy(col("field_name"))
+      val target = t(s, dir, "events").filter(col("event_id") < 200)
+      val batch = t(s, dir, "orders").filter(col("o_orderkey") < 300)
+      val evolved = SchemaEvolution.evolve(target.schema, batch.schema)
+      val cols = evolved.fieldNames.toSeq.map(n => col(s"`$n`"))
+      CdcMerge.alignTo(target, evolved).select(cols: _*)
+        .unionByName(CdcMerge.alignTo(batch, evolved).select(cols: _*))
+        .orderBy(col("event_id").asc_nulls_last, col("o_orderkey").asc_nulls_last)
     })
   )
-
-  private implicit class SeqOps[T](s: Seq[T]) {
-    def asJava_ : java.util.List[T] = {
-      val l = new java.util.ArrayList[T](s.size)
-      s.foreach(l.add)
-      l
-    }
-  }
 
   // ======================== DuckDB oracle SQL ========================
 
@@ -3152,6 +3149,24 @@ object SparkEntry {
 
       "m4_merge_upsert_blob" ->
         mergeOracle("false", "event_id", whereDeletes = false),
+
+      // X6 lifecycle replay: the evolved target's content is the events
+      // slice with typed-NULL orders columns plus the orders batch with
+      // typed-NULL events columns — additive evolution never rewrites
+      // existing values, so the UNION ALL of both typed-NULL paddings IS
+      // the post-evolution table
+      "schema_evolution" ->
+        """SELECT event_id, ts, user_id, event_type, value, props,
+          |  CAST(NULL AS BIGINT) AS o_orderkey, CAST(NULL AS BIGINT) AS o_custkey,
+          |  CAST(NULL AS VARCHAR) AS o_orderstatus, CAST(NULL AS DOUBLE) AS o_totalprice,
+          |  CAST(NULL AS TIMESTAMP) AS o_orderdate, CAST(NULL AS VARCHAR) AS o_orderpriority
+          |FROM events WHERE event_id < 200
+          |UNION ALL
+          |SELECT CAST(NULL AS BIGINT), CAST(NULL AS TIMESTAMP), CAST(NULL AS BIGINT),
+          |  CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE), CAST(NULL AS VARCHAR),
+          |  o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+          |FROM orders WHERE o_orderkey < 300
+          |ORDER BY event_id NULLS LAST, o_orderkey NULLS LAST""".stripMargin,
 
       // IVM: the incrementally-maintained view must equal an aggregate of
       // the full merge result (the merge oracle wrapped in a GROUP BY)
