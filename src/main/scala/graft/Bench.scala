@@ -128,9 +128,20 @@ object Bench {
     // approximate-by-contract rows (ann_ivf/lsh/pq_topk) carry a
     // per-round quality number the record's consumer can trend.
     var recallJson = "{}"
+    // Per-variant floors AT THE BENCH SCALE (sf0.1 — looser than the
+    // sf0.001 spec floors where the approximation behaves differently on
+    // the near-uniform synthetic corpus; each sits just under the measured
+    // value so a quantizer/routing regression shows up as a violation, not
+    // a silently drifting number). Violations land in the record's
+    // `recall_floor_violations` field (normally []) AND on stderr — the
+    // record stays intact so the round's timings survive, but a
+    // regression can never be recorded silently.
+    val recallFloors = Map("ivf" -> 0.90, "lsh" -> 0.85, "pq" -> 0.85,
+      "ivfpq" -> 0.90, "sq8" -> 0.95)
+    var recallViolations = Seq.empty[String]
     try {
       import org.apache.spark.sql.functions.col
-      import graft.functions.VectorSimilarity
+      import graft.functions.{ProductQuantization, VectorSimilarity}
       val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
       val queries = emb.filter(col("vec_id") < 10)
       def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
@@ -142,21 +153,41 @@ object Bench {
       // catch block would not reset recallJson and the record would carry
       // invalid JSON; fail into the existing catch path instead
       require(exact.nonEmpty, "no exact top-k pairs at this SF — recall undefined")
-      val ivf = pairs(VectorSimilarity.ivfTopK(emb, queries, 5,
-        nprobe = 32, maxCentroids = 64)).intersect(exact).size.toDouble / exact.size
-      val lsh = pairs(VectorSimilarity.lshTopK(emb, queries, 5,
-        nbits = 4, dim = 64, tables = 16)).intersect(exact).size.toDouble / exact.size
+      def recallOf(df: org.apache.spark.sql.DataFrame): Double =
+        pairs(df).intersect(exact).size.toDouble / exact.size
       val qArr = queries
         .select(col("vec_id"), col("embedding").cast("array<float>"))
         .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
-      val model = graft.functions.ProductQuantization.train(
-        emb, "vec_id", "embedding", dim = 64)
-      val pq = pairs(graft.functions.ProductQuantization.topK(
-        emb, qArr, 5, model, "vec_id", "embedding"))
-        .intersect(exact).size.toDouble / exact.size
-      System.err.println(
-        f"[bench] ann_recall@5 ivf=$ivf%.3f lsh=$lsh%.3f pq=$pq%.3f (sf=$sfDir)")
-      recallJson = f"""{"ivf":$ivf%.3f,"lsh":$lsh%.3f,"pq":$pq%.3f}"""
+      val model = ProductQuantization.train(emb, "vec_id", "embedding", dim = 64)
+      val coarse = VectorSimilarity.trainCoarseCodebook(emb, maxCentroids = 64)
+      // all five ANN variants at their production/query settings — the
+      // oracle-green exhaustive twins prove correctness; THIS map is the
+      // per-round answer-quality trend for the approximate contracts
+      val measured = Seq(
+        "ivf" -> recallOf(VectorSimilarity.ivfTopK(emb, queries, 5,
+          nprobe = 32, maxCentroids = 64)),
+        "lsh" -> recallOf(VectorSimilarity.lshTopK(emb, queries, 5,
+          nbits = 4, dim = 64, tables = 16)),
+        "pq" -> recallOf(ProductQuantization.topK(
+          emb, qArr, 5, model, "vec_id", "embedding")),
+        // shortlist is the exact-re-rank budget: at this corpus the probed
+        // candidate set is ~1000 vectors/query, and ADC ranking error means
+        // a 64-deep shortlist truncates real neighbors (measured 0.82);
+        // 256 recovers 0.92 against the 0.94 pure-IVF routing ceiling
+        "ivfpq" -> recallOf(ProductQuantization.ivfPqTopK(emb, qArr, 5,
+          model, coarse, nprobe = 32, idCol = "vec_id", vecCol = "embedding",
+          shortlist = 256)),
+        "sq8" -> recallOf(VectorSimilarity.sq8TopK(emb, queries, 5)))
+      recallViolations = measured.collect {
+        case (n, r) if r < recallFloors(n) =>
+          f"$n=$r%.3f below floor ${recallFloors(n)}%.2f"
+      }
+      recallViolations.foreach(v =>
+        System.err.println(s"[bench] RECALL FLOOR VIOLATION: $v"))
+      System.err.println("[bench] ann_recall@5 " +
+        measured.map { case (n, r) => f"$n=$r%.3f" }.mkString(" ") + s" (sf=$sfDir)")
+      recallJson = measured
+        .map { case (n, r) => f""""$n":$r%.3f""" }.mkString("{", ",", "}")
       resetState()
     } catch {
       case e: Throwable => System.err.println(s"[bench] ann_recall measurement failed: $e")
@@ -174,8 +205,11 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    val violations = recallViolations
+      .map(v => "\"" + v + "\"").mkString("[", ",", "]")
     val line = s"""{"queries":$qs,"n_queries":${results.size},""" +
       s""""slowest10":$slowest,"recall":$recallJson,""" +
+      s""""recall_floor_violations":$violations,""" +
       s""""metric":"total","value":$total,"unit":"sec","sf":"$sfDir"}"""
     println(line)
     // Belt-and-braces: the full untruncated record also lands in the repo
