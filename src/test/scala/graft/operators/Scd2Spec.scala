@@ -233,6 +233,32 @@ class Scd2Spec extends SparkSpec with TableDrivenPropertyChecks {
       s"bucketed candidates $bucketedCandidates not bounded by bucket occupancy")
   }
 
+  test("auto-width == plain as-of join on randomized histories (property)") {
+    // random change streams (hot keys, deletes, re-inserts, sparse keys)
+    // and random facts: the derived width must never change the answer,
+    // whatever the interval-length distribution looks like
+    val rnd = new scala.util.Random(41)
+    for (trial <- 1 to 3) {
+      val keys = (1 to 8).map(k => s"k$k")
+      val stream = keys.flatMap { k =>
+        val n = 1 + rnd.nextInt(40)
+        val versions = Seq.fill(n)(rnd.nextInt(1000).toLong + 1L).distinct.sorted
+        versions.map(v => (k, v, s"s${rnd.nextInt(4)}", rnd.nextInt(8) == 0))
+      }
+      val h = build(changes(stream: _*))
+      val facts = (1 to 150)
+        .map(_ => (s"k${1 + rnd.nextInt(10)}", rnd.nextInt(1200).toLong))
+        .toDF("k", "fv")
+      def sortedOut(df: DataFrame) =
+        df.select($"k", $"fv", $"state", $"valid_from")
+          .as[(String, Long, String, Long)].collect()
+          .sortBy(r => (r._1, r._2, r._4)).toSeq
+      val expected = sortedOut(Scd2.asOfJoin(facts, h, "k", col("fv")))
+      assert(sortedOut(Scd2.asOfJoinBucketedAuto(facts, h, "k", col("fv")))
+        == expected, s"trial $trial")
+    }
+  }
+
   test("one exchange: boundary + interval windows share the key partitioning") {
     val plan = build(changes(("k1", 1L, "a", false))).queryExecution
       .executedPlan.toString
