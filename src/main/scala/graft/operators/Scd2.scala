@@ -221,27 +221,51 @@ object Scd2 {
     */
   def asOfJoinBucketedAuto(facts: DataFrame, history: DataFrame,
                            keyCol: String, factVersion: Column): DataFrame = {
-    val widthDf = autoBucketWidthFrame(history)
+    val widthDf = autoBucketWidthFrame(history, facts, factVersion)
     asOfJoinBucketedBy(facts, history, keyCol, factVersion,
       attach = _.crossJoin(broadcast(widthDf)), // 1-row scalar attach
       width = col("__w"))
   }
 
-  /** 1-row `__w` frame: approx median (accuracy 10⁴) of the closed
-    * intervals' lengths, clamped to ≥1. Histories with no closed interval
-    * (every key still on its first state) fall back to the full observed
-    * version span — each open interval then explodes to a handful of
-    * buckets instead of span/1 of them.
+  /** Hard cap on how many buckets one history interval may explode to
+    * under the AUTO width: open (and sentinel-closed) intervals span from
+    * their `valid_from` to the fact cap, so with a width chosen only from
+    * interval LENGTHS a long-stable key consuming months of facts — or a
+    * timestamp/LSN version domain — would explode (cap − from)/width
+    * buckets, unboundedly many (past Spark's sequence() limit in the
+    * extreme). The auto width therefore never drops below
+    * (version span)/4096: worst-case history expansion stays ≤ ~4097 rows
+    * per interval whatever the version domain, trading per-fact candidate
+    * tightness on pathological distributions for a guaranteed bound.
     */
-  def autoBucketWidthFrame(history: DataFrame): DataFrame =
-    history.agg(
+  private val MaxAutoBucketsPerInterval = 4096L
+
+  /** 1-row `__w` frame for [[asOfJoinBucketedAuto]]: the approx median
+    * (accuracy 10⁴) of the closed intervals' lengths — the candidate-
+    * tightness target — floored by the [[MaxAutoBucketsPerInterval]]
+    * span bound and clamped to ≥1. Histories with no closed interval
+    * (every key still on its first state) fall back to the observed
+    * `valid_from` span. The span runs to the max of the fact cap and the
+    * last history open, so facts far beyond the last state change can
+    * never inflate the explode.
+    */
+  def autoBucketWidthFrame(history: DataFrame, facts: DataFrame,
+                           factVersion: Column): DataFrame = {
+    val hStats = history.agg(
+      percentile_approx(col(To).cast("long") - col(From).cast("long"),
+        lit(0.5), lit(10000)).cast("long").as("__med"),
+      min(col(From).cast("long")).as("__minF"),
+      max(col(From).cast("long")).as("__maxF"))
+    val fCap = facts.agg(max(factVersion.cast("long")).as("__cap"))
+    // greatest() skips NULL operands: empty facts drop the cap term,
+    // empty histories leave lit(1)
+    hStats.crossJoin(broadcast(fCap)).select( // 1-row × 1-row scalar compose
       greatest(
-        coalesce(
-          percentile_approx(col(To).cast("long") - col(From).cast("long"),
-            lit(0.5), lit(10000)).cast("long"),
-          max(col(From).cast("long")) - min(col(From).cast("long")) + 1,
-          lit(1L)),
+        coalesce(col("__med"), col("__maxF") - col("__minF") + 1, lit(1L)),
+        ceil((greatest(col("__cap"), col("__maxF")) - col("__minF") + 1)
+          / lit(MaxAutoBucketsPerInterval)).cast("long"),
         lit(1L)).as("__w"))
+  }
 
   /** Shared bucketed-join body. `width` is either a literal (manual path —
     * folds into the arithmetic) or a scalar column that `attach` glues onto

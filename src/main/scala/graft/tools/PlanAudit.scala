@@ -93,16 +93,28 @@ object PlanAudit {
     p +: (p.children ++ p.subqueries).flatMap(logical)
 
   /** A BNLJ is scale-safe iff the broadcast side is guaranteed ≤1 row: a
-    * no-grouping aggregate under the exchange (the scalar-attach idiom).
+    * no-grouping aggregate under the exchange (the scalar-attach idiom),
+    * or a cross/nested-loop COMPOSE of such scalars — two ≤1-row sides
+    * joined produce ≤1 row, so a broadcast of the compose is equally safe
+    * (the shape `aggA.crossJoin(broadcast(aggB))` that derived-scalar
+    * attaches like the SCD2 auto bucket width build).
     */
-  private def isScalarBroadcast(j: BroadcastNestedLoopJoinExec): Boolean = {
+  def isScalarBroadcast(j: BroadcastNestedLoopJoinExec): Boolean = {
     val buildPlan = j.buildSide match {
       case BuildLeft => j.left
       case BuildRight => j.right
     }
-    def strip(p: SparkPlan): SparkPlan = p match {
+    isScalarPlan(buildPlan)
+  }
+
+  /** Is this plan provably ≤1 row? True for a no-grouping aggregate (under
+    * row-count-preserving wrappers) and for nested-loop composes of such
+    * scalars.
+    */
+  def isScalarPlan(p: SparkPlan): Boolean = {
+    def strip(q: SparkPlan): SparkPlan = q match {
       case e: BroadcastExchangeExec => strip(e.child)
-      case q: BroadcastQueryStageExec => strip(q.plan)
+      case s: BroadcastQueryStageExec => strip(s.plan)
       case r: ReusedExchangeExec => strip(r.child)
       case w: WholeStageCodegenExec => strip(w.child)
       case i: InputAdapter => strip(i.child)
@@ -110,8 +122,10 @@ object PlanAudit {
       case f: FilterExec => strip(f.child)
       case other => other
     }
-    strip(buildPlan) match {
+    strip(p) match {
       case a: BaseAggregateExec => a.groupingExpressions.isEmpty
+      case j: BroadcastNestedLoopJoinExec =>
+        isScalarPlan(j.left) && isScalarPlan(j.right)
       case _ => false
     }
   }

@@ -42,32 +42,13 @@ class PlanPostureSpec extends SparkSpec {
       "corpus_cluster_profile", "ann_sq8_topk")
 
   /** A BNLJ is scale-safe iff its broadcast side is guaranteed ≤1 row: the
-    * scalar-attach idiom (constant-key join against a global aggregate,
-    * which Catalyst constant-folds into a nested loop). Strip the wrappers
-    * that preserve row count (exchange, stage, codegen, project, filter)
-    * and require a no-grouping aggregate underneath — anything else (a
-    * scan, a join, a grouped aggregate) can grow with the data and stays
-    * banned. */
-  private def isScalarBroadcast(j: BroadcastNestedLoopJoinExec): Boolean = {
-    val buildPlan = j.buildSide match {
-      case BuildLeft  => j.left
-      case BuildRight => j.right
-    }
-    def strip(p: SparkPlan): SparkPlan = p match {
-      case e: BroadcastExchangeExec   => strip(e.child)
-      case q: BroadcastQueryStageExec => strip(q.plan)
-      case r: ReusedExchangeExec      => strip(r.child)
-      case w: WholeStageCodegenExec   => strip(w.child)
-      case i: InputAdapter            => strip(i.child)
-      case p2: ProjectExec            => strip(p2.child)
-      case f: FilterExec              => strip(f.child)
-      case other                      => other
-    }
-    strip(buildPlan) match {
-      case a: BaseAggregateExec => a.groupingExpressions.isEmpty
-      case _                    => false
-    }
-  }
+    * scalar-attach idiom (a no-grouping aggregate under row-count-
+    * preserving wrappers), or a nested-loop COMPOSE of such scalars (two
+    * ≤1-row sides joined are ≤1 row — the derived-scalar shape the SCD2
+    * auto bucket width builds). Delegates to the library tool so CI and
+    * the user-facing `PlanAudit.audit` enforce the identical rule. */
+  private def isScalarBroadcast(j: BroadcastNestedLoopJoinExec): Boolean =
+    graft.tools.PlanAudit.isScalarBroadcast(j)
 
   private def collectNodes(p: SparkPlan): Seq[SparkPlan] = {
     val self = p match {

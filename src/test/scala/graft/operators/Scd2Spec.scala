@@ -150,7 +150,7 @@ class Scd2Spec extends SparkSpec with TableDrivenPropertyChecks {
     val h = build(changes((1L to 200L).map(v =>
       ("hot", v, s"s$v", false)): _*))
     val facts = (1L to 200L by 10L).map(v => ("hot", v)).toDF("k", "fv")
-    val w = Scd2.autoBucketWidthFrame(h).collect()(0).getLong(0)
+    val w = Scd2.autoBucketWidthFrame(h, facts, col("fv")).collect()(0).getLong(0)
     assert(w == 1L, s"expected the median interval length 1, derived $w")
     // candidate bound at the derived width matches the manual formula's:
     // ≤ (w + 1) candidates per fact on single-version intervals
@@ -175,7 +175,7 @@ class Scd2Spec extends SparkSpec with TableDrivenPropertyChecks {
       ("k2", "b", 90L, None: Option[Long]))
       .toDF("k", "state", "valid_from", "valid_to")
     val facts = Seq(("k1", 5L), ("k2", 95L), ("k2", 89L)).toDF("k", "fv")
-    val w = Scd2.autoBucketWidthFrame(h).collect()(0).getLong(0)
+    val w = Scd2.autoBucketWidthFrame(h, facts, col("fv")).collect()(0).getLong(0)
     assert(w == 88L, s"expected max(from)−min(from)+1 = 88, derived $w")
     def sortedOut(df: DataFrame) =
       df.select($"k", $"fv", $"state").as[(String, Long, String)]
@@ -231,6 +231,27 @@ class Scd2Spec extends SparkSpec with TableDrivenPropertyChecks {
     // ≤ (bucketWidth + 1) candidates per fact: intervals are 1 version long
     assert(bucketedCandidates <= facts.count() * (w + 1),
       s"bucketed candidates $bucketedCandidates not bounded by bucket occupancy")
+  }
+
+  test("facts far beyond the last state change cannot explode the auto width") {
+    // timestamp/LSN version domains: a key stabilizes early (closed
+    // intervals with tiny median length) while facts keep arriving for
+    // eons — the open interval spans cap − from versions, and a width
+    // chosen from interval LENGTHS alone would explode it to billions of
+    // buckets (a hard sequence() failure). The span floor caps the
+    // explode at ≤ ~4097 buckets per interval whatever the domain.
+    val h = Seq(
+      ("k1", "a", 1L, Some(3L)), ("k1", "b", 3L, Some(5L)), // median len 2
+      ("k1", "c", 5L, None: Option[Long]))                  // open, stable
+      .toDF("k", "state", "valid_from", "valid_to")
+    val far = 10_000_000_000L // cap − from ≈ 1e10 ≫ sequence() limit / 2
+    val facts = Seq(("k1", 2L), ("k1", 4L), ("k1", far)).toDF("k", "fv")
+    val w = Scd2.autoBucketWidthFrame(h, facts, col("fv")).collect()(0).getLong(0)
+    assert(w >= far / 4096L, s"span floor must bound the explode, got width $w")
+    val out = Scd2.asOfJoinBucketedAuto(facts, h, "k", col("fv"))
+      .select($"k", $"fv", $"state").as[(String, Long, String)]
+      .collect().sortBy(_._2).toSeq
+    assert(out == Seq(("k1", 2L, "a"), ("k1", 4L, "b"), ("k1", far, "c")))
   }
 
   test("auto-width == plain as-of join on randomized histories (property)") {
