@@ -2357,19 +2357,25 @@ object SparkEntry {
     // (inject SQL shared VERBATIM) adds bullets, an ellipsis line, symbol
     // noise, and a stopword-rich line on even ids only
     "doc_gopher_gate" -> ((s, dir) => {
-      val st = GopherQuality.stats(col("page"))
+      // the stats struct is LET-BOUND so its HOF kernel runs once per row
+      // (eight getFields would otherwise each re-run it — CodegenFallback
+      // trees get no codegen subexpression sharing; measured 2.2×), and
+      // the keep decision reads the same bound struct via gateOn instead
+      // of a second kernel pass
+      val st = TextFunctions.letBound(GopherQuality.stats(col("page")))
       t(s, dir, "documents")
         .withColumn("page", expr(gopherInjectSql))
+        .withColumn("__st", st)
         .select(col("doc_id"),
-          st.getField("n_words").as("n_words"),
-          (round(st.getField("mean_word_len"), 4) + lit(0.0)).as("mean_word_len"),
-          (round(st.getField("symbol_word_ratio"), 4) + lit(0.0)).as("symbol_word_ratio"),
-          (round(st.getField("bullet_line_frac"), 4) + lit(0.0)).as("bullet_line_frac"),
-          (round(st.getField("ellipsis_line_frac"), 4) + lit(0.0)).as("ellipsis_line_frac"),
-          (round(st.getField("alpha_word_frac"), 4) + lit(0.0)).as("alpha_word_frac"),
-          st.getField("stopword_hits").as("stopword_hits"),
-          st.getField("n_lines").as("n_lines"),
-          GopherQuality.gate(col("page")).as("keep"))
+          col("__st").getField("n_words").as("n_words"),
+          (round(col("__st").getField("mean_word_len"), 4) + lit(0.0)).as("mean_word_len"),
+          (round(col("__st").getField("symbol_word_ratio"), 4) + lit(0.0)).as("symbol_word_ratio"),
+          (round(col("__st").getField("bullet_line_frac"), 4) + lit(0.0)).as("bullet_line_frac"),
+          (round(col("__st").getField("ellipsis_line_frac"), 4) + lit(0.0)).as("ellipsis_line_frac"),
+          (round(col("__st").getField("alpha_word_frac"), 4) + lit(0.0)).as("alpha_word_frac"),
+          col("__st").getField("stopword_hits").as("stopword_hits"),
+          col("__st").getField("n_lines").as("n_lines"),
+          GopherQuality.gateOn(col("__st")).as("keep"))
         .orderBy(col("doc_id"))
     }),
 

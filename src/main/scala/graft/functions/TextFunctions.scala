@@ -189,6 +189,19 @@ object TextFunctions {
     */
   def fingerprint(text: Column): Column = md5(normalized(text))
 
+  /** Let-bind an expensive column: the returned reference evaluates `c`
+    * exactly once per row however many times a projection reads it.
+    * HOF-built kernels (filter/aggregate/exists compositions like
+    * [[GopherQuality.stats]]) are interpreted CodegenFallback trees that
+    * whole-stage codegen's subexpression elimination does NOT share, so N
+    * `getField` reads = N full kernel runs without this (measured 2.2× on
+    * the gopher-gate battery at sf0.1). `transform`'s lambda variable is
+    * the evaluation barrier — no optimizer rule inlines through it (the
+    * [[charShingles]] device, packaged).
+    */
+  def letBound(c: Column): Column =
+    element_at(transform(array(c), v => v), 1)
+
   /** Character k-shingles of the normalized text, as an array column, for
     * MinHash. Built from `sequence` + `transform` (native higher-order
     * functions, no UDF).
