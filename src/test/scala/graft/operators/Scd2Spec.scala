@@ -254,6 +254,23 @@ class Scd2Spec extends SparkSpec with TableDrivenPropertyChecks {
     assert(out == Seq(("k1", 2L, "a"), ("k1", 4L, "b"), ("k1", far, "c")))
   }
 
+  test("auto-width join degrades cleanly on empty history / empty facts") {
+    val h = Seq(("k1", "a", 1L, None: Option[Long]))
+      .toDF("k", "state", "valid_from", "valid_to")
+    val emptyH = h.limit(0)
+    val facts = Seq(("k1", 5L)).toDF("k", "fv")
+    val emptyF = facts.limit(0)
+    // empty history → width coalesces to 1, zero output rows
+    assert(Scd2.autoBucketWidthFrame(emptyH, facts, col("fv"))
+      .collect()(0).getLong(0) == 1L)
+    assert(Scd2.asOfJoinBucketedAuto(facts, emptyH, "k", col("fv")).count() == 0)
+    // empty facts → NULL cap drops out of the width (greatest skips nulls)
+    // and the join is empty without errors
+    assert(Scd2.autoBucketWidthFrame(h, emptyF, col("fv"))
+      .collect()(0).getLong(0) >= 1L)
+    assert(Scd2.asOfJoinBucketedAuto(emptyF, h, "k", col("fv")).count() == 0)
+  }
+
   test("auto-width == plain as-of join on randomized histories (property)") {
     // random change streams (hot keys, deletes, re-inserts, sparse keys)
     // and random facts: the derived width must never change the answer,
