@@ -243,4 +243,25 @@ class CorpusPipelineSpec extends SparkSpec {
     assert(counts("added") == acceptedIds.size.toLong)
     assert(counts("unchanged") == standing.count())
   }
+
+  test("prepareIncremental is idempotent: re-ingesting accepted rows admits nothing") {
+    // the ingest replay-safety property (the same T9 discipline the CDC
+    // merge keeps): after a batch is accepted into the corpus, delivering
+    // the SAME batch again must admit zero rows — every row is now an
+    // exact duplicate of the grown corpus, caught by the Bloom prefilter +
+    // exact sliver join regardless of LSH settings. This exercises the
+    // whole against-corpus funnel end to end (a false-negative anywhere
+    // would re-admit a duplicate).
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val standing = docs.filter(pmod($"doc_id", lit(5L)) =!= 0L)
+    val incoming = docs.filter(pmod($"doc_id", lit(5L)) === 0L)
+    val cfg = CorpusPipeline.Config(nearDupThreshold = None, decontamThreshold = None)
+    val (accepted, _) = CorpusPipeline.prepareIncremental(incoming, standing, cfg)
+    assert(accepted.count() > 0, "fixture must admit rows for the replay to mean anything")
+    val grown = standing.unionByName(
+      accepted.select(standing.columns.map(col): _*))
+    val (replayed, _) = CorpusPipeline.prepareIncremental(incoming, grown, cfg)
+    assert(replayed.count() == 0,
+      "replaying an ingested batch against the grown corpus must admit nothing")
+  }
 }
