@@ -18,6 +18,13 @@ sealed trait MergeDialect {
   def isDelete(s: String => Column): Column
   /** Columns that order rows within a merge key, newest first. */
   def versionOrder(s: String => Column): Seq[Column] = Seq(s(versionColumn))
+  /** Every column the dialect's merge semantics READ — the set a field
+    * filter must never strip. The version column orders rows; subclasses
+    * add their delete-marker column: losing it would make `isDelete`
+    * evaluate over a NULL back-fill and silently misroute every row of
+    * the batch (tombstones merged as upserts, or worse).
+    */
+  def essentialColumns: Seq[String] = Seq(versionColumn)
 }
 
 /** MSSQL change tracking: hard deletes via SYS_CHANGE_OPERATION = 'D',
@@ -27,6 +34,7 @@ case object MsSqlCtDialect extends MergeDialect {
   val operationColumn = "SYS_CHANGE_OPERATION"
   override val versionColumn = "SYS_CHANGE_VERSION"
   override def isDelete(s: String => Column): Column = s(operationColumn) === "D"
+  override def essentialColumns: Seq[String] = Seq(versionColumn, operationColumn)
 }
 
 /** Synapse Link: soft deletes via IsDelete flag, versions via versionnumber. */
@@ -35,6 +43,7 @@ case object SynapseLinkDialect extends MergeDialect {
   override val versionColumn = "versionnumber"
   override def isDelete(s: String => Column): Column =
     coalesce(s(deleteColumn), lit(false))
+  override def essentialColumns: Seq[String] = Seq(versionColumn, deleteColumn)
 }
 
 /** Blob upsert: no deletes; versions via the file-derived createdon. */

@@ -101,10 +101,11 @@ object IncrementalAgg {
   /** Null-safe grouped semi/anti join: a NULL group value is a real group
     * (groupBy treats it as one), so the membership join must use `<=>` —
     * a plain equi-join would silently drop the null group from the
-    * recompute AND keep its stale view row.
+    * recompute AND keep its stale view row. Shared with [[graft.streaming]]
+    * (ViewSink's recovery path) so the subtle null-group rule lives once.
     */
-  private def semiByGroups(df: DataFrame, groups: DataFrame,
-                           groupCols: Seq[String], anti: Boolean): DataFrame = {
+  private[graft] def semiByGroups(df: DataFrame, groups: DataFrame,
+                                  groupCols: Seq[String], anti: Boolean): DataFrame = {
     val g = groups.toDF(groupCols.map(c => s"__g_$c"): _*)
     val on = groupCols.map(c => col(c) <=> col(s"__g_$c")).reduce(_ && _)
     df.join(g, on, if (anti) "left_anti" else "left_semi")

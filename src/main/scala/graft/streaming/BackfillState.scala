@@ -27,6 +27,17 @@ final class BackfillStateManager(spark: SparkSession, stateDir: String) {
   import spark.implicits._
   private val table = new ParquetTarget(spark, stateDir)
 
+  // Shard workers run in PARALLEL on one driver (the reference's parallel
+  // shard fill), and every update below is a read-modify-write over the
+  // whole state snapshot: unsynchronized, two workers finishing together
+  // would each read version v, both write v+1, and one worker's status
+  // mark silently vanishes (its shard re-pulls on resume) — or the two
+  // overwrites interleave inside one snapshot directory. One JVM lock
+  // serializes the tiny state commits (rows = shard count; the commit
+  // cost is noise next to a shard pull). Cross-DRIVER backfills need an
+  // external coordinator — same caveat as the reference's property-based
+  // state, which relies on the catalog's compare-and-swap.
+
   private def emptyState: DataFrame =
     Seq.empty[ShardState].toDF()
 
@@ -41,7 +52,7 @@ final class BackfillStateManager(spark: SparkSession, stateDir: String) {
     * PENDING, retains existing states. Returns the shard ids still needing
     * work (not COMBINED).
     */
-  def begin(backfillId: String, numShards: Int): Seq[Int] = {
+  def begin(backfillId: String, numShards: Int): Seq[Int] = synchronized {
     val existing = read(backfillId)
     val rows = (0 until numShards).map { i =>
       existing.getOrElse(i, ShardState(backfillId, i, BackfillState.Pending, ""))
@@ -62,7 +73,7 @@ final class BackfillStateManager(spark: SparkSession, stateDir: String) {
   }
 
   private def updateShard(backfillId: String, shardId: Int, status: String,
-                          wm: String): Unit = {
+                          wm: String): Unit = synchronized {
     val updated = read(backfillId).values.toSeq
       .filterNot(_.shardId == shardId) :+ ShardState(backfillId, shardId, status, wm)
     commitStates(backfillId, updated)

@@ -26,19 +26,41 @@ final class BucketedTarget(spark: SparkSession, val tableName: String,
 
   def read(): DataFrame = spark.table(tableName)
 
-  /** Create or fully replace the bucketed table from a frame. */
-  def overwrite(df: DataFrame): Unit = {
-    if (exists) spark.sql(s"DROP TABLE $tableName")
+  private def stagedName = tableName + "__staged"
+
+  private def writeBucketed(df: DataFrame, name: String): Unit =
     df.write
       .bucketBy(numBuckets, keyColumn)
       .sortBy(keyColumn)
       .mode(SaveMode.Overwrite)
       .format("parquet")
-      .saveAsTable(tableName)
+      .saveAsTable(name)
+
+  /** Create or fully replace the bucketed table from a frame.
+    *
+    * Replacement is a STAGED SWAP, never drop-then-rewrite: the new
+    * content is written completely to `<table>__staged` (the original
+    * stays readable — which is also what lets [[merge]] write a plan
+    * that READS the original, with no checkpoint materialization), and
+    * only then does the drop + rename run. A crash before the swap
+    * leaves the original intact; a crash inside the tiny drop/rename
+    * window leaves the full replacement durable under the staged name
+    * (recovery = rename it), never data living only in executor blocks.
+    */
+  def overwrite(df: DataFrame): Unit = {
+    if (!exists) writeBucketed(df, tableName)
+    else {
+      spark.sql(s"DROP TABLE IF EXISTS $stagedName")
+      writeBucketed(df, stagedName)
+      spark.sql(s"DROP TABLE $tableName")
+      spark.sql(s"ALTER TABLE $stagedName RENAME TO $tableName")
+    }
   }
 
   /** Version-guarded CDC merge into the bucketed table. `changes` must be
-    * deduplicated per key. The merged result lands bucketed again.
+    * deduplicated per key. The merged result lands bucketed again; the
+    * merge plan reads the live table while the staged write materializes
+    * it (see [[overwrite]]).
     */
   def merge(changes: DataFrame, dialect: MergeDialect): Unit = {
     val current = read()
@@ -46,9 +68,7 @@ final class BucketedTarget(spark: SparkSession, val tableName: String,
     val merged = CdcMerge.applyChanges(
       CdcMerge.alignTo(current, evolved), CdcMerge.alignTo(changes, evolved),
       keyColumn, dialect)
-    // materialize before the table swap (can't overwrite a table being read)
-    val staged = merged.localCheckpoint(eager = true)
-    try overwrite(staged) finally graft.core.Checkpoints.release(staged)
+    overwrite(merged)
   }
 }
 

@@ -145,16 +145,19 @@ final class CdcPipeline(spark: SparkSession, dialect: MergeDialect,
       }
     }
 
-    // P1/P2 field filtering (columns prune into the scan)
+    // P1/P2 field filtering (columns prune into the scan). The protected
+    // set includes EVERY column the dialect's merge reads — version AND
+    // delete marker (dialect.essentialColumns): stripping the marker would
+    // NULL-backfill it downstream and silently misroute the whole batch
+    val protectedCols =
+      cfg.essentialColumns ++ (cfg.keyColumn +: dialect.essentialColumns)
     val filtered0 =
       if (cfg.includeColumns.nonEmpty)
-        FieldFilter.include(changes, cfg.includeColumns,
-          cfg.essentialColumns :+ cfg.keyColumn :+ dialect.versionColumn)
+        FieldFilter.include(changes, cfg.includeColumns, protectedCols)
       else changes
     val filtered =
       if (cfg.excludeColumns.nonEmpty)
-        FieldFilter.exclude(filtered0, cfg.excludeColumns,
-          cfg.essentialColumns :+ cfg.keyColumn :+ dialect.versionColumn)
+        FieldFilter.exclude(filtered0, cfg.excludeColumns, protectedCols)
       else filtered0
 
     // M1 dedup-latest inside the batch
@@ -240,9 +243,13 @@ final class CdcPipeline(spark: SparkSession, dialect: MergeDialect,
 
   def runBlobStream(cfgSrc: BlobSourceConfig, target: ParquetTarget, targetName: String,
                     pollIntervalMs: Long = 1000, jitter: Double = 0.2,
-                    maxPolls: Int = Int.MaxValue): Int = {
+                    maxPolls: Int = Int.MaxValue,
+                    jitterSeed: Option[Long] = None): Int = {
     var polls = 0
-    val rnd = new java.util.Random(42) // seeded, like the reference's jitter RNG
+    // per-instance seed by default: a FIXED seed would give every pipeline
+    // in a fleet the identical sleep sequence, re-synchronizing the polls
+    // the jitter exists to spread (pass jitterSeed for deterministic tests)
+    val rnd = jitterSeed.fold(new java.util.Random())(new java.util.Random(_))
     while (!stopped && polls < maxPolls) {
       val wm = watermarks.get(targetName)
       BlobListingSource.nextBatch(spark, cfgSrc, wm, retry) match {

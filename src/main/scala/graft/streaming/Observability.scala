@@ -52,16 +52,26 @@ object GraftMetrics {
 /** StreamingQueryListener bridging Spark's streaming progress events into
   * the arcane.stream.* metric names (reference pushes the same numbers to a
   * DataDog UDS publisher; the snapshot map is the equivalent hook here).
+  *
+  * METRIC OWNERSHIP — the listener and [[CdcPipeline]] are routinely
+  * active together (the listener is the deployment hook, the pipeline runs
+  * inside foreachBatch), so each metric has ONE writer: the pipeline owns
+  * `rows.incoming` (its post-probe count) and `batch.merge_duration` (the
+  * actual merge timing); the listener owns the per-trigger gauges —
+  * `rows.chunk_size` (this trigger's input rows) and
+  * `batch.stage_duration` (the whole trigger's wall time, which is the
+  * stage in Spark's model). Double-writing `rows.incoming` here would
+  * inflate throughput 2×, and gauging trigger time under merge_duration
+  * would overwrite the real merge timing dashboards read.
   */
 class GraftStreamingListener extends StreamingQueryListener {
   override def onQueryStarted(event: QueryStartedEvent): Unit = ()
 
   override def onQueryProgress(event: QueryProgressEvent): Unit = {
     val p = event.progress
-    GraftMetrics.inc(GraftMetrics.RowsIncoming, p.numInputRows)
     GraftMetrics.gauge(GraftMetrics.ChunkSize, p.numInputRows)
     Option(p.durationMs.get("triggerExecution"))
-      .foreach(d => GraftMetrics.gauge(GraftMetrics.MergeDuration, d))
+      .foreach(d => GraftMetrics.gauge(GraftMetrics.StageDuration, d))
   }
 
   override def onQueryTerminated(event: QueryTerminatedEvent): Unit = ()

@@ -212,7 +212,10 @@ final class ParquetTarget(spark: SparkSession, dir: String) {
       try s.iterator().asInstanceOf[java.util.Iterator[java.nio.file.Path]]
         .asScala_toSeq
         .map(_.getFileName.toString)
-        .filter(_.startsWith("v_"))
+        // strict digit match, not startsWith: an operator-made 'v_3.bak'
+        // or copy-tool leftover must be ignored, not NumberFormatException
+        // the next maintenance pass (and kill the stream with it)
+        .filter(_.matches("v_\\d+"))
         .map(_.stripPrefix("v_").toInt)
       finally s.close()
     }

@@ -29,20 +29,38 @@ object Scd2Sink {
   def processBatch(target: ParquetTarget, batch: DataFrame, keyCol: String,
                    versionCol: String, tracked: Seq[String],
                    isDelete: Column = lit(false)): Unit = {
-    if (batch.isEmpty) return // empty-batch short-circuit (T11 discipline)
-    val updated =
-      if (target.exists)
-        Scd2.applyChanges(target.read(), batch, keyCol, versionCol, tracked, isDelete)
-      else
-        Scd2.buildHistory(batch, keyCol, versionCol, tracked, isDelete)
-    target.commit(updated)
+    // persisted for the duration: the emptiness probe and the history
+    // commit are separate actions, and an unpersisted streaming batch
+    // would re-pull its source per action (CdcPipeline.runBatch discipline)
+    val pinned = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (pinned.isEmpty) return // empty-batch short-circuit (T11 discipline)
+      val updated =
+        if (target.exists)
+          Scd2.applyChanges(target.read(), pinned, keyCol, versionCol, tracked, isDelete)
+        else
+          Scd2.buildHistory(pinned, keyCol, versionCol, tracked, isDelete)
+      target.commit(updated)
+    } finally pinned.unpersist()
   }
 
-  /** Convenience: the `(DataFrame, Long) => Unit` foreachBatch function. */
+  /** Convenience: the `(DataFrame, Long) => Unit` foreachBatch function.
+    * Every `maintenanceEvery`-th batch also expires old snapshots and
+    * removes orphans (the CdcPipeline X1–X3 discipline) — without it a
+    * long-lived stream accumulates one full table copy per batch until
+    * the disk fills. 0 disables (caller owns maintenance).
+    */
   def foreachBatchFn(target: ParquetTarget, keyCol: String, versionCol: String,
-                     tracked: Seq[String], isDelete: Column = lit(false))
+                     tracked: Seq[String], isDelete: Column = lit(false),
+                     maintenanceEvery: Int = 10, snapshotsToKeep: Int = 3)
       : (DataFrame, Long) => Unit =
-    (df, _) => processBatch(target, df, keyCol, versionCol, tracked, isDelete)
+    (df, batchId) => {
+      processBatch(target, df, keyCol, versionCol, tracked, isDelete)
+      if (maintenanceEvery > 0 && (batchId + 1) % maintenanceEvery == 0) {
+        target.expireSnapshots(snapshotsToKeep)
+        target.removeOrphans()
+      }
+    }
 
   /** Consumption-side default: enrich facts with the dimension state each
     * key held at the fact's own version, read from the maintained history

@@ -70,9 +70,17 @@ final class MsSqlChangeSource(jdbcUrl: String, props: java.util.Properties,
     val pred = MsSqlChangeTracking.shardPredicates(pkColumns, numShards)(shard)
     val sql = s"SELECT * FROM ($delta) AS d WHERE SYS_CHANGE_VERSION <= $to AND $pred"
     val conn = java.sql.DriverManager.getConnection(jdbcUrl, props)
-    val rs = conn.createStatement().executeQuery(sql)
+    // a failing executeQuery must not strand the just-opened connection
+    val rs = try conn.createStatement().executeQuery(sql)
+    catch { case t: Throwable => conn.close(); throw t }
     val n = rowSchema.length
-    new Iterator[Row] {
+    // AutoCloseable so the PartitionReader's close() can release the
+    // connection on EARLY task termination (limit/take, cancellation,
+    // encoder failure) — draining-to-exhaustion is only one exit path,
+    // and each undrained task would otherwise strand one server
+    // connection until the pool runs dry. Connection.close() is
+    // idempotent per JDBC, so drain-then-close double-closes safely.
+    new Iterator[Row] with AutoCloseable {
       private var advanced = false
       private var has = false
       private def advance(): Unit = { has = rs.next(); if (!has) conn.close(); advanced = true }
@@ -82,6 +90,7 @@ final class MsSqlChangeSource(jdbcUrl: String, props: java.util.Properties,
         advanced = false
         Row.fromSeq((1 to n).map(rs.getObject))
       }
+      override def close(): Unit = conn.close()
     }
   }
 }
@@ -171,7 +180,13 @@ class VersionedReaderFactory(schema: StructType) extends PartitionReaderFactory 
       override def next(): Boolean =
         if (rows.hasNext) { current = serializer(rows.next()).copy(); true } else false
       override def get(): InternalRow = current
-      override def close(): Unit = ()
+      // Spark calls this on every task exit, INCLUDING early termination
+      // and failure — sources that hold a resource (the JDBC feed's
+      // connection) expose it through AutoCloseable and get released here
+      override def close(): Unit = rows match {
+        case c: AutoCloseable => c.close()
+        case _ => ()
+      }
     }
   }
 }

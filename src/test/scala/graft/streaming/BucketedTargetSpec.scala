@@ -34,9 +34,19 @@ class BucketedTargetSpec extends SparkSpec {
         .select("ARCANE_MERGE_KEY", "payload").as[(String, String)].collect().toMap
       assert(rows == Map("k1" -> "new", "kx" -> "ins"))
       assert(tgt.read().count() == 1001)
+      // the staged-swap replacement must leave no staging table behind and
+      // must preserve the bucket spec through the rename (the zero-exchange
+      // property is the bucketing's whole point)
+      assert(!spark.catalog.tableExists("bucketed_t__staged"),
+        "staged table must be renamed away, not left behind")
+      val merged2 = CdcMerge.applyChanges(tgt.read(), changes,
+        "ARCANE_MERGE_KEY", UpsertBlobDialect)
+      assert(MergePlanInspector.targetSideExchanges(merged2, "bucketed_t") == 0,
+        "bucket spec must survive the staged swap's rename")
     } finally {
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
       spark.sql("DROP TABLE IF EXISTS bucketed_t")
+      spark.sql("DROP TABLE IF EXISTS bucketed_t__staged")
     }
   }
 }

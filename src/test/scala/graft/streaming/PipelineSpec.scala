@@ -26,6 +26,22 @@ class ParquetTargetSpec extends SparkSpec {
     assert(tgt.read().count() == 1) // latest snapshot intact
   }
 
+  test("foreign v_* directory entries are ignored, not a NumberFormatException") {
+    // an operator-made 'v_00000001.bak' (or any copy-tool leftover) in the
+    // target directory must not kill versions/read/expire — the stream's
+    // maintenance pass runs these on every Nth batch
+    val dir = Files.createTempDirectory("ptargetfe").toString
+    val tgt = new ParquetTarget(spark, dir)
+    tgt.commit(Seq((1L, "a")).toDF("id", "v"))
+    tgt.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+    Files.createDirectory(java.nio.file.Paths.get(dir, "v_00000001.bak"))
+    Files.createFile(java.nio.file.Paths.get(dir, "v_old"))
+    assert(tgt.versions == Seq(1, 2))
+    assert(tgt.read().count() == 2)
+    tgt.expireSnapshots(keep = 1)
+    assert(tgt.versions == Seq(2))
+  }
+
   test("time travel reads any live snapshot; expired versions fail loudly") {
     val dir = Files.createTempDirectory("ptargettt").toString
     val tgt = new ParquetTarget(spark, dir)
@@ -237,6 +253,36 @@ class CdcPipelineE2eSpec extends SparkSpec {
     assert(viaSql == viaDf, "soft-delete/evolution parity")
     assert(viaDf.exists(_.contains("k4")) && !viaDf.exists(_.contains("k2")))
     assert(viaDf.exists(r => r.contains("k3") && r.contains("c")), "stale update ignored")
+  }
+
+  test("field filtering can never strip the dialect's delete-marker column") {
+    // includeColumns omits BOTH change-tracking columns — the dialect's
+    // essential set must retain them anyway, or the tombstone below would
+    // merge as an upsert over a NULL-backfilled marker (silent loss of
+    // the delete)
+    val wms = new InMemoryWatermarkStore
+    val pipeline = new CdcPipeline(spark, graft.operators.MsSqlCtDialect,
+      PipelineConfig(keyColumn = "id", maintenanceEvery = 0,
+        includeColumns = Seq("id", "payload")), wms)
+    val target = new ParquetTarget(spark, Files.createTempDirectory("tgt_ess").toString)
+    val b1 = Seq((1L, "a", 1L, "I"), (2L, "b", 1L, "I"))
+      .toDF("id", "payload", "SYS_CHANGE_VERSION", "SYS_CHANGE_OPERATION")
+    pipeline.runBatch(target, "t", b1, Watermark.blob(1L))
+    assert(target.read().count() == 2)
+    val b2 = Seq((1L, "a", 2L, "D"))
+      .toDF("id", "payload", "SYS_CHANGE_VERSION", "SYS_CHANGE_OPERATION")
+    pipeline.runBatch(target, "t", b2, Watermark.blob(2L))
+    assert(target.read().select("id").as[Long].collect().toSet == Set(2L),
+      "the tombstone must apply under aggressive field filters")
+    // EXPLICITLY excluding the marker is a configuration error and fails
+    // loudly (the P1/P2 essential-protected contract), never silently
+    val bad = new CdcPipeline(spark, graft.operators.MsSqlCtDialect,
+      PipelineConfig(keyColumn = "id", maintenanceEvery = 0,
+        excludeColumns = Seq("SYS_CHANGE_OPERATION")), wms)
+    val e = intercept[Exception] {
+      bad.runBatch(target, "t2", b1, Watermark.blob(3L))
+    }
+    assert(e.getMessage.toLowerCase.contains("essential"))
   }
 
   test("empty-batch short-circuit commits only the watermark") {
