@@ -56,6 +56,52 @@ object Watermark {
 
   def blob(createdOnMillis: Long, now: Instant = Instant.now()): Watermark =
     Watermark(Blob, f"$createdOnMillis%020d", now.toEpochMilli)
+
+  /** Blob watermark carrying the BOUNDARY SET: short hashes of the files
+    * already read AT the max modification time. Blob stores stamp mod
+    * times at coarse (often 1 s) granularity, so "new" files can share the
+    * committed timestamp — an exclusive `>` skips them forever, an
+    * inclusive `>=` alone re-reads the boundary every poll (a busy loop).
+    * Carrying which boundary files were consumed gives inclusive semantics
+    * without re-reads. The zero-padded millis stay the version's prefix,
+    * so lexicographic watermark ordering is unchanged; the set is capped
+    * ([[BlobBoundaryCap]]) — a boundary overflowing it degrades to the
+    * exclusive comparison for that timestamp (hundreds of files sharing
+    * one millisecond), never to unbounded state.
+    */
+  def blobWithBoundary(createdOnMillis: Long, boundaryHashes: Seq[String],
+                       now: Instant = Instant.now()): Watermark = {
+    val capped = boundaryHashes.distinct.sorted.take(BlobBoundaryCap)
+    val suffix = if (capped.isEmpty) "" else capped.mkString("|", ",", "")
+    Watermark(Blob, f"$createdOnMillis%020d$suffix", now.toEpochMilli)
+  }
+
+  /** Max boundary-set entries carried in a blob watermark (~4.5 KB at 8
+    * hex chars + separator — fine for a table property or sidecar file).
+    */
+  val BlobBoundaryCap = 512
+
+  /** Parse a blob watermark version into (maxModMillis, boundary hashes).
+    * Accepts the plain legacy form (no boundary) and returns None for a
+    * version whose millis prefix is unparseable — the caller must treat
+    * that as corrupt state, NOT as a fresh start.
+    */
+  def blobParts(version: String): Option[(Long, Set[String])] = {
+    val (head, tail) = version.span(_ != '|')
+    head.toLongOption.map { millis =>
+      val hashes =
+        if (tail.isEmpty) Set.empty[String]
+        else tail.drop(1).split(',').filter(_.nonEmpty).toSet
+      (millis, hashes)
+    }
+  }
+
+  /** Short stable file-identity hash for the blob boundary set. */
+  def blobFileHash(path: String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(path.getBytes(StandardCharsets.UTF_8))
+    d.take(4).map(b => f"$b%02x").mkString
+  }
 }
 
 /** Where watermarks live between runs. The reference uses the Iceberg table

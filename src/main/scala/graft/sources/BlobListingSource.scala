@@ -37,10 +37,18 @@ final case class BlobSourceConfig(
 
 object BlobListingSource {
 
-  /** List files under the prefix with modTime strictly greater than the
-    * watermark (reference filters `createdOn >= startFrom`; strict > here
-    * because our watermark commits the max seen, making re-listing
-    * idempotent). Returns (files, maxModTime).
+  /** List files under the prefix that are NEW relative to the watermark:
+    * modTime strictly after it, OR sharing the boundary timestamp but not
+    * in the already-consumed boundary set. The inclusive boundary matters
+    * because blob stores stamp mod times at coarse (often 1 s) granularity
+    * — the reference filters `createdOn >= startFrom` for the same reason
+    * — and a strict `>` would PERMANENTLY skip a file that surfaces in the
+    * listing after a same-timestamp batch committed (eventual consistency
+    * / in-flight writes). The boundary set keeps the inclusive comparison
+    * from re-reading the same files every poll.
+    *
+    * Returns (files, maxModTime, boundary hashes at maxModTime — carrying
+    * forward the old boundary when the max did not advance).
     *
     * The whole listing (existence probe + recursive iteration) runs under
     * `retry`: remote-store listings fail transiently in exactly the way the
@@ -50,46 +58,81 @@ object BlobListingSource {
     * restarts the listing rather than resuming a half-consumed iterator.
     */
   def listNewFiles(spark: SparkSession, path: String, afterMillis: Long,
-                   retry: RetryPolicy = RetryPolicy()): (Seq[String], Long) = retry {
+                   boundary: Set[String] = Set.empty,
+                   retry: RetryPolicy = RetryPolicy()): (Seq[String], Long, Seq[String]) = retry {
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) (Nil, afterMillis)
+    if (!fs.exists(p)) (Nil, afterMillis, boundary.toSeq)
     else {
+      // a boundary that overflowed the watermark cap degraded to exclusive
+      // semantics when it was written; honor that by never re-admitting
+      // boundary-timestamp files we can't distinguish
+      val boundaryExhaustive = boundary.size < graft.core.Watermark.BlobBoundaryCap
       val it = fs.listFiles(p, true)
       val files = Seq.newBuilder[(String, Long)]
       while (it.hasNext) {
         val st = it.next()
-        if (st.isFile && !st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith(".")
-            && st.getModificationTime > afterMillis)
-          files += ((st.getPath.toString, st.getModificationTime))
+        val name = st.getPath.getName
+        if (st.isFile && !name.startsWith("_") && !name.startsWith(".")) {
+          val mt = st.getModificationTime
+          val isNew = mt > afterMillis ||
+            (mt == afterMillis && boundaryExhaustive &&
+              !boundary.contains(Watermark.blobFileHash(st.getPath.toString)))
+          if (isNew) files += ((st.getPath.toString, mt))
+        }
       }
       val out = files.result()
-      (out.map(_._1), if (out.isEmpty) afterMillis else out.map(_._2).max)
+      if (out.isEmpty) (Nil, afterMillis, boundary.toSeq)
+      else {
+        val maxMod = out.map(_._2).max
+        val atMax = out.filter(_._2 == maxMod)
+          .map(f => Watermark.blobFileHash(f._1))
+        // the max did not advance → this batch EXTENDS the old boundary
+        val newBoundary =
+          if (maxMod == afterMillis) (boundary.toSeq ++ atMax).distinct else atMax
+        (out.map(_._1), maxMod, newBoundary)
+      }
     }
   }
 
   /** Read one change batch: files newer than `watermark`, enriched with
     * ARCANE_MERGE_KEY + createdon. Returns None when no new files (the
-    * empty-batch short-circuit, reference T11).
+    * empty-batch short-circuit, reference T11). A watermark of the wrong
+    * kind or with an unparseable version fails LOUDLY — treating corrupt
+    * resume state as "fresh start" would silently re-read the full prefix.
     */
   def nextBatch(spark: SparkSession, cfg: BlobSourceConfig,
                 watermark: Option[Watermark],
                 retry: RetryPolicy = RetryPolicy()): Option[(DataFrame, Watermark)] = {
-    val after = watermark.flatMap(w => w.version.toLongOption).getOrElse(Long.MinValue)
-    val (files, maxMod) = listNewFiles(spark, cfg.path, after, retry)
+    val (after, boundary) = watermark match {
+      case None => (Long.MinValue, Set.empty[String])
+      case Some(w) =>
+        require(w.kind == Watermark.Blob,
+          s"blob source resumed with a '${w.kind}' watermark — wrong target state?")
+        Watermark.blobParts(w.version).getOrElse(
+          throw new IllegalStateException(
+            s"corrupt blob watermark version '${w.version}'"))
+    }
+    val (files, maxMod, newBoundary) = listNewFiles(spark, cfg.path, after, boundary, retry)
     if (files.isEmpty) None
     else {
-      val reader0 = spark.read.options(cfg.readerOptions)
+      // defaults first, user readerOptions AFTER so they win: CSV header
+      // handling is a default (true — the common labeled-export shape),
+      // not an override that silently eats the first row of a headerless
+      // feed configured with header=false
+      val reader0 = spark.read
+        .option("header", "true")
+        .options(cfg.readerOptions)
       // a pre-configured schema also skips the inference pass over the
       // listing — one fewer full-file-set touch per micro-batch at scale
       val reader = cfg.sourceSchema.fold(reader0)(reader0.schema)
       val df = cfg.format match {
         case "parquet" => reader.parquet(files: _*)
         case "json" => reader.json(files: _*)
-        case "csv" => reader.option("header", "true").csv(files: _*)
+        case "csv" => reader.csv(files: _*)
         case other => throw new IllegalArgumentException(s"unsupported format: $other")
       }
-      Some((enrich(df, cfg.pkColumns), Watermark.blob(maxMod)))
+      Some((enrich(df, cfg.pkColumns), Watermark.blobWithBoundary(maxMod, newBoundary)))
     }
   }
 
@@ -116,7 +159,10 @@ object BlobListingSource {
       val tmp = java.nio.file.Files.createTempFile("graft-schema", ".parquet")
       try {
         java.nio.file.Files.write(tmp, bytes)
-        spark.read.parquet(tmp.toString).schema
+        // explicit file:// scheme: the temp file is DRIVER-LOCAL, and a
+        // schemeless path would resolve against fs.defaultFS (hdfs/abfss
+        // on a real cluster) where it does not exist
+        spark.read.parquet(tmp.toUri.toString).schema
       } finally java.nio.file.Files.deleteIfExists(tmp)
     }
   }

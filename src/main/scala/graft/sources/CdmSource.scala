@@ -61,8 +61,17 @@ object CdmSource {
     * local with optional 'Z'.
     */
   def parseCdmTimestamp(colName: String, c: Column): Column = colName match {
-    case "SinkCreatedOn" | "SinkModifiedOn" => to_timestamp(c, "M/d/yyyy h:mm:ss a")
-    case "CreatedOn" => to_timestamp(c) // ISO offset — Spark default handles it
+    // try_* + ISO fallbacks on the NAMED dialects too: Synapse export
+    // formats vary across versions, and under ANSI mode (Spark 4 default)
+    // a throwing to_timestamp would kill the whole micro-batch on the
+    // first value that arrives ISO-shaped (or malformed) instead of in
+    // the documented M/d/yyyy form — unparseable values become NULL, the
+    // same tolerance the default branch always had
+    case "SinkCreatedOn" | "SinkModifiedOn" =>
+      coalesce(
+        try_to_timestamp(c, lit("M/d/yyyy h:mm:ss a")),
+        try_to_timestamp(c))
+    case "CreatedOn" => try_to_timestamp(c) // ISO offset — Spark default handles it
     case _ =>
       // try_* variants: ANSI mode (Spark 4 default) would otherwise throw on
       // the first non-matching dialect instead of falling through.

@@ -39,7 +39,13 @@ object JsonShape {
   def explodeArray(df: DataFrame, docCol: Column, arrayPointer: String,
                    elementName: String): DataFrame = {
     val path = pointerToPath(arrayPointer)
-    df.withColumn(elementName, explode(docCol.getField(path)))
+    // one getField per path SEGMENT: getField matches a single literal
+    // field name, so a dotted path ("payload.items") passed whole would
+    // look for a field literally named "payload.items" and fail analysis
+    // on every nested pointer
+    val arr = path.split('.').filter(_.nonEmpty)
+      .foldLeft(docCol)((c, seg) => c.getField(seg))
+    df.withColumn(elementName, explode(arr))
   }
 
   /** Scalar pointer extraction without a schema (string result) — the

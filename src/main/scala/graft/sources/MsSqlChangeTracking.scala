@@ -34,9 +34,14 @@ object MsSqlChangeTracking {
     */
   def deltaQuery(schema: String, table: String, pkColumns: Seq[String],
                  dataColumns: Seq[String], fromVersion: Long): String = {
-    val pkSel = pkColumns.map(c => s"ct.[$c]").mkString(", ")
-    val dataSel = dataColumns.map(c => s"tq.[$c]").mkString(", ")
-    s"""SELECT $pkSel, ct.SYS_CHANGE_VERSION, ct.SYS_CHANGE_OPERATION, $dataSel,
+    // one filtered join, never string interpolation of possibly-empty
+    // fragments: a pure link/junction table (every column in the PK) has
+    // dataColumns = Nil, and a `$dataSel,` template would emit a dangling
+    // comma — a server-side syntax error at run time
+    val sel = (pkColumns.map(c => s"ct.[$c]") ++
+      Seq("ct.SYS_CHANGE_VERSION", "ct.SYS_CHANGE_OPERATION") ++
+      dataColumns.map(c => s"tq.[$c]")).mkString(", ")
+    s"""SELECT $sel,
        |  ${mergeKeySql(pkColumns, "ct")} AS ARCANE_MERGE_KEY
        |FROM CHANGETABLE(CHANGES [$schema].[$table], $fromVersion) AS ct
        |LEFT JOIN [$schema].[$table] AS tq ON ${pkColumns.map(c => s"ct.[$c] = tq.[$c]").mkString(" AND ")}""".stripMargin
@@ -81,7 +86,11 @@ object MsSqlChangeTracking {
     */
   def costToShardSize(cost: Double): Double = {
     val c = 1.0 + math.pow(math.log(cost), 3)
-    if (c < 0) 1.0 else if (c > 1000) 1000.0 else c
+    // clamp to the documented [1, 1000] band — `c < 0` alone would let
+    // costs in (1/e, 1) produce sub-1-MiB shard sizes below the floor
+    // (and ~50% more shards than the model intends), inconsistent with
+    // shardCountFromCost's cost <= 1 → 1 handling
+    if (c < 1) 1.0 else if (c > 1000) 1000.0 else c
   }
 
   /** Physical-stats query over the clustered index leaf level
@@ -97,10 +106,16 @@ object MsSqlChangeTracking {
     * QueryProvider.scala:188-196 — the operator-override path).
     */
   def physicalStatsQuerySized(schema: String, table: String, shardSizeMib: Double): String =
+    // the shard divisor floors at 1: an empty/truncated table has
+    // page_count = 0 → ceiling(0/size) = 0 → the records_per_shard
+    // division would raise SQL Server error 8134 and fail backfill
+    // planning instead of reporting a 1-shard empty table
     s"""SELECT
        |    (page_count * 8.0) / 1024 / 1024 as total_size_gib,
-       |    ceiling((page_count * 8.0) / 1024 / $shardSizeMib) as shards,
-       |    record_count / ceiling((page_count * 8.0) / 1024 / $shardSizeMib) as records_per_shard
+       |    CASE WHEN page_count = 0 THEN 1
+       |         ELSE ceiling((page_count * 8.0) / 1024 / $shardSizeMib) END as shards,
+       |    record_count / CASE WHEN page_count = 0 THEN 1
+       |         ELSE ceiling((page_count * 8.0) / 1024 / $shardSizeMib) END as records_per_shard
        |FROM
        |    sys.dm_db_index_physical_stats(DB_ID(), OBJECT_ID('$schema.$table'), 1, NULL, 'DETAILED')
        |where index_level = 0""".stripMargin
@@ -120,11 +135,11 @@ object MsSqlChangeTracking {
     * partition each; the server evaluates the checksum, the rows never
     * co-locate on one connection.
     */
-  def shardPredicates(pkColumns: Seq[String], numShards: Int): Array[String] = {
-    val checksum = s"CHECKSUM(${pkColumns.map(c => s"[$c]").mkString(", ")})"
-    Array.tabulate(numShards)(i =>
-      s"ABS(CAST($checksum AS BIGINT)) % $numShards = $i")
-  }
+  def shardPredicates(pkColumns: Seq[String], numShards: Int): Array[String] =
+    // one predicate template for the whole engine: MergeKey owns it, so a
+    // future fix (NULL-checksum handling, skew salt) lands everywhere
+    graft.core.MergeKey.mssqlShardPredicates(
+      pkColumns.map(c => s"[$c]").mkString(", "), numShards)
 
   /** Partitioned backfill read: the full table pulled over numShards parallel
     * JDBC connections.

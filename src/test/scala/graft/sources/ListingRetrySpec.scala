@@ -48,8 +48,9 @@ class ListingRetrySpec extends SparkSpec {
 
   test("blob listing survives injected transient failures under the retry policy") {
     FlakyFs.failuresRemaining.set(2)
-    val (files, maxMod) =
-      BlobListingSource.listNewFiles(spark, s"flaky://$dir/data", Long.MinValue, noSleep)
+    val (files, maxMod, _) =
+      BlobListingSource.listNewFiles(spark, s"flaky://$dir/data", Long.MinValue,
+        retry = noSleep)
     assert(files.nonEmpty && maxMod > Long.MinValue)
     assert(FlakyFs.failuresRemaining.get() <= 0, "the flaky listings were consumed")
   }
@@ -58,7 +59,7 @@ class ListingRetrySpec extends SparkSpec {
     FlakyFs.failuresRemaining.set(1)
     intercept[IOException] {
       BlobListingSource.listNewFiles(spark, s"flaky://$dir/data", Long.MinValue,
-        RetryPolicy.disabled)
+        retry = RetryPolicy.disabled)
     }
     FlakyFs.failuresRemaining.set(0)
   }
@@ -67,7 +68,7 @@ class ListingRetrySpec extends SparkSpec {
     FlakyFs.failuresRemaining.set(100)
     intercept[IOException] {
       BlobListingSource.listNewFiles(spark, s"flaky://$dir/data", Long.MinValue,
-        noSleep.copy(maxAttempts = 2))
+        retry = noSleep.copy(maxAttempts = 2))
     }
     FlakyFs.failuresRemaining.set(0)
   }

@@ -45,12 +45,25 @@ class MsSqlChangeTrackingSpec extends SparkSpec {
   test("physical-stats query derives shards from leaf pages at the cost-sized divisor") {
     val q = MsSqlChangeTracking.physicalStatsQuery("dbo", "t", cost = math.exp(2))
     // costToShardSize(e^2) = 1 + 2^3 = 9 MiB per shard
-    assert(q.contains("ceiling((page_count * 8.0) / 1024 / 9.0) as shards"))
+    assert(q.contains("ceiling((page_count * 8.0) / 1024 / 9.0) END as shards"))
+    // empty-table guard: page_count = 0 must not reach the division
+    // (SQL Server error 8134 would fail backfill planning)
+    assert(q.contains("CASE WHEN page_count = 0 THEN 1"))
     assert(q.contains("sys.dm_db_index_physical_stats(DB_ID(), OBJECT_ID('dbo.t'), 1, NULL, 'DETAILED')"))
     assert(q.contains("index_level = 0"))
     assert(MsSqlChangeTracking.costToShardSize(0.1) == 1.0)   // 1+ln³ < 0 clamps to 1
-    assert(math.abs(MsSqlChangeTracking.costToShardSize(0.5) - (1 + math.pow(math.log(0.5), 3))) < 1e-12)
+    // the documented [1, 1000] FLOOR bites in (1/e, 1) too — a 0.667 MiB
+    // shard size would plan ~50% more JDBC shards than the model intends
+    assert(MsSqlChangeTracking.costToShardSize(0.5) == 1.0)
     assert(MsSqlChangeTracking.costToShardSize(1e60) == 1000.0)
+  }
+
+  test("a pure-PK table (no data columns) renders valid delta SQL") {
+    // a link/junction table where every column is in the PK: the SELECT
+    // list must not carry a dangling comma from an empty data segment
+    val q = MsSqlChangeTracking.deltaQuery("dbo", "link", Seq("a", "b"), Nil, 5L)
+    assert(!q.contains(", ,") && !q.contains(",,"))
+    assert(q.contains("ct.[a], ct.[b], ct.SYS_CHANGE_VERSION, ct.SYS_CHANGE_OPERATION,"))
   }
 
   test("client-side shard count mirrors the server ceiling") {
@@ -180,11 +193,53 @@ class BlobListingSpec extends SparkSpec {
   test("listing filters by mod time and skips hidden/meta files") {
     val dir = Files.createTempDirectory("blobs").toString
     Seq((1L, "a")).toDF("id", "v").write.parquet(s"$dir/d1")
-    val (files, maxMod) = BlobListingSource.listNewFiles(spark, dir, Long.MinValue)
+    val (files, maxMod, boundary) =
+      BlobListingSource.listNewFiles(spark, dir, Long.MinValue)
     assert(files.nonEmpty)
     assert(files.forall(f => !f.contains("_SUCCESS")))
-    val (none, sameMod) = BlobListingSource.listNewFiles(spark, dir, maxMod)
-    assert(none.isEmpty && sameMod == maxMod)
+    // re-listing WITH the committed boundary set yields nothing new; the
+    // inclusive timestamp alone (empty boundary) would re-admit the
+    // boundary files — that asymmetry is what catches late arrivals
+    val (none, sameMod, b2) =
+      BlobListingSource.listNewFiles(spark, dir, maxMod, boundary.toSet)
+    assert(none.isEmpty && sameMod == maxMod && b2.toSet == boundary.toSet)
+  }
+
+  test("a file surfacing late with the committed boundary timestamp is still read") {
+    // blob mod times are coarse (often 1 s): a file stamped the SAME
+    // millisecond as the committed watermark but listed only after the
+    // batch (eventual consistency / in-flight write) must be picked up by
+    // the next poll — the strict-`>` filter this replaces skipped it
+    // forever, silent data loss
+    val dir = Files.createTempDirectory("blobs-late").toString
+    Seq((1L, "a")).toDF("id", "v").write.parquet(s"$dir/d1")
+    val cfg = BlobSourceConfig(dir, pkColumns = Seq("id"))
+    val Some((b1, wm1)) = BlobListingSource.nextBatch(spark, cfg, None)
+    assert(b1.count() == 1)
+    // the "late" file: written after the batch, mod time pinned to the
+    // committed watermark's exact timestamp
+    Seq((2L, "late")).toDF("id", "v").write.parquet(s"$dir/d2")
+    val (t, _) = graft.core.Watermark.blobParts(wm1.version).get
+    Files.walk(Paths.get(dir, "d2")).forEach(p => p.toFile.setLastModified(t))
+    val Some((b2, wm2)) = BlobListingSource.nextBatch(spark, cfg, Some(wm1))
+    assert(b2.select("id").collect().map(_.getLong(0)).toSet == Set(2L),
+      "the same-timestamp late file must be read, and only it")
+    // and the stream quiesces: nothing new → None, no busy re-read loop
+    assert(BlobListingSource.nextBatch(spark, cfg, Some(wm2)).isEmpty)
+  }
+
+  test("a wrong-kind or corrupt watermark fails loudly instead of re-reading the prefix") {
+    val dir = Files.createTempDirectory("blobs-wm").toString
+    Seq((1L, "a")).toDF("id", "v").write.parquet(s"$dir/d1")
+    val cfg = BlobSourceConfig(dir, pkColumns = Seq("id"))
+    intercept[IllegalArgumentException] {
+      BlobListingSource.nextBatch(spark, cfg,
+        Some(graft.core.Watermark.mssql(5L)))
+    }
+    intercept[IllegalStateException] {
+      BlobListingSource.nextBatch(spark, cfg,
+        Some(graft.core.Watermark("blob-source", "not-a-number", 0L)))
+    }
   }
 
   test("pre-configured schema overrides footer inference on mismatched files") {
