@@ -56,25 +56,35 @@ object AsofJoin {
   // nearest-side selection); never escapes the operator
   private val RtsCol = "__rts"
 
+  /** The right row's payload travels as ONE struct (`__r`), never as
+    * independent columns: a per-column `last(ignoreNulls)` would splice a
+    * NULL in the matching row's carry column with a value from an OLDER
+    * right row — emitting a franken-row that never existed (and, under a
+    * tolerance, smuggling an out-of-tolerance value through a row whose
+    * `__rts` alone is judged). `last` over the struct is all-or-nothing:
+    * the carried match is exactly one real right row, NULL fields included.
+    */
   private def normalized(left: DataFrame, right: DataFrame, keyCols: Seq[String],
                          leftTs: String, rightTs: String,
-                         carry: Seq[String]): (DataFrame, Seq[String], Seq[String]) = {
+                         carry: Seq[String]): (DataFrame, Seq[String]) = {
     require(keyCols.nonEmpty, "as-of join requires at least one key column")
     val lPayload = left.columns.filterNot(keyCols.contains).toSeq
-    val carryAll = carry :+ RtsCol
+    val rStructType = org.apache.spark.sql.types.StructType(
+      carry.map(c => org.apache.spark.sql.types.StructField(
+        c, right.schema(c).dataType)) :+
+        org.apache.spark.sql.types.StructField(
+          RtsCol, right.schema(rightTs).dataType))
     val lNorm = left.select(
       keyCols.map(col) ++
         Seq(col(leftTs).as("__ts"), lit(1).as("__side")) ++
-        lPayload.map(col) ++
-        carry.map(c => lit(null).cast(right.schema(c).dataType).as(s"__r_$c")) :+
-        lit(null).cast(right.schema(rightTs).dataType).as(s"__r_$RtsCol"): _*)
+        lPayload.map(col) :+
+        lit(null).cast(rStructType).as("__r"): _*)
     val rNorm = right.select(
       keyCols.map(col) ++
         Seq(col(rightTs).as("__ts"), lit(0).as("__side")) ++
-        lPayload.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
-        carry.map(c => col(c).as(s"__r_$c")) :+
-        col(rightTs).as(s"__r_$RtsCol"): _*)
-    (rNorm.unionByName(lNorm), lPayload, carryAll)
+        lPayload.map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        struct(carry.map(c => col(c).as(c)) :+ col(rightTs).as(RtsCol): _*).as("__r"): _*)
+    (rNorm.unionByName(lNorm), lPayload)
   }
 
   /** In-tolerance predicate for a carried right timestamp (null-safe: a
@@ -91,24 +101,23 @@ object AsofJoin {
                        leftTs: String, rightTs: String, carry: Seq[String],
                        prefix: String, forward: Boolean,
                        tolerance: Option[Column]): DataFrame = {
-    val (unioned, _, carryAll) =
+    val (unioned, _) =
       normalized(left, right, keyCols, leftTs, rightTs, carry)
     // ascending scan finds the latest right at-or-before each left row;
     // descending finds the earliest right at-or-after. Right rows (side 0)
     // sort before left rows at equal __ts either way, so exact-timestamp
-    // matches are visible; trailing carry columns make the order total when
+    // matches are visible; the trailing struct makes the order total when
     // several right rows share (key, ts).
     val ts0 = if (forward) col("__ts").desc else col("__ts").asc
     val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(Seq(ts0, col("__side").asc) ++ carryAll.map(c => col(s"__r_$c").asc): _*)
+      .orderBy(ts0, col("__side").asc, col("__r").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = carryAll.foldLeft(unioned) { (df, c) =>
-      df.withColumn(s"$prefix$c", last(col(s"__r_$c"), ignoreNulls = true).over(w))
-    }
-    val valid = inTolerance(col(s"$prefix$RtsCol"), col("__ts"), forward, tolerance)
+    val carried = unioned
+      .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
+    val valid = inTolerance(col("__m").getField(RtsCol), col("__ts"), forward, tolerance)
     carried.filter(col("__side") === 1)
       .select(left.columns.map(col) ++
-        carry.map(c => when(valid, col(s"$prefix$c")).as(s"$prefix$c")): _*)
+        carry.map(c => when(valid, col("__m").getField(c)).as(s"$prefix$c")): _*)
   }
 
   /** Closest right row in either direction (ties go backward — the match a
@@ -120,28 +129,27 @@ object AsofJoin {
                   leftTs: String, rightTs: String, carry: Seq[String],
                   prefix: String = "asof_",
                   tolerance: Option[Column] = None): DataFrame = {
-    val (unioned, _, carryAll) =
+    val (unioned, _) =
       normalized(left, right, keyCols, leftTs, rightTs, carry)
     def win(forward: Boolean) = {
       val ts0 = if (forward) col("__ts").desc else col("__ts").asc
       Window.partitionBy(keyCols.map(col): _*)
-        .orderBy(Seq(ts0, col("__side").asc) ++ carryAll.map(c => col(s"__r_$c").asc): _*)
+        .orderBy(ts0, col("__side").asc, col("__r").asc)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     }
-    val (wB, wF) = (win(forward = false), win(forward = true))
-    val carried = carryAll.foldLeft(unioned) { (df, c) =>
-      df.withColumn(s"__b_$c", last(col(s"__r_$c"), ignoreNulls = true).over(wB))
-        .withColumn(s"__f_$c", last(col(s"__r_$c"), ignoreNulls = true).over(wF))
-    }
+    val carried = unioned
+      .withColumn("__b", last(col("__r"), ignoreNulls = true).over(win(forward = false)))
+      .withColumn("__f", last(col("__r"), ignoreNulls = true).over(win(forward = true)))
     val ts = col("__ts")
-    val validB = inTolerance(col(s"__b_$RtsCol"), ts, forward = false, tolerance)
-    val validF = inTolerance(col(s"__f_$RtsCol"), ts, forward = true, tolerance)
-    val backCloser = (ts - col(s"__b_$RtsCol")) <= (col(s"__f_$RtsCol") - ts)
+    val validB = inTolerance(col("__b").getField(RtsCol), ts, forward = false, tolerance)
+    val validF = inTolerance(col("__f").getField(RtsCol), ts, forward = true, tolerance)
+    val backCloser =
+      (ts - col("__b").getField(RtsCol)) <= (col("__f").getField(RtsCol) - ts)
     val useB = validB && (!validF || backCloser)
     carried.filter(col("__side") === 1)
       .select(left.columns.map(col) ++
         carry.map(c =>
-          when(useB, col(s"__b_$c"))
-            .otherwise(when(validF, col(s"__f_$c"))).as(s"$prefix$c")): _*)
+          when(useB, col("__b").getField(c))
+            .otherwise(when(validF, col("__f").getField(c))).as(s"$prefix$c")): _*)
   }
 }

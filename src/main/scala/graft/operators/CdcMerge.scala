@@ -142,7 +142,13 @@ object CdcMerge {
 
     val sPresent = coalesce(sc("__s_present"), lit(false))
     val tPresent = coalesce(tc("__t_present"), lit(false))
-    val del = dialect.isDelete(sc)
+    // NULL delete marker = NOT a delete, for every dialect: a batch that
+    // genuinely lacks the marker column gets it NULL-backfilled by
+    // alignTo, and an un-coalesced NULL here would make the tombstone
+    // filter below three-valued — filter(!(true && NULL)) = NULL drops
+    // the matched TARGET row too, silent data loss on every key the
+    // batch touches
+    val del = coalesce(dialect.isDelete(sc), lit(false))
     val newer = dialect.versionOrder(sc).zip(dialect.versionOrder(tc))
       .map { case (sv, tv) => sv > tv }
       .reduce(_ || _) // single version column in all three dialects

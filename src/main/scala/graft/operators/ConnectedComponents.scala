@@ -43,6 +43,12 @@ object ConnectedComponents {
                maxIter: Int = 25, driverMaxEdges: Long = 1L << 20): DataFrame = {
     val pairs = edges
       .select(col(idA).cast("long").as("a"), col(idB).cast("long").as("b"))
+      // a NULL vertex id (null input, or a non-numeric id the cast nulls
+      // out) names no vertex: without this filter the driver path would
+      // NPE opaquely in getLong while the distributed path emitted a
+      // phantom (null, null) label row — drop such edges identically on
+      // both paths, map-side, before anything materializes
+      .filter(col("a").isNotNull && col("b").isNotNull)
       .localCheckpoint()
     if (pairs.count() <= driverMaxEdges) {
       // union-find collects eagerly, so the edge blocks can go right away
@@ -74,6 +80,17 @@ object ConnectedComponents {
       iter += 1
     }
     Checkpoints.release(adj)
+    // exiting at the cap WITHOUT convergence would silently return wrong
+    // (non-minimum) labels — one duplicate cluster reported as many — and
+    // every downstream survivor rule would quietly under-deduplicate. A
+    // graph whose diameter exceeds the cap must fail loudly; raise maxIter
+    // (or use a star-contraction variant) rather than trusting fragments.
+    if (!done) {
+      Checkpoints.release(labels)
+      throw new IllegalStateException(
+        s"connected components did not converge in $maxIter iterations — " +
+          "component diameter exceeds the cap; raise maxIter")
+    }
     labels
   }
 

@@ -29,6 +29,9 @@ object FieldFilter {
     val missing = incl -- df.columns.map(_.toLowerCase).toSet
     if (missing.nonEmpty)
       throw FieldFilterError(s"include list references unknown columns: ${missing.mkString(", ")}")
+    if (keep.isEmpty)
+      throw FieldFilterError(
+        "field filter would select zero columns (empty include list with no essential columns)")
     df.select(keep.head, keep.tail: _*)
   }
 
@@ -42,6 +45,9 @@ object FieldFilter {
     if (clash.nonEmpty)
       throw FieldFilterError(s"cannot exclude essential fields: ${clash.mkString(", ")}")
     val keep = df.columns.filterNot(c => excl.contains(c.toLowerCase))
+    if (keep.isEmpty)
+      throw FieldFilterError(
+        "field filter would select zero columns (exclude list covers every column)")
     df.select(keep.head, keep.tail: _*)
   }
 }

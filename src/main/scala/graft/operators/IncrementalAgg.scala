@@ -34,6 +34,18 @@ object IncrementalAgg {
     *                    and change rows)
     * @param valueCol    summed measure
     */
+  /** Type-preserving empty-sum zero: `coalesce(sum(x), lit(0.0))` would
+    * pull a DECIMAL sum to DOUBLE through coercion — silently destroying
+    * the exactness the operator's doc tells callers DECIMAL preserves. The
+    * zero literal is cast to the measure's own type instead, so the sum
+    * column keeps its input family (decimal stays decimal, long stays
+    * long, double stays double).
+    */
+  private def sumOrZero(df: DataFrame, valueCol: String): Column = {
+    val t = df.select(col(valueCol)).schema.head.dataType
+    coalesce(sum(col(valueCol)), lit(0).cast(t))
+  }
+
   def maintain(view: DataFrame, targetState: DataFrame, latest: DataFrame,
                keyCol: String, dialect: MergeDialect,
                groupCols: Seq[String], valueCol: String): DataFrame = {
@@ -44,7 +56,7 @@ object IncrementalAgg {
     def contrib(df: DataFrame, sign: Int): DataFrame =
       df.groupBy(groupCols.map(col): _*)
         .agg((count(lit(1)) * sign).as("cnt"),
-          (coalesce(sum(col(valueCol)), lit(0.0)) * sign).as("sum_value"))
+          (sumOrZero(df, valueCol) * sign).as("sum_value"))
 
     view.select(groupCols.map(col) :+ col("cnt") :+ col("sum_value"): _*)
       .unionByName(contrib(newTouched, 1))
@@ -61,7 +73,7 @@ object IncrementalAgg {
                 valueCol: String): DataFrame =
     targetState.groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("cnt"),
-        coalesce(sum(col(valueCol)), lit(0.0)).as("sum_value"))
+        sumOrZero(targetState, valueCol).as("sum_value"))
 
   /** Maintenance for NON-INVERTIBLE aggregates (min/max/count-distinct —
     * anything you can't subtract a departed row from): recompute ONLY the
@@ -89,8 +101,21 @@ object IncrementalAgg {
     val affected = oldTouched.select(groupCols.map(col): _*)
       .unionByName(newTouched.select(groupCols.map(col): _*))
       .distinct()
-    val newState = CdcMerge.applyChanges(targetState, latest, keyCol, dialect)
-    val recomputed = semiByGroups(newState, affected, groupCols, anti = false)
+    // state' ⋉ affected, built WITHOUT merging the whole table: untouched
+    // keys' rows are identical pre/post merge, so the recompute input is
+    // (table ∖ touched keys) ⋉ affected  ∪  merged touched-key rows ⋉
+    // affected. Both prunes are joins against SMALL frames (touched keys,
+    // affected groups) that broadcast — the table is scanned but never
+    // shuffled, whereas a full applyChanges(table, batch) plans a
+    // full-outer sort-merge join that shuffles the entire table per batch
+    // (the O(table) cost the doc above promises this operator avoids).
+    val untouchedInAffected = semiByGroups(
+      targetState.join(touched, Seq(keyCol), "left_anti"),
+      affected, groupCols, anti = false)
+    val mergedInAffected = semiByGroups(newTouched, affected, groupCols, anti = false)
+    val recomputeInput = CdcMerge.alignTo(untouchedInAffected, newTouched.schema)
+      .unionByName(mergedInAffected)
+    val recomputed = recomputeInput
       .groupBy(groupCols.map(col): _*)
       .agg(aggs.head._2.as(aggs.head._1),
         aggs.tail.map { case (n, c) => c.as(n) }: _*)

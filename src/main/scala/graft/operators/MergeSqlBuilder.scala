@@ -22,6 +22,15 @@ object MergeSqlBuilder {
   def onClause(keyCol: String,
                partitionPruning: Seq[(String, Seq[String])] = Nil,
                extraMatchKeys: Seq[String] = Nil): String = {
+    // fail at BUILD time, not as a server-side ParseException: an empty
+    // value list would render `t.col IN ()` (invalid SQL), and it signals
+    // a caller bug — a batch whose computed partition set is empty has
+    // nothing to merge and should skip the statement entirely
+    partitionPruning.foreach { case (col, values) =>
+      require(values.nonEmpty,
+        s"partition pruning for '$col' has an empty value list — " +
+          "an empty batch should skip the MERGE, not render `IN ()`")
+    }
     val base = s"t.${q(keyCol)} = s.${q(keyCol)}"
     val prune = partitionPruning.map { case (col, values) =>
       values.map(v => s"'${v.replace("'", "''")}'")

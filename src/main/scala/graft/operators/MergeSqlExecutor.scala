@@ -86,7 +86,7 @@ object MergeSqlExecutor {
       }
     def valueFor(action: MergeAction, f: StructField): Option[Column] = action match {
       case UpdateAction(_, assigns, _) => Some(assigned(assigns, f).getOrElse(tc(f.name)))
-      case _: UpdateStarAction => Some(sc(f.name))
+      case _: UpdateStarAction => Some(sc(f.name).cast(f.dataType))
       case InsertAction(_, assigns) =>
         Some(assigned(assigns, f).getOrElse(lit(null)).cast(f.dataType))
       case _: InsertStarAction => Some(sc(f.name).cast(f.dataType))
@@ -109,6 +109,13 @@ object MergeSqlExecutor {
 
   /** Execute the merge and replace the target temp view with the result
     * (materialized first — can't overwrite a view being read).
+    *
+    * OWNERSHIP: the swap releases the block-store state behind the
+    * SUPERSEDED view (the previous call's checkpoint) once the new result
+    * is materialized — without that, a continuous merge loop orphans one
+    * table-sized checkpoint per batch and executor storage grows forever.
+    * Consequently the replaced view's frame must not be read again through
+    * other references after this call.
     */
   def executeIntoTempView(spark: SparkSession, mergeSql: String): Unit = {
     val plan = spark.sessionState.sqlParser.parsePlan(mergeSql)
@@ -117,8 +124,17 @@ object MergeSqlExecutor {
       case r: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation =>
         r.multipartIdentifier.mkString(".")
     }.getOrElse(throw new IllegalArgumentException("target is not a named relation"))
-    val out = merged(spark, mergeSql).localCheckpoint()
+    // the view wraps the checkpointed frame in View/SubqueryAlias nodes, so
+    // collect the LogicalRDDs inside rather than matching the root
+    val supersededRdds =
+      if (spark.catalog.tableExists(viewName))
+        spark.table(viewName).queryExecution.analyzed.collect {
+          case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+        }
+      else Nil
+    val out = merged(spark, mergeSql).localCheckpoint() // eager: materialized
     out.createOrReplaceTempView(viewName)
+    supersededRdds.foreach(_.unpersist(blocking = false))
   }
 
   private def unalias(p: LogicalPlan): (String, LogicalPlan) = p match {

@@ -32,6 +32,37 @@ class AsofJoinSpec extends SparkSpec {
     assert(out(5L) == ((None, None)), "unmatched key carries nulls (left-asof)")
   }
 
+  test("a NULL in the matching row's carry column is carried AS NULL, never spliced") {
+    // the matching right row carries (price=NULL, size=7); an older row
+    // carries (price=100, size=5). Per-column ignoreNulls carrying would
+    // emit (price=100, size=7) — a franken-row that never existed, and
+    // under a tolerance an out-of-tolerance price smuggled through a row
+    // judged in-tolerance by its timestamp alone. The carried match must
+    // be exactly ONE real right row, NULL fields included.
+    val l = Seq((1L, 100L, 10L)).toDF("id", "k", "t")
+    val r = Seq(
+      (100L, 1L, Option(100.0), 5L),
+      (100L, 9L, None: Option[Double], 7L)
+    ).toDF("k", "t", "price", "size")
+    val out = AsofJoin.asofBackward(l, r, Seq("k"), "t", "t", Seq("price", "size"))
+      .select($"asof_price", $"asof_size")
+      .as[(Option[Double], Option[Long])].collect().head
+    assert(out == ((None, Some(7L))),
+      s"must carry the t=9 row whole (price NULL), got $out")
+    // same contract under a tolerance: the t=9 match is in-tolerance, and
+    // its NULL price must not be backfilled from the out-of-tolerance t=1
+    val tol = AsofJoin.asofBackward(l, r, Seq("k"), "t", "t",
+      Seq("price", "size"), tolerance = Some(lit(2L)))
+      .select($"asof_price", $"asof_size")
+      .as[(Option[Double], Option[Long])].collect().head
+    assert(tol == ((None, Some(7L))))
+    // nearest shares the struct-carry contract
+    val near = AsofJoin.asofNearest(l, r, Seq("k"), "t", "t", Seq("price", "size"))
+      .select($"asof_price", $"asof_size")
+      .as[(Option[Double], Option[Long])].collect().head
+    assert(near == ((None, Some(7L))))
+  }
+
   test("left columns pass through untouched; row count is |left|") {
     val out = AsofJoin.asofBackward(left, right, Seq("k"), "t", "t", Seq("rv"))
     assert(out.count() == 5)
