@@ -9,7 +9,7 @@ import java.util.UUID
   */
 object Naming {
   private def sanitize(s: String): String =
-    s.toLowerCase.replaceAll("[^a-z0-9_]", "_")
+    s.toLowerCase(java.util.Locale.ROOT).replaceAll("[^a-z0-9_]", "_")
 
   def stagingPrefix(streamId: String): String =
     s"stream__${sanitize(streamId)}__stage"
@@ -30,7 +30,7 @@ object Naming {
     * when mapping CDM/entity attribute names onto warehouse columns.
     */
   def camelCaseToSnakeCase(s: String): String =
-    s.replaceAll("([a-z0-9])([A-Z])", "$1_$2").toLowerCase
+    s.replaceAll("([a-z0-9])([A-Z])", "$1_$2").toLowerCase(java.util.Locale.ROOT)
 
   def isStagingFor(streamId: String, tableName: String): Boolean =
     tableName.startsWith(stagingPrefix(streamId))

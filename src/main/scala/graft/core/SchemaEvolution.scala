@@ -33,14 +33,14 @@ object SchemaEvolution {
     * (reference getMissingFields, ArcaneSchema.scala:151-157).
     */
   def missingFields(target: StructType, source: StructType): Seq[StructField] = {
-    val have = target.fields.map(_.name.toLowerCase).toSet
-    source.fields.toSeq.filterNot(f => have.contains(f.name.toLowerCase))
+    val have = target.fields.map(_.name.toLowerCase(java.util.Locale.ROOT)).toSet
+    source.fields.toSeq.filterNot(f => have.contains(f.name.toLowerCase(java.util.Locale.ROOT)))
   }
 
   /** Order-, case- and nullability-insensitive schema equality. */
   def schemaEquals(a: StructType, b: StructType): Boolean = {
     def norm(s: StructType): Map[String, DataType] =
-      s.fields.map(f => f.name.toLowerCase -> f.dataType).toMap
+      s.fields.map(f => f.name.toLowerCase(java.util.Locale.ROOT) -> f.dataType).toMap
     val (na, nb) = (norm(a), norm(b))
     na.keySet == nb.keySet && na.forall { case (k, t) => typeEquals(t, nb(k)) }
   }
@@ -82,9 +82,9 @@ object SchemaEvolution {
     * never coerces across kinds.
     */
   def evolveWidening(target: StructType, source: StructType): StructType = {
-    val bySource = source.fields.map(f => f.name.toLowerCase -> f).toMap
+    val bySource = source.fields.map(f => f.name.toLowerCase(java.util.Locale.ROOT) -> f).toMap
     val retyped = StructType(target.fields.map { tf =>
-      bySource.get(tf.name.toLowerCase)
+      bySource.get(tf.name.toLowerCase(java.util.Locale.ROOT))
         .flatMap(sf => widened(tf.dataType, sf.dataType))
         .map(w => tf.copy(dataType = w))
         .getOrElse(tf)
@@ -97,9 +97,9 @@ object SchemaEvolution {
     * them lets the pipeline fail fast instead of writing corrupt data.
     */
   def conflictingFields(target: StructType, source: StructType): Seq[(StructField, StructField)] = {
-    val byName = target.fields.map(f => f.name.toLowerCase -> f).toMap
+    val byName = target.fields.map(f => f.name.toLowerCase(java.util.Locale.ROOT) -> f).toMap
     source.fields.toSeq.flatMap { sf =>
-      byName.get(sf.name.toLowerCase) match {
+      byName.get(sf.name.toLowerCase(java.util.Locale.ROOT)) match {
         case Some(tf) if !typeEquals(tf.dataType, sf.dataType) => Some((tf, sf))
         case _ => None
       }

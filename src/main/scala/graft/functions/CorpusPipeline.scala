@@ -192,15 +192,25 @@ object CorpusPipeline {
 
     // 0.5 optional provenance stage: host blocklist gate (map-side), then
     // canonical-URL keep-first dedup — the RefinedWeb "one document per
-    // URL" rule on 16-byte-normalized keys, one keys-only agg + semi-join
+    // URL" rule on 16-byte-normalized keys, one keys-only agg + semi-join.
+    // Rows whose URL is null/unparseable (no scheme, javascript:, relative
+    // path — normalizeUrl yields null/empty) carry NO provenance identity
+    // and are EXEMPT from this stage: grouping them would collapse every
+    // such document into one "" key and keep a single survivor — silent
+    // mass deletion on corpora with partial URL coverage. Text-level dedup
+    // (the fingerprint stage below) still covers them.
     val provenanced = cfg.urlCol.fold(cleaned) { uc =>
       val notBlocked =
         if (cfg.blockedHosts.nonEmpty)
           cleaned.filter(!UrlFunctions.urlHost(col(uc)).isin(cfg.blockedHosts: _*))
         else cleaned
-      val keep = notBlocked
-        .groupBy(UrlFunctions.normalizeUrl(col(uc)).as("__url"))
+      val norm = UrlFunctions.normalizeUrl(col(uc))
+      val hasUrl = norm.isNotNull && length(norm) > 0
+      val keep = notBlocked.filter(hasUrl)
+        .groupBy(norm.as("__url"))
         .agg(min(id).as(cfg.idCol)).select(cfg.idCol)
+        .unionByName(notBlocked.filter(!coalesce(hasUrl, lit(false)))
+          .select(id.as(cfg.idCol)))
       notBlocked.join(keep, Seq(cfg.idCol), "left_semi")
     }
 

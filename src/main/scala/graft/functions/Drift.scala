@@ -44,8 +44,14 @@ object Drift {
         coalesce(col("ref_n"), lit(0L)).as("ref_n"),
         coalesce(col("cur_n"), lit(0L)).as("cur_n"))
     val w = Window.partitionBy() // O(K) rows: totals over the bucket frame
-    val p = (col("ref_n") + lit(0.5)) / (sum(col("ref_n")).over(w) + lit(0.5 * k))
-    val q = (col("cur_n") + lit(0.5)) / (sum(col("cur_n")).over(w) + lit(0.5 * k))
+    // K honors the documented "+1 for the null bucket WHEN PRESENT": the
+    // caller's k counts the fixed edge bins only, so when bucket −1 shows
+    // up the smoothing mass must grow with it or the proportions stop
+    // summing to 1 and PSI is biased for every null-bearing column
+    val kCol = lit(k) +
+      max(when(col("bucket") === -1L, 1).otherwise(0)).over(w)
+    val p = (col("ref_n") + lit(0.5)) / (sum(col("ref_n")).over(w) + lit(0.5) * kCol)
+    val q = (col("cur_n") + lit(0.5)) / (sum(col("cur_n")).over(w) + lit(0.5) * kCol)
     joined
       .withColumn("__term", (p - q) * log(p / q))
       .withColumn("psi_term", round(col("__term"), 6) + lit(0.0))

@@ -442,10 +442,19 @@ object Multimodal {
     new String(cs)
   }
 
+  /** Real containers nest a handful of levels; a payload claiming more is
+    * crafted/corrupt, and unbounded recursion on it would StackOverflow the
+    * task — the one error the `_err` handling can't absorb.
+    */
+  private val MaxBoxDepth = 64
+
   /** Walk the box tree of one payload (depth-first, document order). */
   private[graft] def parseBoxes(bytes: Array[Byte]): Seq[(String, Long, Long, Int)] = {
     val out = Seq.newBuilder[(String, Long, Long, Int)]
     def walk(start: Int, end: Int, level: Int): Unit = {
+      if (level >= MaxBoxDepth) {
+        out += (("_err", start.toLong, (end - start).toLong, level)); return
+      }
       var off = start
       while (off < end) {
         if (off + 8 > end) {
@@ -815,15 +824,21 @@ object Multimodal {
     */
   private def sharedCodePairs(codes0: DataFrame, minShared: Double,
                               maxCodeDocs: Long): DataFrame = {
-    val nDistinct = codes0.groupBy(col("media_id")).agg(count(lit(1)).as("__n"))
-    val codes = codes0.join(nDistinct, "media_id")
-    val pruned =
-      if (maxCodeDocs <= 0L) codes
+    // the share_frac denominator counts codes AFTER the hot-code prune:
+    // both the numerator join and the denominator then see the same code
+    // universe, so a payload whose codes are mostly shared boilerplate is
+    // judged on its distinctive remainder — pre-prune counting diluted the
+    // ratio and genuine twins never reached minShared (the exact bug
+    // WinnowOverlap.pairsFromFingerprints documents and avoids)
+    val pruned0 =
+      if (maxCodeDocs <= 0L) codes0
       else {
-        val hot = codes.groupBy(col("__c")).agg(count(lit(1)).as("__df"))
+        val hot = codes0.groupBy(col("__c")).agg(count(lit(1)).as("__df"))
           .filter(col("__df") > maxCodeDocs).select(col("__c"))
-        codes.join(hot, Seq("__c"), "left_anti")
+        codes0.join(hot, Seq("__c"), "left_anti")
       }
+    val nDistinct = pruned0.groupBy(col("media_id")).agg(count(lit(1)).as("__n"))
+    val pruned = pruned0.join(nDistinct, "media_id")
     val a = pruned.select(col("media_id").as("id_a"), col("__c"), col("__n").as("n_a"))
     val b = pruned.select(col("media_id").as("id_b"), col("__c"), col("__n").as("n_b"))
     a.join(b, Seq("__c")).filter(col("id_a") < col("id_b"))

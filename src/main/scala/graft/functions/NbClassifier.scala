@@ -102,14 +102,18 @@ object NbClassifier {
   final case class Model(labels: Seq[String], logPrior: Array[Double],
                          table: Array[Array[Double]], buckets: Int, ngram: Int)
 
-  /** Collect the bounded model (≤ buckets × |labels| + |labels| rows). */
+  /** Collect the bounded model (≤ buckets × |labels| + |labels| rows).
+    * The label is cast to string like [[trainScore]] does, so non-string
+    * label columns (int source ids) train instead of ClassCastException-ing
+    * at collection.
+    */
   def train(docs: DataFrame, text: Column, label: Column,
             buckets: Int = 4096, ngram: Int = 1): Model = {
-    val toks = docs.select(label.as("__l"),
+    val toks = docs.select(label.cast("string").as("__l"),
       explode(Dsir.tokenBuckets(text, buckets, ngram)).as("__b"))
     val counts = toks.groupBy(col("__b"), col("__l")).agg(count(lit(1)).as("__c"))
       .collect().map(r => (r.getLong(0).toInt, r.getString(1)) -> r.getLong(2)).toMap
-    val priorRows = docs.select(label.as("__l")).groupBy(col("__l"))
+    val priorRows = docs.select(label.cast("string").as("__l")).groupBy(col("__l"))
       .agg(count(lit(1)).as("__dl")).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val labels = priorRows.keys.toSeq.sorted

@@ -200,13 +200,27 @@ object ProductQuantization {
     * ties → lower index) for the already-collected query batch.
     */
   private def nearestCells(codebook: Array[Array[Float]], q: Array[Float],
-                           n: Int): Seq[Int] =
+                           n: Int): Seq[Int] = {
+    // COSINE, exactly like NearestCentroidsExpr assigns the corpus: raw
+    // dot ranks long centroids first, so with a non-unit-norm codebook
+    // (the raw-sampling refineIters=0 path returns raw corpus vectors)
+    // queries would probe cells their true neighbors were never assigned
+    // to and recall would collapse silently
+    var qn = 0.0
+    var k = 0
+    while (k < q.length) { qn += q(k).toDouble * q(k); k += 1 }
+    qn = math.sqrt(qn)
     codebook.zipWithIndex.map { case (c, i) =>
-      var s = 0.0; var j = 0
+      var s = 0.0; var cn = 0.0; var j = 0
       val d = math.min(c.length, q.length)
       while (j < d) { s += q(j).toDouble * c(j); j += 1 }
-      (-s, i)
+      var m = 0
+      while (m < c.length) { cn += c(m).toDouble * c(m); m += 1 }
+      val denom = qn * math.sqrt(cn)
+      val sim = if (denom == 0.0) 0.0 else s / denom
+      (-sim, i)
     }.sorted.take(n).map(_._2).toSeq
+  }
 
   /** PQ top-k: encode the corpus once (map-side), ADC-score every code
     * against the query batch, take an ADC shortlist of `shortlist` per

@@ -62,7 +62,7 @@ object Retrieval {
   def bm25Rank(docs: DataFrame, idCol: String, text: Column, queryTerms: Seq[String],
                k1: Double = 1.2, b: Double = 0.75, topK: Int = 20): DataFrame = {
     require(queryTerms.nonEmpty, "bm25Rank needs at least one query term")
-    val q = queryTerms.map(_.toLowerCase).distinct
+    val q = queryTerms.map(_.toLowerCase(java.util.Locale.ROOT)).distinct
     // map-side funnel: only query-term postings survive the explode
     val hits = tokens(docs, idCol, text).filter(col("term").isin(q: _*))
     val tf = hits.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
@@ -114,7 +114,7 @@ object Retrieval {
   def bm25FromIndex(index: Bm25Index, idCol: String, queryTerms: Seq[String],
                     k1: Double = 1.2, b: Double = 0.75, topK: Int = 20): DataFrame = {
     require(queryTerms.nonEmpty, "bm25FromIndex needs at least one query term")
-    val q = queryTerms.map(_.toLowerCase).distinct
+    val q = queryTerms.map(_.toLowerCase(java.util.Locale.ROOT)).distinct
     val tf = index.postings.filter(col("term").isin(q: _*))
     val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val idf = log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
@@ -142,7 +142,7 @@ object Retrieval {
     */
   def freezeBm25(docs: DataFrame, idCol: String, text: Column, queryTerms: Seq[String],
                  k1: Double = 1.2, b: Double = 0.75): Bm25Model = {
-    val q = queryTerms.map(_.toLowerCase).distinct
+    val q = queryTerms.map(_.toLowerCase(java.util.Locale.ROOT)).distinct
     val hits = tokens(docs, idCol, text).filter(col("term").isin(q: _*))
     val dfRows = hits.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
       .groupBy(col("term")).agg(count(lit(1)).as("df"))

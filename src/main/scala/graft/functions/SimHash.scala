@@ -96,6 +96,11 @@ object SimHash {
 
   private def pigeonholePairs(base: DataFrame, maxDist: Int,
                               maxChunkDocs: Long): DataFrame = {
+    // 64/(maxDist+1) must be ≥1 bit per chunk: beyond 63 every chunk value
+    // degenerates to 0 and the funnel silently returns nothing (hot-pruned)
+    // or the n² cartesian it exists to avoid (cap disabled)
+    require(maxDist >= 0 && maxDist <= 63,
+      s"maxDist must be in [0, 63] for 64-bit pigeonhole chunking, got $maxDist")
     val chunks = maxDist + 1
     val bitsPer = 64 / chunks
     // one exchange on the join key for every consumer below (hot-value agg,

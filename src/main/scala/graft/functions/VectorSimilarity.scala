@@ -318,8 +318,13 @@ object VectorSimilarity {
                                      idCol: String = "vec_id",
                                      vecCol: String = "embedding",
                                      maxReferenceRows: Int = 65536): DataFrame = {
+    // null reference embeddings are dropped at collection: one null in the
+    // literal array would make `exists` three-valued for every corpus row
+    // with no true match (no true + some null → null), and filter(!null)
+    // would drop the ENTIRE non-contaminated corpus silently
     val refRows = reference.select(col(vecCol).cast("array<float>"))
-      .collect().map(_.getSeq[Float](0))
+      .collect().map(r => if (r.isNullAt(0)) null else r.getSeq[Float](0))
+      .filter(_ != null)
     require(refRows.length <= maxReferenceRows,
       s"frozen reference has ${refRows.length} rows (max $maxReferenceRows); " +
         "use decontaminateByEmbedding's LSH bipartite path for corpus-scale references")
@@ -534,13 +539,23 @@ object VectorSimilarity {
       refineIters, refineSampleRows, idCol, vecCol)
 
   private[functions] def sampleCodebook(corpus: DataFrame, maxCentroids: Int,
-                                        idCol: String, vecCol: String): Array[Array[Float]] =
-    corpus.select(col(idCol).as("__id"), col(vecCol).cast("array<float>").as("__v"))
+                                        idCol: String, vecCol: String): Array[Array[Float]] = {
+    val rows = corpus
+      .select(col(idCol).as("__id"), col(vecCol).cast("array<float>").as("__v"))
       .orderBy(xxhash64(col("__id")), col("__id"))
       .limit(maxCentroids)      // TakeOrdered: per-partition top-k, no full sort shuffle
       .collect()
-      .sortBy(_.getLong(0))     // id order for reproducible centroid indexing — 64 rows, driver-side
-      .map(_.getSeq[Float](1).toArray)
+    // id order for reproducible centroid indexing — 64 rows, driver-side.
+    // Numeric ids keep the established numeric order (the codebooks every
+    // existing recall floor was pinned against); any other id type sorts
+    // by its string form instead of ClassCastException-ing the trainer
+    val sorted = rows.headOption.map(_.get(0)) match {
+      case Some(_: java.lang.Long) => rows.sortBy(_.getLong(0))
+      case Some(_: java.lang.Integer) => rows.sortBy(_.getInt(0).toLong)
+      case _ => rows.sortBy(r => String.valueOf(r.get(0)))
+    }
+    sorted.map(_.getSeq[Float](1).toArray)
+  }
 
   /** Lloyd (spherical k-means) refinement of a sampled codebook: a few
     * assignment/recentering rounds over a BOUNDED deterministic sample,

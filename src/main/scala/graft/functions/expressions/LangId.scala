@@ -83,7 +83,11 @@ object LangIdExpr {
         while (i < len && isWordChar(s.charAt(i))) i += 1
         // lexicon words are <= 8 chars; skip longer runs without allocating
         if (i - start <= 8) {
-          val w = s.substring(start, i).toLowerCase
+          // Locale.ROOT: default-locale lowercasing turns 'I' into dotless
+          // 'ı' on a tr-TR executor and every stopword containing 'i'
+          // ("is", "in", "with") stops matching — langId flips to "und"
+          // and the requireKnownLang gate silently drops the documents
+          val w = s.substring(start, i).toLowerCase(java.util.Locale.ROOT)
           val found = wordMask.get(w)
           val mask = if (found == null) 0 else found.intValue()
           if (mask != 0) {

@@ -34,12 +34,17 @@ case class NormalizedTextExpr(child: Expression) extends UnaryExpression {
 object NormalizedTextExpr {
 
   /** Static single pass; called directly from generated code. Lowercases
-    * the whole string first with the same String.toLowerCase path Spark's
-    * `lower` takes (per-code-point Character.toLowerCase diverges on
-    * one-to-many mappings like U+0130), then filters in one walk.
+    * the whole string first with full-string String.toLowerCase
+    * (per-code-point Character.toLowerCase diverges on one-to-many
+    * mappings like U+0130), pinned to Locale.ROOT: the default-locale
+    * overload maps ASCII 'I' → dotless 'ı' on a tr-TR executor, making
+    * fingerprints/dedup depend on JVM locale — nondeterministic across a
+    * mixed-locale fleet. ROOT matches Spark lower()'s ASCII fast path
+    * everywhere; the [a-z0-9] filter below absorbs residual non-ASCII
+    * mapping differences.
     */
   def compute(input: UTF8String): UTF8String = {
-    val s = input.toString.toLowerCase
+    val s = input.toString.toLowerCase(java.util.Locale.ROOT)
     val sb = new java.lang.StringBuilder(s.length)
     var pendingSpace = false
     var i = 0

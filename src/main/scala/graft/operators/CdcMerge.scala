@@ -90,11 +90,11 @@ object CdcMerge {
     * cast to it, so both merge sides share one exact schema.
     */
   private def alignAndCast(df: DataFrame, schema: StructType): DataFrame = {
-    val have = df.schema.fields.map(f => f.name.toLowerCase -> f.dataType).toMap
+    val have = df.schema.fields.map(f => f.name.toLowerCase(java.util.Locale.ROOT) -> f.dataType).toMap
     // cast ONLY value-preserving in-chain upcasts; a cross-kind mismatch
     // must never silently downcast here (it is rejected upstream)
     val widenedCols = schema.fields.filter { f =>
-      have.get(f.name.toLowerCase).exists(t =>
+      have.get(f.name.toLowerCase(java.util.Locale.ROOT)).exists(t =>
         t != f.dataType &&
           SchemaEvolution.widened(t, f.dataType).contains(f.dataType))
     }

@@ -23,10 +23,10 @@ object FieldFilter {
     * always retained and must not be explicitly excluded.
     */
   def include(df: DataFrame, includeCols: Seq[String], essential: Seq[String] = Nil): DataFrame = {
-    val incl = includeCols.map(_.toLowerCase).toSet
-    val ess = essential.map(_.toLowerCase).toSet
-    val keep = df.columns.filter(c => incl.contains(c.toLowerCase) || ess.contains(c.toLowerCase))
-    val missing = incl -- df.columns.map(_.toLowerCase).toSet
+    val incl = includeCols.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+    val ess = essential.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+    val keep = df.columns.filter(c => incl.contains(c.toLowerCase(java.util.Locale.ROOT)) || ess.contains(c.toLowerCase(java.util.Locale.ROOT)))
+    val missing = incl -- df.columns.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
     if (missing.nonEmpty)
       throw FieldFilterError(s"include list references unknown columns: ${missing.mkString(", ")}")
     if (keep.isEmpty)
@@ -39,12 +39,12 @@ object FieldFilter {
     * error, matching the reference's PK-protection validation.
     */
   def exclude(df: DataFrame, excludeCols: Seq[String], essential: Seq[String] = Nil): DataFrame = {
-    val excl = excludeCols.map(_.toLowerCase).toSet
-    val ess = essential.map(_.toLowerCase).toSet
+    val excl = excludeCols.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+    val ess = essential.map(_.toLowerCase(java.util.Locale.ROOT)).toSet
     val clash = excl.intersect(ess)
     if (clash.nonEmpty)
       throw FieldFilterError(s"cannot exclude essential fields: ${clash.mkString(", ")}")
-    val keep = df.columns.filterNot(c => excl.contains(c.toLowerCase))
+    val keep = df.columns.filterNot(c => excl.contains(c.toLowerCase(java.util.Locale.ROOT)))
     if (keep.isEmpty)
       throw FieldFilterError(
         "field filter would select zero columns (exclude list covers every column)")

@@ -26,7 +26,7 @@ object CdmSource {
   /** CDM attribute-type → Spark type, mirroring SimpleCdmModel.scala:54-63
     * (note: CDM "decimal" maps to Double there — preserved).
     */
-  def cdmTypeToSpark(dataType: String): DataType = dataType.toLowerCase match {
+  def cdmTypeToSpark(dataType: String): DataType = dataType.toLowerCase(java.util.Locale.ROOT) match {
     case "guid" | "string" => StringType
     case "int64" => LongType
     case "decimal" => DoubleType

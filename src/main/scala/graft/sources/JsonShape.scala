@@ -83,9 +83,9 @@ object JsonShape {
     * Variant mapping, field-granular).
     */
   def schemaWithVariantFields(schema: StructType, variantFields: Set[String]): StructType = {
-    val lower = variantFields.map(_.toLowerCase)
+    val lower = variantFields.map(_.toLowerCase(java.util.Locale.ROOT))
     StructType(schema.fields.map { f =>
-      if (lower.contains(f.name.toLowerCase))
+      if (lower.contains(f.name.toLowerCase(java.util.Locale.ROOT)))
         f.copy(dataType = org.apache.spark.sql.types.VariantType)
       else f
     })
