@@ -111,6 +111,7 @@ object MiniJson {
         c match {
           case '"' => return sb.toString
           case '\\' =>
+            require(!eof, "unterminated escape")
             val e = s.charAt(pos); pos += 1
             e match {
               case '"' => sb.append('"'); case '\\' => sb.append('\\')
@@ -118,6 +119,7 @@ object MiniJson {
               case 'f' => sb.append('\f'); case 'n' => sb.append('\n')
               case 'r' => sb.append('\r'); case 't' => sb.append('\t')
               case 'u' =>
+                require(pos + 4 <= s.length, "truncated \\u escape")
                 sb.append(Integer.parseInt(s.substring(pos, pos + 4), 16).toChar)
                 pos += 4
               case other => throw new IllegalArgumentException(s"bad escape \\$other")

@@ -40,16 +40,23 @@ object Watermark {
   val Blob = "blob-source"      // max blob createdOn epoch millis
   val TimestampOnly = "timestamp-only"
 
-  private val Pattern =
-    """\{"kind":"(.*?)","version":"(.*?)","timestamp":(\d+)\}""".r
-
-  def fromJson(json: String): Option[Watermark] = json.trim match {
-    case Pattern(k, v, ts) => Some(Watermark(unescape(k), unescape(v), ts.toLong))
-    case _ => None
-  }
-
-  private def unescape(s: String): String =
-    s.replace("\\\"", "\"").replace("\\\\", "\\").replace("\\n", "\n")
+  /** Parse a watermark payload. Uses [[MiniJson]] rather than a regex so
+    * every string `toJson` can emit round-trips exactly (sequential
+    * `String.replace` unescaping mangles a literal backslash-n into a
+    * newline and cannot reverse the `\\uXXXX` escapes `toJson` produces for
+    * control characters). Returns None for anything that is not a JSON
+    * object carrying a string `kind`/`version` and numeric `timestamp`.
+    */
+  def fromJson(json: String): Option[Watermark] =
+    try MiniJson.parse(json) match {
+      case MiniJson.JObj(f) =>
+        for {
+          k <- f.get("kind").collect { case MiniJson.JStr(s) => s }
+          v <- f.get("version").collect { case MiniJson.JStr(s) => s }
+          ts <- f.get("timestamp").collect { case MiniJson.JNum(n) => n.toLong }
+        } yield Watermark(k, v, ts)
+      case _ => None
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   def mssql(version: Long, now: Instant = Instant.now()): Watermark =
     Watermark(MsSql, f"$version%020d", now.toEpochMilli)
@@ -133,7 +140,11 @@ final class TablePropertyWatermarkStore(spark: org.apache.spark.sql.SparkSession
   override def get(target: String): Option[Watermark] = {
     val props = spark.sql(s"SHOW TBLPROPERTIES $target").collect()
       .map(r => r.getString(0) -> r.getString(1)).toMap
-    props.get(propertyKey).flatMap(Watermark.fromJson)
+    props.get(propertyKey).map { raw =>
+      Watermark.fromJson(raw).getOrElse(throw new IllegalStateException(
+        s"corrupt watermark property '$propertyKey' on $target: $raw — " +
+          "refusing to treat corrupt state as a fresh start"))
+    }
   }
 
   override def set(target: String, wm: Watermark): Unit = {
@@ -152,9 +163,12 @@ final class FileWatermarkStore(baseDir: String) extends WatermarkStore {
 
   override def get(target: String): Option[Watermark] = {
     val p = pathFor(target)
-    if (Files.exists(p))
-      Watermark.fromJson(new String(Files.readAllBytes(p), StandardCharsets.UTF_8))
-    else None
+    if (Files.exists(p)) {
+      val raw = new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+      Some(Watermark.fromJson(raw).getOrElse(throw new IllegalStateException(
+        s"corrupt watermark file $p: $raw — refusing to treat corrupt state " +
+          "as a fresh start (a fresh start would re-ingest or skip data)")))
+    } else None
   }
 
   override def set(target: String, wm: Watermark): Unit = {

@@ -28,6 +28,9 @@ case class BloomMightContainExpr(child: Expression, filterBytes: Array[Byte])
 
   override def dataType: DataType = BooleanType
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    InputCheck.long("bloom_might_contain", child.dataType)
+
   override protected def nullSafeEval(input: Any): Any =
     filter.mightContainLong(input.asInstanceOf[Long])
 

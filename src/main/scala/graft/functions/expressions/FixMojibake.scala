@@ -28,6 +28,9 @@ case class FixMojibakeExpr(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = StringType
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    InputCheck.string("fix_mojibake", child.dataType)
+
   override protected def nullSafeEval(input: Any): Any =
     FixMojibakeExpr.compute(input.asInstanceOf[UTF8String])
 

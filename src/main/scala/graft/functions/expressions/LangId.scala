@@ -25,6 +25,9 @@ case class LangIdExpr(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = StringType
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    InputCheck.string("lang_id", child.dataType)
+
   override protected def nullSafeEval(input: Any): Any =
     LangIdExpr.compute(input.asInstanceOf[UTF8String])
 

@@ -186,6 +186,9 @@ case class Md5WordNgramHashesExpr(child: Expression, n: Int) extends UnaryExpres
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    InputCheck.string("md5_word_ngram_hashes", child.dataType)
+
   override protected def nullSafeEval(input: Any): Any =
     Md5Family.ngramHashes(input.asInstanceOf[UTF8String], n)
 
@@ -207,6 +210,9 @@ case class Md5WinnowExpr(child: Expression, k: Int, w: Int) extends UnaryExpress
   require(k >= 1 && w >= 1, "need k >= 1 and w >= 1")
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    InputCheck.string("md5_winnow_fingerprints", child.dataType)
 
   override protected def nullSafeEval(input: Any): Any =
     Md5Family.winnowHashes(input.asInstanceOf[UTF8String], k, w)

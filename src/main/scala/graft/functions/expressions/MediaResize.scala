@@ -20,6 +20,9 @@ case class StridedResizeExpr(child: Expression, targetBytes: Int)
 
   override def dataType: DataType = BinaryType
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    InputCheck.binary("strided_resize", child.dataType)
+
   override protected def nullSafeEval(input: Any): Any =
     MediaResize.stride(input.asInstanceOf[Array[Byte]], targetBytes)
 
@@ -47,6 +50,9 @@ case class ResizeImageExpr(child: Expression, maxDim: Int)
   require(maxDim > 0, "maxDim must be positive")
 
   override def dataType: DataType = BinaryType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    InputCheck.binary("resize_image", child.dataType)
 
   override protected def nullSafeEval(input: Any): Any =
     MediaResize.resizeToDim(input.asInstanceOf[Array[Byte]], maxDim)

@@ -71,6 +71,9 @@ case class MisraGriesAgg(
 
   require(capacity > 0, "misra_gries capacity must be positive")
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    InputCheck.string("misra_gries", child.dataType)
+
   override def createAggregationBuffer(): MgSummary = new MgSummary(capacity)
 
   override def update(buffer: MgSummary, input: InternalRow): MgSummary = {

@@ -22,6 +22,9 @@ case class NearestCentroidsExpr(child: Expression, centroids: Array[Array[Float]
 
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    InputCheck.floatOrDoubleArray("nearest_centroids", child.dataType)
+
   @transient private lazy val centNorms: Array[Double] = centroids.map { c =>
     var s = 0.0; var i = 0
     while (i < c.length) { s += c(i).toDouble * c(i); i += 1 }

@@ -21,6 +21,9 @@ case class NfcNormalizeExpr(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = StringType
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    InputCheck.string("nfc_normalize", child.dataType)
+
   override protected def nullSafeEval(input: Any): Any =
     NfcNormalizeExpr.compute(input.asInstanceOf[UTF8String])
 

@@ -18,6 +18,9 @@ case class NormalizedTextExpr(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = StringType
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    InputCheck.string("normalized_text", child.dataType)
+
   override protected def nullSafeEval(input: Any): Any =
     NormalizedTextExpr.compute(input.asInstanceOf[UTF8String])
 

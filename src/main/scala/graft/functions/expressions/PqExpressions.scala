@@ -24,6 +24,9 @@ case class PqEncodeExpr(child: Expression, flatCodebooks: Array[Float],
 
   override def dataType: DataType = BinaryType
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    InputCheck.floatArray("pq_encode", child.dataType)
+
   override protected def nullSafeEval(input: Any): Any =
     PqEncodeExpr.compute(input.asInstanceOf[ArrayData], flatCodebooks, m, k, subDim)
 
@@ -92,6 +95,9 @@ case class PqAdcScoresExpr(child: Expression, tables: Array[Float],
   require(tables.length == q * m * k, "ADC table shape mismatch")
 
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    InputCheck.binary("pq_adc_scores", child.dataType)
 
   override protected def nullSafeEval(input: Any): Any =
     PqAdcScoresExpr.compute(input.asInstanceOf[Array[Byte]], tables, q, m, k)

@@ -52,6 +52,9 @@ case class RepetitionStatsExpr(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = RepetitionStatsExpr.schema
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    InputCheck.string("repetition_stats", child.dataType)
+
   override protected def nullSafeEval(input: Any): Any =
     RepetitionStatsExpr.compute(input.asInstanceOf[UTF8String])
 
@@ -82,6 +85,9 @@ case class RepetitionGateExpr(child: Expression,
     maxDup5Frac: Double) extends UnaryExpression {
 
   override def dataType: DataType = BooleanType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    InputCheck.string("repetition_gate", child.dataType)
 
   override protected def nullSafeEval(input: Any): Any =
     RepetitionStatsExpr.gate(input.asInstanceOf[UTF8String], maxDupLineFrac,

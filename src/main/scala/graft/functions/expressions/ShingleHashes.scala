@@ -35,6 +35,9 @@ case class ShingleHashesExpr(child: Expression, k: Int, distinct: Boolean = true
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    InputCheck.string("shingle_hashes", child.dataType)
+
   override protected def nullSafeEval(input: Any): Any =
     ShingleHashesExpr.compute(input.asInstanceOf[UTF8String], k, distinct)
 

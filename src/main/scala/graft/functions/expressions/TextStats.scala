@@ -40,6 +40,9 @@ case class TextStatsExpr(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = TextStatsExpr.schema
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    InputCheck.string("text_stats", child.dataType)
+
   override protected def nullSafeEval(input: Any): Any =
     TextStatsExpr.compute(input.asInstanceOf[UTF8String])
 
@@ -63,6 +66,9 @@ case class QualityGateExpr(child: Expression, minChars: Int, maxChars: Int,
     minMeanTokenLen: Double, maxMeanTokenLen: Double) extends UnaryExpression {
 
   override def dataType: DataType = BooleanType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    InputCheck.string("quality_gate", child.dataType)
 
   override protected def nullSafeEval(input: Any): Any =
     TextStatsExpr.qualityGate(input.asInstanceOf[UTF8String], minChars, maxChars,

@@ -64,6 +64,9 @@ case class VectorMeanAgg(
       s"vector_mean expects array<float|double>, got $other")
   }
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    InputCheck.floatOrDoubleArray("vector_mean", child.dataType)
+
   override def createAggregationBuffer(): VecSumBuffer = new VecSumBuffer
 
   override def update(buffer: VecSumBuffer, input: InternalRow): VecSumBuffer = {

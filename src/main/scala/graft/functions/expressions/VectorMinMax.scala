@@ -70,6 +70,9 @@ case class VectorMinMaxAgg(
       s"vector_minmax expects array<float|double>, got $other")
   }
 
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    InputCheck.floatOrDoubleArray("vector_minmax", child.dataType)
+
   override def createAggregationBuffer(): VecMinMaxBuffer = new VecMinMaxBuffer
 
   override def update(buffer: VecMinMaxBuffer, input: InternalRow): VecMinMaxBuffer = {

@@ -66,6 +66,23 @@ class GraftExtensionsSpec extends SparkSpec {
       e.getMessage.contains("graft_shingle_hashes"))
   }
 
+  test("wrong-typed arguments fail at analysis, not in a running task") {
+    // one per InputCheck shape: string, binary, bigint, float/double array
+    val badCalls = Seq(
+      "SELECT graft_lang_id(42) FROM range(1)",
+      "SELECT graft_text_stats(array(1)) FROM range(1)",
+      "SELECT graft_gear_chunks('not binary', 64, 8, 1024) FROM range(1)",
+      "SELECT graft_hilbert_index_2d(1, 2.5, 4) FROM range(1)",
+      "SELECT graft_hyperplane_buckets(array('x'), 8, 2, 1) FROM range(1)",
+      "SELECT graft_vector_mean(text) FROM (SELECT 'a' AS text)",
+      "SELECT graft_misra_gries(id, 4) FROM range(3)")
+    badCalls.foreach { q =>
+      val e = intercept[org.apache.spark.sql.AnalysisException](spark.sql(q).collect())
+      assert(e.getMessage.toLowerCase(java.util.Locale.ROOT).contains("expects"),
+        s"expected a typed analysis error for: $q — got ${e.getMessage.take(200)}")
+    }
+  }
+
   test("extension class injects the same function set") {
     // unit-level: the injector enumerates every name register() provides
     assert(GraftExtensions.functions.map(_._1).distinct.size ==

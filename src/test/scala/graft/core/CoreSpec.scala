@@ -133,6 +133,23 @@ class WatermarkSpec extends SparkSpec {
     assert(Watermark.fromJson(wm.toJson).contains(wm))
   }
 
+  test("json round-trip is exact for escapes: quotes, backslashes, controls") {
+    // a literal backslash-n (2 chars), a real newline, a quote, a tab
+    val nasty = Seq("a\\nb", "a\nb", "he said \"hi\"", "tab\tsep", "end\\")
+    for (v <- nasty) {
+      val wm = Watermark("kind\\n", v, 42L)
+      assert(Watermark.fromJson(wm.toJson).contains(wm), s"failed on $v")
+    }
+  }
+
+  test("fromJson rejects malformed payloads without throwing") {
+    assert(Watermark.fromJson("").isEmpty)
+    assert(Watermark.fromJson("not json").isEmpty)
+    assert(Watermark.fromJson("""{"kind":"k","version":7,"timestamp":1}""").isEmpty)
+    assert(Watermark.fromJson("""{"kind":"k","version":"v"}""").isEmpty)
+    assert(Watermark.fromJson("""{"kind":"k","version":"v","timestamp":"x"}""").isEmpty)
+  }
+
   test("ordering is lexicographic on version (zero-padded numerics)") {
     assert(Watermark.mssql(9) < Watermark.mssql(10))
     assert(Watermark.mssql(100) > Watermark.mssql(99))
@@ -147,6 +164,16 @@ class WatermarkSpec extends SparkSpec {
     assert(store.get("t1").contains(wm))
     val store2 = new FileWatermarkStore(dir)
     assert(store2.get("t1").contains(wm))
+  }
+
+  test("file store refuses a corrupt watermark file (no silent fresh start)") {
+    val dir = java.nio.file.Files.createTempDirectory("wmcorrupt").toString
+    val store = new FileWatermarkStore(dir)
+    store.set("t1", Watermark.mssql(7L))
+    val p = java.nio.file.Paths.get(dir, "t1.watermark.json")
+    java.nio.file.Files.write(p, "garbage{".getBytes("UTF-8"))
+    val e = intercept[IllegalStateException](store.get("t1"))
+    assert(e.getMessage.contains("corrupt watermark"))
   }
 
   test("naming discipline: prefixes and membership") {
