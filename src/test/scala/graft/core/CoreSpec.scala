@@ -100,6 +100,48 @@ class CdcMergeWideningSpec extends SparkSpec {
   }
 }
 
+class MiniJsonSpec extends org.scalatest.funsuite.AnyFunSuite {
+  import MiniJson._
+
+  test("full grammar: nesting, escapes, numbers, literals") {
+    val v = parse(
+      """{"a": [1, -2.5, 1e3], "b": {"c": "x\ny", "d": null},
+        |"e": true, "f": false, "g": "é😀"}""".stripMargin)
+    val o = v.asObj
+    assert(o("a").asArr.map(_.asInstanceOf[JNum].value) == Seq(1.0, -2.5, 1000.0))
+    assert(o("b").asObj("c").asStr == "x\ny")
+    assert(o("b").asObj("d") == JNull)
+    assert(o("e").asBool && !o("f").asBool)
+    // \u escapes incl. a surrogate pair reassemble to the real code points
+    assert(o("g").asStr == "é😀")
+  }
+
+  test("malformed inputs fail with positioned messages, never raw index errors") {
+    val bad = Seq(
+      "",                       // empty
+      "{",                      // unterminated object
+      """{"a": }""",            // missing value
+      """["x""",                // unterminated array
+      "\"abc",                  // unterminated string
+      "\"a\\",                  // string ending in a lone backslash
+      "\"a\\u00",               // truncated \u escape
+      """{"a": 1} trailing""")  // trailing content
+    bad.foreach { s =>
+      val e = intercept[Exception](parse(s))
+      assert(e.isInstanceOf[IllegalArgumentException] ||
+        e.isInstanceOf[NumberFormatException], s"input <$s> threw ${e.getClass}")
+    }
+  }
+
+  test("typed accessors reject mismatched shapes") {
+    intercept[IllegalArgumentException](parse("[1]").asObj)
+    intercept[IllegalArgumentException](parse("{}").asArr)
+    intercept[IllegalArgumentException](parse("1").asStr)
+    intercept[IllegalArgumentException](parse("\"x\"").asLong)
+    assert(parse("42").asLong == 42L)
+  }
+}
+
 class MergeKeySpec extends SparkSpec {
   import spark.implicits._
 
