@@ -70,8 +70,13 @@ object BloomDedup {
     */
   def newKeysExact(incoming: DataFrame, corpus: DataFrame, keyCol: String,
                    filter: BloomFilter): DataFrame = {
+    // NULL keys: the probe is null-propagating, so an un-coalesced split
+    // would fail BOTH branch predicates and the row would silently vanish.
+    // The plain anti-join this must stay bit-identical to KEEPS null-key
+    // rows (null never equals any corpus key), so they route to the
+    // definite-new branch.
     val flagged = incoming.withColumn("__might",
-      mightContain(filter, col(keyCol)))
+      coalesce(mightContain(filter, col(keyCol)), lit(false)))
     val definiteNew = flagged.filter(!col("__might")).drop("__might")
     val candidates = flagged.filter(col("__might")).drop("__might")
     val confirmedNew = candidates.join(
@@ -82,8 +87,11 @@ object BloomDedup {
   /** Zero-join probabilistic mode: every candidate is dropped, so an fpp
     * fraction of genuinely-new rows is lost alongside all true duplicates.
     * Survivors ⊆ [[newKeysExact]] survivors; no true duplicate survives.
+    * Null-key rows survive (same coalesce as [[newKeysExact]] — a null key
+    * cannot be a duplicate under equality semantics, and a three-valued
+    * predicate would silently drop the row instead).
     */
   def newKeysProbabilistic(incoming: DataFrame, keyCol: String,
                            filter: BloomFilter): DataFrame =
-    incoming.filter(!mightContain(filter, col(keyCol)))
+    incoming.filter(!coalesce(mightContain(filter, col(keyCol)), lit(false)))
 }

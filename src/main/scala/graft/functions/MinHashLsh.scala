@@ -275,7 +275,13 @@ object MinHashLsh {
     val pairs = nearDupPairsHashed(df, idCol, shingleHashes, numHashes, bands, threshold)
     val labels = graft.operators.ConnectedComponents.minLabel(pairs)
     val clustered = df
-      .select(col(idCol).as("__cid"), keep.cast("double").as("__keep"))
+      // a NULL keep score must LOSE to any real score: struct ordering puts
+      // null first, so an un-coalesced null key would otherwise be the
+      // min_by minimum and a scoreless row would silently WIN its cluster —
+      // -Infinity makes it the worst candidate instead (all-null clusters
+      // fall back to the id tiebreak)
+      .select(col(idCol).as("__cid"),
+        coalesce(keep.cast("double"), lit(Double.NegativeInfinity)).as("__keep"))
       .join(labels.select(col("id").as("__cid"), col("comp").as("__comp")), "__cid")
     // max keep, ties to the smaller id: min_by over the (−score, id) struct
     // (the same ordering device as semanticClusters' tiebreak)

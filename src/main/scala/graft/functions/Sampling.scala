@@ -252,7 +252,13 @@ object Sampling {
     * with a trained vocab for real token budgets.
     */
   def tokensBySource(df: DataFrame, group: Column, tokens: Column): Map[String, Long] =
-    df.groupBy(group.as("__g")).agg(sum(tokens.cast("long")).as("__t"))
+    // group cast to string (non-string source columns otherwise CCE at
+    // collect, the NbClassifier.train convention); sum coalesced because a
+    // source whose token column is all-null aggregates to NULL and getLong
+    // would NPE — 0 measured tokens is the honest value and mixtureWeights
+    // already treats it as "nothing to down-sample"
+    df.groupBy(group.cast("string").as("__g"))
+      .agg(coalesce(sum(tokens.cast("long")), lit(0L)).as("__t"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
 
   /** Token-budgeted mixture sampling: measure per-source totals with

@@ -67,6 +67,25 @@ class BloomDedupSpec extends SparkSpec {
       s"false-drop count $lost exceeds 3×fpp — filter badly oversaturated")
   }
 
+  test("null-key rows survive both modes, matching the anti-join contract") {
+    // the probe is null-propagating: un-coalesced, a null key fails BOTH
+    // branch predicates of the exact split and the row silently vanishes —
+    // but the plain anti-join KEEPS null-key rows (null never equals)
+    val corpusK = Seq(1L, 2L).toDF("k")
+    val f = BloomDedup.buildLong(corpusK, $"k", 2L, 0.01)
+    val in = Seq((10L, Some(1L)), (11L, Some(99L)), (12L, Option.empty[Long]))
+      .toDF("id", "k")
+    val exact = BloomDedup.newKeysExact(in, corpusK, "k", f)
+      .select($"id").as[Long].collect().toSet
+    val plain = in.join(corpusK.select($"k").distinct(), Seq("k"), "left_anti")
+      .select($"id").as[Long].collect().toSet
+    assert(exact == plain && exact.contains(12L),
+      s"exact mode must keep the null-key row like the anti-join: got $exact vs $plain")
+    val prob = BloomDedup.newKeysProbabilistic(in, "k", f)
+      .select($"id").as[Long].collect().toSet
+    assert(prob.contains(12L), "probabilistic mode must keep the null-key row")
+  }
+
   test("measured false-positive rate on absent keys stays near fpp") {
     val present = corpus.select($"fp").as[Long].collect().toSet
     val absent = spark.range(1, 20001)

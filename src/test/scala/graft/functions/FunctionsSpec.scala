@@ -163,6 +163,22 @@ class MinHashSpec extends SparkSpec {
     assert(keptTied == Set(4L, 9L), s"got $keptTied")
   }
 
+  test("dedupClustersKeepBest: a null keep score loses to any real score") {
+    // struct ordering sorts null first, so an un-coalesced null key would be
+    // the min_by MINIMUM — the scoreless row would silently win its cluster
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = Seq(
+      (0L, base, Some(10.0)),
+      (1L, base + "!", None),                 // null score must NOT win
+      (9L, "entirely separate prose about something else altogether here", None))
+      .toDF("doc_id", "text", "score")
+    val kept = MinHashLsh.dedupClustersKeepBest(docs, "doc_id",
+        TextFunctions.shingleHashes($"text", 5),
+        keep = $"score", numHashes = 32, bands = 16, threshold = 0.8)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(0L, 9L), s"null-scored doc must lose the cluster, got $kept")
+  }
+
   test("dedupKeepFirst drops the higher id of a dup pair") {
     val kept = MinHashLsh.dedupKeepFirst(docs, "doc_id",
       TextFunctions.charShingles($"text", 5), numHashes = 32, bands = 8, threshold = 0.8)
