@@ -22,7 +22,10 @@ object MiniJson {
       case other => throw new IllegalArgumentException(s"expected string, got $other")
     }
     def asLong: Long = this match {
-      case JNum(n) => n.toLong
+      // the raw text preserves integers a Double cannot (above 2^53 the
+      // mantissa rounds — a Long.MaxValue-scale value would come back
+      // off by hundreds); scientific/decimal forms fall back to the double
+      case JNum(n, raw) => raw.toLongOption.getOrElse(n.toLong)
       case other => throw new IllegalArgumentException(s"expected number, got $other")
     }
     def asBool: Boolean = this match {
@@ -33,7 +36,10 @@ object MiniJson {
   final case class JObj(fields: Map[String, JValue]) extends JValue
   final case class JArr(items: Seq[JValue]) extends JValue
   final case class JStr(value: String) extends JValue
-  final case class JNum(value: Double) extends JValue
+  /** `raw` is the literal number text — the exact-integer channel for
+    * [[JValue.asLong]] (see there).
+    */
+  final case class JNum(value: Double, raw: String) extends JValue
   final case class JBool(value: Boolean) extends JValue
   case object JNull extends JValue
 
@@ -134,7 +140,8 @@ object MiniJson {
       val start = pos
       if (!eof && s.charAt(pos) == '-') pos += 1
       while (!eof && (Character.isDigit(s.charAt(pos)) || "+-.eE".indexOf(s.charAt(pos)) >= 0)) pos += 1
-      JNum(s.substring(start, pos).toDouble)
+      val text = s.substring(start, pos)
+      JNum(text.toDouble, text)
     }
   }
 }

@@ -53,7 +53,7 @@ object Watermark {
         for {
           k <- f.get("kind").collect { case MiniJson.JStr(s) => s }
           v <- f.get("version").collect { case MiniJson.JStr(s) => s }
-          ts <- f.get("timestamp").collect { case MiniJson.JNum(n) => n.toLong }
+          ts <- f.get("timestamp").collect { case n: MiniJson.JNum => n.asLong }
         } yield Watermark(k, v, ts)
       case _ => None
     } catch { case scala.util.control.NonFatal(_) => None }

@@ -60,6 +60,27 @@ class PropertySpec extends SparkSpec {
       p <- Gen.alphaLowerStr.map(_.take(4))
     } yield (k, v, p))
 
+  test("watermark JSON round-trips for arbitrary unicode strings (driver-side, no Spark jobs)") {
+    import graft.core.Watermark
+    // fragments cover controls, quotes, backslashes, astral-plane chars —
+    // the classes that broke the old regex + sequential-replace parser.
+    // Whole code points only: a lone surrogate is not valid UTF-8 (and even
+    // crashes sbt's XML test reporter when embedded in a failure message).
+    val fragment = Gen.oneOf(
+      Gen.asciiPrintableStr.map(_.take(3)), Gen.const("\\"), Gen.const("\""),
+      Gen.const("\n"), Gen.const("\t"), Gen.const("\u0001"), Gen.const("\u00e9"),
+      Gen.const("\u4e2d"), Gen.const("\ud83d\ude00"), Gen.const("\\n"))
+    val s = Gen.listOfN(6, fragment).map(_.mkString)
+    val wmGen = for {
+      kind <- s; version <- s; ts <- Gen.chooseNum(0L, Long.MaxValue)
+    } yield Watermark(kind, version, ts)
+    forAllSampled(wmGen, n = 100) { wm =>
+      assert(Watermark.fromJson(wm.toJson).contains(wm),
+        s"round-trip failed for kind=${wm.kind.map(_.toInt).mkString(",")} " +
+          s"version=${wm.version.map(_.toInt).mkString(",")}")
+    }
+  }
+
   test("dedup-latest yields exactly one row per key with the max version") {
     forAllSampled(rowsGen) { rows =>
       if (rows.nonEmpty) {

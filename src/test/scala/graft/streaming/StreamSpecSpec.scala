@@ -12,7 +12,7 @@ class MiniJsonSpec extends SparkSpec {
     val v = MiniJson.parse(
       """{"a": [1, -2.5, "x\ny", true, null], "b": {"c": "A"}}""").asObj
     assert(v("a").asArr.map {
-      case MiniJson.JNum(n) => n
+      case MiniJson.JNum(n, _) => n
       case MiniJson.JStr(s) => s
       case MiniJson.JBool(b) => b
       case MiniJson.JNull => null
