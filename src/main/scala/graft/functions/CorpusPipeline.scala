@@ -408,9 +408,20 @@ object CorpusPipeline {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val expected = math.max(corpusKeys.count(), 1L)
     val filter = BloomDedup.buildLong(corpusKeys, col("__ck"), expected, bloomFpp)
+    // exactNew feeds FIVE plan branches downstream (both sides of the
+    // against-corpus signature funnel, the exact-verify shingle scan, the
+    // final anti-join, and the audit union), and each would otherwise
+    // re-derive the ENTIRE in-batch prepare chain — gate kernels, the
+    // fingerprint-dedup shuffle, the Bloom split, the sliver anti-join —
+    // from the raw scan: five passes over the batch where one suffices
+    // (measured 1.6× on the warm pipeline at sf0.1). Persisted, not
+    // localized: it carries the batch's surviving TEXT rows (batch-sized,
+    // never corpus-sized), which must not land on the driver. Same
+    // lifetime note as corpusKeys above.
     val exactNew = BloomDedup.newKeysExact(
       prepared.withColumn("__ck", key),
       corpusKeys, "__ck", filter).drop("__ck")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // 3. near-dup against the corpus (bipartite funnel, keep survivors)
     val accepted = againstThreshold.fold(exactNew) { th =>
