@@ -197,8 +197,13 @@ object BpeCompute {
     val n = ids.numElements()
     var i = 0
     while (i < n) {
-      val id = ids.getInt(i)
-      if (id >= 0 && id < idTokens.length) sb.append(idTokens(id))
+      // a null element reads as 0 through ArrayData.getInt — without the
+      // guard it would silently decode as byte 0's token; skip it like any
+      // other invalid id (the documented lenient-decode contract)
+      if (!ids.isNullAt(i)) {
+        val id = ids.getInt(i)
+        if (id >= 0 && id < idTokens.length) sb.append(idTokens(id))
+      }
       i += 1
     }
     val chars = sb.toString

@@ -27,6 +27,15 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("decode skips null and out-of-vocab ids instead of decoding garbage") {
+    // a null element reads as 0 through ArrayData.getInt — unguarded it
+    // would silently decode as byte 0's token ('Ā' in the byte-char
+    // alphabet), not as a skipped id
+    val ids = Seq((Seq[Integer](104, null, 105, 99, -7, 9999999), 1L)).toDF("ids", "x")
+    val out = ids.select(Bpe.decode($"ids", BpeVocab.bytes).as("s")).head().getString(0)
+    assert(out == "hic", s"expected 'hic', got '$out' (${out.map(_.toInt).mkString(",")})")
+  }
+
   test("classic BPE example trains the known merge sequence") {
     // aaabdaaabac: aa (freq 4), then ab (tie broken lexicographically),
     // then aa+ab — the textbook Sennrich et al. walk-through
