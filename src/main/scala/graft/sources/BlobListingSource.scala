@@ -23,7 +23,7 @@ import org.apache.spark.sql.functions._
   */
 final case class BlobSourceConfig(
     path: String,
-    format: String = "parquet",           // parquet | json | csv
+    format: String = "parquet",           // parquet | json | csv | orc | text
     pkColumns: Seq[String] = Nil,          // merge key = base64 sha256 of these
     readerOptions: Map[String, String] = Map.empty,
     // Pre-configured source schema (reference
@@ -130,6 +130,10 @@ object BlobListingSource {
         case "parquet" => reader.parquet(files: _*)
         case "json" => reader.json(files: _*)
         case "csv" => reader.csv(files: _*)
+        case "orc" => reader.orc(files: _*)
+        // one `value` column per line; the whole-row merge-key default then
+        // fingerprints the line itself
+        case "text" => reader.text(files: _*)
         case other => throw new IllegalArgumentException(s"unsupported format: $other")
       }
       Some((enrich(df, cfg.pkColumns), Watermark.blobWithBoundary(maxMod, newBoundary)))

@@ -228,6 +228,30 @@ class BlobListingSpec extends SparkSpec {
     assert(BlobListingSource.nextBatch(spark, cfg, Some(wm2)).isEmpty)
   }
 
+  test("ORC and text blob feeds batch end-to-end like parquet") {
+    // ORC: Spark-native columnar alternative — same listing, same
+    // enrichment, same watermark progression
+    val orcDir = Files.createTempDirectory("blobs-orc").toString
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v").write.orc(s"$orcDir/d1")
+    val orcCfg = BlobSourceConfig(orcDir, format = "orc", pkColumns = Seq("id"))
+    val Some((ob, owm)) = BlobListingSource.nextBatch(spark, orcCfg, None)
+    assert(ob.select("id").collect().map(_.getLong(0)).toSet == Set(1L, 2L))
+    assert(ob.columns.contains("ARCANE_MERGE_KEY") && ob.columns.contains("createdon"))
+    assert(BlobListingSource.nextBatch(spark, orcCfg, Some(owm)).isEmpty)
+
+    // text: one `value` column per line; the whole-row merge-key default
+    // fingerprints the line itself
+    val txtDir = Files.createTempDirectory("blobs-txt").toString
+    Files.createDirectories(Paths.get(txtDir, "d1"))
+    Files.writeString(Paths.get(txtDir, "d1", "part-0.txt"), "alpha\nbeta\n")
+    val txtCfg = BlobSourceConfig(txtDir, format = "text")
+    val Some((tb, _)) = BlobListingSource.nextBatch(spark, txtCfg, None)
+    val lines = tb.select("value").collect().map(_.getString(0)).toSet
+    assert(lines == Set("alpha", "beta"))
+    assert(tb.select("ARCANE_MERGE_KEY").distinct().count() == 2,
+      "distinct lines must carry distinct whole-row merge keys")
+  }
+
   test("a wrong-kind or corrupt watermark fails loudly instead of re-reading the prefix") {
     val dir = Files.createTempDirectory("blobs-wm").toString
     Seq((1L, "a")).toDF("id", "v").write.parquet(s"$dir/d1")
