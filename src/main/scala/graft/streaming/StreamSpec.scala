@@ -78,7 +78,20 @@ object StreamSpec {
       source = BlobSourceConfig(
         path = str(src, "path"),
         format = str(src, "format", "parquet"),
-        pkColumns = strs(src, "pkColumns")),
+        pkColumns = strs(src, "pkColumns"),
+        // reader options pass through verbatim (header, delimiter,
+        // timestampFormat, ...); values are strings like Spark's own option()
+        readerOptions = src.get("readerOptions")
+          .map(_.asObj.map { case (k, v) => k -> v.asStr })
+          .getOrElse(Map.empty),
+        // pre-configured source schema, either Spark DDL ("a INT, b STRING")
+        // or an Avro schema JSON — the two wire formats a migrating stream
+        // config carries (the reference's own docs warn that inference can
+        // corrupt an empty source)
+        sourceSchema = src.get("schemaDdl")
+          .map(d => graft.sources.BlobListingSource.BlobSchema.fromDdl(d.asStr))
+          .orElse(src.get("schemaAvro")
+            .map(d => graft.sources.BlobListingSource.BlobSchema.fromAvro(d.asStr)))),
       targetDir = str(sink, "targetDir"),
       keyColumn = str(sink, "keyColumn", "ARCANE_MERGE_KEY"),
       dialect = dialectFor(str(sink, "dialect", "upsert-blob")),

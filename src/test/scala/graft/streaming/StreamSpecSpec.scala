@@ -44,6 +44,28 @@ class StreamSpecSpec extends SparkSpec {
     intercept[IllegalArgumentException](StreamSpec.fromJson("""{"streamId": "x"}"""))
   }
 
+  test("readerOptions and declared schemas parse from JSON (DDL and Avro forms)") {
+    val withOpts = StreamSpec.fromJson(
+      """{"streamId": "s", "watermarkDir": "/wm",
+        |"source": {"path": "/in", "format": "csv",
+        |           "readerOptions": {"header": "false", "delimiter": "|"},
+        |           "schemaDdl": "id BIGINT, v STRING"},
+        |"sink": {"targetDir": "/out"}}""".stripMargin)
+    assert(withOpts.source.readerOptions == Map("header" -> "false", "delimiter" -> "|"))
+    assert(withOpts.source.sourceSchema.get.fieldNames.toSeq == Seq("id", "v"))
+    val avro = """{\"type\":\"record\",\"name\":\"r\",\"fields\":
+                 |[{\"name\":\"id\",\"type\":\"long\"},
+                 |{\"name\":\"name\",\"type\":[\"null\",\"string\"]}]}"""
+      .stripMargin.replace("\n", "")
+    val withAvro = StreamSpec.fromJson(
+      s"""{"streamId": "s", "watermarkDir": "/wm",
+         |"source": {"path": "/in", "schemaAvro": "$avro"},
+         |"sink": {"targetDir": "/out"}}""".stripMargin)
+    val st = withAvro.source.sourceSchema.get
+    assert(st.fieldNames.toSeq == Seq("id", "name"))
+    assert(st("name").nullable, "null-union Avro branch maps to nullable")
+  }
+
   test("config-driven streaming run: poll loop end to end from JSON") {
     val srcDir = Files.createTempDirectory("cfg_src").toString
     val tgtDir = Files.createTempDirectory("cfg_tgt").toString
