@@ -39,11 +39,21 @@ object BloomDedup {
 
   /** Build a filter over a LONG key column (distributed partial filters,
     * OR-merged up a tree; driver memory = one filter's bits).
+    *
+    * An EMPTY input gets an explicitly-created empty filter: Spark's
+    * `stat.bloomFilter` NPEs on zero rows (null aggregation buffer fed to
+    * `BloomFilter.readFrom`), and the day-0 ingest — first batch against a
+    * corpus that does not exist yet — hits exactly that. Every probe of the
+    * empty filter is false, i.e. "proven new", which is the correct summary
+    * of an empty corpus. The emptiness probe is a limit-1 action, trivial
+    * next to the build's own pass.
     */
   def buildLong(df: DataFrame, key: Column, expectedItems: Long,
-                fpp: Double): BloomFilter =
-    df.select(key.cast("long").as("__bloom_key"))
-      .stat.bloomFilter("__bloom_key", expectedItems, fpp)
+                fpp: Double): BloomFilter = {
+    val keyed = df.select(key.cast("long").as("__bloom_key"))
+    if (keyed.isEmpty) BloomFilter.create(expectedItems, fpp)
+    else keyed.stat.bloomFilter("__bloom_key", expectedItems, fpp)
+  }
 
   /** The filter as a plan-embeddable stateless predicate. The key is
     * widened to long to mirror [[buildLong]] — both the interpreted and
