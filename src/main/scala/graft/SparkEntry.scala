@@ -2269,6 +2269,26 @@ object SparkEntry {
       accepted.select(col("doc_id"), col("split")).orderBy(col("doc_id"))
     }),
 
+    // streaming-ingest LIFECYCLE, content-checked like schema_evolution/m2:
+    // two micro-batches through CorpusIngestSink against a fresh target —
+    // batch 1 seeds the corpus through the full prepare chain, batch 2 is
+    // gated against WHAT BATCH 1 WROTE (exact Bloom+sliver, then the
+    // bipartite near-dup funnel) — and the final corpus CONTENT is emitted.
+    // DuckDB replays both rounds (prepare CTEs per batch, md5-fingerprint
+    // exact dedup, exact bipartite jaccard), so the sink's grow-and-gate
+    // semantics are oracle-checked end to end, not just spec-pinned.
+    "ingest_lifecycle" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val cfg = CorpusPipeline.Config(
+        nearDupThreshold = None, decontamThreshold = None)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_ingest_q").toString
+      val b1 = docs.filter(pmod(col("doc_id"), lit(3L)) === 0L)
+      val b2 = docs.filter(pmod(col("doc_id"), lit(3L)) =!= 0L)
+      graft.streaming.CorpusIngestSink.processBatch(s, tmp, b1, cfg)
+      graft.streaming.CorpusIngestSink.processBatch(s, tmp, b2, cfg)
+      s.read.parquet(tmp).select(col("doc_id"), col("split")).orderBy(col("doc_id"))
+    }),
+
     // shard manifest: the integrity artifact a 100 TB training run writes
     // next to its shards — per shard: doc count, token mass, position
     // density (max pos == count proves no gaps), and a modular fingerprint
@@ -2672,6 +2692,39 @@ object SparkEntry {
     val stopDe = "\\b(der|die|und|das|ist|mit|von|nicht)\\b"
     val stopFr = "\\b(le|la|et|les|des|est|dans|pour)\\b"
     val stopEs = "\\b(el|los|las|de|que|es|con|para)\\b"
+
+    /** One prepare() round as suffix-parameterized CTEs (quality gate →
+      * md5-fingerprint keep-first dedup → split): the building block the
+      * ingest-lifecycle oracle applies once per micro-batch. `sp<sfx>` is
+      * the round's accepted (doc_id, norm, split) set.
+      */
+    def ingestPrepCtes(sfx: String, pred: String): String =
+      s"""b$sfx AS (SELECT * FROM documents WHERE $pred),
+         |base$sfx AS (
+         |  SELECT doc_id, $normText AS norm,
+         |    length(text) AS nc,
+         |    CASE WHEN length(text) = 0 THEN 0.0
+         |         ELSE len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) * 1.0 / length(text) END AS p,
+         |    CASE WHEN length(text) = 0 THEN 0.0
+         |         ELSE len(regexp_extract_all(text, '[0-9]')) * 1.0 / length(text) END AS d,
+         |    CASE WHEN length(trim(text)) = 0 THEN 0.0
+         |         ELSE length(regexp_replace(text, '\\s+', '', 'g')) * 1.0
+         |              / len(regexp_split_to_array(trim(text), '\\s+')) END AS m,
+         |    len(regexp_extract_all(lower(text), '$stopEn')) AS h_en,
+         |    len(regexp_extract_all(lower(text), '$stopDe')) AS h_de,
+         |    len(regexp_extract_all(lower(text), '$stopFr')) AS h_fr,
+         |    len(regexp_extract_all(lower(text), '$stopEs')) AS h_es
+         |  FROM b$sfx),
+         |q$sfx AS (SELECT * FROM base$sfx
+         |      WHERE greatest(h_en, h_de, h_fr, h_es) > 0
+         |        AND nc BETWEEN 20 AND 20000 AND p < 0.2
+         |        AND m BETWEEN 2.0 AND 12.0 AND d < 0.25),
+         |keep$sfx AS (SELECT min(doc_id) AS doc_id FROM q$sfx GROUP BY md5(norm)),
+         |sp$sfx AS (SELECT q$sfx.doc_id, q$sfx.norm,
+         |    CASE WHEN substr(md5(CAST(q$sfx.doc_id AS VARCHAR)), 1, 4) < '${Sampling.thresholdHex(0.05)}' THEN 'test'
+         |         WHEN substr(md5(CAST(q$sfx.doc_id AS VARCHAR)), 1, 4) < '${Sampling.thresholdHex(0.10)}' THEN 'val'
+         |         ELSE 'train' END AS split
+         |  FROM q$sfx JOIN keep$sfx USING (doc_id))""".stripMargin
 
     def mergeOracle(deleteExpr: String, verExpr: String, whereDeletes: Boolean): String = {
       val takeS = "(s.user_id IS NOT NULL AND (t.user_id IS NULL OR s.ver > t.ver))"
@@ -3353,6 +3406,33 @@ object SparkEntry {
            |            WHERE round(i * 1.0 / (ca.n + cb.n - i), 4) >= 0.8)
            |SELECT doc_id, split FROM ex
            |WHERE doc_id NOT IN (SELECT ib FROM dropped)
+           |ORDER BY doc_id""".stripMargin,
+
+      // two-round replay of the streaming ingest sink: round 1 seeds the
+      // corpus (vs an empty standing set both against-stages are no-ops),
+      // round 2 exact-dedups against round 1's accepted set by the md5h60
+      // fingerprint, then drops exact-bipartite near-dups (jaccard >= 0.8
+      // on the 5-gram shingle sets of the normalized texts)
+      "ingest_lifecycle" ->
+        s"""WITH ${ingestPrepCtes("1", "doc_id % 3 = 0")},
+           |${ingestPrepCtes("2", "doc_id % 3 <> 0")},
+           |ex2 AS (SELECT sp2.* FROM sp2
+           |        WHERE CAST('0x' || substr(md5(sp2.norm), 1, 15) AS UBIGINT) NOT IN
+           |          (SELECT CAST('0x' || substr(md5(norm), 1, 15) AS UBIGINT) FROM sp1)),
+           |gi AS (SELECT DISTINCT doc_id, CASE WHEN len(norm) < 5 THEN norm ELSE norm[i:i+4] END AS sh
+           |       FROM ex2, LATERAL (SELECT unnest(range(1, greatest(len(norm) - 3, 2))) AS i) r),
+           |gc AS (SELECT DISTINCT doc_id, CASE WHEN len(norm) < 5 THEN norm ELSE norm[i:i+4] END AS sh
+           |       FROM sp1, LATERAL (SELECT unnest(range(1, greatest(len(norm) - 3, 2))) AS i) r),
+           |ci AS (SELECT doc_id, count(*) AS n FROM gi GROUP BY 1),
+           |cc AS (SELECT doc_id, count(*) AS n FROM gc GROUP BY 1),
+           |inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS i
+           |          FROM gc a JOIN gi b ON a.sh = b.sh GROUP BY 1, 2),
+           |dropped AS (SELECT DISTINCT ib
+           |            FROM inter JOIN cc ca ON ca.doc_id = ia JOIN ci cb ON cb.doc_id = ib
+           |            WHERE round(i * 1.0 / (ca.n + cb.n - i), 4) >= 0.8)
+           |SELECT doc_id, split FROM sp1
+           |UNION ALL
+           |SELECT doc_id, split FROM ex2 WHERE doc_id NOT IN (SELECT ib FROM dropped)
            |ORDER BY doc_id""".stripMargin,
 
       "dedup_keep_best" ->
