@@ -2726,6 +2726,26 @@ object SparkEntry {
          |         ELSE 'train' END AS split
          |  FROM q$sfx JOIN keep$sfx USING (doc_id))""".stripMargin
 
+    /** Exact bipartite near-dup drop as CTEs: `dropped.ib` lists the ids of
+      * `incSrc` rows whose 5-gram shingle-set jaccard against ANY `corpSrc`
+      * row reaches 0.8. Both sources must expose (doc_id, norm). Shared by
+      * the one-round (`corpus_prepare_incremental`) and two-round
+      * (`ingest_lifecycle`) ingest oracles so the funnel constants cannot
+      * drift between them.
+      */
+    def bipartiteDropCtes(incSrc: String, corpSrc: String): String =
+      s"""gi AS (SELECT DISTINCT doc_id, CASE WHEN len(norm) < 5 THEN norm ELSE norm[i:i+4] END AS sh
+         |       FROM $incSrc, LATERAL (SELECT unnest(range(1, greatest(len(norm) - 3, 2))) AS i) r),
+         |gc AS (SELECT DISTINCT doc_id, CASE WHEN len(norm) < 5 THEN norm ELSE norm[i:i+4] END AS sh
+         |       FROM $corpSrc, LATERAL (SELECT unnest(range(1, greatest(len(norm) - 3, 2))) AS i) r),
+         |ci AS (SELECT doc_id, count(*) AS n FROM gi GROUP BY 1),
+         |cc AS (SELECT doc_id, count(*) AS n FROM gc GROUP BY 1),
+         |inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS i
+         |          FROM gc a JOIN gi b ON a.sh = b.sh GROUP BY 1, 2),
+         |dropped AS (SELECT DISTINCT ib
+         |            FROM inter JOIN cc ca ON ca.doc_id = ia JOIN ci cb ON cb.doc_id = ib
+         |            WHERE round(i * 1.0 / (ca.n + cb.n - i), 4) >= 0.8)""".stripMargin
+
     def mergeOracle(deleteExpr: String, verExpr: String, whereDeletes: Boolean): String = {
       val takeS = "(s.user_id IS NOT NULL AND (t.user_id IS NULL OR s.ver > t.ver))"
       val deleteFilter =
@@ -3362,48 +3382,17 @@ object SparkEntry {
       // against-corpus stage (dedup_incremental_bloom's device), and the
       // exact-Jaccard shingle funnel for the near-dup stage
       // (dedup_against_corpus's device)
+      // one prepare round (the shared helper) against a RAW standing corpus
+      // (the standing side is ungated documents, norm-projected); the
+      // exact-dedup and bipartite-drop stages are the same shared blocks
+      // the two-round ingest_lifecycle oracle composes
       "corpus_prepare_incremental" ->
-        s"""WITH inc AS (SELECT * FROM documents WHERE doc_id % 5 = 0),
+        s"""WITH ${ingestPrepCtes("1", "doc_id % 5 = 0")},
            |corp AS (SELECT doc_id, $normText AS norm FROM documents WHERE doc_id % 5 <> 0),
-           |base AS (
-           |  SELECT doc_id, $normText AS norm,
-           |    length(text) AS nc,
-           |    CASE WHEN length(text) = 0 THEN 0.0
-           |         ELSE len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) * 1.0 / length(text) END AS p,
-           |    CASE WHEN length(text) = 0 THEN 0.0
-           |         ELSE len(regexp_extract_all(text, '[0-9]')) * 1.0 / length(text) END AS d,
-           |    CASE WHEN length(trim(text)) = 0 THEN 0.0
-           |         ELSE length(regexp_replace(text, '\\s+', '', 'g')) * 1.0
-           |              / len(regexp_split_to_array(trim(text), '\\s+')) END AS m,
-           |    len(regexp_extract_all(lower(text), '$stopEn')) AS h_en,
-           |    len(regexp_extract_all(lower(text), '$stopDe')) AS h_de,
-           |    len(regexp_extract_all(lower(text), '$stopFr')) AS h_fr,
-           |    len(regexp_extract_all(lower(text), '$stopEs')) AS h_es
-           |  FROM inc),
-           |q AS (SELECT * FROM base
-           |      WHERE greatest(h_en, h_de, h_fr, h_es) > 0
-           |        AND nc BETWEEN 20 AND 20000 AND p < 0.2
-           |        AND m BETWEEN 2.0 AND 12.0 AND d < 0.25),
-           |keep AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY md5(norm)),
-           |sp AS (SELECT q.doc_id, q.norm,
-           |    CASE WHEN substr(md5(CAST(q.doc_id AS VARCHAR)), 1, 4) < '${Sampling.thresholdHex(0.05)}' THEN 'test'
-           |         WHEN substr(md5(CAST(q.doc_id AS VARCHAR)), 1, 4) < '${Sampling.thresholdHex(0.10)}' THEN 'val'
-           |         ELSE 'train' END AS split
-           |  FROM q JOIN keep USING (doc_id)),
-           |ex AS (SELECT sp.* FROM sp
-           |       WHERE CAST('0x' || substr(md5(sp.norm), 1, 15) AS UBIGINT) NOT IN
+           |ex AS (SELECT sp1.* FROM sp1
+           |       WHERE CAST('0x' || substr(md5(sp1.norm), 1, 15) AS UBIGINT) NOT IN
            |         (SELECT CAST('0x' || substr(md5(norm), 1, 15) AS UBIGINT) FROM corp)),
-           |gi AS (SELECT DISTINCT doc_id, CASE WHEN len(norm) < 5 THEN norm ELSE norm[i:i+4] END AS sh
-           |       FROM ex, LATERAL (SELECT unnest(range(1, greatest(len(norm) - 3, 2))) AS i) r),
-           |gc AS (SELECT DISTINCT doc_id, CASE WHEN len(norm) < 5 THEN norm ELSE norm[i:i+4] END AS sh
-           |       FROM corp, LATERAL (SELECT unnest(range(1, greatest(len(norm) - 3, 2))) AS i) r),
-           |ci AS (SELECT doc_id, count(*) AS n FROM gi GROUP BY 1),
-           |cc AS (SELECT doc_id, count(*) AS n FROM gc GROUP BY 1),
-           |inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS i
-           |          FROM gc a JOIN gi b ON a.sh = b.sh GROUP BY 1, 2),
-           |dropped AS (SELECT DISTINCT ib
-           |            FROM inter JOIN cc ca ON ca.doc_id = ia JOIN ci cb ON cb.doc_id = ib
-           |            WHERE round(i * 1.0 / (ca.n + cb.n - i), 4) >= 0.8)
+           |${bipartiteDropCtes("ex", "corp")}
            |SELECT doc_id, split FROM ex
            |WHERE doc_id NOT IN (SELECT ib FROM dropped)
            |ORDER BY doc_id""".stripMargin,
@@ -3419,17 +3408,7 @@ object SparkEntry {
            |ex2 AS (SELECT sp2.* FROM sp2
            |        WHERE CAST('0x' || substr(md5(sp2.norm), 1, 15) AS UBIGINT) NOT IN
            |          (SELECT CAST('0x' || substr(md5(norm), 1, 15) AS UBIGINT) FROM sp1)),
-           |gi AS (SELECT DISTINCT doc_id, CASE WHEN len(norm) < 5 THEN norm ELSE norm[i:i+4] END AS sh
-           |       FROM ex2, LATERAL (SELECT unnest(range(1, greatest(len(norm) - 3, 2))) AS i) r),
-           |gc AS (SELECT DISTINCT doc_id, CASE WHEN len(norm) < 5 THEN norm ELSE norm[i:i+4] END AS sh
-           |       FROM sp1, LATERAL (SELECT unnest(range(1, greatest(len(norm) - 3, 2))) AS i) r),
-           |ci AS (SELECT doc_id, count(*) AS n FROM gi GROUP BY 1),
-           |cc AS (SELECT doc_id, count(*) AS n FROM gc GROUP BY 1),
-           |inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS i
-           |          FROM gc a JOIN gi b ON a.sh = b.sh GROUP BY 1, 2),
-           |dropped AS (SELECT DISTINCT ib
-           |            FROM inter JOIN cc ca ON ca.doc_id = ia JOIN ci cb ON cb.doc_id = ib
-           |            WHERE round(i * 1.0 / (ca.n + cb.n - i), 4) >= 0.8)
+           |${bipartiteDropCtes("ex2", "sp1")}
            |SELECT doc_id, split FROM sp1
            |UNION ALL
            |SELECT doc_id, split FROM ex2 WHERE doc_id NOT IN (SELECT ib FROM dropped)

@@ -53,7 +53,11 @@ object Watermark {
         for {
           k <- f.get("kind").collect { case MiniJson.JStr(s) => s }
           v <- f.get("version").collect { case MiniJson.JStr(s) => s }
-          ts <- f.get("timestamp").collect { case n: MiniJson.JNum => n.asLong }
+          // STRICT integral form only (the raw literal text must parse as a
+          // Long): MiniJson.asLong's general fallback would silently
+          // truncate 1.9 → 1 or clamp an out-of-range value — exactly the
+          // corrupt-state acceptance the stores above are hardened to refuse
+          ts <- f.get("timestamp").collect { case n: MiniJson.JNum => n.raw.toLongOption }.flatten
         } yield Watermark(k, v, ts)
       case _ => None
     } catch { case scala.util.control.NonFatal(_) => None }

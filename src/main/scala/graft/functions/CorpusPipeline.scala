@@ -389,6 +389,29 @@ object CorpusPipeline {
                          againstThreshold: Option[Double] = Some(0.8),
                          numHashes: Int = 64, bands: Int = 16,
                          bloomFpp: Double = 0.01): (DataFrame, DataFrame) = {
+    val (accepted, audit, _) = prepareIncrementalManaged(newDocs, standingCorpus,
+      cfg, againstThreshold, numHashes, bands, bloomFpp)
+    (accepted, audit)
+  }
+
+  /** [[prepareIncremental]] with an explicit cache-release handle — the
+    * [[graft.operators.PageRank.runManaged]] pattern. The funnel persists
+    * two frames (the corpus's 8-byte key projection and the batch's
+    * accepted-candidate rows) that the RETURNED frames reference; a
+    * long-lived ingest service must release them once `accepted`/`audit`
+    * have materialized, or one corpus-keys-sized entry accumulates per
+    * batch. `release()` unpersists them AT THE DATASET LEVEL — going
+    * through Spark's CacheManager, which also removes the cached-plan
+    * entries; a raw RDD-level unpersist would leave those entries alive and
+    * later structurally-identical reads (the next batch's scan of the same
+    * corpus path) would be rewritten to the STALE cached snapshot.
+    */
+  def prepareIncrementalManaged(newDocs: DataFrame, standingCorpus: DataFrame,
+                                cfg: Config = Config(),
+                                againstThreshold: Option[Double] = Some(0.8),
+                                numHashes: Int = 64, bands: Int = 16,
+                                bloomFpp: Double = 0.01)
+      : (DataFrame, DataFrame, () => Unit) = {
     val text = col(cfg.textCol)
     val key = TextFunctions.md5Hash60(TextFunctions.normalized(text))
 
@@ -399,15 +422,15 @@ object CorpusPipeline {
     // corpusKeys is read three times (sizing count, filter build, sliver
     // anti-join) and each read would re-scan + re-hash the corpus — persist
     // the slim 8-byte-key projection once (the count materializes it).
-    // CACHE LIFETIME: the returned frames reference this cache, so it can't
-    // be released here; a long-lived ingest service should unpersist it
-    // (spark.catalog.clearCache(), or track getPersistentRDDs) after
-    // materializing accepted+audit, or one corpus-keys-sized entry
-    // accumulates per batch
     val corpusKeys = standingCorpus.select(key.as("__ck"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val expected = math.max(corpusKeys.count(), 1L)
-    val filter = BloomDedup.buildLong(corpusKeys, col("__ck"), expected, bloomFpp)
+    val corpusCount = corpusKeys.count()
+    // empty-corpus fast path (day 0): an explicitly empty filter, skipping
+    // buildLong's own emptiness probe — the count already answered it
+    val filter =
+      if (corpusCount == 0L)
+        org.apache.spark.util.sketch.BloomFilter.create(1L, bloomFpp)
+      else BloomDedup.buildLong(corpusKeys, col("__ck"), corpusCount, bloomFpp)
     // exactNew feeds FIVE plan branches downstream (both sides of the
     // against-corpus signature funnel, the exact-verify shingle scan, the
     // final anti-join, and the audit union), and each would otherwise
@@ -416,8 +439,7 @@ object CorpusPipeline {
     // from the raw scan: five passes over the batch where one suffices
     // (measured 1.6× on the warm pipeline at sf0.1). Persisted, not
     // localized: it carries the batch's surviving TEXT rows (batch-sized,
-    // never corpus-sized), which must not land on the driver. Same
-    // lifetime note as corpusKeys above.
+    // never corpus-sized), which must not land on the driver.
     val exactNew = BloomDedup.newKeysExact(
       prepared.withColumn("__ck", key),
       corpusKeys, "__ck", filter).drop("__ck")
@@ -436,6 +458,11 @@ object CorpusPipeline {
     val audit = graft.operators.SnapshotDiff
       .diff(standingCorpus, composed, cfg.idCol, TextFunctions.fingerprint(text))
       .groupBy(col("status")).agg(count(lit(1)).cast("long").as("n"))
-    (accepted, audit)
+    val release = () => {
+      corpusKeys.unpersist(blocking = false)
+      exactNew.unpersist(blocking = false)
+      ()
+    }
+    (accepted, audit, release)
   }
 }

@@ -15,9 +15,14 @@ import org.apache.spark.sql.types._
   */
 private[graft] object InputCheck {
 
+  // NullType (a bare NULL literal) is always accepted: every guarded
+  // expression is null-safe — eval short-circuits to NULL before the
+  // kernel runs — and Spark's own typed functions accept NULL the same
+  // way. Rejecting it would turn `graft_lang_id(NULL)` from a NULL result
+  // into an AnalysisException.
   private def result(ok: Boolean, fn: String, expected: String,
                      actual: DataType): TypeCheckResult =
-    if (ok) TypeCheckResult.TypeCheckSuccess
+    if (ok || actual == NullType) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
       s"$fn expects $expected, got ${actual.simpleString(2)}")
 

@@ -18,14 +18,17 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * replay-idempotence property `CorpusPipelineSpec` pins at the batch
   * level. Either way the corpus ends correct.
   *
-  * Cache lifecycle: [[CorpusPipeline.prepareIncremental]] persists two
-  * frames per call (corpus keys, accepted candidates) whose lifetime its
-  * doc leaves to the caller — a long-lived ingest service that never
-  * released them would accumulate one corpus-keys-sized entry per batch.
-  * This sink is that caller: it snapshots the persistent-RDD set before
-  * the call and unpersists exactly the delta once the batch's write has
+  * Cache lifecycle: [[CorpusPipeline.prepareIncrementalManaged]] persists
+  * two frames per call (corpus keys, accepted candidates) and hands back a
+  * release handle; the sink invokes it once the batch's write has
   * committed, so state is flat across any number of micro-batches
-  * (spec-asserted).
+  * (spec-asserted). The release goes through Dataset.unpersist — i.e.
+  * Spark's CacheManager — so the cached-PLAN entries die with the blocks;
+  * raw RDD-level unpersist would leave them alive and the NEXT batch's
+  * structurally-identical corpus scan would be rewritten to the stale
+  * cached snapshot (the gate would then dedup against an old corpus
+  * forever). Scoped to this call's own frames, never a global cache diff,
+  * so concurrent queries on the same session are untouched.
   *
   * 100 TB posture: per batch the standing corpus contributes one keys-only
   * scan (Bloom build) and one signature scan (the banded funnel) — its text
@@ -44,22 +47,16 @@ object CorpusIngestSink {
   def processBatch(spark: SparkSession, targetDir: String, batch: DataFrame,
                    cfg: CorpusPipeline.Config = CorpusPipeline.Config(),
                    againstThreshold: Option[Double] = Some(0.8)): Long = {
-    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val standing = standingOf(spark, targetDir, batch)
+    val (accepted, _, release) = CorpusPipeline.prepareIncrementalManaged(
+      batch, standing, cfg, againstThreshold)
     try {
-      val standing = standingOf(spark, targetDir, batch)
-      val (accepted, _) =
-        CorpusPipeline.prepareIncremental(batch, standing, cfg, againstThreshold)
       // the count runs over the funnel's cached candidate frame, so the
       // second action (the write) re-reads cache, not the raw scan
       val n = accepted.count()
       if (n > 0) accepted.write.mode(SaveMode.Append).parquet(targetDir)
       n
-    } finally {
-      val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
-      leaked.foreach(id =>
-        spark.sparkContext.getPersistentRDDs.get(id)
-          .foreach(_.unpersist(blocking = false)))
-    }
+    } finally release()
   }
 
   /** The `(DataFrame, Long) => Unit` foreachBatch function. */

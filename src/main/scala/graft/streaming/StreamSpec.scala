@@ -79,10 +79,20 @@ object StreamSpec {
         path = str(src, "path"),
         format = str(src, "format", "parquet"),
         pkColumns = strs(src, "pkColumns"),
-        // reader options pass through verbatim (header, delimiter,
-        // timestampFormat, ...); values are strings like Spark's own option()
+        // reader options pass through (header, delimiter, timestampFormat,
+        // ...). Scalar JSON values coerce to the string form
+        // DataFrameReader.option takes anyway — {"header": true} is the
+        // shape users naturally write; a non-scalar fails naming the key
         readerOptions = src.get("readerOptions")
-          .map(_.asObj.map { case (k, v) => k -> v.asStr })
+          .map(_.asObj.map { case (k, v) =>
+            k -> (v match {
+              case MiniJson.JStr(s2)    => s2
+              case MiniJson.JBool(b)    => b.toString
+              case MiniJson.JNum(_, raw) => raw
+              case other => throw new IllegalArgumentException(
+                s"readerOptions.$k must be a scalar, got $other")
+            })
+          })
           .getOrElse(Map.empty),
         // pre-configured source schema, either Spark DDL ("a INT, b STRING")
         // or an Avro schema JSON — the two wire formats a migrating stream

@@ -83,6 +83,17 @@ class GraftExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("a bare NULL literal stays NULL — never an analysis error") {
+    // every guarded expression is null-safe; NullType must pass the check
+    val r = spark.sql(
+      """SELECT graft_lang_id(NULL) AS a, graft_text_stats(NULL) AS b,
+        |  graft_gear_chunks(NULL, 64, 8, 1024) AS c,
+        |  graft_hilbert_index_2d(NULL, 2L, 4) AS d,
+        |  graft_vector_mean(NULL) AS e
+        |FROM range(1)""".stripMargin).head()
+    (0 until 5).foreach(i => assert(r.isNullAt(i), s"column $i must be NULL"))
+  }
+
   test("extension class injects the same function set") {
     // unit-level: the injector enumerates every name register() provides
     assert(GraftExtensions.functions.map(_._1).distinct.size ==

@@ -190,6 +190,12 @@ class WatermarkSpec extends SparkSpec {
     assert(Watermark.fromJson("""{"kind":"k","version":7,"timestamp":1}""").isEmpty)
     assert(Watermark.fromJson("""{"kind":"k","version":"v"}""").isEmpty)
     assert(Watermark.fromJson("""{"kind":"k","version":"v","timestamp":"x"}""").isEmpty)
+    // non-integral / out-of-range timestamps are corrupt state, not data:
+    // a lenient double fallback would silently truncate 1.9 → 1
+    assert(Watermark.fromJson("""{"kind":"k","version":"v","timestamp":1.9}""").isEmpty)
+    assert(Watermark.fromJson("""{"kind":"k","version":"v","timestamp":1e3}""").isEmpty)
+    assert(Watermark.fromJson(
+      """{"kind":"k","version":"v","timestamp":9223372036854775808}""").isEmpty)
   }
 
   test("ordering is lexicographic on version (zero-padded numerics)") {
