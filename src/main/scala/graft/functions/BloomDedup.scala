@@ -55,6 +55,15 @@ object BloomDedup {
     else keyed.stat.bloomFilter("__bloom_key", expectedItems, fpp)
   }
 
+  /** [[buildLong]] for a caller that has ALREADY proven the input
+    * non-empty (e.g. from a sizing count) — skips the emptiness probe's
+    * limit-1 job, which matters on a per-micro-batch hot path.
+    */
+  def buildLongNonEmpty(df: DataFrame, key: Column, expectedItems: Long,
+                        fpp: Double): BloomFilter =
+    df.select(key.cast("long").as("__bloom_key"))
+      .stat.bloomFilter("__bloom_key", expectedItems, fpp)
+
   /** The filter as a plan-embeddable stateless predicate. The key is
     * widened to long to mirror [[buildLong]] — both the interpreted and
     * codegen eval paths then accept any integral key type.

@@ -415,54 +415,63 @@ object CorpusPipeline {
     val text = col(cfg.textCol)
     val key = TextFunctions.md5Hash60(TextFunctions.normalized(text))
 
-    // 1. in-batch preparation
-    val prepared = prepare(newDocs, cfg)
+    // every frame this call persists, so BOTH exits release them: the
+    // handle on success, the catch below on a throw BETWEEN a persist and
+    // the return (the sizing count and the filter build are real actions —
+    // a transient failure there must not pin a corpus-keys-sized cache
+    // entry nobody holds a handle to)
+    val cached = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    def releaseAll(): Unit = cached.foreach(_.unpersist(blocking = false))
+    try {
+      // 1. in-batch preparation
+      val prepared = prepare(newDocs, cfg)
 
-    // 2. exact against-corpus dedup (Bloom prefilter + exact sliver join).
-    // corpusKeys is read three times (sizing count, filter build, sliver
-    // anti-join) and each read would re-scan + re-hash the corpus — persist
-    // the slim 8-byte-key projection once (the count materializes it).
-    val corpusKeys = standingCorpus.select(key.as("__ck"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val corpusCount = corpusKeys.count()
-    // empty-corpus fast path (day 0): an explicitly empty filter, skipping
-    // buildLong's own emptiness probe — the count already answered it
-    val filter =
-      if (corpusCount == 0L)
-        org.apache.spark.util.sketch.BloomFilter.create(1L, bloomFpp)
-      else BloomDedup.buildLong(corpusKeys, col("__ck"), corpusCount, bloomFpp)
-    // exactNew feeds FIVE plan branches downstream (both sides of the
-    // against-corpus signature funnel, the exact-verify shingle scan, the
-    // final anti-join, and the audit union), and each would otherwise
-    // re-derive the ENTIRE in-batch prepare chain — gate kernels, the
-    // fingerprint-dedup shuffle, the Bloom split, the sliver anti-join —
-    // from the raw scan: five passes over the batch where one suffices
-    // (measured 1.6× on the warm pipeline at sf0.1). Persisted, not
-    // localized: it carries the batch's surviving TEXT rows (batch-sized,
-    // never corpus-sized), which must not land on the driver.
-    val exactNew = BloomDedup.newKeysExact(
-      prepared.withColumn("__ck", key),
-      corpusKeys, "__ck", filter).drop("__ck")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // 2. exact against-corpus dedup (Bloom prefilter + exact sliver join).
+      // corpusKeys is read three times (sizing count, filter build, sliver
+      // anti-join) and each read would re-scan + re-hash the corpus — persist
+      // the slim 8-byte-key projection once (the count materializes it).
+      val corpusKeys = standingCorpus.select(key.as("__ck"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      cached += corpusKeys
+      val corpusCount = corpusKeys.count()
+      // the count doubles as the emptiness answer: day 0 (empty corpus)
+      // takes an explicitly empty filter, every later batch builds without
+      // buildLong's own limit-1 probe job
+      val filter =
+        if (corpusCount == 0L)
+          org.apache.spark.util.sketch.BloomFilter.create(1L, bloomFpp)
+        else BloomDedup.buildLongNonEmpty(corpusKeys, col("__ck"), corpusCount, bloomFpp)
+      // exactNew feeds FIVE plan branches downstream (both sides of the
+      // against-corpus signature funnel, the exact-verify shingle scan, the
+      // final anti-join, and the audit union), and each would otherwise
+      // re-derive the ENTIRE in-batch prepare chain — gate kernels, the
+      // fingerprint-dedup shuffle, the Bloom split, the sliver anti-join —
+      // from the raw scan: five passes over the batch where one suffices
+      // (measured 1.6× on the warm pipeline at sf0.1). Persisted, not
+      // localized: it carries the batch's surviving TEXT rows (batch-sized,
+      // never corpus-sized), which must not land on the driver.
+      val exactNew = BloomDedup.newKeysExact(
+        prepared.withColumn("__ck", key),
+        corpusKeys, "__ck", filter).drop("__ck")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      cached += exactNew
 
-    // 3. near-dup against the corpus (bipartite funnel, keep survivors)
-    val accepted = againstThreshold.fold(exactNew) { th =>
-      MinHashLsh.dedupAgainst(
-        standingCorpus, exactNew, cfg.idCol,
-        TextFunctions.shingleHashes(text, 5), numHashes, bands, th)
+      // 3. near-dup against the corpus (bipartite funnel, keep survivors)
+      val accepted = againstThreshold.fold(exactNew) { th =>
+        MinHashLsh.dedupAgainst(
+          standingCorpus, exactNew, cfg.idCol,
+          TextFunctions.shingleHashes(text, 5), numHashes, bands, th)
+      }
+
+      // 4. ingest audit: old corpus vs composed corpus, per-status counts
+      val composed = standingCorpus
+        .unionByName(accepted.select(standingCorpus.columns.map(col): _*))
+      val audit = graft.operators.SnapshotDiff
+        .diff(standingCorpus, composed, cfg.idCol, TextFunctions.fingerprint(text))
+        .groupBy(col("status")).agg(count(lit(1)).cast("long").as("n"))
+      (accepted, audit, () => releaseAll())
+    } catch {
+      case t: Throwable => releaseAll(); throw t
     }
-
-    // 4. ingest audit: old corpus vs composed corpus, per-status counts
-    val composed = standingCorpus
-      .unionByName(accepted.select(standingCorpus.columns.map(col): _*))
-    val audit = graft.operators.SnapshotDiff
-      .diff(standingCorpus, composed, cfg.idCol, TextFunctions.fingerprint(text))
-      .groupBy(col("status")).agg(count(lit(1)).cast("long").as("n"))
-    val release = () => {
-      corpusKeys.unpersist(blocking = false)
-      exactNew.unpersist(blocking = false)
-      ()
-    }
-    (accepted, audit, release)
   }
 }

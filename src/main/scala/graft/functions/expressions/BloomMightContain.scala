@@ -29,7 +29,7 @@ case class BloomMightContainExpr(child: Expression, filterBytes: Array[Byte])
   override def dataType: DataType = BooleanType
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
-    InputCheck.long("bloom_might_contain", child.dataType)
+    InputCheck.long("bloom_might_contain", child)
 
   override protected def nullSafeEval(input: Any): Any =
     filter.mightContainLong(input.asInstanceOf[Long])

@@ -19,7 +19,7 @@ case class CharEntropyExpr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = DoubleType
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
-    InputCheck.string("char_entropy", child.dataType)
+    InputCheck.string("char_entropy", child)
 
   override protected def nullSafeEval(input: Any): Any =
     CharEntropyExpr.compute(input.asInstanceOf[UTF8String])

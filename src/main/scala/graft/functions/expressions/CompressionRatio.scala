@@ -26,7 +26,7 @@ case class CompressionRatioExpr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = DoubleType
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
-    InputCheck.string("compression_ratio", child.dataType)
+    InputCheck.string("compression_ratio", child)
 
   override protected def nullSafeEval(input: Any): Any =
     CompressionRatioExpr.compute(input.asInstanceOf[UTF8String])

@@ -29,7 +29,7 @@ case class FixMojibakeExpr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = StringType
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
-    InputCheck.string("fix_mojibake", child.dataType)
+    InputCheck.string("fix_mojibake", child)
 
   override protected def nullSafeEval(input: Any): Any =
     FixMojibakeExpr.compute(input.asInstanceOf[UTF8String])

@@ -36,7 +36,7 @@ case class GearChunksExpr(child: Expression, minSize: Int, avgBits: Int,
   override def dataType: DataType = GearChunksExpr.schema
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
-    InputCheck.binary("gear_chunks", child.dataType)
+    InputCheck.binary("gear_chunks", child)
 
   override protected def nullSafeEval(input: Any): Any =
     GearChunksExpr.compute(input.asInstanceOf[Array[Byte]], minSize, avgBits, maxSize)

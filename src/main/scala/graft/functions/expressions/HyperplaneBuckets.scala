@@ -24,7 +24,7 @@ case class HyperplaneBucketsExpr(child: Expression, nbits: Int, dim: Int, tables
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
-    InputCheck.floatOrDoubleArray("hyperplane_buckets", child.dataType)
+    InputCheck.floatOrDoubleArray("hyperplane_buckets", child)
 
   private def elemIsFloat: Boolean =
     child.dataType.asInstanceOf[ArrayType].elementType == FloatType

@@ -1,6 +1,7 @@
 package graft.functions.expressions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.types._
 
 /** Analysis-time input-type guards for the engine's expressions.
@@ -12,41 +13,53 @@ import org.apache.spark.sql.types._
   * after a scan has already been scheduled — instead of an
   * `AnalysisException` at plan time. These helpers make the one-line
   * override cheap so no expression has a reason to skip it.
+  *
+  * NullType handling: a FOLDABLE NullType child (a bare NULL literal, or
+  * any expression constant-folding to one) is accepted — the whole guarded
+  * expression is then itself foldable and the optimizer collapses it to a
+  * NULL literal before codegen, so `graft_lang_id(NULL)` stays a NULL
+  * result. A NON-foldable NullType child (a provably-all-NULL computed
+  * column, e.g. a CASE whose every branch is NULL) is rejected with the
+  * typed error instead: such a child would survive to `doGenCode`, where
+  * the generated kernel call receives an `Object`-typed slot and fails
+  * Janino compilation — results would still be right (eval is null-safe)
+  * but whole-stage codegen would silently fall back for the entire stage.
+  * A degenerate input earning a clear analysis error beats that.
   */
 private[graft] object InputCheck {
 
-  // NullType (a bare NULL literal) is always accepted: every guarded
-  // expression is null-safe — eval short-circuits to NULL before the
-  // kernel runs — and Spark's own typed functions accept NULL the same
-  // way. Rejecting it would turn `graft_lang_id(NULL)` from a NULL result
-  // into an AnalysisException.
   private def result(ok: Boolean, fn: String, expected: String,
-                     actual: DataType): TypeCheckResult =
-    if (ok || actual == NullType) TypeCheckResult.TypeCheckSuccess
+                     child: Expression): TypeCheckResult =
+    if (ok || (child.dataType == NullType && child.foldable))
+      TypeCheckResult.TypeCheckSuccess
+    else if (child.dataType == NullType)
+      TypeCheckResult.TypeCheckFailure(
+        s"$fn expects $expected, got a non-literal always-NULL input — " +
+          "cast it to the expected type")
     else TypeCheckResult.TypeCheckFailure(
-      s"$fn expects $expected, got ${actual.simpleString(2)}")
+      s"$fn expects $expected, got ${child.dataType.simpleString(2)}")
 
   /** Any string (collation-agnostic — the kernels operate on UTF8String). */
-  def string(fn: String, actual: DataType): TypeCheckResult =
-    result(actual.isInstanceOf[StringType], fn, "string", actual)
+  def string(fn: String, child: Expression): TypeCheckResult =
+    result(child.dataType.isInstanceOf[StringType], fn, "string", child)
 
-  def binary(fn: String, actual: DataType): TypeCheckResult =
-    result(actual == BinaryType, fn, "binary", actual)
+  def binary(fn: String, child: Expression): TypeCheckResult =
+    result(child.dataType == BinaryType, fn, "binary", child)
 
-  def long(fn: String, actual: DataType): TypeCheckResult =
-    result(actual == LongType, fn, "bigint", actual)
+  def long(fn: String, child: Expression): TypeCheckResult =
+    result(child.dataType == LongType, fn, "bigint", child)
 
   /** `array<float>` or `array<double>` — the embedding-column contract. */
-  def floatOrDoubleArray(fn: String, actual: DataType): TypeCheckResult =
-    result(actual match {
+  def floatOrDoubleArray(fn: String, child: Expression): TypeCheckResult =
+    result(child.dataType match {
       case ArrayType(FloatType | DoubleType, _) => true
       case _ => false
-    }, fn, "array<float|double>", actual)
+    }, fn, "array<float|double>", child)
 
   /** Strictly `array<float>` (kernels that read via `getFloat` only). */
-  def floatArray(fn: String, actual: DataType): TypeCheckResult =
-    result(actual match {
+  def floatArray(fn: String, child: Expression): TypeCheckResult =
+    result(child.dataType match {
       case ArrayType(FloatType, _) => true
       case _ => false
-    }, fn, "array<float>", actual)
+    }, fn, "array<float>", child)
 }

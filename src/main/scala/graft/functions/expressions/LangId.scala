@@ -26,7 +26,7 @@ case class LangIdExpr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = StringType
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
-    InputCheck.string("lang_id", child.dataType)
+    InputCheck.string("lang_id", child)
 
   override protected def nullSafeEval(input: Any): Any =
     LangIdExpr.compute(input.asInstanceOf[UTF8String])

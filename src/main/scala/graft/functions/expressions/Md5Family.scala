@@ -187,7 +187,7 @@ case class Md5WordNgramHashesExpr(child: Expression, n: Int) extends UnaryExpres
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
-    InputCheck.string("md5_word_ngram_hashes", child.dataType)
+    InputCheck.string("md5_word_ngram_hashes", child)
 
   override protected def nullSafeEval(input: Any): Any =
     Md5Family.ngramHashes(input.asInstanceOf[UTF8String], n)
@@ -212,7 +212,7 @@ case class Md5WinnowExpr(child: Expression, k: Int, w: Int) extends UnaryExpress
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
-    InputCheck.string("md5_winnow_fingerprints", child.dataType)
+    InputCheck.string("md5_winnow_fingerprints", child)
 
   override protected def nullSafeEval(input: Any): Any =
     Md5Family.winnowHashes(input.asInstanceOf[UTF8String], k, w)

@@ -21,7 +21,7 @@ case class StridedResizeExpr(child: Expression, targetBytes: Int)
   override def dataType: DataType = BinaryType
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
-    InputCheck.binary("strided_resize", child.dataType)
+    InputCheck.binary("strided_resize", child)
 
   override protected def nullSafeEval(input: Any): Any =
     MediaResize.stride(input.asInstanceOf[Array[Byte]], targetBytes)
@@ -52,7 +52,7 @@ case class ResizeImageExpr(child: Expression, maxDim: Int)
   override def dataType: DataType = BinaryType
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
-    InputCheck.binary("resize_image", child.dataType)
+    InputCheck.binary("resize_image", child)
 
   override protected def nullSafeEval(input: Any): Any =
     MediaResize.resizeToDim(input.asInstanceOf[Array[Byte]], maxDim)

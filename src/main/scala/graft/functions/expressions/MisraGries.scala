@@ -72,7 +72,7 @@ case class MisraGriesAgg(
   require(capacity > 0, "misra_gries capacity must be positive")
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
-    InputCheck.string("misra_gries", child.dataType)
+    InputCheck.string("misra_gries", child)
 
   override def createAggregationBuffer(): MgSummary = new MgSummary(capacity)
 

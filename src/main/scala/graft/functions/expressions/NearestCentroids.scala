@@ -23,7 +23,7 @@ case class NearestCentroidsExpr(child: Expression, centroids: Array[Array[Float]
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
-    InputCheck.floatOrDoubleArray("nearest_centroids", child.dataType)
+    InputCheck.floatOrDoubleArray("nearest_centroids", child)
 
   @transient private lazy val centNorms: Array[Double] = centroids.map { c =>
     var s = 0.0; var i = 0

@@ -22,7 +22,7 @@ case class NfcNormalizeExpr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = StringType
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
-    InputCheck.string("nfc_normalize", child.dataType)
+    InputCheck.string("nfc_normalize", child)
 
   override protected def nullSafeEval(input: Any): Any =
     NfcNormalizeExpr.compute(input.asInstanceOf[UTF8String])

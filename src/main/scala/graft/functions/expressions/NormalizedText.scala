@@ -19,7 +19,7 @@ case class NormalizedTextExpr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = StringType
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
-    InputCheck.string("normalized_text", child.dataType)
+    InputCheck.string("normalized_text", child)
 
   override protected def nullSafeEval(input: Any): Any =
     NormalizedTextExpr.compute(input.asInstanceOf[UTF8String])

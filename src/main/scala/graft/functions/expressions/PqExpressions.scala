@@ -25,7 +25,7 @@ case class PqEncodeExpr(child: Expression, flatCodebooks: Array[Float],
   override def dataType: DataType = BinaryType
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
-    InputCheck.floatArray("pq_encode", child.dataType)
+    InputCheck.floatArray("pq_encode", child)
 
   override protected def nullSafeEval(input: Any): Any =
     PqEncodeExpr.compute(input.asInstanceOf[ArrayData], flatCodebooks, m, k, subDim)
@@ -97,7 +97,7 @@ case class PqAdcScoresExpr(child: Expression, tables: Array[Float],
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
-    InputCheck.binary("pq_adc_scores", child.dataType)
+    InputCheck.binary("pq_adc_scores", child)
 
   override protected def nullSafeEval(input: Any): Any =
     PqAdcScoresExpr.compute(input.asInstanceOf[Array[Byte]], tables, q, m, k)

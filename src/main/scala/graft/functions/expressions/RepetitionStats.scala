@@ -53,7 +53,7 @@ case class RepetitionStatsExpr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = RepetitionStatsExpr.schema
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
-    InputCheck.string("repetition_stats", child.dataType)
+    InputCheck.string("repetition_stats", child)
 
   override protected def nullSafeEval(input: Any): Any =
     RepetitionStatsExpr.compute(input.asInstanceOf[UTF8String])
@@ -87,7 +87,7 @@ case class RepetitionGateExpr(child: Expression,
   override def dataType: DataType = BooleanType
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
-    InputCheck.string("repetition_gate", child.dataType)
+    InputCheck.string("repetition_gate", child)
 
   override protected def nullSafeEval(input: Any): Any =
     RepetitionStatsExpr.gate(input.asInstanceOf[UTF8String], maxDupLineFrac,

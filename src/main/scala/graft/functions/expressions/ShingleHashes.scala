@@ -36,7 +36,7 @@ case class ShingleHashesExpr(child: Expression, k: Int, distinct: Boolean = true
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
-    InputCheck.string("shingle_hashes", child.dataType)
+    InputCheck.string("shingle_hashes", child)
 
   override protected def nullSafeEval(input: Any): Any =
     ShingleHashesExpr.compute(input.asInstanceOf[UTF8String], k, distinct)

@@ -41,7 +41,7 @@ case class TextStatsExpr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = TextStatsExpr.schema
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
-    InputCheck.string("text_stats", child.dataType)
+    InputCheck.string("text_stats", child)
 
   override protected def nullSafeEval(input: Any): Any =
     TextStatsExpr.compute(input.asInstanceOf[UTF8String])
@@ -68,7 +68,7 @@ case class QualityGateExpr(child: Expression, minChars: Int, maxChars: Int,
   override def dataType: DataType = BooleanType
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
-    InputCheck.string("quality_gate", child.dataType)
+    InputCheck.string("quality_gate", child)
 
   override protected def nullSafeEval(input: Any): Any =
     TextStatsExpr.qualityGate(input.asInstanceOf[UTF8String], minChars, maxChars,

@@ -65,7 +65,7 @@ case class VectorMeanAgg(
   }
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
-    InputCheck.floatOrDoubleArray("vector_mean", child.dataType)
+    InputCheck.floatOrDoubleArray("vector_mean", child)
 
   override def createAggregationBuffer(): VecSumBuffer = new VecSumBuffer
 

@@ -71,7 +71,7 @@ case class VectorMinMaxAgg(
   }
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
-    InputCheck.floatOrDoubleArray("vector_minmax", child.dataType)
+    InputCheck.floatOrDoubleArray("vector_minmax", child)
 
   override def createAggregationBuffer(): VecMinMaxBuffer = new VecMinMaxBuffer
 

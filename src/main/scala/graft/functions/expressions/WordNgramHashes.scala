@@ -27,7 +27,7 @@ case class WordNgramHashesExpr(child: Expression, n: Int)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
-    InputCheck.string("word_ngram_hashes", child.dataType)
+    InputCheck.string("word_ngram_hashes", child)
 
   override protected def nullSafeEval(input: Any): Any =
     WordNgramHashesExpr.compute(input.asInstanceOf[UTF8String], n)

@@ -92,6 +92,15 @@ class GraftExtensionsSpec extends SparkSpec {
         |  graft_vector_mean(NULL) AS e
         |FROM range(1)""".stripMargin).head()
     (0 until 5).foreach(i => assert(r.isNullAt(i), s"column $i must be NULL"))
+    // a NON-foldable always-NULL input (every CASE branch NULL) is rejected
+    // at analysis: it would otherwise survive to codegen with an
+    // Object-typed slot, fail Janino compilation, and silently disable
+    // whole-stage codegen for the stage
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_lang_id(CASE WHEN id > 0 THEN NULL END) FROM range(3)")
+        .collect()
+    }
+    assert(e.getMessage.contains("non-literal always-NULL"), e.getMessage.take(200))
   }
 
   test("extension class injects the same function set") {
