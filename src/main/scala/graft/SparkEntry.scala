@@ -2286,7 +2286,17 @@ object SparkEntry {
       val b2 = docs.filter(pmod(col("doc_id"), lit(3L)) =!= 0L)
       graft.streaming.CorpusIngestSink.processBatch(s, tmp, b1, cfg)
       graft.streaming.CorpusIngestSink.processBatch(s, tmp, b2, cfg)
-      s.read.parquet(tmp).select(col("doc_id"), col("split")).orderBy(col("doc_id"))
+      // the emitted frame is the (small) id+split projection — localize it
+      // so the scratch corpus can be deleted NOW instead of orphaning one
+      // temp tree per execution under min-of-N bench / repeated verify runs
+      val out = graft.core.Checkpoints.localize(
+        s.read.parquet(tmp).select(col("doc_id"), col("split")))
+      val root = java.nio.file.Paths.get(tmp)
+      val walk = java.nio.file.Files.walk(root)
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => java.nio.file.Files.deleteIfExists(f))
+      finally walk.close()
+      out.orderBy(col("doc_id"))
     }),
 
     // shard manifest: the integrity artifact a 100 TB training run writes
@@ -4464,8 +4474,10 @@ object SparkEntry {
           |  FROM nb_ref FULL OUTER JOIN nb_cur USING (bucket)),
           |np AS (
           |  SELECT *,
-          |    (ref_n + 0.5) / (sum(ref_n) OVER () + 0.5 * 7) AS p,
-          |    (cur_n + 0.5) / (sum(cur_n) OVER () + 0.5 * 7) AS q
+          |    (ref_n + 0.5) / (sum(ref_n) OVER ()
+          |      + 0.5 * (7 + max(CASE WHEN bucket = -1 THEN 1 ELSE 0 END) OVER ())) AS p,
+          |    (cur_n + 0.5) / (sum(cur_n) OVER ()
+          |      + 0.5 * (7 + max(CASE WHEN bucket = -1 THEN 1 ELSE 0 END) OVER ())) AS q
           |  FROM nj),
           |num AS (
           |  SELECT 'n_chars' AS feature, CAST(bucket AS VARCHAR) AS bucket,

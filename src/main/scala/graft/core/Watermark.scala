@@ -78,12 +78,25 @@ object Watermark {
     * so lexicographic watermark ordering is unchanged; the set is capped
     * ([[BlobBoundaryCap]]) — a boundary overflowing it degrades to the
     * exclusive comparison for that timestamp (hundreds of files sharing
-    * one millisecond), never to unbounded state.
+    * one millisecond), never to unbounded state. Overflow is recorded as
+    * the EXPLICIT marker [[BlobBoundaryOverflow]], never inferred from the
+    * stored size: inferring from `size == cap` is ambiguous when exactly
+    * cap files legitimately share the boundary timestamp — the reader
+    * would degrade to exclusive semantics and permanently skip a
+    * genuinely-late same-timestamp file, the loss mode the boundary set
+    * exists to close. At most cap−1 real hashes are ever stored; once a
+    * timestamp overflows, the marker is carried forward for as long as
+    * that timestamp remains the boundary.
     */
   def blobWithBoundary(createdOnMillis: Long, boundaryHashes: Seq[String],
                        now: Instant = Instant.now()): Watermark = {
-    val capped = boundaryHashes.distinct.sorted.take(BlobBoundaryCap)
-    val suffix = if (capped.isEmpty) "" else capped.mkString("|", ",", "")
+    val distinct = boundaryHashes.distinct
+    val overflowed = distinct.contains(BlobBoundaryOverflow) ||
+      distinct.size > BlobBoundaryCap - 1
+    val stored =
+      if (overflowed) Seq(BlobBoundaryOverflow)
+      else distinct.sorted
+    val suffix = if (stored.isEmpty) "" else stored.mkString("|", ",", "")
     Watermark(Blob, f"$createdOnMillis%020d$suffix", now.toEpochMilli)
   }
 
@@ -91,6 +104,15 @@ object Watermark {
     * hex chars + separator — fine for a table property or sidecar file).
     */
   val BlobBoundaryCap = 512
+
+  /** Explicit boundary-overflow marker: stored INSTEAD of the hashes when
+    * more than cap−1 files share the boundary timestamp. Cannot collide
+    * with a real entry ([[blobFileHash]] emits hex only). A reader seeing
+    * it treats the boundary timestamp as fully consumed (exclusive
+    * comparison); legacy watermarks written at exactly the old cap keep
+    * their old degrade semantics via the size check in the reader.
+    */
+  val BlobBoundaryOverflow = "!"
 
   /** Parse a blob watermark version into (maxModMillis, boundary hashes).
     * Accepts the plain legacy form (no boundary) and returns None for a

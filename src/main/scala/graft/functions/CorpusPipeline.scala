@@ -383,6 +383,14 @@ object CorpusPipeline {
     * one keys-only filter-build pass, one distinct-key sliver join, and the
     * banded signature pass — its text never moves; each stage is the
     * already-bounded primitive it names.
+    *
+    * CACHE LIFETIME: the funnel persists two frames the returned frames
+    * reference, and THIS convenience wrapper discards the release handle —
+    * one corpus-keys-sized cache entry outlives every call. Fine for a
+    * one-shot batch job whose session ends; a repeated/batch-loop caller
+    * (an ingest service, a test harness, anything calling per micro-batch)
+    * must use [[prepareIncrementalManaged]] and invoke the handle once the
+    * returned frames have materialized.
     */
   def prepareIncremental(newDocs: DataFrame, standingCorpus: DataFrame,
                          cfg: Config = Config(),

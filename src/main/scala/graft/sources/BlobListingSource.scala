@@ -66,8 +66,13 @@ object BlobListingSource {
     else {
       // a boundary that overflowed the watermark cap degraded to exclusive
       // semantics when it was written; honor that by never re-admitting
-      // boundary-timestamp files we can't distinguish
-      val boundaryExhaustive = boundary.size < graft.core.Watermark.BlobBoundaryCap
+      // boundary-timestamp files we can't distinguish. Overflow is the
+      // EXPLICIT marker (new writers store at most cap−1 real hashes, so a
+      // full-size set is unambiguous); the size check only preserves the
+      // old degrade semantics for legacy watermarks written at the cap.
+      val boundaryExhaustive =
+        !boundary.contains(Watermark.BlobBoundaryOverflow) &&
+          boundary.size < graft.core.Watermark.BlobBoundaryCap
       val it = fs.listFiles(p, true)
       val files = Seq.newBuilder[(String, Long)]
       while (it.hasNext) {

@@ -22,6 +22,17 @@ import org.apache.spark.sql.functions.col
 final class BucketedTarget(spark: SparkSession, val tableName: String,
                            keyColumn: String, numBuckets: Int) {
 
+  // Self-heal the documented crash window on entry: a death between
+  // [[overwrite]]'s DROP TABLE and RENAME leaves the COMPLETED replacement
+  // durable under the staged name and no live table — without this, the
+  // next merge() fails on read() and the next overwrite() writes a fresh
+  // table while the finished swap sits orphaned. Live-present + staged-
+  // present is the OTHER window (crash before the drop): the swap never
+  // committed, so the stale staging is discarded by the next overwrite.
+  if (!spark.catalog.tableExists(tableName) &&
+      spark.catalog.tableExists(tableName + "__staged"))
+    spark.sql(s"ALTER TABLE ${tableName + "__staged"} RENAME TO $tableName")
+
   def exists: Boolean = spark.catalog.tableExists(tableName)
 
   def read(): DataFrame = spark.table(tableName)

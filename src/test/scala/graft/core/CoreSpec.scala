@@ -224,6 +224,32 @@ class WatermarkSpec extends SparkSpec {
     assert(e.getMessage.contains("corrupt watermark"))
   }
 
+  test("blob boundary overflow is an explicit marker, never inferred from size") {
+    import Watermark.{BlobBoundaryCap, BlobBoundaryOverflow}
+    def hashes(n: Int): Seq[String] = (0 until n).map(i => f"$i%08x")
+    // cap−1 legitimate hashes: stored COMPLETE, no marker — the reader
+    // keeps inclusive semantics and can still admit a late same-timestamp
+    // file (the loss mode the old size==cap inference reintroduced)
+    val full = Watermark.blobWithBoundary(1000L, hashes(BlobBoundaryCap - 1))
+    val (t1, b1) = Watermark.blobParts(full.version).get
+    assert(t1 == 1000L && b1.size == BlobBoundaryCap - 1 &&
+      !b1.contains(BlobBoundaryOverflow))
+    // cap hashes → genuinely truncating → the marker REPLACES the set
+    val over = Watermark.blobWithBoundary(1000L, hashes(BlobBoundaryCap))
+    val (_, b2) = Watermark.blobParts(over.version).get
+    assert(b2 == Set(BlobBoundaryOverflow),
+      "overflow must be the explicit marker, not a full-size hash set")
+    // once overflowed, extending the same boundary timestamp stays
+    // overflowed (exclusive semantics are sticky for that timestamp)
+    val carried = Watermark.blobWithBoundary(1000L,
+      b2.toSeq ++ hashes(3))
+    assert(Watermark.blobParts(carried.version).get._2 == Set(BlobBoundaryOverflow))
+    // duplicates below the cap don't trip the overflow decision
+    val dup = Watermark.blobWithBoundary(1000L,
+      hashes(BlobBoundaryCap - 1) ++ hashes(BlobBoundaryCap - 1))
+    assert(Watermark.blobParts(dup.version).get._2.size == BlobBoundaryCap - 1)
+  }
+
   test("naming discipline: prefixes and membership") {
     val st = Naming.stagingTable("my-stream")
     assert(Naming.isStagingFor("my-stream", st))

@@ -252,6 +252,30 @@ class BlobListingSpec extends SparkSpec {
       "distinct lines must carry distinct whole-row merge keys")
   }
 
+  test("an overflow-marked boundary degrades to exclusive; a full non-marked one does not") {
+    // 1-file fixture standing in for a timestamp shared by >cap−1 files:
+    // the OVERFLOW MARKER (written by blobWithBoundary when it truncates)
+    // must suppress re-admission at the boundary timestamp, while a
+    // boundary of cap−1 REAL hashes — complete information — must keep the
+    // inclusive late-arrival semantics
+    val dir = Files.createTempDirectory("blobs-overflow").toString
+    Seq((1L, "a")).toDF("id", "v").write.parquet(s"$dir/d1")
+    val (files, maxMod, _) = BlobListingSource.listNewFiles(spark, dir, Long.MinValue)
+    assert(files.nonEmpty)
+    // marker boundary: exclusive — the same-timestamp file is NOT re-read
+    val (none, _, carried) = BlobListingSource.listNewFiles(
+      spark, dir, maxMod, Set(graft.core.Watermark.BlobBoundaryOverflow))
+    assert(none.isEmpty, "overflowed boundary must not re-admit boundary files")
+    assert(carried.contains(graft.core.Watermark.BlobBoundaryOverflow),
+      "the overflow marker must carry forward while the timestamp holds")
+    // cap−1 real hashes (none matching): inclusive — the file IS admitted
+    val fullSet = (0 until graft.core.Watermark.BlobBoundaryCap - 1)
+      .map(i => f"$i%08x").toSet
+    val (admitted, _, _) = BlobListingSource.listNewFiles(spark, dir, maxMod, fullSet)
+    assert(admitted == files,
+      "a complete (non-marked) boundary keeps inclusive late-arrival semantics")
+  }
+
   test("a wrong-kind or corrupt watermark fails loudly instead of re-reading the prefix") {
     val dir = Files.createTempDirectory("blobs-wm").toString
     Seq((1L, "a")).toDF("id", "v").write.parquet(s"$dir/d1")

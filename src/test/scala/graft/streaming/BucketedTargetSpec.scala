@@ -49,4 +49,43 @@ class BucketedTargetSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS bucketed_t__staged")
     }
   }
+
+  test("crash between DROP and RENAME self-heals on the next entry") {
+    try {
+      import spark.implicits._
+      val tgt = new BucketedTarget(spark, "healed_t", "k", 4)
+      tgt.overwrite(Seq(("a", 1L), ("b", 2L)).toDF("k", "v"))
+      // simulate the documented crash window: the replacement is fully
+      // durable under the staged name, the live table already dropped,
+      // the process died before the rename
+      Seq(("a", 10L), ("c", 30L)).toDF("k", "v").write
+        .bucketBy(4, "k").sortBy("k").mode("overwrite")
+        .format("parquet").saveAsTable("healed_t__staged")
+      spark.sql("DROP TABLE healed_t")
+      // a fresh handle (the restart) must rename the completed swap into
+      // place instead of failing on read() or re-seeding a fresh table
+      val restarted = new BucketedTarget(spark, "healed_t", "k", 4)
+      assert(restarted.exists, "self-heal must restore the live table")
+      assert(!spark.catalog.tableExists("healed_t__staged"))
+      val rows = restarted.read().as[(String, Long)].collect().toMap
+      assert(rows == Map("a" -> 10L, "c" -> 30L),
+        "the healed table must be the COMPLETED replacement, not the original")
+      // the other window — crash BEFORE the drop (live + staged both
+      // present) — must NOT heal: the swap never committed, the next
+      // overwrite discards the stale staging
+      Seq(("z", 99L)).toDF("k", "v").write
+        .bucketBy(4, "k").sortBy("k").mode("overwrite")
+        .format("parquet").saveAsTable("healed_t__staged")
+      val live = new BucketedTarget(spark, "healed_t", "k", 4)
+      assert(live.read().as[(String, Long)].collect().toMap ==
+        Map("a" -> 10L, "c" -> 30L),
+        "live + staged both present: the live table wins, no heal")
+      live.overwrite(Seq(("d", 4L)).toDF("k", "v"))
+      assert(live.read().as[(String, Long)].collect().toMap == Map("d" -> 4L))
+      assert(!spark.catalog.tableExists("healed_t__staged"))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS healed_t")
+      spark.sql("DROP TABLE IF EXISTS healed_t__staged")
+    }
+  }
 }
