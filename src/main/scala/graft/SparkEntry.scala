@@ -1967,6 +1967,35 @@ object SparkEntry {
         .orderBy(col("query_id"), col("rnk"))
     }),
 
+    // exhaustive-probe IVF: nprobe = EVERY cell, so each query meets each
+    // corpus vector exactly once (single-assign cells partition the
+    // corpus) and the routing/cell-join/rank plumbing degenerates to exact
+    // top-k by construction — hash-matched against the same exact-kNN
+    // oracle as knn_cosine_topk, pinning the full IVF candidate path
+    // while the production-setting ann_ivf_topk stays
+    // approximate-by-contract (recall floor in AnnRecallSpec + bench log)
+    "ann_ivf_exhaustive" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      VectorSimilarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), k = 5,
+        nprobe = 64, maxCentroids = 64)
+        .withColumnRenamed("rank", "rnk")
+        .orderBy(col("query_id"), col("rnk"))
+    }),
+
+    // exhaustive-probe LSH: multiprobe at the full Hamming radius probes
+    // every bucket of every table, so the banded join sees all
+    // (query, corpus) pairs and the funnel is exact by construction —
+    // pinning the hyperplane-banding/equi-join/dedup/rank plumbing with a
+    // hash oracle (two tables so the cross-table dropDuplicates is
+    // exercised, not just one table's trivial path)
+    "ann_lsh_exhaustive" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      VectorSimilarity.lshTopK(emb, emb.filter(col("vec_id") < 10), k = 5,
+        nbits = 4, dim = 64, tables = 2, probeHamming = 4)
+        .withColumnRenamed("rank", "rnk")
+        .orderBy(col("query_id"), col("rnk"))
+    }),
+
     // exact cosine threshold self-join (embedding near-dup detection)
     "vec_threshold_join" -> ((s, dir) => {
       VectorSimilarity.thresholdJoin(
@@ -4674,6 +4703,32 @@ object SparkEntry {
       // exhaustive-probe IVF-PQ == exact top-k by construction, so it
       // shares the brute-force oracle text
       "ann_ivfpq_exhaustive" ->
+        """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+          |           FROM embeddings WHERE vec_id < 10),
+          |c AS (SELECT vec_id AS corpus_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+          |s AS (SELECT query_id, corpus_id,
+          |        round(list_cosine_similarity(cv, qv), 6) AS cosine
+          |      FROM c CROSS JOIN q WHERE corpus_id != query_id)
+          |SELECT query_id, corpus_id, cosine, CAST(rn AS BIGINT) AS rnk
+          |FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id) AS rn FROM s)
+          |WHERE rn <= 5
+          |ORDER BY query_id, rnk""".stripMargin,
+
+      // exhaustive-probe IVF (nprobe = all cells) and full-Hamming-radius
+      // multiprobe LSH are both exact by construction — same oracle text
+      "ann_ivf_exhaustive" ->
+        """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+          |           FROM embeddings WHERE vec_id < 10),
+          |c AS (SELECT vec_id AS corpus_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+          |s AS (SELECT query_id, corpus_id,
+          |        round(list_cosine_similarity(cv, qv), 6) AS cosine
+          |      FROM c CROSS JOIN q WHERE corpus_id != query_id)
+          |SELECT query_id, corpus_id, cosine, CAST(rn AS BIGINT) AS rnk
+          |FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, corpus_id) AS rn FROM s)
+          |WHERE rn <= 5
+          |ORDER BY query_id, rnk""".stripMargin,
+
+      "ann_lsh_exhaustive" ->
         """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
           |           FROM embeddings WHERE vec_id < 10),
           |c AS (SELECT vec_id AS corpus_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),

@@ -493,17 +493,41 @@ object VectorSimilarity {
     * (union of independent chances) and falls with `nbits` (finer buckets):
     * measured on 64-dim unclustered embeddings, 1 table × 4 bits ≈ 0.14
     * recall@5 vs 8 tables × 4 bits ≈ 0.8 — multi-table is not optional.
+    *
+    * `probeHamming` is the MULTIPROBE knob (Lv et al. 2007): each query
+    * additionally probes every bucket within that Hamming distance of its
+    * own code, per table — a near-miss on h hyperplane signs still meets
+    * its neighbor. QUERY-side rows multiply by Σ C(nbits, i), i ≤ h (the
+    * query batch is the small side by construction); the corpus index is
+    * untouched, which is the whole point — recall rises without
+    * re-indexing or extra tables. At `probeHamming = nbits` every bucket
+    * of every table is probed, so the funnel DEGENERATES TO EXACT top-k by
+    * construction — the oracle-twin setting that hash-checks this
+    * operator's full join/dedup/rank plumbing.
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, nbits: Int, dim: Int,
               idCol: String = "vec_id", vecCol: String = "embedding",
-              tables: Int = 8): DataFrame = {
+              tables: Int = 8, probeHamming: Int = 0): DataFrame = {
+    require(probeHamming >= 0 && probeHamming <= nbits,
+      "probeHamming is a Hamming radius over the nbits-bit bucket code")
     def banded(df: DataFrame, id: String, vec: String): DataFrame =
       df.select(col(idCol).as(id), col(vecCol).as(vec))
         .select(col(id), col(vec),
           posexplode(hyperplaneBuckets(col(vec), nbits, dim, tables))
             .as(Seq("__table", "__bucket")))
     val c = banded(corpus, "corpus_id", "__cv")
-    val q = banded(queries, "query_id", "__qv")
+    val q0 = banded(queries, "query_id", "__qv")
+    // Hamming ball as XOR masks over the query's own code — a driver-side
+    // literal of Σ C(nbits, i) longs, never a corpus-side expansion
+    val q =
+      if (probeHamming == 0) q0
+      else {
+        val masks: Seq[Long] = (0L until (1L << nbits))
+          .filter(m => java.lang.Long.bitCount(m) <= probeHamming).toSeq
+        q0.select(col("query_id"), col("__qv"), col("__table"),
+          explode(transform(typedLit(masks),
+            m => col("__bucket").bitwiseXOR(m))).as("__bucket"))
+      }
     val cand = c.join(q, Seq("__table", "__bucket"))
       .filter(col("corpus_id") =!= col("query_id"))
       .select(col("query_id"), col("corpus_id"), col("__cv"), col("__qv"))

@@ -696,6 +696,30 @@ class AnnRecallSpec extends SparkSpec {
     assert(r >= 0.85, s"lsh recall@5 degraded to $r")
   }
 
+  test("LSH multiprobe: recall monotone in the Hamming radius, exact at the full ball") {
+    // candidates at radius h are a SUPERSET of radius h−1's (same tables,
+    // XOR-mask expansion), so recall can only rise — and at h = nbits every
+    // bucket is probed, so the funnel must EQUAL brute force bit-for-bit
+    // (pairs dedup'd across tables and masks, ranked identically)
+    val r0 = recallOf(VectorSimilarity.lshTopK(emb, queries, 5, 4, 64, tables = 2))
+    val r1 = recallOf(VectorSimilarity.lshTopK(emb, queries, 5, 4, 64, tables = 2,
+      probeHamming = 1))
+    val r2 = recallOf(VectorSimilarity.lshTopK(emb, queries, 5, 4, 64, tables = 2,
+      probeHamming = 2))
+    assert(r0 <= r1 && r1 <= r2,
+      s"multiprobe recall must be monotone in the radius: $r0, $r1, $r2")
+    assert(r1 > r0,
+      s"radius 1 must add candidates on this fixture (got $r0 -> $r1)")
+    val full = VectorSimilarity.lshTopK(emb, queries, 5, 4, 64, tables = 2,
+      probeHamming = 4)
+      .select("query_id", "corpus_id", "cosine", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val brute = VectorSimilarity.bruteForceTopK(emb, queries, 5)
+      .select("query_id", "corpus_id", "cosine", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(full == brute, "full-ball multiprobe must equal exact top-k")
+  }
+
   test("IVF recall floor at nprobe=8 with a Lloyd-refined fixed-size codebook") {
     // measured 0.47 raw-sampled, 0.58-0.59 refined at these settings — the
     // floor sits under the refined value but above anything the raw
