@@ -421,63 +421,153 @@ object CorpusPipeline {
                                 bloomFpp: Double = 0.01)
       : (DataFrame, DataFrame, () => Unit) = {
     val text = col(cfg.textCol)
-    val key = TextFunctions.md5Hash60(TextFunctions.normalized(text))
+    // one-shot freeze: the corpus's keys + signatures materialize in a
+    // SINGLE scan (previously the key projection and the funnel's
+    // signature pass each re-read the corpus — two scans per call)
+    val frozen = freezeCorpus(standingCorpus, cfg,
+      withSignatures = againstThreshold.isDefined, numHashes, bloomFpp)
+    try {
+      val (accepted, releaseBatch) = prepareIncrementalFrozen(
+        newDocs, frozen, standingCorpus, cfg, againstThreshold, numHashes, bands)
 
-    // every frame this call persists, so BOTH exits release them: the
-    // handle on success, the catch below on a throw BETWEEN a persist and
-    // the return (the sizing count and the filter build are real actions —
-    // a transient failure there must not pin a corpus-keys-sized cache
-    // entry nobody holds a handle to)
+      // ingest audit: old corpus vs composed corpus, per-status counts
+      val composed = standingCorpus
+        .unionByName(accepted.select(standingCorpus.columns.map(col): _*))
+      val audit = graft.operators.SnapshotDiff
+        .diff(standingCorpus, composed, cfg.idCol, TextFunctions.fingerprint(text))
+        .groupBy(col("status")).agg(count(lit(1)).cast("long").as("n"))
+      (accepted, audit, () => { releaseBatch(); frozen.release() })
+    } catch {
+      case t: Throwable => frozen.release(); throw t
+    }
+  }
+
+  /** A standing corpus's gate state, frozen at one point in time: the
+    * 8-byte exact-dedup keys, the MinHash signature frame (when near-dup
+    * gating is on), and the Bloom prefilter over the keys — everything the
+    * incremental gate needs from the corpus EXCEPT candidate-verify text.
+    * One persisted slim frame backs both projections, built in a SINGLE
+    * corpus scan; `release()` drops it (Dataset-level unpersist — the
+    * CacheManager rule [[prepareIncrementalManaged]] documents).
+    *
+    * This is the freeze-and-refresh device for streaming ingest: freeze
+    * once, gate many batches against (frozen + admitted-delta) state, and
+    * re-freeze on a cadence — corpus scans per K batches drop from O(K) to
+    * ⌈K/N⌉ ([[graft.streaming.CorpusIngestSink.FrozenGate]]).
+    */
+  final class FrozenCorpus private[functions] (
+      slim: DataFrame,
+      /** corpus rows at freeze time */
+      val rows: Long,
+      /** Bloom filter over the frozen exact-dedup keys */
+      val bloom: org.apache.spark.util.sketch.BloomFilter,
+      withSignatures: Boolean) {
+    /** (`__ck`) — frozen exact-dedup keys, read from the shared cache. */
+    def keys: DataFrame = slim.select(col("__ck"))
+    /** (`__id`, `__sig`) — frozen signatures; None when frozen without. */
+    def sigs: Option[DataFrame] =
+      if (withSignatures)
+        Some(slim.select(col("__id"), col("__sig")).filter(col("__sig").isNotNull))
+      else None
+    def release(): Unit = slim.unpersist(blocking = false)
+  }
+
+  /** Freeze a standing corpus's gate state in ONE scan: project
+    * (id, exact-key, signature) together, persist the slim frame, build
+    * the Bloom filter from the cached keys. Day-0 (empty corpus) gets an
+    * explicitly empty filter — Spark's `stat.bloomFilter` NPEs on zero
+    * rows, and every probe of the empty filter correctly answers
+    * "proven new".
+    */
+  def freezeCorpus(standingCorpus: DataFrame, cfg: Config = Config(),
+                   withSignatures: Boolean = true, numHashes: Int = 64,
+                   bloomFpp: Double = 0.01): FrozenCorpus = {
+    val text = col(cfg.textCol)
+    val key = TextFunctions.md5Hash60(TextFunctions.normalized(text))
+    val sig =
+      if (withSignatures)
+        MinHashLsh.signatureOfHashes(TextFunctions.shingleHashes(text, 5), numHashes)
+      else lit(null).cast("array<bigint>")
+    val slim = standingCorpus
+      .select(col(cfg.idCol).as("__id"), key.as("__ck"), sig.as("__sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val rows = slim.count() // materializes the one corpus scan
+      val bloom =
+        if (rows == 0L) org.apache.spark.util.sketch.BloomFilter.create(1L, bloomFpp)
+        else BloomDedup.buildLongNonEmpty(slim, col("__ck"), rows, bloomFpp)
+      new FrozenCorpus(slim, rows, bloom, withSignatures)
+    } catch {
+      // the count and the filter build are real actions — a transient
+      // failure there must not pin a corpus-keys-sized cache entry nobody
+      // holds a handle to
+      case t: Throwable => slim.unpersist(blocking = false); throw t
+    }
+  }
+
+  /** The day-2 gate against FROZEN corpus state: in-batch [[prepare]],
+    * exact dedup vs the frozen keys (Bloom prefilter + exact sliver join),
+    * near-dup dedup vs the frozen signatures. `corpusDocs` supplies
+    * candidate-verify TEXT lazily — with zero candidates it is never
+    * scanned, so a whole micro-batch can gate without touching corpus
+    * storage.
+    *
+    * `extraKeys` / `extraSigs` are the DELTA admitted since the freeze
+    * (caller-managed frames in the same shapes): rows the Bloom filter
+    * proves new against the FROZEN corpus may still duplicate the delta,
+    * so the exact stage anti-joins the delta keys after the frozen split,
+    * and the delta signatures ride into the near-dup funnel's corpus side.
+    * With the delta maintained faithfully, admissions are IDENTICAL to
+    * re-freezing every batch — the equality [[graft.streaming]]'s
+    * FrozenGateSpec pins — because frozen + delta IS the corpus.
+    *
+    * Returns (accepted, release) — release drops this call's own caches
+    * (the batch's candidate frame), not the frozen state.
+    */
+  def prepareIncrementalFrozen(newDocs: DataFrame, frozen: FrozenCorpus,
+                               corpusDocs: => DataFrame,
+                               cfg: Config = Config(),
+                               againstThreshold: Option[Double] = Some(0.8),
+                               numHashes: Int = 64, bands: Int = 16,
+                               extraKeys: Option[DataFrame] = None,
+                               extraSigs: Option[DataFrame] = None)
+      : (DataFrame, () => Unit) = {
+    val text = col(cfg.textCol)
+    val key = TextFunctions.md5Hash60(TextFunctions.normalized(text))
     val cached = scala.collection.mutable.ListBuffer.empty[DataFrame]
     def releaseAll(): Unit = cached.foreach(_.unpersist(blocking = false))
     try {
       // 1. in-batch preparation
       val prepared = prepare(newDocs, cfg)
 
-      // 2. exact against-corpus dedup (Bloom prefilter + exact sliver join).
-      // corpusKeys is read three times (sizing count, filter build, sliver
-      // anti-join) and each read would re-scan + re-hash the corpus — persist
-      // the slim 8-byte-key projection once (the count materializes it).
-      val corpusKeys = standingCorpus.select(key.as("__ck"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      cached += corpusKeys
-      val corpusCount = corpusKeys.count()
-      // the count doubles as the emptiness answer: day 0 (empty corpus)
-      // takes an explicitly empty filter, every later batch builds without
-      // buildLong's own limit-1 probe job
-      val filter =
-        if (corpusCount == 0L)
-          org.apache.spark.util.sketch.BloomFilter.create(1L, bloomFpp)
-        else BloomDedup.buildLongNonEmpty(corpusKeys, col("__ck"), corpusCount, bloomFpp)
-      // exactNew feeds FIVE plan branches downstream (both sides of the
+      // 2. exact dedup: Bloom split + sliver join against the FROZEN keys
+      // first (the filter covers exactly those), then a plain anti-join
+      // against the small delta — a delta row is never "proven new" by the
+      // frozen filter's fast path because that path skips only the frozen
+      // join, not this one
+      val afterFrozen = BloomDedup.newKeysExact(
+        prepared.withColumn("__ck", key), frozen.keys, "__ck", frozen.bloom)
+      // exactNew feeds several plan branches downstream (both sides of the
       // against-corpus signature funnel, the exact-verify shingle scan, the
-      // final anti-join, and the audit union), and each would otherwise
-      // re-derive the ENTIRE in-batch prepare chain — gate kernels, the
-      // fingerprint-dedup shuffle, the Bloom split, the sliver anti-join —
-      // from the raw scan: five passes over the batch where one suffices
-      // (measured 1.6× on the warm pipeline at sf0.1). Persisted, not
-      // localized: it carries the batch's surviving TEXT rows (batch-sized,
-      // never corpus-sized), which must not land on the driver.
-      val exactNew = BloomDedup.newKeysExact(
-        prepared.withColumn("__ck", key),
-        corpusKeys, "__ck", filter).drop("__ck")
+      // final anti-join), and each would otherwise re-derive the ENTIRE
+      // in-batch prepare chain from the raw scan (measured 1.6× on the warm
+      // pipeline at sf0.1). Persisted, not localized: it carries the
+      // batch's surviving TEXT rows, which must not land on the driver.
+      val exactNew = extraKeys.fold(afterFrozen)(dk =>
+          afterFrozen.join(dk.select(col("__ck")).distinct(), Seq("__ck"), "left_anti"))
+        .drop("__ck")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       cached += exactNew
 
-      // 3. near-dup against the corpus (bipartite funnel, keep survivors)
+      // 3. near-dup against frozen signatures ∪ delta signatures
       val accepted = againstThreshold.fold(exactNew) { th =>
-        MinHashLsh.dedupAgainst(
-          standingCorpus, exactNew, cfg.idCol,
-          TextFunctions.shingleHashes(text, 5), numHashes, bands, th)
+        val corpusSigs = frozen.sigs.getOrElse(throw new IllegalStateException(
+          "near-dup gating requested but the corpus was frozen without signatures"))
+        val allSigs = extraSigs.fold(corpusSigs)(d => corpusSigs.unionByName(d))
+        MinHashLsh.dedupAgainstPrecomputed(allSigs, corpusDocs, exactNew,
+          cfg.idCol, TextFunctions.shingleHashes(text, 5), numHashes, bands, th)
       }
-
-      // 4. ingest audit: old corpus vs composed corpus, per-status counts
-      val composed = standingCorpus
-        .unionByName(accepted.select(standingCorpus.columns.map(col): _*))
-      val audit = graft.operators.SnapshotDiff
-        .diff(standingCorpus, composed, cfg.idCol, TextFunctions.fingerprint(text))
-        .groupBy(col("status")).agg(count(lit(1)).cast("long").as("n"))
-      (accepted, audit, () => releaseAll())
+      (accepted, () => releaseAll())
     } catch {
       case t: Throwable => releaseAll(); throw t
     }

@@ -171,14 +171,59 @@ object MinHashLsh {
                            shingleHashes: Column, numHashes: Int = 64,
                            bands: Int = 16, threshold: Double = 0.8,
                            minBands: Int = 2, maxBucketSize: Long = 4096L): DataFrame = {
+    val sl = signatureFrame(left, idCol, shingleHashes, numHashes)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sr = signatureFrame(right, idCol, shingleHashes, numHashes)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    bipartiteCore(sl, sr,
+      () => { sl.unpersist(false); sr.unpersist(false) },
+      left, right, idCol, shingleHashes, numHashes, bands, threshold,
+      minBands, maxBucketSize)
+  }
+
+  /** The signature projection [[bipartitePairsHashed]] builds internally:
+    * (`__id`, `__sig`) with null-signature documents dropped. Exposed so a
+    * standing corpus's signatures can be computed ONCE (per refresh
+    * cadence) and fed to [[bipartitePairsPrecomputedLeft]] across many
+    * micro-batches — the freeze-and-refresh trade of staleness for scan
+    * count. Persistence is the caller's.
+    */
+  def signatureFrame(df: DataFrame, idCol: String, shingleHashes: Column,
+                     numHashes: Int = 64): DataFrame = df
+    .select(col(idCol).as("__id"), signatureOfHashes(shingleHashes, numHashes).as("__sig"))
+    .filter(col("__sig").isNotNull)
+
+  /** [[bipartitePairsHashed]] with a PRECOMPUTED left-side signature frame
+    * ([[signatureFrame]]-shaped; persistence caller-managed — it outlives
+    * this call by design). `leftDocs` supplies the left-side TEXT for the
+    * exact-verify stage and is evaluated only when estimate survivors
+    * exist: at zero candidates the localized empty relation propagates and
+    * the source is never scanned — the property that lets a frozen-corpus
+    * ingest gate run whole batches without touching corpus storage.
+    * Identical output to [[bipartitePairsHashed]] when `leftSigs` equals
+    * the left frame's own signatures (spec-pinned).
+    */
+  def bipartitePairsPrecomputedLeft(leftSigs: DataFrame, leftDocs: => DataFrame,
+                                    right: DataFrame, idCol: String,
+                                    shingleHashes: Column, numHashes: Int = 64,
+                                    bands: Int = 16, threshold: Double = 0.8,
+                                    minBands: Int = 2,
+                                    maxBucketSize: Long = 4096L): DataFrame = {
+    val sr = signatureFrame(right, idCol, shingleHashes, numHashes)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    bipartiteCore(leftSigs, sr, () => sr.unpersist(false),
+      leftDocs, right, idCol, shingleHashes, numHashes, bands, threshold,
+      minBands, maxBucketSize)
+  }
+
+  private def bipartiteCore(sl: DataFrame, sr: DataFrame,
+                            releaseSigs: () => Unit, leftDocs: => DataFrame,
+                            right: DataFrame, idCol: String,
+                            shingleHashes: Column, numHashes: Int, bands: Int,
+                            threshold: Double, minBands: Int,
+                            maxBucketSize: Long): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val r = numHashes / bands
-    def sigsOf(df: DataFrame): DataFrame = df
-      .select(col(idCol).as("__id"), signatureOfHashes(shingleHashes, numHashes).as("__sig"))
-      .filter(col("__sig").isNotNull)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sl = sigsOf(left)
-    val sr = sigsOf(right)
     val estimated = {
       def bandedOf(s: DataFrame): DataFrame = s.select(col("__id"),
         posexplode(bandBuckets(col("__sig"), bands, r)).as(Seq("__band", "__bucket")))
@@ -211,9 +256,17 @@ object MinHashLsh {
         .filter(col("__est") >= threshold - 0.2)
         .select(col("id_left"), col("id_right"))
       try Checkpoints.localize(survivors)
-      finally { sl.unpersist(false); sr.unpersist(false) }
+      finally releaseSigs()
     }
-    val shL = left.join(estimated.select(col("id_left").as("__cid")).distinct(),
+    // No estimate survivors → return the (empty) result WITHOUT evaluating
+    // `leftDocs`: even constructing the verify join would touch the left
+    // source (file listing / schema read), and the frozen-corpus ingest
+    // path's contract is that a clean batch gates with zero corpus I/O.
+    // `estimated` is already materialized (localize), so the probe is free.
+    if (estimated.isEmpty)
+      return estimated.withColumn("jaccard", lit(0.0))
+        .select(col("id_left"), col("id_right"), col("jaccard"))
+    val shL = leftDocs.join(estimated.select(col("id_left").as("__cid")).distinct(),
         col(idCol) === col("__cid"), "left_semi")
       .select(col(idCol).as("__id"), shingleHashes.as("__sh"))
     val shR = right.join(estimated.select(col("id_right").as("__cid")).distinct(),
@@ -237,6 +290,21 @@ object MinHashLsh {
                    threshold: Double = 0.8): DataFrame = {
     val dupIds = bipartitePairsHashed(existing, incoming, idCol, shingleHashes,
         numHashes, bands, threshold)
+      .select(col("id_right").as(idCol)).distinct()
+    incoming.join(dupIds, Seq(idCol), "left_anti")
+  }
+
+  /** [[dedupAgainst]] with the existing corpus supplied as precomputed
+    * signatures plus a lazy text source — the frozen-corpus ingest shape
+    * ([[bipartitePairsPrecomputedLeft]] for the funnel mechanics). Same
+    * output as [[dedupAgainst]] when the signatures match the corpus.
+    */
+  def dedupAgainstPrecomputed(existingSigs: DataFrame, existingDocs: => DataFrame,
+                              incoming: DataFrame, idCol: String,
+                              shingleHashes: Column, numHashes: Int = 64,
+                              bands: Int = 16, threshold: Double = 0.8): DataFrame = {
+    val dupIds = bipartitePairsPrecomputedLeft(existingSigs, existingDocs,
+        incoming, idCol, shingleHashes, numHashes, bands, threshold)
       .select(col("id_right").as(idCol)).distinct()
     incoming.join(dupIds, Seq(idCol), "left_anti")
   }

@@ -72,13 +72,128 @@ object CorpusIngestSink {
     * `split` column on write, so later reads carry it — `unionByName`
     * inside the funnel is name-based and indifferent to the extra column).
     */
-  private def standingOf(spark: SparkSession, targetDir: String,
-                         batch: DataFrame): DataFrame = {
+  private[streaming] def standingOf(spark: SparkSession, targetDir: String,
+                                    batch: DataFrame): DataFrame = {
     val path = new org.apache.hadoop.fs.Path(targetDir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(path) && fs.listStatus(path).exists(
         s => s.isFile && s.getPath.getName.endsWith(".parquet")))
       spark.read.parquet(targetDir)
     else batch.limit(0)
+  }
+
+  /** FREEZE-AND-REFRESH ingestion: the 100 TB posture [[processBatch]]'s
+    * doc promises, made real. Per-batch gating scans the standing corpus
+    * once per micro-batch (the [[CorpusPipeline.freezeCorpus]] keys+
+    * signatures pass); when the corpus dwarfs the batches, that scan IS
+    * the ingest cost. This gate freezes the corpus's gate state once,
+    * gates `refreshEvery` batches against it, and re-freezes on the
+    * cadence — K batches touch corpus storage ⌈K/N⌉ times instead of K.
+    *
+    * The staleness trade costs NOTHING here, because the only writer of
+    * the corpus is this gate: rows admitted since the freeze are folded
+    * into a DELTA (their exact keys and MinHash signatures, localized via
+    * [[graft.core.Checkpoints.localize]] so no lineage can silently
+    * recompute against a mutated target — above the row guard the frames
+    * stay as lineage-truncated checkpoints for the same reason), and every
+    * batch gates against frozen + delta, which IS the current corpus. So
+    * admissions are bit-identical to per-batch re-freezing at ANY cadence
+    * (`FrozenGateSpec` pins equality and the scan count). Candidate
+    * VERIFY text still reads the target — but only for batches with
+    * estimate survivors, and only the candidate rows' shingles
+    * ([[graft.functions.MinHashLsh.bipartitePairsPrecomputedLeft]]'s
+    * zero-candidate short-circuit never touches storage at all). An
+    * EXTERNAL writer appending to the target between refreshes is the one
+    * thing this mode cannot see — co-writers need per-batch gating or a
+    * refresh bump.
+    *
+    * Not thread-safe (one gate per sink, the foreachBatch execution
+    * model); `close()` releases all frozen + delta state.
+    *
+    * The reference amortizes source work across polls the same way
+    * (its stream graph caches the provider across micro-batches,
+    * DefaultStreamDataProvider.scala:15-113); re-expressed here as frozen
+    * gate STATE because in Spark the per-batch cost center is the corpus
+    * scan, not the poll.
+    */
+  final class FrozenGate(targetDir: String,
+                         cfg: CorpusPipeline.Config = CorpusPipeline.Config(),
+                         againstThreshold: Option[Double] = Some(0.8),
+                         refreshEvery: Int = 8,
+                         numHashes: Int = 64, bands: Int = 16,
+                         bloomFpp: Double = 0.01,
+                         corpusReader: (SparkSession, String, DataFrame) => DataFrame =
+                           (s, dir, donor) => standingOf(s, dir, donor)) {
+    require(refreshEvery >= 1, "refresh cadence must admit at least one batch")
+
+    private var frozen: CorpusPipeline.FrozenCorpus = null
+    private var sinceRefresh = 0
+    private var deltaKeys: Option[DataFrame] = None
+    private var deltaSigs: Option[DataFrame] = None
+    private val deltaParts = scala.collection.mutable.ListBuffer.empty[DataFrame]
+
+    /** Gate one micro-batch against frozen + delta state, append survivors,
+      * fold them into the delta. Returns the number of admitted rows.
+      */
+    def processBatch(batch: DataFrame): Long = {
+      val spark = batch.sparkSession
+      if (frozen == null || sinceRefresh >= refreshEvery) refresh(spark, batch)
+      val (accepted0, releaseBatch) = CorpusPipeline.prepareIncrementalFrozen(
+        batch, frozen, corpusReader(spark, targetDir, batch), cfg,
+        againstThreshold, numHashes, bands, deltaKeys, deltaSigs)
+      // the batch's survivors feed the write AND the delta fold — persist
+      // once so neither re-runs the gate joins
+      val accepted = accepted0
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val n = accepted.count()
+        if (n > 0L) {
+          accepted.write.mode(SaveMode.Append).parquet(targetDir)
+          val text = org.apache.spark.sql.functions.col(cfg.textCol)
+          val aKeys = graft.core.Checkpoints.localize(accepted.select(
+            graft.functions.TextFunctions.md5Hash60(
+              graft.functions.TextFunctions.normalized(text)).as("__ck")))
+          deltaParts += aKeys
+          deltaKeys = Some(deltaKeys.fold(aKeys)(_.unionByName(aKeys)))
+          if (againstThreshold.isDefined) {
+            val aSigs = graft.core.Checkpoints.localize(
+              graft.functions.MinHashLsh.signatureFrame(accepted, cfg.idCol,
+                graft.functions.TextFunctions.shingleHashes(text, 5), numHashes))
+            deltaParts += aSigs
+            deltaSigs = Some(deltaSigs.fold(aSigs)(_.unionByName(aSigs)))
+          }
+        }
+        sinceRefresh += 1
+        n
+      } finally {
+        releaseBatch()
+        accepted.unpersist(blocking = false)
+      }
+    }
+
+    /** The `(DataFrame, Long) => Unit` foreachBatch function over this
+      * gate's state.
+      */
+    def foreachBatchFn: (DataFrame, Long) => Unit =
+      (batch, _) => { processBatch(batch); () }
+
+    private def refresh(spark: SparkSession, schemaDonor: DataFrame): Unit = {
+      close()
+      frozen = CorpusPipeline.freezeCorpus(
+        corpusReader(spark, targetDir, schemaDonor), cfg,
+        withSignatures = againstThreshold.isDefined, numHashes, bloomFpp)
+      sinceRefresh = 0
+    }
+
+    /** Release every frozen + delta resource. The gate re-freezes on the
+      * next batch, so close() mid-stream is safe (just wasteful).
+      */
+    def close(): Unit = {
+      if (frozen != null) { frozen.release(); frozen = null }
+      deltaParts.foreach(graft.core.Checkpoints.release)
+      deltaParts.clear()
+      deltaKeys = None
+      deltaSigs = None
+    }
   }
 }
