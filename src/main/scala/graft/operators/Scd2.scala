@@ -221,7 +221,19 @@ object Scd2 {
     */
   def asOfJoinBucketedAuto(facts: DataFrame, history: DataFrame,
                            keyCol: String, factVersion: Column): DataFrame = {
+    // the sizing decision is OBSERVED, not collected: Dataset.observe
+    // piggybacks on the width frame's own execution (zero extra jobs, the
+    // plan stays lazy) and lands in GraftMetrics via
+    // GraftObservationListener / the streaming listener — the reference
+    // reports its sizing decisions the same way (DeclaredMetrics.scala).
+    // The floor-dominated flag is the "candidate tightness degraded"
+    // signal: on timestamp/LSN version domains the span/4096 floor beats
+    // the median and per-fact candidates widen — dashboards should see it.
     val widthDf = autoBucketWidthFrame(history, facts, factVersion)
+      .observe("arcane.stream.scd2",
+        max(col("__w")).as("auto_bucket_width"),
+        max(col("__floored").cast("long")).as("auto_width_floor_dominated"))
+      .select(col("__w"))
     asOfJoinBucketedBy(facts, history, keyCol, factVersion,
       attach = _.crossJoin(broadcast(widthDf)), // 1-row scalar attach
       width = col("__w"))
@@ -240,14 +252,18 @@ object Scd2 {
     */
   private val MaxAutoBucketsPerInterval = 4096L
 
-  /** 1-row `__w` frame for [[asOfJoinBucketedAuto]]: the approx median
-    * (accuracy 10⁴) of the closed intervals' lengths — the candidate-
-    * tightness target — floored by the [[MaxAutoBucketsPerInterval]]
-    * span bound and clamped to ≥1. Histories with no closed interval
-    * (every key still on its first state) fall back to the observed
-    * `valid_from` span. The span runs to the max of the fact cap and the
-    * last history open, so facts far beyond the last state change can
-    * never inflate the explode.
+  /** 1-row (`__w`, `__floored`) frame for [[asOfJoinBucketedAuto]]: the
+    * approx median (accuracy 10⁴) of the closed intervals' lengths — the
+    * candidate-tightness target — floored by the
+    * [[MaxAutoBucketsPerInterval]] span bound and clamped to ≥1. Histories
+    * with no closed interval (every key still on its first state) fall
+    * back to the observed `valid_from` span. The span runs to the max of
+    * the fact cap and the last history open, so facts far beyond the last
+    * state change can never inflate the explode. `__floored` is true when
+    * the span floor BEAT the median-derived target — the width is then
+    * coarser than the interval distribution wanted (typical on
+    * timestamp/LSN version domains) and per-fact candidate tightness has
+    * silently degraded; [[asOfJoinBucketedAuto]] surfaces it as a gauge.
     */
   def autoBucketWidthFrame(history: DataFrame, facts: DataFrame,
                            factVersion: Column): DataFrame = {
@@ -260,11 +276,14 @@ object Scd2 {
     // greatest() skips NULL operands: empty facts drop the cap term,
     // empty histories leave lit(1)
     hStats.crossJoin(broadcast(fCap)).select( // 1-row × 1-row scalar compose
-      greatest(
-        coalesce(col("__med"), col("__maxF") - col("__minF") + 1, lit(1L)),
+        coalesce(col("__med"), col("__maxF") - col("__minF") + 1, lit(1L))
+          .as("__target"),
         ceil((greatest(col("__cap"), col("__maxF")) - col("__minF") + 1)
-          / lit(MaxAutoBucketsPerInterval)).cast("long"),
-        lit(1L)).as("__w"))
+          / lit(MaxAutoBucketsPerInterval)).cast("long").as("__floor"))
+      .select(
+        greatest(col("__target"), col("__floor"), lit(1L)).as("__w"),
+        coalesce(col("__floor") > greatest(col("__target"), lit(1L)),
+          lit(false)).as("__floored"))
   }
 
   /** Shared bucketed-join body. `width` is either a literal (manual path —

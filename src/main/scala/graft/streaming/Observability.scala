@@ -47,6 +47,9 @@ object GraftMetrics {
   val DriftPsiMilli = "arcane.stream.drift.psi_milli"
   val DriftBatchesFlagged = "arcane.stream.drift.batches_flagged"
   val TargetSnapshotExpireDuration = "arcane.stream.target.snapshot_expire_duration"
+  // operator sizing decisions (Dataset.observe → GraftObservationListener)
+  val Scd2AutoWidth = "arcane.stream.scd2.auto_bucket_width"
+  val Scd2AutoWidthFloored = "arcane.stream.scd2.auto_width_floor_dominated"
 }
 
 /** StreamingQueryListener bridging Spark's streaming progress events into
@@ -72,7 +75,55 @@ class GraftStreamingListener extends StreamingQueryListener {
     GraftMetrics.gauge(GraftMetrics.ChunkSize, p.numInputRows)
     Option(p.durationMs.get("triggerExecution"))
       .foreach(d => GraftMetrics.gauge(GraftMetrics.StageDuration, d))
+    // Dataset.observe() metrics surface per trigger on the progress event —
+    // same forwarding rule as GraftObservationListener's batch path
+    import scala.jdk.CollectionConverters._
+    p.observedMetrics.asScala.foreach { case (name, row) =>
+      GraftObservationListener.forward(name, row)
+    }
   }
 
   override def onQueryTerminated(event: QueryTerminatedEvent): Unit = ()
+}
+
+/** Batch-side bridge for `Dataset.observe()` metrics: operators report
+  * their sizing decisions (e.g. [[graft.operators.Scd2.asOfJoinBucketedAuto]]'s
+  * derived bucket width and its floor-dominated flag) as observations that
+  * piggyback on the plan's own execution — zero extra jobs, the plan stays
+  * lazy — and this listener lands them in [[GraftMetrics]] under
+  * `<observation>.<field>` when the action completes. Register once per
+  * session: `spark.listenerManager.register(new GraftObservationListener)`.
+  * Only `arcane.`/`graft.`-prefixed observation names are forwarded, so
+  * user observations on the same session stay out of the metric namespace.
+  */
+class GraftObservationListener
+    extends org.apache.spark.sql.util.QueryExecutionListener {
+  override def onSuccess(funcName: String,
+                         qe: org.apache.spark.sql.execution.QueryExecution,
+                         durationNs: Long): Unit =
+    qe.observedMetrics.foreach { case (name, row) =>
+      GraftObservationListener.forward(name, row)
+    }
+
+  override def onFailure(funcName: String,
+                         qe: org.apache.spark.sql.execution.QueryExecution,
+                         exception: Exception): Unit = ()
+}
+
+object GraftObservationListener {
+  /** Gauge every numeric/boolean field of an observation row as
+    * `<observation>.<field>`; non-arcane/graft namespaces are ignored.
+    */
+  private[streaming] def forward(name: String,
+                                 row: org.apache.spark.sql.Row): Unit =
+    if (name.startsWith("arcane.") || name.startsWith("graft."))
+      row.schema.fields.iterator.zipWithIndex.foreach { case (f, i) =>
+        if (!row.isNullAt(i)) row.get(i) match {
+          case n: java.lang.Number =>
+            GraftMetrics.gauge(s"$name.${f.name}", n.longValue())
+          case b: java.lang.Boolean =>
+            GraftMetrics.gauge(s"$name.${f.name}", if (b) 1L else 0L)
+          case _ => ()
+        }
+      }
 }

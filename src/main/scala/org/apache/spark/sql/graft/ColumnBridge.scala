@@ -26,3 +26,15 @@ object PlanBridge {
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 }
+
+/** Bridge into `private[spark]` listener-bus draining: QueryExecutionListener
+  * delivery is asynchronous (ExecutionListenerBus on the shared bus), so a
+  * spec — or a metrics exporter flushing at shutdown — that reads
+  * listener-written state right after an action needs a deterministic drain
+  * instead of a sleep.
+  */
+object ListenerBridge {
+  def waitUntilListenerBusEmpty(spark: org.apache.spark.sql.SparkSession,
+                                timeoutMillis: Long = 30000L): Unit =
+    spark.sparkContext.listenerBus.waitUntilEmpty(timeoutMillis)
+}
