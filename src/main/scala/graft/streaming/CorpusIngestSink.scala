@@ -74,12 +74,89 @@ object CorpusIngestSink {
     */
   private[streaming] def standingOf(spark: SparkSession, targetDir: String,
                                     batch: DataFrame): DataFrame = {
+    healCompaction(spark, targetDir)
     val path = new org.apache.hadoop.fs.Path(targetDir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(path) && fs.listStatus(path).exists(
         s => s.isFile && s.getPath.getName.endsWith(".parquet")))
       spark.read.parquet(targetDir)
     else batch.limit(0)
+  }
+
+  private def stagedDirOf(targetDir: String) = targetDir.stripSuffix("/") + "__staged"
+  private def retiredDirOf(targetDir: String) = targetDir.stripSuffix("/") + "__retired"
+
+  /** Small-file COMPACTION for the append-only ingest target: every
+    * micro-batch append adds files, and after thousands of batches the
+    * freeze/read cost is dominated by file-open overhead, not bytes — the
+    * classic streaming-ingest decay (the X1 maintenance discipline
+    * [[ParquetTarget.compact]] applies to its versioned layout, re-expressed
+    * here for the plain directory the ingest sink owns).
+    *
+    * Staged swap, never rewrite-in-place: the compacted copy is written
+    * completely to `<dir>__staged`, then the swap is two renames
+    * (live → `<dir>__retired`, staged → live) and a delete. Every crash
+    * window leaves a complete copy durable under a deterministic name, and
+    * [[healCompaction]] (invoked by every [[standingOf]] read) rolls the
+    * swap forward on the next entry — same recovery contract as
+    * [[BucketedTarget]]'s staged swap. Single-writer assumption: the sink
+    * owns the directory (the FrozenGate/foreachBatch execution model);
+    * rename is atomic on HDFS/local — object stores should compact through
+    * their catalog instead.
+    */
+  def compact(spark: SparkSession, targetDir: String, partitions: Int): Unit = {
+    require(partitions >= 1, "compaction needs at least one output file")
+    healCompaction(spark, targetDir)
+    val live = new org.apache.hadoop.fs.Path(targetDir)
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(live)) return
+    val staged = new org.apache.hadoop.fs.Path(stagedDirOf(targetDir))
+    val retired = new org.apache.hadoop.fs.Path(retiredDirOf(targetDir))
+    fs.delete(staged, true) // stale staging from an aborted compaction
+    spark.read.parquet(targetDir).repartition(partitions)
+      .write.mode(SaveMode.Overwrite).parquet(staged.toString)
+    fs.delete(retired, true)
+    if (!fs.rename(live, retired))
+      throw new java.io.IOException(s"compaction swap: cannot retire $live")
+    if (!fs.rename(staged, live))
+      throw new java.io.IOException(s"compaction swap: cannot promote $staged")
+    fs.delete(retired, true)
+  }
+
+  /** Roll an interrupted [[compact]] swap forward. Windows:
+    *   - live present, staged present → compaction died before the swap:
+    *     the staging is incomplete-or-unpromoted, live is authoritative —
+    *     drop the staging (compact() also clears it defensively);
+    *   - live MISSING, staged present → died between the two renames: the
+    *     staged copy is complete by construction — promote it, then drop
+    *     the retired copy;
+    *   - live present, retired present → died before the final delete —
+    *     drop the retired copy.
+    * Idempotent; called from every [[standingOf]] so a restarted process
+    * (or a fresh [[FrozenGate]]) self-heals before its first read.
+    */
+  def healCompaction(spark: SparkSession, targetDir: String): Unit = {
+    val live = new org.apache.hadoop.fs.Path(targetDir)
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staged = new org.apache.hadoop.fs.Path(stagedDirOf(targetDir))
+    val retired = new org.apache.hadoop.fs.Path(retiredDirOf(targetDir))
+    if (!fs.exists(live)) {
+      if (fs.exists(staged)) {
+        if (!fs.rename(staged, live))
+          throw new java.io.IOException(s"compaction heal: cannot promote $staged")
+        fs.delete(retired, true)
+      } else if (fs.exists(retired)) {
+        // staged lost mid-promote is impossible (rename is atomic), but a
+        // manually-removed staging must not strand the data: restore retired
+        if (!fs.rename(retired, live))
+          throw new java.io.IOException(s"compaction heal: cannot restore $retired")
+      }
+    } else {
+      if (fs.exists(retired)) fs.delete(retired, true)
+      // live + staged: unpromoted staging, live authoritative — leave it to
+      // compact()'s own defensive clear (deleting here would race a
+      // concurrent compact() between its write and its swap)
+    }
   }
 
   /** FREEZE-AND-REFRESH ingestion: the 100 TB posture [[processBatch]]'s
@@ -123,11 +200,15 @@ object CorpusIngestSink {
                          numHashes: Int = 64, bands: Int = 16,
                          bloomFpp: Double = 0.01,
                          corpusReader: (SparkSession, String, DataFrame) => DataFrame =
-                           (s, dir, donor) => standingOf(s, dir, donor)) {
+                           (s, dir, donor) => standingOf(s, dir, donor),
+                         compactEvery: Int = 0,
+                         compactPartitions: Int = 8) {
     require(refreshEvery >= 1, "refresh cadence must admit at least one batch")
+    require(compactEvery >= 0, "compaction cadence is counted in refreshes; 0 disables")
 
     private var frozen: CorpusPipeline.FrozenCorpus = null
     private var sinceRefresh = 0
+    private var refreshes = 0L
     private var deltaKeys: Option[DataFrame] = None
     private var deltaSigs: Option[DataFrame] = None
     private val deltaParts = scala.collection.mutable.ListBuffer.empty[DataFrame]
@@ -179,10 +260,18 @@ object CorpusIngestSink {
 
     private def refresh(spark: SparkSession, schemaDonor: DataFrame): Unit = {
       close()
+      // compaction sits at the refresh boundary ON PURPOSE: no frozen frame
+      // is alive, so no cached plan pins the pre-compaction file listing,
+      // and the freeze right after reads the compacted layout — the
+      // small-file decay of thousands of appends is paid down exactly when
+      // the corpus is re-scanned anyway
+      if (compactEvery > 0 && refreshes > 0 && refreshes % compactEvery == 0)
+        compact(spark, targetDir, compactPartitions)
       frozen = CorpusPipeline.freezeCorpus(
         corpusReader(spark, targetDir, schemaDonor), cfg,
         withSignatures = againstThreshold.isDefined, numHashes, bloomFpp)
       sinceRefresh = 0
+      refreshes += 1
     }
 
     /** Release every frozen + delta resource. The gate re-freezes on the
