@@ -522,8 +522,18 @@ object VectorSimilarity {
     val q =
       if (probeHamming == 0) q0
       else {
-        val masks: Seq[Long] = (0L until (1L << nbits))
-          .filter(m => java.lang.Long.bitCount(m) <= probeHamming).toSeq
+        // enumerate the Hamming ball by CHOOSING bit positions — Σ C(nbits, i)
+        // masks generated directly, never a 2^nbits scan (nbits up to 63 stays
+        // driver-cheap as long as the ball itself is small); the ball size is
+        // the query-side multiplier, so an oversized one is refused instead of
+        // silently exploding the probe join
+        val masks: Seq[Long] = (0 to probeHamming).flatMap {
+          case 0 => Seq(0L)
+          case i => (0 until nbits).combinations(i)
+            .map(_.foldLeft(0L)((m, b) => m | (1L << b))).toSeq
+        }
+        require(masks.size <= (1 << 20),
+          s"multiprobe ball of ${masks.size} buckets per table is not a probe, it's a scan")
         q0.select(col("query_id"), col("__qv"), col("__table"),
           explode(transform(typedLit(masks),
             m => col("__bucket").bitwiseXOR(m))).as("__bucket"))

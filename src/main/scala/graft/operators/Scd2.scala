@@ -40,6 +40,10 @@ object Scd2 {
   private val To = "valid_to"
   private val Cur = "is_current"
 
+  // per-call uniquifier for the auto-width observation name (see
+  // asOfJoinBucketedAuto) — process-scoped, never part of the data
+  private val observationSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** Build the full type-2 history from a change stream.
     *
     * @param changes    one row per observed (key, version) state; versions
@@ -229,8 +233,13 @@ object Scd2 {
     // The floor-dominated flag is the "candidate tightness degraded"
     // signal: on timestamp/LSN version domains the span/4096 floor beats
     // the median and per-fact candidates widen — dashboards should see it.
+    // The observation name carries a per-call #suffix: Spark rejects two
+    // observations with the same name in one query unless they are the
+    // SAME Dataset, so a plan composing two auto joins would otherwise
+    // fail analysis; GraftObservationListener gauges under the base name.
     val widthDf = autoBucketWidthFrame(history, facts, factVersion)
-      .observe("arcane.stream.scd2",
+      .observe(
+        s"${graft.streaming.GraftMetrics.Scd2ObservationBase}#${Scd2.observationSeq.incrementAndGet()}",
         max(col("__w")).as("auto_bucket_width"),
         max(col("__floored").cast("long")).as("auto_width_floor_dominated"))
       .select(col("__w"))

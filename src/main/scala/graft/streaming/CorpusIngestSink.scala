@@ -109,7 +109,10 @@ object CorpusIngestSink {
     healCompaction(spark, targetDir)
     val live = new org.apache.hadoop.fs.Path(targetDir)
     val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(live)) return
+    // no data files → nothing to compact (read.parquet of a fileless dir
+    // would fail schema inference, and an empty corpus needs no layout)
+    if (!fs.exists(live) || !fs.listStatus(live).exists(
+        s => s.isFile && s.getPath.getName.endsWith(".parquet"))) return
     val staged = new org.apache.hadoop.fs.Path(stagedDirOf(targetDir))
     val retired = new org.apache.hadoop.fs.Path(retiredDirOf(targetDir))
     fs.delete(staged, true) // stale staging from an aborted compaction

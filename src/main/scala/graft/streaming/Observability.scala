@@ -48,6 +48,7 @@ object GraftMetrics {
   val DriftBatchesFlagged = "arcane.stream.drift.batches_flagged"
   val TargetSnapshotExpireDuration = "arcane.stream.target.snapshot_expire_duration"
   // operator sizing decisions (Dataset.observe → GraftObservationListener)
+  val Scd2ObservationBase = "arcane.stream.scd2"
   val Scd2AutoWidth = "arcane.stream.scd2.auto_bucket_width"
   val Scd2AutoWidthFloored = "arcane.stream.scd2.auto_width_floor_dominated"
 }
@@ -113,17 +114,23 @@ class GraftObservationListener
 object GraftObservationListener {
   /** Gauge every numeric/boolean field of an observation row as
     * `<observation>.<field>`; non-arcane/graft namespaces are ignored.
+    * A `#suffix` on the observation name is a PER-CALL uniquifier (Spark
+    * rejects duplicate observation names within a query unless they are
+    * the same Dataset) and is stripped before gauging, so every call of an
+    * operator reports under the same stable metric name.
     */
   private[streaming] def forward(name: String,
                                  row: org.apache.spark.sql.Row): Unit =
-    if (name.startsWith("arcane.") || name.startsWith("graft."))
+    if (name.startsWith("arcane.") || name.startsWith("graft.")) {
+      val base = name.takeWhile(_ != '#')
       row.schema.fields.iterator.zipWithIndex.foreach { case (f, i) =>
         if (!row.isNullAt(i)) row.get(i) match {
           case n: java.lang.Number =>
-            GraftMetrics.gauge(s"$name.${f.name}", n.longValue())
+            GraftMetrics.gauge(s"$base.${f.name}", n.longValue())
           case b: java.lang.Boolean =>
-            GraftMetrics.gauge(s"$name.${f.name}", if (b) 1L else 0L)
+            GraftMetrics.gauge(s"$base.${f.name}", if (b) 1L else 0L)
           case _ => ()
         }
       }
+    }
 }

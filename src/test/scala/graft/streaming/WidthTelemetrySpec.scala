@@ -64,6 +64,31 @@ class WidthTelemetrySpec extends SparkSpec {
     } finally spark.listenerManager.unregister(listener)
   }
 
+  test("two auto-width joins compose in ONE query (observation names must not collide)") {
+    // Spark rejects duplicate observation names within a query unless they
+    // are the same Dataset — the per-call #suffix keeps composition legal,
+    // and the listener still gauges under the stable base name
+    val listener = new GraftObservationListener
+    spark.listenerManager.register(listener)
+    try {
+      GraftMetrics.reset()
+      val h1 = Seq(("k1", "a", 1L, None: Option[Long]))
+        .toDF("k", "state", "valid_from", "valid_to")
+      val h2 = Seq(("k1", "x", 1L, None: Option[Long]))
+        .toDF("k", "state2", "valid_from", "valid_to")
+      val facts = Seq(("k1", 5L)).toDF("k", "fv")
+      val once = Scd2.asOfJoinBucketedAuto(facts, h1, "k", col("fv"))
+        .select($"k", $"fv", $"state")
+      val twice = Scd2.asOfJoinBucketedAuto(once, h2, "k", col("fv"))
+        .select($"k", $"fv", $"state", $"state2")
+      assert(twice.collect().toSeq ==
+        Seq(org.apache.spark.sql.Row("k1", 5L, "a", "x")))
+      drain()
+      assert(GraftMetrics.gaugeValue(GraftMetrics.Scd2AutoWidth).isDefined,
+        "composed observations must still land under the stable metric name")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("streaming path: the enrich observation surfaces through query progress") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import java.nio.file.Files
