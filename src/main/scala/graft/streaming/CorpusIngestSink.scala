@@ -248,6 +248,8 @@ object CorpusIngestSink {
           }
         }
         sinceRefresh += 1
+        GraftMetrics.inc(GraftMetrics.IngestBatches)
+        GraftMetrics.inc(GraftMetrics.IngestRowsAdmitted, n)
         n
       } finally {
         releaseBatch()
@@ -268,13 +270,17 @@ object CorpusIngestSink {
       // and the freeze right after reads the compacted layout — the
       // small-file decay of thousands of appends is paid down exactly when
       // the corpus is re-scanned anyway
-      if (compactEvery > 0 && refreshes > 0 && refreshes % compactEvery == 0)
+      if (compactEvery > 0 && refreshes > 0 && refreshes % compactEvery == 0) {
         compact(spark, targetDir, compactPartitions)
+        GraftMetrics.inc(GraftMetrics.IngestCompactions)
+      }
       frozen = CorpusPipeline.freezeCorpus(
         corpusReader(spark, targetDir, schemaDonor), cfg,
         withSignatures = againstThreshold.isDefined, numHashes, bloomFpp)
       sinceRefresh = 0
       refreshes += 1
+      GraftMetrics.inc(GraftMetrics.IngestFreezes)
+      GraftMetrics.gauge(GraftMetrics.IngestCorpusRows, frozen.rows)
     }
 
     /** Release every frozen + delta resource. The gate re-freezes on the

@@ -51,6 +51,12 @@ object GraftMetrics {
   val Scd2ObservationBase = "arcane.stream.scd2"
   val Scd2AutoWidth = "arcane.stream.scd2.auto_bucket_width"
   val Scd2AutoWidthFloored = "arcane.stream.scd2.auto_width_floor_dominated"
+  // corpus-ingest gate (CorpusIngestSink.FrozenGate)
+  val IngestRowsAdmitted = "arcane.stream.ingest.rows_admitted"
+  val IngestBatches = "arcane.stream.ingest.batches"
+  val IngestFreezes = "arcane.stream.ingest.freezes"
+  val IngestCompactions = "arcane.stream.ingest.compactions"
+  val IngestCorpusRows = "arcane.stream.ingest.corpus_rows"
 }
 
 /** StreamingQueryListener bridging Spark's streaming progress events into

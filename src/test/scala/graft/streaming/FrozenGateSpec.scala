@@ -99,9 +99,16 @@ class FrozenGateSpec extends SparkSpec {
       (admitted, reads, dir)
     }
 
+    val freezesBefore = GraftMetrics.counter(GraftMetrics.IngestFreezes)
+    val admittedBefore = GraftMetrics.counter(GraftMetrics.IngestRowsAdmitted)
     val (aN1, readsN1, d1) = runCounted(1)
     val (aN3, readsN3, d3) = runCounted(3)
     val (aN6, readsN6, d6) = runCounted(6)
+    // the arcane.stream.ingest.* surface mirrors the gate's actual work:
+    // 6+2+1 freezes and 3×6 admitted rows across the three cadences
+    assert(GraftMetrics.counter(GraftMetrics.IngestFreezes) - freezesBefore == 9L)
+    assert(GraftMetrics.counter(GraftMetrics.IngestRowsAdmitted) - admittedBefore == 18L)
+    assert(GraftMetrics.gaugeValue(GraftMetrics.IngestCorpusRows).exists(_ >= 0L))
 
     assert(aN1 == Seq(1L, 1L, 1L, 1L, 1L, 1L), s"fixture drifted: $aN1")
     assert(aN3 == aN1 && aN6 == aN1, "admissions must not depend on the cadence")
