@@ -120,6 +120,10 @@ object PlanAudit {
       case i: InputAdapter => strip(i.child)
       case p2: ProjectExec => strip(p2.child)
       case f: FilterExec => strip(f.child)
+      // observe() is a pass-through collector — row-count-preserving by
+      // contract, so an observed scalar (the SCD2 auto-width telemetry) is
+      // still a scalar
+      case c: org.apache.spark.sql.execution.CollectMetricsExec => strip(c.child)
       case other => other
     }
     strip(p) match {
