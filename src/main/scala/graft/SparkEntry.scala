@@ -2328,6 +2328,63 @@ object SparkEntry {
       out.orderBy(col("doc_id"))
     }),
 
+    // the FROZEN ingest gate, oracle-checked: same two batches as
+    // ingest_lifecycle but through CorpusIngestSink.FrozenGate with
+    // refreshEvery=2 — ONE freeze (of the day-0 empty corpus) covers both
+    // batches, so batch 2's gating rides entirely on the admitted-DELTA
+    // state (keys + signatures folded in at admission). Frozen + delta IS
+    // the corpus, so the final content must equal per-batch gating —
+    // checked against the SAME DuckDB replay, which knows nothing about
+    // cadences. The scan-count and crash-restart halves of the contract
+    // are spec-pinned (FrozenGateSpec, StreamingRestartE2eSpec).
+    "ingest_frozen_lifecycle" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val cfg = CorpusPipeline.Config(
+        nearDupThreshold = None, decontamThreshold = None)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_ingest_fq").toString
+      val b1 = docs.filter(pmod(col("doc_id"), lit(3L)) === 0L)
+      val b2 = docs.filter(pmod(col("doc_id"), lit(3L)) =!= 0L)
+      val gate = new graft.streaming.CorpusIngestSink.FrozenGate(
+        tmp, cfg, refreshEvery = 2)
+      try { gate.processBatch(b1); gate.processBatch(b2) }
+      finally gate.close()
+      val out = graft.core.Checkpoints.localize(
+        s.read.parquet(tmp).select(col("doc_id"), col("split")))
+      val root = java.nio.file.Paths.get(tmp)
+      val walk = java.nio.file.Files.walk(root)
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => java.nio.file.Files.deleteIfExists(f))
+      finally walk.close()
+      out.orderBy(col("doc_id"))
+    }),
+
+    // the SEMANTIC arm of the ingest gate: day-2 batch (doc_id%5==0)
+    // through in-batch prepare + exact against-corpus dedup, then drop
+    // every survivor whose EMBEDDING has cosine >= 0.4 against any
+    // standing-corpus embedding — the paraphrase gate the lexical funnel
+    // can't see. The engine runs the LSH-prefiltered threshold join
+    // (bipartiteThresholdLsh, miss prob ~9e-8/pair — the vec_threshold_lsh
+    // device); the oracle replays the EXACT cross join, so recall shortfall
+    // would hash-mismatch. Docs without an embedding bypass the arm on
+    // both sides by construction (inner joins), also replayed.
+    "ingest_semantic_gate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id").as("doc_id"), col("embedding"))
+      val standing = docs.filter(pmod(col("doc_id"), lit(5L)) =!= 0L)
+      val incoming = docs.filter(pmod(col("doc_id"), lit(5L)) === 0L)
+      val cfg = CorpusPipeline.Config(nearDupThreshold = None,
+        decontamThreshold = None, embeddings = Some(emb))
+      val (accepted, _, release) = CorpusPipeline.prepareIncrementalManaged(
+        incoming, standing, cfg, againstThreshold = None,
+        semanticAgainstThreshold = Some(0.4))
+      val out =
+        try graft.core.Checkpoints.localize(
+          accepted.select(col("doc_id"), col("split")))
+        finally release()
+      out.orderBy(col("doc_id"))
+    }),
+
     // shard manifest: the integrity artifact a 100 TB training run writes
     // next to its shards — per shard: doc count, token mass, position
     // density (max pos == count proves no gaps), and a modular fingerprint
@@ -3442,6 +3499,37 @@ object SparkEntry {
       // fingerprint, then drops exact-bipartite near-dups (jaccard >= 0.8
       // on the 5-gram shingle sets of the normalized texts)
       "ingest_lifecycle" ->
+        s"""WITH ${ingestPrepCtes("1", "doc_id % 3 = 0")},
+           |${ingestPrepCtes("2", "doc_id % 3 <> 0")},
+           |ex2 AS (SELECT sp2.* FROM sp2
+           |        WHERE CAST('0x' || substr(md5(sp2.norm), 1, 15) AS UBIGINT) NOT IN
+           |          (SELECT CAST('0x' || substr(md5(norm), 1, 15) AS UBIGINT) FROM sp1)),
+           |${bipartiteDropCtes("ex2", "sp1")}
+           |SELECT doc_id, split FROM sp1
+           |UNION ALL
+           |SELECT doc_id, split FROM ex2 WHERE doc_id NOT IN (SELECT ib FROM dropped)
+           |ORDER BY doc_id""".stripMargin,
+
+      // semantic ingest arm: exact-cross-join replay of the LSH-prefiltered
+      // embedding threshold gate over the exact-dedup survivors
+      "ingest_semantic_gate" ->
+        s"""WITH ${ingestPrepCtes("1", "doc_id % 5 = 0")},
+           |corp AS (SELECT doc_id, $normText AS norm FROM documents WHERE doc_id % 5 <> 0),
+           |ex AS (SELECT sp1.* FROM sp1
+           |       WHERE CAST('0x' || substr(md5(sp1.norm), 1, 15) AS UBIGINT) NOT IN
+           |         (SELECT CAST('0x' || substr(md5(norm), 1, 15) AS UBIGINT) FROM corp)),
+           |e AS (SELECT vec_id AS doc_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+           |semdrop AS (SELECT DISTINCT bi.doc_id
+           |  FROM (SELECT ex.doc_id, e.v FROM ex JOIN e USING (doc_id)) bi
+           |  JOIN (SELECT corp.doc_id, e.v FROM corp JOIN e USING (doc_id)) co
+           |    ON round(list_cosine_similarity(bi.v, co.v), 6) >= 0.4)
+           |SELECT doc_id, split FROM ex
+           |WHERE doc_id NOT IN (SELECT doc_id FROM semdrop)
+           |ORDER BY doc_id""".stripMargin,
+
+      // frozen-gate lifecycle: cadence-invariant by construction, so the
+      // oracle is the SAME two-round replay as ingest_lifecycle
+      "ingest_frozen_lifecycle" ->
         s"""WITH ${ingestPrepCtes("1", "doc_id % 3 = 0")},
            |${ingestPrepCtes("2", "doc_id % 3 <> 0")},
            |ex2 AS (SELECT sp2.* FROM sp2

@@ -418,17 +418,21 @@ object CorpusPipeline {
                                 cfg: Config = Config(),
                                 againstThreshold: Option[Double] = Some(0.8),
                                 numHashes: Int = 64, bands: Int = 16,
-                                bloomFpp: Double = 0.01)
+                                bloomFpp: Double = 0.01,
+                                semanticAgainstThreshold: Option[Double] = None)
       : (DataFrame, DataFrame, () => Unit) = {
     val text = col(cfg.textCol)
-    // one-shot freeze: the corpus's keys + signatures materialize in a
-    // SINGLE scan (previously the key projection and the funnel's
-    // signature pass each re-read the corpus — two scans per call)
+    // one-shot freeze: the corpus's keys + signatures (+ embeddings when
+    // the semantic arm is on) materialize in a SINGLE scan (previously the
+    // key projection and the funnel's signature pass each re-read the
+    // corpus — two scans per call)
     val frozen = freezeCorpus(standingCorpus, cfg,
-      withSignatures = againstThreshold.isDefined, numHashes, bloomFpp)
+      withSignatures = againstThreshold.isDefined, numHashes, bloomFpp,
+      embeddings = if (semanticAgainstThreshold.isDefined) cfg.embeddings else None)
     try {
       val (accepted, releaseBatch) = prepareIncrementalFrozen(
-        newDocs, frozen, standingCorpus, cfg, againstThreshold, numHashes, bands)
+        newDocs, frozen, standingCorpus, cfg, againstThreshold, numHashes, bands,
+        semanticAgainstThreshold = semanticAgainstThreshold)
 
       // ingest audit: old corpus vs composed corpus, per-status counts
       val composed = standingCorpus
@@ -461,7 +465,8 @@ object CorpusPipeline {
       val rows: Long,
       /** Bloom filter over the frozen exact-dedup keys */
       val bloom: org.apache.spark.util.sketch.BloomFilter,
-      withSignatures: Boolean) {
+      withSignatures: Boolean,
+      withEmbeddings: Boolean) {
     /** (`__ck`) — frozen exact-dedup keys, read from the shared cache. */
     def keys: DataFrame = slim.select(col("__ck"))
     /** (`__id`, `__sig`) — frozen signatures; None when frozen without. */
@@ -469,34 +474,47 @@ object CorpusPipeline {
       if (withSignatures)
         Some(slim.select(col("__id"), col("__sig")).filter(col("__sig").isNotNull))
       else None
+    /** (`__id`, `__emb`) — frozen embeddings (semantic gate); None when
+      * frozen without. Corpus rows lacking an embedding carry none and are
+      * invisible to the semantic arm — by design, on BOTH sides.
+      */
+    def embs: Option[DataFrame] =
+      if (withEmbeddings)
+        Some(slim.select(col("__id"), col("__emb")).filter(col("__emb").isNotNull))
+      else None
     def release(): Unit = slim.unpersist(blocking = false)
   }
 
   /** Freeze a standing corpus's gate state in ONE scan: project
-    * (id, exact-key, signature) together, persist the slim frame, build
-    * the Bloom filter from the cached keys. Day-0 (empty corpus) gets an
-    * explicitly empty filter — Spark's `stat.bloomFilter` NPEs on zero
-    * rows, and every probe of the empty filter correctly answers
-    * "proven new".
+    * (id, exact-key, signature) together — plus the embedding via one
+    * keyed left join when the semantic arm is on — persist the slim
+    * frame, build the Bloom filter from the cached keys. Day-0 (empty
+    * corpus) gets an explicitly empty filter — Spark's `stat.bloomFilter`
+    * NPEs on zero rows, and every probe of the empty filter correctly
+    * answers "proven new".
     */
   def freezeCorpus(standingCorpus: DataFrame, cfg: Config = Config(),
                    withSignatures: Boolean = true, numHashes: Int = 64,
-                   bloomFpp: Double = 0.01): FrozenCorpus = {
+                   bloomFpp: Double = 0.01,
+                   embeddings: Option[DataFrame] = None): FrozenCorpus = {
     val text = col(cfg.textCol)
     val key = TextFunctions.md5Hash60(TextFunctions.normalized(text))
     val sig =
       if (withSignatures)
         MinHashLsh.signatureOfHashes(TextFunctions.shingleHashes(text, 5), numHashes)
       else lit(null).cast("array<bigint>")
-    val slim = standingCorpus
+    val base = standingCorpus
       .select(col(cfg.idCol).as("__id"), key.as("__ck"), sig.as("__sig"))
+    val slim = embeddings.fold(base)(e => base.join(
+        e.select(col(cfg.idCol).as("__id"), col(cfg.embCol).as("__emb")),
+        Seq("__id"), "left"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val rows = slim.count() // materializes the one corpus scan
       val bloom =
         if (rows == 0L) org.apache.spark.util.sketch.BloomFilter.create(1L, bloomFpp)
         else BloomDedup.buildLongNonEmpty(slim, col("__ck"), rows, bloomFpp)
-      new FrozenCorpus(slim, rows, bloom, withSignatures)
+      new FrozenCorpus(slim, rows, bloom, withSignatures, embeddings.isDefined)
     } catch {
       // the count and the filter build are real actions — a transient
       // failure there must not pin a corpus-keys-sized cache entry nobody
@@ -530,7 +548,9 @@ object CorpusPipeline {
                                againstThreshold: Option[Double] = Some(0.8),
                                numHashes: Int = 64, bands: Int = 16,
                                extraKeys: Option[DataFrame] = None,
-                               extraSigs: Option[DataFrame] = None)
+                               extraSigs: Option[DataFrame] = None,
+                               semanticAgainstThreshold: Option[Double] = None,
+                               extraEmbs: Option[DataFrame] = None)
       : (DataFrame, () => Unit) = {
     val text = col(cfg.textCol)
     val key = TextFunctions.md5Hash60(TextFunctions.normalized(text))
@@ -560,12 +580,36 @@ object CorpusPipeline {
       cached += exactNew
 
       // 3. near-dup against frozen signatures ∪ delta signatures
-      val accepted = againstThreshold.fold(exactNew) { th =>
+      val lexAccepted = againstThreshold.fold(exactNew) { th =>
         val corpusSigs = frozen.sigs.getOrElse(throw new IllegalStateException(
           "near-dup gating requested but the corpus was frozen without signatures"))
         val allSigs = extraSigs.fold(corpusSigs)(d => corpusSigs.unionByName(d))
         MinHashLsh.dedupAgainstPrecomputed(allSigs, corpusDocs, exactNew,
           cfg.idCol, TextFunctions.shingleHashes(text, 5), numHashes, bands, th)
+      }
+
+      // 4. SEMANTIC near-dup against frozen embeddings ∪ delta embeddings —
+      // the paraphrase arm the lexical funnel can't see (same motivation as
+      // the train/test semantic decontamination stage). Batch rows join
+      // their embeddings from cfg.embeddings by id; rows without one are
+      // invisible to this arm on both sides, by design. LSH-prefiltered
+      // threshold join (bipartiteThresholdLsh) — candidates from cross-side
+      // bucket collisions only, exact cosine verifies, miss probability
+      // ~9e-8 per qualifying pair at the defaults.
+      val accepted = semanticAgainstThreshold.fold(lexAccepted) { th =>
+        val corpusEmb = frozen.embs.getOrElse(throw new IllegalStateException(
+          "semantic gating requested but the corpus was frozen without embeddings"))
+        val embFrame = cfg.embeddings.getOrElse(throw new IllegalStateException(
+          "semantic gating requires cfg.embeddings for the batch side"))
+        val allEmb = extraEmbs.fold(corpusEmb)(d => corpusEmb.unionByName(d))
+        val batchEmb = lexAccepted.select(col(cfg.idCol).as("__id"))
+          .join(embFrame.select(col(cfg.idCol).as("__id"),
+            col(cfg.embCol).as("__emb")), "__id")
+        val dupIds = VectorSimilarity.bipartiteThresholdLsh(
+            allEmb, batchEmb, th, cfg.embeddingDim,
+            idCol = "__id", vecCol = "__emb")
+          .select(col("id_right").as(cfg.idCol)).distinct()
+        lexAccepted.join(dupIds, Seq(cfg.idCol), "left_anti")
       }
       (accepted, () => releaseAll())
     } catch {

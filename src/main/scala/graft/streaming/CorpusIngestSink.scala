@@ -205,15 +205,19 @@ object CorpusIngestSink {
                          corpusReader: (SparkSession, String, DataFrame) => DataFrame =
                            (s, dir, donor) => standingOf(s, dir, donor),
                          compactEvery: Int = 0,
-                         compactPartitions: Int = 8) {
+                         compactPartitions: Int = 8,
+                         semanticAgainstThreshold: Option[Double] = None) {
     require(refreshEvery >= 1, "refresh cadence must admit at least one batch")
     require(compactEvery >= 0, "compaction cadence is counted in refreshes; 0 disables")
+    require(semanticAgainstThreshold.isEmpty || cfg.embeddings.isDefined,
+      "the semantic arm needs cfg.embeddings (id-keyed vectors) on both sides")
 
     private var frozen: CorpusPipeline.FrozenCorpus = null
     private var sinceRefresh = 0
     private var refreshes = 0L
     private var deltaKeys: Option[DataFrame] = None
     private var deltaSigs: Option[DataFrame] = None
+    private var deltaEmbs: Option[DataFrame] = None
     private val deltaParts = scala.collection.mutable.ListBuffer.empty[DataFrame]
 
     /** Gate one micro-batch against frozen + delta state, append survivors,
@@ -224,7 +228,8 @@ object CorpusIngestSink {
       if (frozen == null || sinceRefresh >= refreshEvery) refresh(spark, batch)
       val (accepted0, releaseBatch) = CorpusPipeline.prepareIncrementalFrozen(
         batch, frozen, corpusReader(spark, targetDir, batch), cfg,
-        againstThreshold, numHashes, bands, deltaKeys, deltaSigs)
+        againstThreshold, numHashes, bands, deltaKeys, deltaSigs,
+        semanticAgainstThreshold, deltaEmbs)
       // the batch's survivors feed the write AND the delta fold — persist
       // once so neither re-runs the gate joins
       val accepted = accepted0
@@ -245,6 +250,16 @@ object CorpusIngestSink {
                 graft.functions.TextFunctions.shingleHashes(text, 5), numHashes))
             deltaParts += aSigs
             deltaSigs = Some(deltaSigs.fold(aSigs)(_.unionByName(aSigs)))
+          }
+          if (semanticAgainstThreshold.isDefined) {
+            val id = org.apache.spark.sql.functions.col(cfg.idCol)
+            val aEmbs = graft.core.Checkpoints.localize(
+              accepted.select(id.as("__id")).join(
+                cfg.embeddings.get.select(id.as("__id"),
+                  org.apache.spark.sql.functions.col(cfg.embCol).as("__emb")),
+                "__id"))
+            deltaParts += aEmbs
+            deltaEmbs = Some(deltaEmbs.fold(aEmbs)(_.unionByName(aEmbs)))
           }
         }
         sinceRefresh += 1
@@ -276,7 +291,9 @@ object CorpusIngestSink {
       }
       frozen = CorpusPipeline.freezeCorpus(
         corpusReader(spark, targetDir, schemaDonor), cfg,
-        withSignatures = againstThreshold.isDefined, numHashes, bloomFpp)
+        withSignatures = againstThreshold.isDefined, numHashes, bloomFpp,
+        embeddings =
+          if (semanticAgainstThreshold.isDefined) cfg.embeddings else None)
       sinceRefresh = 0
       refreshes += 1
       GraftMetrics.inc(GraftMetrics.IngestFreezes)
@@ -292,6 +309,7 @@ object CorpusIngestSink {
       deltaParts.clear()
       deltaKeys = None
       deltaSigs = None
+      deltaEmbs = None
     }
   }
 }

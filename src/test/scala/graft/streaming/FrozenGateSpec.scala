@@ -141,6 +141,44 @@ class FrozenGateSpec extends SparkSpec {
     } finally g.close()
   }
 
+  test("semantic arm: frozen + delta embeddings gate like per-batch, no-embedding docs bypass") {
+    // 4-dim toy embeddings: docs 1 and 31 are near-parallel vectors
+    // (cosine ~0.999), docs 2/21/32 are axis-distinct; doc 22 has NO
+    // embedding and must bypass the arm even though its vector twin
+    // would have been dropped
+    val emb = Seq(
+      (1L, Seq(1.0f, 0.1f, 0.0f, 0.0f)),
+      (2L, Seq(0.0f, 1.0f, 0.0f, 0.0f)),
+      (21L, Seq(0.0f, 0.0f, 1.0f, 0.0f)),
+      (31L, Seq(1.0f, 0.11f, 0.0f, 0.0f)), // semantic dup of 1
+      (32L, Seq(0.0f, 0.0f, 0.0f, 1.0f))
+    ).toDF("doc_id", "embedding")
+    val scfg = cfg.copy(embeddings = Some(emb), embeddingDim = 4)
+    val batches3 = Seq(
+      Seq((1L, baseA, "web"), (2L, baseB, "web")),
+      Seq((21L, baseC, "web")),
+      Seq((31L, baseD, "web"),                   // lexically fresh, semantically dup of 1
+          (22L, "sixth distinct prose describing bloom filters and banded minhash funnels", "web"),
+          (32L, "seventh body covering catalyst expression codegen and whole stage fusion", "web"))
+    ).map(_.toDF("doc_id", "text", "source"))
+
+    def run(refreshEvery: Int): (Seq[Long], Set[Long]) = {
+      val dir = Files.createTempDirectory(s"fg_sem_$refreshEvery").toString
+      val g = new CorpusIngestSink.FrozenGate(dir, scfg,
+        refreshEvery = refreshEvery, semanticAgainstThreshold = Some(0.8))
+      val admitted = try batches3.map(g.processBatch) finally g.close()
+      (admitted, corpusOf(dir).map(_._1))
+    }
+    val (a1, c1) = run(1)
+    val (a3, c3) = run(3)
+    // batch 3: 31 dropped by the semantic arm (vs doc 1 — which sits in
+    // the DELTA for refreshEvery=3, in the frozen state for 1); 22 has no
+    // embedding → bypasses; 32 orthogonal → survives
+    assert(a1 == Seq(2L, 1L, 2L), s"fixture drifted: $a1")
+    assert(a3 == a1, "semantic admissions must not depend on the cadence")
+    assert(c1 == Set(1L, 2L, 21L, 22L, 32L) && c3 == c1)
+  }
+
   test("foreachBatchFn drives the stateful gate through a streaming query") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     val dir = Files.createTempDirectory("fg_stream").toString
