@@ -187,6 +187,18 @@ object CorpusIngestSink {
     * thing this mode cannot see — co-writers need per-batch gating or a
     * refresh bump.
     *
+    * WHEN TO USE — the trade is scan avoidance vs fixed bookkeeping: per
+    * admitted batch the gate pays one extra localCheckpoint job (the
+    * delta fold) plus a union-grown gate plan, and in exchange skips the
+    * per-batch corpus scan. Measured at sf0.1/local[32] (corpus ≈ 4k
+    * docs) the bookkeeping DOMINATES — per-batch gating is ~2× faster —
+    * because scanning a few thousand cached rows is cheaper than any
+    * fixed job overhead. The gate is for the regime it was built for:
+    * standing corpus ≫ batch (millions of rows and up), where one
+    * freeze scan costs minutes and the delta fold stays seconds. Below
+    * that crossover, use [[processBatch]] (which since r15 also runs a
+    * single fused freeze scan per batch).
+    *
     * Not thread-safe (one gate per sink, the foreachBatch execution
     * model); `close()` releases all frozen + delta state.
     *
@@ -238,27 +250,48 @@ object CorpusIngestSink {
         val n = accepted.count()
         if (n > 0L) {
           accepted.write.mode(SaveMode.Append).parquet(targetDir)
-          val text = org.apache.spark.sql.functions.col(cfg.textCol)
-          val aKeys = graft.core.Checkpoints.localize(accepted.select(
+          // delta fold: ONE localized projection carries the admitted
+          // rows' exact keys, signatures, and (when the semantic arm is
+          // on) embeddings together — key/sig/emb frames are then free
+          // column slices of the same local relation, so the per-batch
+          // bookkeeping is a single localCheckpoint job, not three (the
+          // fixed-overhead term that dominates the gate below the
+          // corpus-size crossover; see the FrozenGate scaladoc)
+          import org.apache.spark.sql.functions.{col => c}
+          val text = c(cfg.textCol)
+          val sigExpr = graft.functions.MinHashLsh.signatureOfHashes(
+            graft.functions.TextFunctions.shingleHashes(text, 5), numHashes)
+          val base = accepted.select(c(cfg.idCol).as("__id"),
             graft.functions.TextFunctions.md5Hash60(
-              graft.functions.TextFunctions.normalized(text)).as("__ck")))
-          deltaParts += aKeys
+              graft.functions.TextFunctions.normalized(text)).as("__ck"),
+            (if (againstThreshold.isDefined) sigExpr
+             else org.apache.spark.sql.functions.lit(null)
+               .cast("array<bigint>")).as("__sig"))
+          val withEmb =
+            if (semanticAgainstThreshold.isDefined)
+              base.join(cfg.embeddings.get.select(c(cfg.idCol).as("__id"),
+                c(cfg.embCol).as("__emb")), Seq("__id"), "left")
+            else base
+          // `accepted` is persisted and already counted, so when the batch
+          // is driver-safe the fold is ONE collect off the cache into a
+          // local relation — no localCheckpoint/count/collect triple;
+          // oversized batches take the guarded localize fallback
+          val deltaSlim =
+            if (n <= (1L << 22))
+              spark.createDataFrame(
+                java.util.Arrays.asList(withEmb.collect(): _*), withEmb.schema)
+            else graft.core.Checkpoints.localize(withEmb)
+          deltaParts += deltaSlim
+          val aKeys = deltaSlim.select(c("__ck"))
           deltaKeys = Some(deltaKeys.fold(aKeys)(_.unionByName(aKeys)))
           if (againstThreshold.isDefined) {
-            val aSigs = graft.core.Checkpoints.localize(
-              graft.functions.MinHashLsh.signatureFrame(accepted, cfg.idCol,
-                graft.functions.TextFunctions.shingleHashes(text, 5), numHashes))
-            deltaParts += aSigs
+            val aSigs = deltaSlim.select(c("__id"), c("__sig"))
+              .filter(c("__sig").isNotNull)
             deltaSigs = Some(deltaSigs.fold(aSigs)(_.unionByName(aSigs)))
           }
           if (semanticAgainstThreshold.isDefined) {
-            val id = org.apache.spark.sql.functions.col(cfg.idCol)
-            val aEmbs = graft.core.Checkpoints.localize(
-              accepted.select(id.as("__id")).join(
-                cfg.embeddings.get.select(id.as("__id"),
-                  org.apache.spark.sql.functions.col(cfg.embCol).as("__emb")),
-                "__id"))
-            deltaParts += aEmbs
+            val aEmbs = deltaSlim.select(c("__id"), c("__emb"))
+              .filter(c("__emb").isNotNull)
             deltaEmbs = Some(deltaEmbs.fold(aEmbs)(_.unionByName(aEmbs)))
           }
         }
