@@ -266,8 +266,24 @@ object MinHashLsh {
     if (estimated.isEmpty)
       return estimated.withColumn("jaccard", lit(0.0))
         .select(col("id_left"), col("id_right"), col("jaccard"))
-    val shL = leftDocs.join(estimated.select(col("id_left").as("__cid")).distinct(),
-        col(idCol) === col("__cid"), "left_semi")
+    // Left-side candidate fetch: a semi-join restricts the ROWS shingled
+    // but still SCANS the whole left source — at corpus scale the verify
+    // stage's IO would be a full text-column pass for a handful of
+    // candidates. The survivor set is already driver-local (localize), so
+    // when the distinct candidate-id list is small it becomes an IN
+    // predicate on the scan itself — pushed to the parquet reader
+    // (PushedFilters: In(id, ...)), pruning row groups by id statistics —
+    // with the semi-join kept as the fallback above the cap (and for the
+    // rare >4M-pair checkpoint fallback where collecting ids is not free).
+    // Identical rows either way: filter-by-ids == semi-join on those ids.
+    val candIdCap = 8192
+    val leftIds = estimated.select(col("id_left")).distinct()
+      .limit(candIdCap + 1).collect().map(_.get(0))
+    val shL = (if (leftIds.length <= candIdCap)
+        leftDocs.filter(col(idCol).isin(leftIds.toIndexedSeq: _*))
+      else
+        leftDocs.join(estimated.select(col("id_left").as("__cid")).distinct(),
+          col(idCol) === col("__cid"), "left_semi"))
       .select(col(idCol).as("__id"), shingleHashes.as("__sh"))
     val shR = right.join(estimated.select(col("id_right").as("__cid")).distinct(),
         col(idCol) === col("__cid"), "left_semi")

@@ -116,6 +116,38 @@ class MinHashSpec extends SparkSpec {
     assert(pairs == Set((0L, 10L)), s"got $pairs")
   }
 
+  test("verify-stage candidate fetch pushes the id IN-filter into the parquet scan") {
+    // the semi-join fallback restricts the rows shingled but still scans
+    // the whole left source; with a small survivor set the candidate ids
+    // must land in PushedFilters so row groups prune by id statistics —
+    // the IO bound the frozen-gate verify stage relies on at corpus scale
+    val dir = java.nio.file.Files.createTempDirectory("pushdown").toString + "/corpus"
+    Seq(
+      (0L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "completely different content about spark query engines at scale"),
+      (3L, "a third body of text that matches nothing in the incoming batch"))
+      .toDF("doc_id", "text").write.parquet(dir)
+    val corpus = spark.read.parquet(dir)
+    val incoming = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog again and again!"))
+      .toDF("doc_id", "text")
+    val sh = TextFunctions.shingleHashes($"text", 5)
+    val sigs = MinHashLsh.signatureFrame(corpus, "doc_id", sh, 32)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val pairs = MinHashLsh.bipartitePairsPrecomputedLeft(sigs, corpus,
+        incoming, "doc_id", sh, numHashes = 32, bands = 8, threshold = 0.8)
+      assert(pairs.select($"id_left", $"id_right").as[(Long, Long)]
+        .collect().toSet == Set((0L, 10L)))
+      val plan = pairs.queryExecution.executedPlan.toString
+      // one candidate id folds isin → EqualTo; more stay an In — either
+      // way the predicate must appear under PushedFilters on the scan
+      assert(plan.contains("PushedFilters: [") &&
+        (plan.contains("In(doc_id") || plan.contains("EqualTo(doc_id")),
+        s"candidate ids must reach the scan as a pushed id filter:\n$plan")
+    } finally sigs.unpersist(false)
+  }
+
   test("bipartite funnel leaves zero block-store state after consumption") {
     val sc = spark.sparkContext
     val half = docs.filter($"doc_id" < 2)
