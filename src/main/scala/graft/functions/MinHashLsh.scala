@@ -143,11 +143,23 @@ object MinHashLsh {
       try Checkpoints.localize(survivors)
       finally sigs.unpersist(false)
     }
-    // Exact verification touches only candidate documents: semi-join the ids
-    // first so shingling cost is ∝ candidates, not corpus size.
-    val candIds = estimated
+    // Exact verification touches only candidate documents: the id
+    // restriction lands ON THE SCAN as a pushed IN filter when the
+    // survivor set is small (it is driver-local after localize; row
+    // groups then prune by id statistics instead of a full text pass),
+    // with the semi-join as the over-cap / checkpoint-fallback path —
+    // identical rows either way, shingling cost ∝ candidates regardless.
+    val candIdCap = 8192
+    val candIdsLocal = estimated
       .select(explode(array(col("id_a"), col("id_b"))).as("__cid")).distinct()
-    val candSh = df.join(candIds, col(idCol) === col("__cid"), "left_semi")
+      .limit(candIdCap + 1).collect().map(_.get(0))
+    val candSh = (if (candIdsLocal.length <= candIdCap)
+        df.filter(col(idCol).isin(candIdsLocal.toIndexedSeq: _*))
+      else {
+        val candIds = estimated
+          .select(explode(array(col("id_a"), col("id_b"))).as("__cid")).distinct()
+        df.join(candIds, col(idCol) === col("__cid"), "left_semi")
+      })
       .select(col(idCol).as("__id"), shingleHashes.as("__sh"))
     estimated
       .join(candSh.select(col("__id").as("id_a"), col("__sh").as("sh_a")), "id_a")
