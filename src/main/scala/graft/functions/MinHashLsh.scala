@@ -26,6 +26,13 @@ import graft.functions.expressions.MinHashSignatureExpr
   */
 object MinHashLsh {
 
+  /** Max candidate ids inlined as a pushed IN filter on the verify-stage
+    * source scan (both funnels); above it the semi-join fallback runs.
+    * 8K long literals keep the predicate and the pushed parquet filter
+    * cheap while covering any plausible per-call near-dup survivor set.
+    */
+  private val CandidateIdPushdownCap = 8192
+
   /** k-element MinHash signature over a pre-hashed shingle column
     * (`array<long>`), as one `array<long>` column. Narrow, codegen'd,
     * identical values to `min(xxhash64(i, h))` per family i.
@@ -149,7 +156,7 @@ object MinHashLsh {
     // groups then prune by id statistics instead of a full text pass),
     // with the semi-join as the over-cap / checkpoint-fallback path —
     // identical rows either way, shingling cost ∝ candidates regardless.
-    val candIdCap = 8192
+    val candIdCap = CandidateIdPushdownCap
     val candIdsLocal = estimated
       .select(explode(array(col("id_a"), col("id_b"))).as("__cid")).distinct()
       .limit(candIdCap + 1).collect().map(_.get(0))
@@ -288,7 +295,7 @@ object MinHashLsh {
     // with the semi-join kept as the fallback above the cap (and for the
     // rare >4M-pair checkpoint fallback where collecting ids is not free).
     // Identical rows either way: filter-by-ids == semi-join on those ids.
-    val candIdCap = 8192
+    val candIdCap = CandidateIdPushdownCap
     val leftIds = estimated.select(col("id_left")).distinct()
       .limit(candIdCap + 1).collect().map(_.get(0))
     val shL = (if (leftIds.length <= candIdCap)
