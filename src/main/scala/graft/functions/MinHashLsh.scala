@@ -33,6 +33,44 @@ object MinHashLsh {
     */
   private val CandidateIdPushdownCap = 8192
 
+  /** Distinct values of `colNames` read DRIVER-SIDE from an
+    * already-localized survivor frame — zero Spark jobs: after
+    * [[Checkpoints.localize]] the frame is a LocalRelation whose rows sit
+    * on the driver, so extracting the candidate ids must not cost a
+    * LocalTableScan job per funnel call (it did, briefly — a measurable
+    * per-call constant at micro scale). None when the frame took the
+    * >4M-pair checkpoint fallback (not local) or the id set exceeds the
+    * cap — callers then keep the semi-join, which never needed the ids.
+    */
+  private def localizedIds(df: DataFrame, colNames: Seq[String],
+                           cap: Int): Option[Seq[Any]] = {
+    import org.apache.spark.sql.catalyst.CatalystTypeConverters
+    import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+    df.queryExecution.analyzed match {
+      case lr: LocalRelation =>
+        val idx = colNames.map(n => lr.output.indexWhere(_.name == n))
+        if (idx.exists(_ < 0)) None
+        else {
+          val types = idx.map(i => lr.output(i).dataType)
+          val out = scala.collection.mutable.LinkedHashSet.empty[Any]
+          val it = lr.data.iterator
+          while (it.hasNext) {
+            val row = it.next()
+            var j = 0
+            while (j < idx.length) {
+              if (!row.isNullAt(idx(j)))
+                out += CatalystTypeConverters.convertToScala(
+                  row.get(idx(j), types(j)), types(j))
+              j += 1
+            }
+            if (out.size > cap) return None
+          }
+          Some(out.toSeq)
+        }
+      case _ => None
+    }
+  }
+
   /** k-element MinHash signature over a pre-hashed shingle column
     * (`array<long>`), as one `array<long>` column. Narrow, codegen'd,
     * identical values to `min(xxhash64(i, h))` per family i.
@@ -152,21 +190,18 @@ object MinHashLsh {
     }
     // Exact verification touches only candidate documents: the id
     // restriction lands ON THE SCAN as a pushed IN filter when the
-    // survivor set is small (it is driver-local after localize; row
-    // groups then prune by id statistics instead of a full text pass),
-    // with the semi-join as the over-cap / checkpoint-fallback path —
-    // identical rows either way, shingling cost ∝ candidates regardless.
-    val candIdCap = CandidateIdPushdownCap
-    val candIdsLocal = estimated
-      .select(explode(array(col("id_a"), col("id_b"))).as("__cid")).distinct()
-      .limit(candIdCap + 1).collect().map(_.get(0))
-    val candSh = (if (candIdsLocal.length <= candIdCap)
-        df.filter(col(idCol).isin(candIdsLocal.toIndexedSeq: _*))
-      else {
+    // survivor set is small (read driver-side off the localized frame —
+    // zero extra jobs; row groups then prune by id statistics instead of
+    // a full text pass), with the semi-join as the over-cap /
+    // checkpoint-fallback path — identical rows either way, shingling
+    // cost ∝ candidates regardless.
+    val candSh = localizedIds(estimated, Seq("id_a", "id_b"), CandidateIdPushdownCap)
+      .map(ids => df.filter(col(idCol).isin(ids: _*)))
+      .getOrElse {
         val candIds = estimated
           .select(explode(array(col("id_a"), col("id_b"))).as("__cid")).distinct()
         df.join(candIds, col(idCol) === col("__cid"), "left_semi")
-      })
+      }
       .select(col(idCol).as("__id"), shingleHashes.as("__sh"))
     estimated
       .join(candSh.select(col("__id").as("id_a"), col("__sh").as("sh_a")), "id_a")
@@ -292,15 +327,12 @@ object MinHashLsh {
     // when the distinct candidate-id list is small it becomes an IN
     // predicate on the scan itself — pushed to the parquet reader
     // (PushedFilters: In(id, ...)), pruning row groups by id statistics —
-    // with the semi-join kept as the fallback above the cap (and for the
-    // rare >4M-pair checkpoint fallback where collecting ids is not free).
-    // Identical rows either way: filter-by-ids == semi-join on those ids.
-    val candIdCap = CandidateIdPushdownCap
-    val leftIds = estimated.select(col("id_left")).distinct()
-      .limit(candIdCap + 1).collect().map(_.get(0))
-    val shL = (if (leftIds.length <= candIdCap)
-        leftDocs.filter(col(idCol).isin(leftIds.toIndexedSeq: _*))
-      else
+    // read off the local relation with zero extra jobs; the semi-join
+    // stays as the over-cap / checkpoint-fallback path. Identical rows
+    // either way: filter-by-ids == semi-join on those ids.
+    val shL = localizedIds(estimated, Seq("id_left"), CandidateIdPushdownCap)
+      .map(ids => leftDocs.filter(col(idCol).isin(ids: _*)))
+      .getOrElse(
         leftDocs.join(estimated.select(col("id_left").as("__cid")).distinct(),
           col(idCol) === col("__cid"), "left_semi"))
       .select(col(idCol).as("__id"), shingleHashes.as("__sh"))
