@@ -40,6 +40,81 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   */
 object CorpusIngestSink {
 
+  /** What a [[FrozenGate]] does when it detects that some OTHER writer
+    * changed the corpus directory between refreshes (the gate's frozen
+    * state would silently ignore the co-written rows and re-admit their
+    * duplicates).
+    */
+  sealed trait ExternalWriterPolicy
+  object ExternalWriterPolicy {
+    /** Force an immediate re-freeze from the target (default): the batch
+      * gates against the co-written rows at the cost of one extra corpus
+      * scan. Counted under `arcane.stream.ingest.external_writes`.
+      */
+    case object Refresh extends ExternalWriterPolicy
+    /** Fail loudly — for deployments where a co-writer is a bug. */
+    case object Fail extends ExternalWriterPolicy
+    /** Pre-r16 behavior: trust the single-writer contract, skip the
+      * per-batch listing. The documented blind spot, now opt-in.
+      */
+    case object Ignore extends ExternalWriterPolicy
+  }
+
+  /** Driver-heap budget (bytes) for one delta fold's `collect()` — the
+    * [[FrozenGate]] folds each admitted batch's keys/signatures/embeddings
+    * into a driver-local relation only while the COLLECTED rows fit this
+    * budget; larger batches stay executor-resident as a localCheckpoint.
+    * 256 MB: small next to any realistic driver heap, large enough that
+    * the steady-state regime (batch ≪ corpus) never takes the fallback.
+    */
+  private[streaming] val DefaultFoldDriverBytes: Long = 256L << 20
+
+  /** Estimated DRIVER bytes for one collected delta row. `collect()`
+    * materializes GenericRows whose array elements are BOXED, so a
+    * signature/embedding element costs ~32 B on the heap (16 B box +
+    * 8 B ref + amortized array/Seq headers), not its 8 B columnar width —
+    * a numHashes=64 signature is ~2 KB and a dim-768 embedding ~25 KB,
+    * which is why a row-count cap alone (r15's 2²² rows) was a driver-OOM
+    * hazard the moment the semantic arm widened the row.
+    */
+  private[streaming] def estimatedDeltaRowBytes(
+      withSignatures: Boolean, numHashes: Int,
+      withEmbeddings: Boolean, embeddingDim: Int): Long = {
+    val rowShell = 64L // GenericRow + field refs + boxed id/key
+    val sig = if (withSignatures) 48L + 32L * numHashes else 8L
+    val emb = if (withEmbeddings) 48L + 32L * embeddingDim else 0L
+    rowShell + sig + emb
+  }
+
+  /** The byte-aware row cap for the delta fold's driver collect: budget /
+    * estimated row width, floored at 1 row and ceiled at the old 2²² row
+    * guard (the row term still bounds GenericRow object-count overheads
+    * the width estimate doesn't model).
+    */
+  private[streaming] def foldCollectMaxRows(
+      foldDriverBytes: Long, withSignatures: Boolean, numHashes: Int,
+      withEmbeddings: Boolean, embeddingDim: Int): Long =
+    math.min(1L << 22, math.max(1L, foldDriverBytes /
+      estimatedDeltaRowBytes(withSignatures, numHashes, withEmbeddings,
+        embeddingDim)))
+
+  /** Fingerprint of the corpus directory's data-file listing — (name,
+    * length, mtime) of every `.parquet` file, order-independent. One FS
+    * listing, no data read: the per-batch external-writer check
+    * ([[ExternalWriterPolicy]]) costs a metadata round-trip, never a scan.
+    */
+  private[streaming] def corpusFingerprint(spark: SparkSession, dir: String): Long = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) return 0L
+    val entries = fs.listStatus(path)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(s => (s.getPath.getName, s.getLen, s.getModificationTime))
+      .sortBy(_._1).toSeq
+    scala.util.hashing.MurmurHash3.orderedHash(entries).toLong ^
+      (entries.size.toLong << 32)
+  }
+
   /** Process one micro-batch: gate against the standing corpus at
     * `targetDir`, append survivors, release the funnel's caches. Returns
     * the number of admitted rows.
@@ -184,8 +259,14 @@ object CorpusIngestSink {
     * ([[graft.functions.MinHashLsh.bipartitePairsPrecomputedLeft]]'s
     * zero-candidate short-circuit never touches storage at all). An
     * EXTERNAL writer appending to the target between refreshes is the one
-    * thing this mode cannot see — co-writers need per-batch gating or a
-    * refresh bump.
+    * thing the frozen STATE cannot see — so the gate fingerprints the
+    * target's file listing (name/length/mtime, one metadata call) at every
+    * freeze and after its own appends, re-checks it before each gated
+    * batch, and on mismatch re-freezes (default) or fails, per
+    * [[ExternalWriterPolicy]]. Detection is listing-granular: a writer
+    * that bypasses the listing (an in-place same-size same-mtime
+    * overwrite) stays invisible — co-writers needing stronger guarantees
+    * need per-batch gating.
     *
     * WHEN TO USE — the trade is scan avoidance vs fixed bookkeeping: per
     * admitted batch the gate pays one extra localCheckpoint job (the
@@ -218,11 +299,14 @@ object CorpusIngestSink {
                            (s, dir, donor) => standingOf(s, dir, donor),
                          compactEvery: Int = 0,
                          compactPartitions: Int = 8,
-                         semanticAgainstThreshold: Option[Double] = None) {
+                         semanticAgainstThreshold: Option[Double] = None,
+                         onExternalWrite: ExternalWriterPolicy = ExternalWriterPolicy.Refresh,
+                         foldDriverBytes: Long = DefaultFoldDriverBytes) {
     require(refreshEvery >= 1, "refresh cadence must admit at least one batch")
     require(compactEvery >= 0, "compaction cadence is counted in refreshes; 0 disables")
     require(semanticAgainstThreshold.isEmpty || cfg.embeddings.isDefined,
       "the semantic arm needs cfg.embeddings (id-keyed vectors) on both sides")
+    require(foldDriverBytes >= 1L, "the delta fold needs a positive driver-byte budget")
 
     private var frozen: CorpusPipeline.FrozenCorpus = null
     private var sinceRefresh = 0
@@ -230,7 +314,17 @@ object CorpusIngestSink {
     private var deltaKeys: Option[DataFrame] = None
     private var deltaSigs: Option[DataFrame] = None
     private var deltaEmbs: Option[DataFrame] = None
-    private val deltaParts = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    private[streaming] val deltaParts = scala.collection.mutable.ListBuffer.empty[DataFrame]
+    /** listing fingerprint the gate expects the target to have; refreshed
+      * at every freeze and after each own append
+      */
+    private var expectedFingerprint = 0L
+    /** Test seam: applied to the delta projection right before it is
+      * materialized, so specs can inject a fold-stage failure and pin the
+      * recovery contract (gate invalidation after a committed append).
+      */
+    private[streaming] var foldTap: DataFrame => DataFrame = identity
+    private[streaming] def isFrozen: Boolean = frozen != null
 
     /** Gate one micro-batch against frozen + delta state, append survivors,
       * fold them into the delta. Returns the number of admitted rows.
@@ -238,6 +332,21 @@ object CorpusIngestSink {
     def processBatch(batch: DataFrame): Long = {
       val spark = batch.sparkSession
       if (frozen == null || sinceRefresh >= refreshEvery) refresh(spark, batch)
+      else if (onExternalWrite != ExternalWriterPolicy.Ignore &&
+               corpusFingerprint(spark, targetDir) != expectedFingerprint) {
+        // somebody else wrote the corpus since the freeze: frozen + delta
+        // no longer IS the corpus, and gating against it would re-admit
+        // the co-writer's duplicates
+        onExternalWrite match {
+          case ExternalWriterPolicy.Fail => throw new IllegalStateException(
+            s"external writer detected under $targetDir since the last " +
+            "freeze; FrozenGate admissions would ignore the co-written " +
+            "rows (set onExternalWrite=Refresh to re-freeze instead)")
+          case _ =>
+            GraftMetrics.inc(GraftMetrics.IngestExternalWrites)
+            refresh(spark, batch)
+        }
+      }
       val (accepted0, releaseBatch) = CorpusPipeline.prepareIncrementalFrozen(
         batch, frozen, corpusReader(spark, targetDir, batch), cfg,
         againstThreshold, numHashes, bands, deltaKeys, deltaSigs,
@@ -250,6 +359,7 @@ object CorpusIngestSink {
         val n = accepted.count()
         if (n > 0L) {
           accepted.write.mode(SaveMode.Append).parquet(targetDir)
+          try {
           // delta fold: ONE localized projection carries the admitted
           // rows' exact keys, signatures, and (when the semantic arm is
           // on) embeddings together — key/sig/emb frames are then free
@@ -274,13 +384,23 @@ object CorpusIngestSink {
             else base
           // `accepted` is persisted and already counted, so when the batch
           // is driver-safe the fold is ONE collect off the cache into a
-          // local relation — no localCheckpoint/count/collect triple;
-          // oversized batches take the guarded localize fallback
+          // local relation. The collect guard is BYTE-aware, not row-count:
+          // a collected row costs rowShell + ~32 B per boxed signature/
+          // embedding element ([[estimatedDeltaRowBytes]]), so the cap is
+          // foldDriverBytes (default 256 MB) over that width — ~120k rows
+          // with a 64-hash signature, ~10k with a dim-768 embedding
+          // attached. Above it the fold stays executor-resident as an
+          // eager localCheckpoint (lineage-truncated for the same
+          // mutated-target reason, released through deltaParts on close).
+          val maxFoldRows = foldCollectMaxRows(foldDriverBytes,
+            againstThreshold.isDefined, numHashes,
+            semanticAgainstThreshold.isDefined, cfg.embeddingDim)
+          val folded = foldTap(withEmb)
           val deltaSlim =
-            if (n <= (1L << 22))
+            if (n <= maxFoldRows)
               spark.createDataFrame(
-                java.util.Arrays.asList(withEmb.collect(): _*), withEmb.schema)
-            else graft.core.Checkpoints.localize(withEmb)
+                java.util.Arrays.asList(folded.collect(): _*), folded.schema)
+            else folded.localCheckpoint()
           deltaParts += deltaSlim
           val aKeys = deltaSlim.select(c("__ck"))
           deltaKeys = Some(deltaKeys.fold(aKeys)(_.unionByName(aKeys)))
@@ -293,6 +413,20 @@ object CorpusIngestSink {
             val aEmbs = deltaSlim.select(c("__id"), c("__emb"))
               .filter(c("__emb").isNotNull)
             deltaEmbs = Some(deltaEmbs.fold(aEmbs)(_.unionByName(aEmbs)))
+          }
+          // the append itself moved the listing — own writes must not trip
+          // the external-writer check on the next batch
+          expectedFingerprint = corpusFingerprint(spark, targetDir)
+          } catch {
+            case t: Throwable =>
+              // the append COMMITTED but the delta didn't absorb it:
+              // frozen + delta is now behind the target, and a retry
+              // through this same instance would see its own rows as
+              // proven-new and append duplicates. Drop all gate state —
+              // the next batch re-freezes from the target, restoring
+              // replay idempotence for in-instance retries.
+              close()
+              throw t
           }
         }
         sinceRefresh += 1
@@ -329,6 +463,10 @@ object CorpusIngestSink {
           if (semanticAgainstThreshold.isDefined) cfg.embeddings else None)
       sinceRefresh = 0
       refreshes += 1
+      // recorded AFTER the freeze materialized (freezeCorpus counts the
+      // slim frame eagerly): a writer landing between the scan and this
+      // listing is a benign race — the next batch's check catches it
+      expectedFingerprint = corpusFingerprint(spark, targetDir)
       GraftMetrics.inc(GraftMetrics.IngestFreezes)
       GraftMetrics.gauge(GraftMetrics.IngestCorpusRows, frozen.rows)
     }

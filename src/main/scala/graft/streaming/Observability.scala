@@ -57,6 +57,7 @@ object GraftMetrics {
   val IngestFreezes = "arcane.stream.ingest.freezes"
   val IngestCompactions = "arcane.stream.ingest.compactions"
   val IngestCorpusRows = "arcane.stream.ingest.corpus_rows"
+  val IngestExternalWrites = "arcane.stream.ingest.external_writes"
 }
 
 /** StreamingQueryListener bridging Spark's streaming progress events into
