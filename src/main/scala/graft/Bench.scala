@@ -7,6 +7,53 @@ import org.apache.spark.sql.SparkSession
   * goes to stderr so the stdout contract stays a single line.
   */
 object Bench {
+
+  /** Overwrite guard for the committed bench record: the default record
+    * path has been clobbered by control/driver runs three times across two
+    * rounds, so a git-CLEAN record at the default path is only overwritten
+    * when the caller explicitly asks — either by pointing
+    * SPARK_GRAFT_BENCH_FILE elsewhere or by setting
+    * SPARK_GRAFT_BENCH_OVERWRITE=1. A dirty/untracked record is fair game
+    * (it is not the committed measurement).
+    */
+  private[graft] def shouldWriteRecord(explicitPath: Boolean, overwriteFlag: Boolean,
+                                       recordCommittedClean: Boolean): Boolean =
+    explicitPath || overwriteFlag || !recordCommittedClean
+
+  /** True when `path` is tracked by git AND unmodified in the working tree
+    * (i.e. overwriting it would silently discard a committed measurement).
+    * Any git failure reports NOT clean, so a broken git never blocks the
+    * record write.
+    */
+  private[graft] def gitCommittedClean(repoDir: String, path: String): Boolean =
+    try {
+      def run(cmd: String*): (Int, String) = {
+        val p = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
+        val out = scala.io.Source.fromInputStream(p.getInputStream).mkString
+        (p.waitFor(), out.trim)
+      }
+      val (c1, tracked) = run("git", "-C", repoDir, "ls-files", "--", path)
+      val (c2, status) = run("git", "-C", repoDir, "status", "--porcelain", "--", path)
+      c1 == 0 && c2 == 0 && tracked.nonEmpty && status.isEmpty
+    } catch { case _: Throwable => false }
+
+  /** The commit the measured classes were built from (short rev, `+dirty`
+    * when the tree has local edits) — lands in the record JSON so a
+    * cross-round per-query read can tell WHICH code it is comparing
+    * (the r15 record silently predated two HEAD commits).
+    */
+  private[graft] def codeRev(repoDir: String): String =
+    try {
+      def run(cmd: String*): String = {
+        val p = new ProcessBuilder(cmd: _*).start()
+        val out = scala.io.Source.fromInputStream(p.getInputStream).mkString.trim
+        if (p.waitFor() == 0) out else ""
+      }
+      val rev = run("git", "-C", repoDir, "rev-parse", "--short", "HEAD")
+      val dirty = run("git", "-C", repoDir, "status", "--porcelain").nonEmpty
+      if (rev.isEmpty) "unknown" else if (dirty) s"$rev+dirty" else rev
+    } catch { case _: Throwable => "unknown" }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -210,17 +257,29 @@ object Bench {
     val line = s"""{"queries":$qs,"n_queries":${results.size},""" +
       s""""slowest10":$slowest,"recall":$recallJson,""" +
       s""""recall_floor_violations":$violations,""" +
+      s""""code_rev":"${codeRev("/root/repo")}",""" +
       s""""metric":"total","value":$total,"unit":"sec","sf":"$sfDir"}"""
     println(line)
     // Belt-and-braces: the full untruncated record also lands in the repo
     // as a versioned file the round can commit. A FILTERED run
     // (SPARK_GRAFT_BENCH_ONLY) must not clobber the committed full record
-    // unless the caller explicitly pointed SPARK_GRAFT_BENCH_FILE elsewhere.
-    val partialRun = only.isDefined && sys.env.get("SPARK_GRAFT_BENCH_FILE").isEmpty
-    if (!partialRun) try {
+    // unless the caller explicitly pointed SPARK_GRAFT_BENCH_FILE elsewhere
+    // — and NO run overwrites a git-committed-clean record at the default
+    // path without SPARK_GRAFT_BENCH_OVERWRITE=1 (control/driver runs have
+    // destroyed the committed record three times; the stdout line above is
+    // always complete, so refusing the file write loses nothing).
+    val explicitPath = sys.env.get("SPARK_GRAFT_BENCH_FILE").isDefined
+    val recordPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FILE", "/root/repo/BENCH_FULL.json")
+    val partialRun = only.isDefined && !explicitPath
+    val guardOk = shouldWriteRecord(explicitPath,
+      sys.env.get("SPARK_GRAFT_BENCH_OVERWRITE").exists(_ == "1"),
+      gitCommittedClean("/root/repo", recordPath))
+    if (!partialRun && !guardOk)
+      System.err.println(s"[bench] NOT overwriting committed-clean $recordPath " +
+        "(set SPARK_GRAFT_BENCH_OVERWRITE=1 to refresh the record)")
+    if (!partialRun && guardOk) try {
       java.nio.file.Files.write(
-        java.nio.file.Paths.get(
-          sys.env.getOrElse("SPARK_GRAFT_BENCH_FILE", "/root/repo/BENCH_FULL.json")),
+        java.nio.file.Paths.get(recordPath),
         (line + "\n").getBytes("UTF-8"))
     } catch { case e: Throwable =>
       System.err.println(s"[bench] could not write full record: $e")
