@@ -118,6 +118,70 @@ class StreamingRestartE2eSpec extends SparkSpec {
       "replayed batch must admit nothing; later batches must gate normally")
   }
 
+  test("frozen gate with semantic arm + compaction: kill inside a refresh window, restart converges") {
+    // the full-option matrix in one run: refreshEvery=2 (so the kill after
+    // batch 3 lands INSIDE a refresh window, one batch into the frozen
+    // state), compactEvery=1 (batch 3's refresh compacts the corpus before
+    // re-freezing), semantic arm on (the restart must rebuild frozen
+    // EMBEDDINGS from the target, not just keys/signatures)
+    val emb = Seq(
+      (1L, Seq(1.0f, 0.1f, 0.0f, 0.0f)),
+      (2L, Seq(0.0f, 1.0f, 0.0f, 0.0f)),
+      (11L, Seq(0.0f, 0.0f, 1.0f, 0.0f)),
+      (20L, Seq(0.0f, 0.0f, 0.0f, 1.0f)),
+      (21L, Seq(1.0f, 0.11f, 0.0f, 0.0f)),  // semantic dup of 1
+      (30L, Seq(0.01f, 0.0f, 1.0f, 0.0f)),  // semantic dup of 11 — post-restart
+      (31L, Seq(0.5f, 0.5f, 0.5f, 0.5f))    // orthogonal enough to all
+    ).toDF("doc_id", "embedding")
+    val scfg = cfg.copy(embeddings = Some(emb), embeddingDim = 4)
+    val batches = Seq(
+      Seq((1L, baseA, "web"), (2L, baseB, "web")),
+      Seq((10L, baseA, "web"), (11L, baseC, "web")), // 10 exact dup of 1
+      Seq((20L, baseD, "web"),
+          (21L, "fresh prose lexically unlike the fox sentence entirely", "web")),
+      Seq((30L, "another lexically fresh body about columnar layouts", "web"),
+          (31L, "distinct closing document on shuffle hygiene and skew", "web"),
+          (32L, baseC + " today", "web"))             // lexical near dup of 11
+    ).map(_.toDF("doc_id", "text", "source"))
+    val expected = Set(1L, 2L, 11L, 20L, 31L)
+    val t0 = System.currentTimeMillis() - 60000
+    val schema = batches.head.schema
+    def gateOf(dir: String) = new CorpusIngestSink.FrozenGate(dir, scfg,
+      refreshEvery = 2, compactEvery = 1, compactPartitions = 2,
+      semanticAgainstThreshold = Some(0.8))
+
+    // run A — uninterrupted
+    val srcA = Files.createTempDirectory("e2e_fgsem_srcA").toString
+    batches.zipWithIndex.foreach { case (b, i) =>
+      addFile(srcA, s"f$i.parquet", b, t0 + i * 2000L) }
+    val dirA = Files.createTempDirectory("e2e_fgsem_A").toString
+    val gA = gateOf(dirA)
+    runIngest(srcA, schema, dirA,
+      Files.createTempDirectory("e2e_fgsem_ckA").toString, gA.foreachBatchFn)
+    gA.close()
+    assert(corpusOf(dirA).map(_._1) == expected, "fixture drifted")
+
+    // run B — killed one batch into the second refresh window (after
+    // batch 3: refreshes at batches 1 and 3, compaction at batch 3's)
+    val srcB = Files.createTempDirectory("e2e_fgsem_srcB").toString
+    val dirB = Files.createTempDirectory("e2e_fgsem_B").toString
+    val ckB = Files.createTempDirectory("e2e_fgsem_ckB").toString
+    batches.take(3).zipWithIndex.foreach { case (b, i) =>
+      addFile(srcB, s"f$i.parquet", b, t0 + i * 2000L) }
+    val g1 = gateOf(dirB)
+    runIngest(srcB, schema, dirB, ckB, g1.foreachBatchFn)
+    g1.close() // the kill: frozen state + delta gone mid-window
+    assert(corpusOf(dirB).map(_._1) == Set(1L, 2L, 11L, 20L),
+      "restart point must sit inside the second refresh window")
+    addFile(srcB, "f3.parquet", batches(3), t0 + 3 * 2000L)
+    val g2 = gateOf(dirB) // fresh process: re-freezes keys+sigs+embeddings
+    runIngest(srcB, schema, dirB, ckB, g2.foreachBatchFn)
+    g2.close()
+
+    assert(corpusOf(dirB) == corpusOf(dirA),
+      "interrupted semantic+compaction gate must converge to the uninterrupted corpus")
+  }
+
   test("scd2 sink: restart between micro-batches ends identical to an uninterrupted run") {
     val t0 = System.currentTimeMillis() - 60000
     val feed = Seq(
