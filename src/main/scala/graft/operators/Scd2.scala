@@ -237,11 +237,17 @@ object Scd2 {
     // observations with the same name in one query unless they are the
     // SAME Dataset, so a plan composing two auto joins would otherwise
     // fail analysis; GraftObservationListener gauges under the base name.
-    val widthDf = autoBucketWidthFrame(history, facts, factVersion)
-      .observe(
+    // spark.graft.scd2.widthTelemetry=false drops the observation node
+    // entirely (default on: the r16 same-day A/B measured it inside run
+    // noise on the bench path — BENCH_VARIANCE_r16.md).
+    val widthDf0 = autoBucketWidthFrame(history, facts, factVersion)
+    val widthDf = (if (facts.sparkSession.conf
+        .get("spark.graft.scd2.widthTelemetry", "true").toBoolean)
+      widthDf0.observe(
         s"${graft.streaming.GraftMetrics.Scd2ObservationBase}#${Scd2.observationSeq.incrementAndGet()}",
         max(col("__w")).as("auto_bucket_width"),
         max(col("__floored").cast("long")).as("auto_width_floor_dominated"))
+    else widthDf0)
       .select(col("__w"))
     asOfJoinBucketedBy(facts, history, keyCol, factVersion,
       attach = _.crossJoin(broadcast(widthDf)), // 1-row scalar attach

@@ -89,6 +89,26 @@ class WidthTelemetrySpec extends SparkSpec {
     } finally spark.listenerManager.unregister(listener)
   }
 
+  test("spark.graft.scd2.widthTelemetry=false drops the observation, same rows") {
+    val listener = new GraftObservationListener
+    spark.listenerManager.register(listener)
+    try {
+      GraftMetrics.reset()
+      val h = Seq(("k1", "a", 1L, None: Option[Long]))
+        .toDF("k", "state", "valid_from", "valid_to")
+      val facts = Seq(("k1", 5L)).toDF("k", "fv")
+      spark.conf.set("spark.graft.scd2.widthTelemetry", "false")
+      val rows = try Scd2.asOfJoinBucketedAuto(facts, h, "k", col("fv"))
+        .select($"k", $"fv", $"state").collect().toSeq
+      finally spark.conf.unset("spark.graft.scd2.widthTelemetry")
+      drain()
+      assert(rows == Seq(org.apache.spark.sql.Row("k1", 5L, "a")),
+        "the toggle must not change join semantics")
+      assert(GraftMetrics.gaugeValue(GraftMetrics.Scd2AutoWidth).isEmpty,
+        "telemetry off must emit no width observation")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("streaming path: the enrich observation surfaces through query progress") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import java.nio.file.Files
