@@ -466,7 +466,28 @@ object CorpusPipeline {
       /** Bloom filter over the frozen exact-dedup keys */
       val bloom: org.apache.spark.util.sketch.BloomFilter,
       withSignatures: Boolean,
-      withEmbeddings: Boolean) {
+      withEmbeddings: Boolean,
+      /** banded (__id, __band, __bucket) frame of the frozen signatures,
+        * persisted — present when frozen `withBanded`: the corpus-side
+        * banding explode + hot-bucket shuffle happen once per refresh,
+        * and every gated batch reuses them (cached probes instead of an
+        * O(corpus) shuffle per micro-batch)
+        */
+      private[functions] val bandedSlim: Option[DataFrame] = None,
+      /** hot (band, bucket) pairs of the frozen banding, driver-localized */
+      private[functions] val bandedHot: Option[DataFrame] = None,
+      /** band count the frozen banding was built with */
+      val bandedBands: Int = 16,
+      /** hot-bucket occupancy cap the frozen hot set was built with */
+      val bandedMaxBucketSize: Long = 4096L,
+      /** max occupancy among the frozen side's NON-hot buckets — lets the
+        * gate prove a delta cannot push any bucket over the cap
+        * (maxDeltaOccupancy + this ≤ cap) and skip the per-batch count
+        * probe entirely; None when frozen without banding
+        */
+      val bandedMaxNonHot: Option[Long] = None) {
+    /** the frozen banded frame + hot set, when frozen `withBanded` */
+    def banded: Option[(DataFrame, DataFrame)] = bandedSlim.zip(bandedHot)
     /** (`__ck`) — frozen exact-dedup keys, read from the shared cache. */
     def keys: DataFrame = slim.select(col("__ck"))
     /** (`__id`, `__sig`) — frozen signatures; None when frozen without. */
@@ -482,7 +503,10 @@ object CorpusPipeline {
       if (withEmbeddings)
         Some(slim.select(col("__id"), col("__emb")).filter(col("__emb").isNotNull))
       else None
-    def release(): Unit = slim.unpersist(blocking = false)
+    def release(): Unit = {
+      slim.unpersist(blocking = false)
+      bandedSlim.foreach(_.unpersist(blocking = false))
+    }
   }
 
   /** Freeze a standing corpus's gate state in ONE scan: project
@@ -496,7 +520,11 @@ object CorpusPipeline {
   def freezeCorpus(standingCorpus: DataFrame, cfg: Config = Config(),
                    withSignatures: Boolean = true, numHashes: Int = 64,
                    bloomFpp: Double = 0.01,
-                   embeddings: Option[DataFrame] = None): FrozenCorpus = {
+                   embeddings: Option[DataFrame] = None,
+                   withBanded: Boolean = false, bands: Int = 16,
+                   maxBucketSize: Long = 4096L): FrozenCorpus = {
+    require(!withBanded || withSignatures,
+      "banded freeze state derives from signatures")
     val text = col(cfg.textCol)
     val key = TextFunctions.md5Hash60(TextFunctions.normalized(text))
     val sig =
@@ -514,7 +542,39 @@ object CorpusPipeline {
       val bloom =
         if (rows == 0L) org.apache.spark.util.sketch.BloomFilter.create(1L, bloomFpp)
         else BloomDedup.buildLongNonEmpty(slim, col("__ck"), rows, bloomFpp)
-      new FrozenCorpus(slim, rows, bloom, withSignatures, embeddings.isDefined)
+      val (bnd, hot, maxNonHot) =
+        if (!withBanded) (None, None, None)
+        else {
+          // the refresh-amortized banding: explode once, persist; the hot
+          // set's groupBy shuffle (the per-batch cost center the frozen
+          // gate removes) runs here, once per refresh, and materializes
+          // the banded cache as a side effect. Failure releases both via
+          // the outer catch (bandedSlim rides the same guard as slim).
+          val banded = MinHashLsh.bandedFrame(
+              slim.select(col("__id"), col("__sig")).filter(col("__sig").isNotNull),
+              bands, numHashes)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            val occ = banded.groupBy(col("__band"), col("__bucket"))
+              .agg(count(lit(1)).as("__bsz"))
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            try {
+              val hotLocal = graft.core.Checkpoints.localize(
+                occ.filter(col("__bsz") > maxBucketSize)
+                  .select(col("__band"), col("__bucket")))
+              val nonHotMax = occ.filter(col("__bsz") <= maxBucketSize)
+                .agg(max(col("__bsz"))).head() match {
+                case r if r.isNullAt(0) => 0L // every bucket hot (or none)
+                case r => r.getLong(0)
+              }
+              (Some(banded), Some(hotLocal), Some(nonHotMax))
+            } finally occ.unpersist(blocking = false)
+          } catch {
+            case t: Throwable => banded.unpersist(blocking = false); throw t
+          }
+        }
+      new FrozenCorpus(slim, rows, bloom, withSignatures, embeddings.isDefined,
+        bnd, hot, bands, maxBucketSize, maxNonHot)
     } catch {
       // the count and the filter build are real actions — a transient
       // failure there must not pin a corpus-keys-sized cache entry nobody
@@ -550,7 +610,9 @@ object CorpusPipeline {
                                extraKeys: Option[DataFrame] = None,
                                extraSigs: Option[DataFrame] = None,
                                semanticAgainstThreshold: Option[Double] = None,
-                               extraEmbs: Option[DataFrame] = None)
+                               extraEmbs: Option[DataFrame] = None,
+                               extraBanded: Option[DataFrame] = None,
+                               extraBucketCounts: Option[Map[(Int, Long), Long]] = None)
       : (DataFrame, () => Unit) = {
     val text = col(cfg.textCol)
     val key = TextFunctions.md5Hash60(TextFunctions.normalized(text))
@@ -579,13 +641,28 @@ object CorpusPipeline {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       cached += exactNew
 
-      // 3. near-dup against frozen signatures ∪ delta signatures
+      // 3. near-dup against frozen signatures ∪ delta signatures — through
+      // the frozen BANDED state when the freeze carried it (per-batch
+      // corpus-side work becomes cached probes; the banding explode and
+      // hot-bucket shuffle were paid once at freeze), identical admissions
+      // either way
       val lexAccepted = againstThreshold.fold(exactNew) { th =>
         val corpusSigs = frozen.sigs.getOrElse(throw new IllegalStateException(
           "near-dup gating requested but the corpus was frozen without signatures"))
-        val allSigs = extraSigs.fold(corpusSigs)(d => corpusSigs.unionByName(d))
-        MinHashLsh.dedupAgainstPrecomputed(allSigs, corpusDocs, exactNew,
-          cfg.idCol, TextFunctions.shingleHashes(text, 5), numHashes, bands, th)
+        frozen.banded match {
+          case Some((bnd, hot)) if frozen.bandedBands == bands =>
+            MinHashLsh.dedupAgainstFrozenBanded(corpusSigs, bnd, hot,
+              extraSigs, corpusDocs, exactNew, cfg.idCol,
+              TextFunctions.shingleHashes(text, 5), numHashes, bands, th,
+              maxBucketSize = frozen.bandedMaxBucketSize,
+              deltaBanded = extraBanded,
+              deltaBucketCounts = extraBucketCounts,
+              frozenMaxNonHot = frozen.bandedMaxNonHot)
+          case _ =>
+            val allSigs = extraSigs.fold(corpusSigs)(d => corpusSigs.unionByName(d))
+            MinHashLsh.dedupAgainstPrecomputed(allSigs, corpusDocs, exactNew,
+              cfg.idCol, TextFunctions.shingleHashes(text, 5), numHashes, bands, th)
+        }
       }
 
       // 4. SEMANTIC near-dup against frozen embeddings ∪ delta embeddings —

@@ -270,30 +270,142 @@ object MinHashLsh {
       minBands, maxBucketSize)
   }
 
+  /** The banded (id, band, bucket) frame of a [[signatureFrame]]-shaped
+    * sigs frame — 16× row expansion, narrow columns. Freezable: computing
+    * this ONCE per refresh and reusing it across micro-batches removes the
+    * per-batch corpus-side explode (and, with [[hotBucketsOf]], the
+    * per-batch O(corpus) hot-bucket shuffle) from the frozen ingest gate.
+    */
+  private[functions] def bandedFrame(sigs: DataFrame, bands: Int,
+                                     numHashes: Int): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    sigs.select(col("__id"),
+      posexplode(bandBuckets(col("__sig"), bands, numHashes / bands))
+        .as(Seq("__band", "__bucket")))
+  }
+
+  /** (band, bucket) pairs whose occupancy exceeds `cap` — one groupBy
+    * shuffle over the banded frame.
+    */
+  private[functions] def hotBucketsOf(banded: DataFrame, cap: Long): DataFrame =
+    banded.groupBy(col("__band"), col("__bucket"))
+      .agg(count(lit(1)).as("__bsz"))
+      .filter(col("__bsz") > cap)
+      .select(col("__band"), col("__bucket"))
+
   private def bipartiteCore(sl: DataFrame, sr: DataFrame,
                             releaseSigs: () => Unit, leftDocs: => DataFrame,
                             right: DataFrame, idCol: String,
                             shingleHashes: Column, numHashes: Int, bands: Int,
                             threshold: Double, minBands: Int,
                             maxBucketSize: Long): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
-    val r = numHashes / bands
-    val estimated = {
-      def bandedOf(s: DataFrame): DataFrame = s.select(col("__id"),
-        posexplode(bandBuckets(col("__sig"), bands, r)).as(Seq("__band", "__bucket")))
-      val bl0 = bandedOf(sl)
-      val br0 = bandedOf(sr)
-      val (bl, br) =
-        if (maxBucketSize <= 0L) (bl0, br0)
-        else {
-          def hotOf(b: DataFrame): DataFrame = b.groupBy(col("__band"), col("__bucket"))
-            .agg(count(lit(1)).as("__bsz"))
-            .filter(col("__bsz") > maxBucketSize)
-            .select(col("__band"), col("__bucket"))
-          val hot = hotOf(bl0).union(hotOf(br0)).distinct()
-          (bl0.join(hot, Seq("__band", "__bucket"), "left_anti"),
-           br0.join(hot, Seq("__band", "__bucket"), "left_anti"))
+    val bl0 = bandedFrame(sl, bands, numHashes)
+    val br0 = bandedFrame(sr, bands, numHashes)
+    val (bl, br) =
+      if (maxBucketSize <= 0L) (bl0, br0)
+      else {
+        val hot = hotBucketsOf(bl0, maxBucketSize)
+          .union(hotBucketsOf(br0, maxBucketSize)).distinct()
+        (bl0.join(hot, Seq("__band", "__bucket"), "left_anti"),
+         br0.join(hot, Seq("__band", "__bucket"), "left_anti"))
+      }
+    bipartiteTail(bl, br, sl, sr, releaseSigs, leftDocs, right, idCol,
+      shingleHashes, numHashes, threshold, minBands, bands)
+  }
+
+  /** [[bipartiteCore]] with the LEFT side's banded frame and hot-bucket
+    * set PRECOMPUTED (frozen at refresh time) plus an optional admitted
+    * DELTA: candidates come from (frozenBanded ∪ banded(delta)) ⋈ batch,
+    * and the hot set is reconstructed EXACTLY as the unfrozen path would
+    * compute it over (frozen ∪ delta) — frozen-hot pairs are static
+    * ([[hotBucketsOf]] at freeze), and the only buckets whose occupancy
+    * can have changed are those the delta touches, so the per-batch check
+    * is one broadcast-semi count over the cached frozen banding instead of
+    * a full O(corpus) groupBy shuffle. Admissions stay bit-identical to
+    * the per-batch path at any cadence (FrozenGateSpec pins the equality;
+    * `MinHashLshSpec` pins the hot-bucket crossing case).
+    */
+  private def bipartiteCoreFrozenBanded(
+      slFrozen: DataFrame, frozenBanded: DataFrame, frozenHot: DataFrame,
+      deltaSigs: Option[DataFrame], deltaBanded: Option[DataFrame],
+      deltaBucketCounts: Option[Map[(Int, Long), Long]],
+      frozenMaxNonHot: Option[Long],
+      sr: DataFrame, releaseSigs: () => Unit,
+      leftDocs: => DataFrame, right: DataFrame, idCol: String,
+      shingleHashes: Column, numHashes: Int, bands: Int, threshold: Double,
+      minBands: Int, maxBucketSize: Long): DataFrame = {
+    val spark = frozenBanded.sparkSession
+    // the delta's banded rows: caller-precomputed (driver-built at fold
+    // time, zero jobs) when available, else derived from the delta sigs
+    val blD = deltaBanded.orElse(deltaSigs.map(d => bandedFrame(d, bands, numHashes)))
+    val bl0 = blD.fold(frozenBanded)(frozenBanded.unionByName(_))
+    val br0 = bandedFrame(sr, bands, numHashes)
+    val (bl, br) =
+      if (maxBucketSize <= 0L) (bl0, br0)
+      else {
+        // buckets hot over frozen ∪ delta = {frozen count > cap} ∪
+        // {delta-touched: frozen + delta count > cap} — the second term is
+        // the only one needing fresh counts, and only for delta's buckets
+        val crossing: Option[DataFrame] = deltaBucketCounts match {
+          case Some(counts) =>
+            // driver-resident delta occupancy: when even the delta's
+            // densest bucket stacked on the frozen side's densest NON-hot
+            // bucket cannot cross the cap, no bucket's hotness changed —
+            // skip the corpus-side count probe entirely (the steady-state
+            // path: zero frozen-banding work for hot detection)
+            val maxDc = if (counts.isEmpty) 0L else counts.valuesIterator.max
+            if (maxDc == 0L ||
+                frozenMaxNonHot.exists(m => maxDc + m <= maxBucketSize)) None
+            else {
+              val touched = spark.createDataFrame(counts.toSeq.map {
+                case ((b, bkt), dc) => (b, bkt, dc)
+              }).toDF("__band", "__bucket", "__dc")
+              val fCnt = frozenBanded.join(
+                  touched.select("__band", "__bucket"),
+                  Seq("__band", "__bucket"), "left_semi")
+                .groupBy(col("__band"), col("__bucket"))
+                .agg(count(lit(1)).as("__fc"))
+              Some(touched.join(fCnt, Seq("__band", "__bucket"), "left")
+                .filter(col("__dc") + coalesce(col("__fc"), lit(0L)) > maxBucketSize)
+                .select(col("__band"), col("__bucket")))
+            }
+          case None => blD.map { d =>
+            val touched = d.groupBy(col("__band"), col("__bucket"))
+              .agg(count(lit(1)).as("__dc"))
+            val fCnt = frozenBanded.join(touched.select("__band", "__bucket"),
+                Seq("__band", "__bucket"), "left_semi")
+              .groupBy(col("__band"), col("__bucket"))
+              .agg(count(lit(1)).as("__fc"))
+            touched.join(fCnt, Seq("__band", "__bucket"), "left")
+              .filter(col("__dc") + coalesce(col("__fc"), lit(0L)) > maxBucketSize)
+              .select(col("__band"), col("__bucket"))
+          }
         }
+        // ONE action: the full hot set is tiny (pathological buckets only),
+        // so localize it — both anti-joins then broadcast a precomputed
+        // LocalRelation instead of re-running the crossing/count subplans
+        // once per consuming join (measured 2× the whole funnel's cost)
+        val hot = Checkpoints.localize(
+          crossing.fold(frozenHot)(frozenHot.union(_))
+            .union(hotBucketsOf(br0, maxBucketSize)).distinct())
+        (bl0.join(hot, Seq("__band", "__bucket"), "left_anti"),
+         br0.join(hot, Seq("__band", "__bucket"), "left_anti"))
+      }
+    val sl = deltaSigs.fold(slFrozen)(slFrozen.unionByName(_))
+    bipartiteTail(bl, br, sl, sr, releaseSigs, leftDocs, right, idCol,
+      shingleHashes, numHashes, threshold, minBands, bands)
+  }
+
+  /** The funnel's shared tail: banded collision candidates → signature-
+    * agreement estimate → exact-Jaccard verify with candidate-id pushdown.
+    */
+  private def bipartiteTail(bl: DataFrame, br: DataFrame, sl: DataFrame,
+                            sr: DataFrame, releaseSigs: () => Unit,
+                            leftDocs: => DataFrame, right: DataFrame,
+                            idCol: String, shingleHashes: Column,
+                            numHashes: Int, threshold: Double,
+                            minBands: Int, bands: Int): DataFrame = {
+    val estimated = {
       val cand = bl.as("l").join(br.as("r"),
           col("l.__band") === col("r.__band") &&
           col("l.__bucket") === col("r.__bucket"))
@@ -372,6 +484,59 @@ object MinHashLsh {
                               bands: Int = 16, threshold: Double = 0.8): DataFrame = {
     val dupIds = bipartitePairsPrecomputedLeft(existingSigs, existingDocs,
         incoming, idCol, shingleHashes, numHashes, bands, threshold)
+      .select(col("id_right").as(idCol)).distinct()
+    incoming.join(dupIds, Seq(idCol), "left_anti")
+  }
+
+  /** [[bipartitePairsPrecomputedLeft]] with the corpus side's BANDED frame
+    * and hot-bucket set also precomputed (one banding explode + one
+    * hot-bucket shuffle per REFRESH instead of per batch — the per-batch
+    * corpus-side work drops from an O(corpus) groupBy shuffle to cached
+    * probes), plus the admitted-since-freeze delta as separate signatures.
+    * Output is identical to feeding (frozen ∪ delta) signatures through
+    * [[bipartitePairsPrecomputedLeft]] — including hot-bucket semantics:
+    * a bucket that crosses `maxBucketSize` only once the delta lands is
+    * re-detected per batch from the frozen counts of exactly the buckets
+    * the delta touches (spec-pinned, `MinHashLshSpec`).
+    */
+  def bipartitePairsFrozenBanded(frozenSigs: DataFrame, frozenBanded: DataFrame,
+                                 frozenHot: DataFrame,
+                                 deltaSigs: Option[DataFrame],
+                                 leftDocs: => DataFrame, right: DataFrame,
+                                 idCol: String, shingleHashes: Column,
+                                 numHashes: Int = 64, bands: Int = 16,
+                                 threshold: Double = 0.8, minBands: Int = 2,
+                                 maxBucketSize: Long = 4096L,
+                                 deltaBanded: Option[DataFrame] = None,
+                                 deltaBucketCounts: Option[Map[(Int, Long), Long]] = None,
+                                 frozenMaxNonHot: Option[Long] = None): DataFrame = {
+    val sr = signatureFrame(right, idCol, shingleHashes, numHashes)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    bipartiteCoreFrozenBanded(frozenSigs, frozenBanded, frozenHot, deltaSigs,
+      deltaBanded, deltaBucketCounts, frozenMaxNonHot,
+      sr, () => sr.unpersist(false), leftDocs, right, idCol, shingleHashes,
+      numHashes, bands, threshold, minBands, maxBucketSize)
+  }
+
+  /** [[dedupAgainstPrecomputed]] over frozen banded state — the ingest
+    * gate's steady-state path ([[bipartitePairsFrozenBanded]]).
+    */
+  def dedupAgainstFrozenBanded(frozenSigs: DataFrame, frozenBanded: DataFrame,
+                               frozenHot: DataFrame,
+                               deltaSigs: Option[DataFrame],
+                               existingDocs: => DataFrame, incoming: DataFrame,
+                               idCol: String, shingleHashes: Column,
+                               numHashes: Int = 64, bands: Int = 16,
+                               threshold: Double = 0.8,
+                               maxBucketSize: Long = 4096L,
+                               deltaBanded: Option[DataFrame] = None,
+                               deltaBucketCounts: Option[Map[(Int, Long), Long]] = None,
+                               frozenMaxNonHot: Option[Long] = None): DataFrame = {
+    val dupIds = bipartitePairsFrozenBanded(frozenSigs, frozenBanded,
+        frozenHot, deltaSigs, existingDocs, incoming, idCol, shingleHashes,
+        numHashes, bands, threshold, maxBucketSize = maxBucketSize,
+        deltaBanded = deltaBanded, deltaBucketCounts = deltaBucketCounts,
+        frozenMaxNonHot = frozenMaxNonHot)
       .select(col("id_right").as(idCol)).distinct()
     incoming.join(dupIds, Seq(idCol), "left_anti")
   }

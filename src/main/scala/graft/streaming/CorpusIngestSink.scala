@@ -79,9 +79,12 @@ object CorpusIngestSink {
     */
   private[streaming] def estimatedDeltaRowBytes(
       withSignatures: Boolean, numHashes: Int,
-      withEmbeddings: Boolean, embeddingDim: Int): Long = {
+      withEmbeddings: Boolean, embeddingDim: Int, bands: Int = 16): Long = {
     val rowShell = 64L // GenericRow + field refs + boxed id/key
-    val sig = if (withSignatures) 48L + 32L * numHashes else 8L
+    // a signature row also carries its band-bucket array (one long per
+    // band), collected in the same fold so the delta's banding and bucket
+    // occupancy stay driver-resident without extra jobs
+    val sig = if (withSignatures) 96L + 32L * (numHashes + bands) else 8L
     val emb = if (withEmbeddings) 48L + 32L * embeddingDim else 0L
     rowShell + sig + emb
   }
@@ -93,10 +96,10 @@ object CorpusIngestSink {
     */
   private[streaming] def foldCollectMaxRows(
       foldDriverBytes: Long, withSignatures: Boolean, numHashes: Int,
-      withEmbeddings: Boolean, embeddingDim: Int): Long =
+      withEmbeddings: Boolean, embeddingDim: Int, bands: Int = 16): Long =
     math.min(1L << 22, math.max(1L, foldDriverBytes /
       estimatedDeltaRowBytes(withSignatures, numHashes, withEmbeddings,
-        embeddingDim)))
+        embeddingDim, bands)))
 
   /** Fingerprint of the corpus directory's data-file listing — (name,
     * length, mtime) of every `.parquet` file, order-independent. One FS
@@ -314,6 +317,18 @@ object CorpusIngestSink {
     private var deltaKeys: Option[DataFrame] = None
     private var deltaSigs: Option[DataFrame] = None
     private var deltaEmbs: Option[DataFrame] = None
+    /** the delta's banded rows, built DRIVER-SIDE at fold time (the fold's
+      * collect already carries each row's band buckets) — zero extra jobs,
+      * and the funnel's hot-bucket check gets exact per-bucket delta
+      * occupancy without ever re-banding the delta distributively
+      */
+    private var deltaBanded: Option[DataFrame] = None
+    private val deltaBucketCounts = scala.collection.mutable.HashMap.empty[(Int, Long), Long]
+    /** false once any fold took the checkpoint path (delta no longer fully
+      * driver-resident) — the funnel then falls back to plan-derived
+      * delta banding until the next refresh
+      */
+    private var deltaDriverResident = true
     private[streaming] val deltaParts = scala.collection.mutable.ListBuffer.empty[DataFrame]
     /** listing fingerprint the gate expects the target to have; refreshed
       * at every freeze and after each own append
@@ -350,7 +365,10 @@ object CorpusIngestSink {
       val (accepted0, releaseBatch) = CorpusPipeline.prepareIncrementalFrozen(
         batch, frozen, corpusReader(spark, targetDir, batch), cfg,
         againstThreshold, numHashes, bands, deltaKeys, deltaSigs,
-        semanticAgainstThreshold, deltaEmbs)
+        semanticAgainstThreshold, deltaEmbs,
+        extraBanded = if (deltaDriverResident) deltaBanded else None,
+        extraBucketCounts =
+          if (deltaDriverResident) Some(deltaBucketCounts.toMap) else None)
       // the batch's survivors feed the write AND the delta fold — persist
       // once so neither re-runs the gate joins
       val accepted = accepted0
@@ -371,12 +389,18 @@ object CorpusIngestSink {
           val text = c(cfg.textCol)
           val sigExpr = graft.functions.MinHashLsh.signatureOfHashes(
             graft.functions.TextFunctions.shingleHashes(text, 5), numHashes)
+          val nullArr = org.apache.spark.sql.functions.lit(null)
+            .cast("array<bigint>")
           val base = accepted.select(c(cfg.idCol).as("__id"),
             graft.functions.TextFunctions.md5Hash60(
               graft.functions.TextFunctions.normalized(text)).as("__ck"),
-            (if (againstThreshold.isDefined) sigExpr
-             else org.apache.spark.sql.functions.lit(null)
-               .cast("array<bigint>")).as("__sig"))
+            (if (againstThreshold.isDefined) sigExpr else nullArr).as("__sig"),
+            // the row's band buckets ride the same projection — the
+            // driver-side delta banding below costs zero extra jobs
+            (if (againstThreshold.isDefined)
+               graft.functions.MinHashLsh.bandBuckets(sigExpr, bands,
+                 numHashes / bands)
+             else nullArr).as("__bb"))
           val withEmb =
             if (semanticAgainstThreshold.isDefined)
               base.join(cfg.embeddings.get.select(c(cfg.idCol).as("__id"),
@@ -394,14 +418,55 @@ object CorpusIngestSink {
           // mutated-target reason, released through deltaParts on close).
           val maxFoldRows = foldCollectMaxRows(foldDriverBytes,
             againstThreshold.isDefined, numHashes,
-            semanticAgainstThreshold.isDefined, cfg.embeddingDim)
+            semanticAgainstThreshold.isDefined, cfg.embeddingDim, bands)
           val folded = foldTap(withEmb)
+          val collected = if (n <= maxFoldRows) folded.collect() else null
           val deltaSlim =
-            if (n <= maxFoldRows)
+            if (collected != null)
               spark.createDataFrame(
-                java.util.Arrays.asList(folded.collect(): _*), folded.schema)
+                java.util.Arrays.asList(collected: _*), folded.schema)
             else folded.localCheckpoint()
           deltaParts += deltaSlim
+          if (collected != null && deltaDriverResident &&
+              againstThreshold.isDefined) {
+            // driver-side banding of the admitted rows: the collected __bb
+            // arrays become (id, band, bucket) local rows plus an exact
+            // per-bucket occupancy map — the funnel uses the map to prove
+            // most batches cannot push any bucket over the hot cap and to
+            // probe frozen counts for exactly the touched buckets when one
+            // might
+            val idIdx = folded.schema.fieldIndex("__id")
+            val bbIdx = folded.schema.fieldIndex("__bb")
+            val bandedRows = new java.util.ArrayList[org.apache.spark.sql.Row](
+              collected.length * bands)
+            collected.foreach { r =>
+              if (!r.isNullAt(bbIdx)) {
+                val bb = r.getSeq[Long](bbIdx)
+                var b = 0
+                while (b < bb.length) {
+                  bandedRows.add(org.apache.spark.sql.Row(r.get(idIdx), b, bb(b)))
+                  val k = (b, bb(b))
+                  deltaBucketCounts.update(k, deltaBucketCounts.getOrElse(k, 0L) + 1L)
+                  b += 1
+                }
+              }
+            }
+            val bandedSchema = org.apache.spark.sql.types.StructType(Seq(
+              folded.schema("__id").copy(name = "__id"),
+              org.apache.spark.sql.types.StructField("__band",
+                org.apache.spark.sql.types.IntegerType, nullable = false),
+              org.apache.spark.sql.types.StructField("__bucket",
+                org.apache.spark.sql.types.LongType, nullable = false)))
+            val part: DataFrame = spark.createDataFrame(bandedRows, bandedSchema)
+            deltaBanded = Some(deltaBanded.fold(part)(_.unionByName(part)))
+          } else if (collected == null) {
+            // a checkpointed fold means the delta is no longer fully
+            // driver-resident: drop the driver-side banding state and let
+            // the funnel re-derive delta banding from the sig frames
+            deltaDriverResident = false
+            deltaBanded = None
+            deltaBucketCounts.clear()
+          }
           val aKeys = deltaSlim.select(c("__ck"))
           deltaKeys = Some(deltaKeys.fold(aKeys)(_.unionByName(aKeys)))
           if (againstThreshold.isDefined) {
@@ -460,7 +525,12 @@ object CorpusIngestSink {
         corpusReader(spark, targetDir, schemaDonor), cfg,
         withSignatures = againstThreshold.isDefined, numHashes, bloomFpp,
         embeddings =
-          if (semanticAgainstThreshold.isDefined) cfg.embeddings else None)
+          if (semanticAgainstThreshold.isDefined) cfg.embeddings else None,
+        // banded freeze state: the corpus-side banding explode + hot-bucket
+        // shuffle amortize over the refresh window instead of recurring per
+        // batch — the O(corpus)-shuffle-per-batch term the r16 crossover
+        // measurement exposed (BENCH_VARIANCE_r16.md)
+        withBanded = againstThreshold.isDefined, bands = bands)
       sinceRefresh = 0
       refreshes += 1
       // recorded AFTER the freeze materialized (freezeCorpus counts the
@@ -481,6 +551,9 @@ object CorpusIngestSink {
       deltaKeys = None
       deltaSigs = None
       deltaEmbs = None
+      deltaBanded = None
+      deltaBucketCounts.clear()
+      deltaDriverResident = true
     }
   }
 }

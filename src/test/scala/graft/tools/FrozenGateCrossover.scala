@@ -1,0 +1,110 @@
+package graft.tools
+
+import graft.functions.CorpusPipeline
+import graft.streaming.CorpusIngestSink
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+import java.nio.file.Files
+
+/** Measures the [[CorpusIngestSink.FrozenGate]] crossover at its DESIGN
+  * regime — standing corpus ≫ micro-batch — which the sf0.1 fixtures
+  * (4k-doc corpora) cannot express: there the gate's fixed delta-fold
+  * bookkeeping dominates and per-batch gating is ~2× faster (the honest
+  * negative documented in r15). This harness seeds a corpus of `--corpus`
+  * synthetic docs (default 500k, pairwise-distinct shingle sets so the
+  * near-dup funnel stays candidate-proportional), then pushes `--batches`
+  * micro-batches of `--batchRows` docs (5% exact duplicates of corpus
+  * rows, exercising the Bloom/sliver path) through per-batch gating vs the
+  * frozen gate, and prints wall-clock + admissions for both.
+  *
+  * Run: `sbt "Test/runMain graft.tools.FrozenGateCrossover"`.
+  * Results for the record live in BENCH_VARIANCE_r16.md §2.
+  */
+object FrozenGateCrossover {
+
+  def main(args: Array[String]): Unit = {
+    val corpusRows = args.lift(0).map(_.toLong).getOrElse(500000L)
+    val nBatches = args.lift(1).map(_.toInt).getOrElse(12)
+    val batchRows = args.lift(2).map(_.toLong).getOrElse(1000L)
+    val refreshEvery = args.lift(3).map(_.toInt).getOrElse(8)
+
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // Synthetic doc: ~40 alphabetic pseudo-words derived from seeded
+    // xxhash64 — every doc's 5-shingle set is (whp) disjoint from every
+    // other's, so near-dup candidates stay ∝ real collisions, not fixture
+    // artifacts. The quality knobs that would reject hash-shaped words
+    // (digit ratio, token length) are opened up: filtering isn't what this
+    // measures.
+    val cfg = CorpusPipeline.Config(
+      minChars = 10, requireKnownLang = false,
+      nearDupThreshold = None, decontamThreshold = None,
+      maxDigitRatio = 1.0, maxMeanTokenLen = 100.0, maxPunctRatio = 1.0)
+    def textOf(seed: org.apache.spark.sql.Column) = concat_ws(" ",
+      (0 until 40).map(k => lower(hex(xxhash64(seed, lit(k))))): _*)
+    def corpusDocs(n: Long): DataFrame = spark.range(n)
+      .select(col("id").as("doc_id"), textOf(col("id")).as("text"),
+        lit("web").as("source"), lit("train").as("split"))
+    // batch rows: ids far above the corpus range; every 20th row REUSES a
+    // corpus doc's text (exact dup → must be rejected by the exact stage)
+    def batchDocs(i: Int): DataFrame = {
+      val start = 10000000L + i.toLong * batchRows
+      spark.range(start, start + batchRows)
+        .select(col("id").as("doc_id"),
+          textOf(when(col("id") % 20 === 0, pmod(col("id") * 31, lit(corpusRows)))
+            .otherwise(col("id"))).as("text"),
+          lit("web").as("source"))
+    }
+    val expectAdmitted = (0 until nBatches)
+      .map(i => batchDocs(i).filter(col("doc_id") % 20 =!= 0).count()).sum
+
+    def seed(dir: String): Unit =
+      corpusDocs(corpusRows).write.mode(SaveMode.Overwrite).parquet(dir)
+
+    def timed[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+
+    // --- per-batch mode: one fused freeze scan of the corpus EVERY batch
+    val dirP = Files.createTempDirectory("xover_perbatch").toString
+    seed(dirP)
+    val (admittedP, secP) = timed {
+      (0 until nBatches).map { i =>
+        val (n, s) = timed(CorpusIngestSink.processBatch(
+          spark, dirP, batchDocs(i), cfg))
+        System.err.println(f"[xover] per-batch b$i%02d $s%6.2f s admitted=$n")
+        n
+      }.sum
+    }
+
+    // --- frozen mode: ceil(K/N) freezes, delta folds in between
+    val dirF = Files.createTempDirectory("xover_frozen").toString
+    seed(dirF)
+    val gate = new CorpusIngestSink.FrozenGate(dirF, cfg,
+      refreshEvery = refreshEvery)
+    val (admittedF, secF) = timed {
+      try (0 until nBatches).map { i =>
+        val (n, s) = timed(gate.processBatch(batchDocs(i)))
+        System.err.println(f"[xover] frozen    b$i%02d $s%6.2f s admitted=$n")
+        n
+      }.sum finally gate.close()
+    }
+
+    assert(admittedP == expectAdmitted && admittedF == expectAdmitted,
+      s"modes must admit identically: per-batch=$admittedP frozen=$admittedF expected=$expectAdmitted")
+    println(f"[xover] RESULT corpus=$corpusRows batches=$nBatches x $batchRows " +
+      f"refreshEvery=$refreshEvery per-batch=$secP%.1f s frozen=$secF%.1f s " +
+      f"speedup=${secP / secF}%.2f x admitted=$admittedF")
+    spark.stop()
+  }
+}
