@@ -2358,6 +2358,43 @@ object SparkEntry {
       out.orderBy(col("doc_id"))
     }),
 
+    // EXTERNAL-WRITER detection, oracle-checked: batch 1 seeds the corpus
+    // through the frozen gate (refreshEvery=3 — absent interference ONE
+    // freeze would cover everything), then a co-writer appends raw rows
+    // (doc_id%3==1, unprepared, split='train') directly to the target
+    // BETWEEN batches. The gate must detect the listing change
+    // (ExternalWriterPolicy.Refresh, the default) and re-freeze, so batch 2
+    // (doc_id%3==2) gates against batch 1's survivors ∪ the co-written
+    // rows. DuckDB replays exactly that corpus; under the r15 blind spot
+    // (Ignore) the co-writer's exact/near duplicates in batch 2 would be
+    // re-admitted and the content hash would mismatch — the detection is
+    // what the oracle checks, not just the spec.
+    "ingest_external_writer" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val cfg = CorpusPipeline.Config(
+        nearDupThreshold = None, decontamThreshold = None)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_ingest_xw").toString
+      val b1 = docs.filter(pmod(col("doc_id"), lit(3L)) === 0L)
+      val ext = docs.filter(pmod(col("doc_id"), lit(3L)) === 1L)
+        .withColumn("split", lit("train"))
+      val b2 = docs.filter(pmod(col("doc_id"), lit(3L)) === 2L)
+      val gate = new graft.streaming.CorpusIngestSink.FrozenGate(
+        tmp, cfg, refreshEvery = 3)
+      try {
+        gate.processBatch(b1)
+        ext.write.mode(org.apache.spark.sql.SaveMode.Append).parquet(tmp)
+        gate.processBatch(b2)
+      } finally gate.close()
+      val out = graft.core.Checkpoints.localize(
+        s.read.parquet(tmp).select(col("doc_id"), col("split")))
+      val root = java.nio.file.Paths.get(tmp)
+      val walk = java.nio.file.Files.walk(root)
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => java.nio.file.Files.deleteIfExists(f))
+      finally walk.close()
+      out.orderBy(col("doc_id"))
+    }),
+
     // the SEMANTIC arm of the ingest gate: day-2 batch (doc_id%5==0)
     // through in-batch prepare + exact against-corpus dedup, then drop
     // every survivor whose EMBEDDING has cosine >= 0.4 against any
@@ -3537,6 +3574,28 @@ object SparkEntry {
            |          (SELECT CAST('0x' || substr(md5(norm), 1, 15) AS UBIGINT) FROM sp1)),
            |${bipartiteDropCtes("ex2", "sp1")}
            |SELECT doc_id, split FROM sp1
+           |UNION ALL
+           |SELECT doc_id, split FROM ex2 WHERE doc_id NOT IN (SELECT ib FROM dropped)
+           |ORDER BY doc_id""".stripMargin,
+
+      // external-writer lifecycle: round 1 prepared, then the co-writer's
+      // RAW rows (no quality gate, no dedup, split literal) join the
+      // corpus, and round 2 gates against the union — replaying what a
+      // detected-and-refreshed gate must compute
+      "ingest_external_writer" ->
+        s"""WITH ${ingestPrepCtes("1", "doc_id % 3 = 0")},
+           |${ingestPrepCtes("2", "doc_id % 3 = 2")},
+           |ext AS (SELECT doc_id, $normText AS norm, 'train' AS split
+           |        FROM documents WHERE doc_id % 3 = 1),
+           |corpx AS (SELECT doc_id, norm FROM sp1
+           |          UNION ALL SELECT doc_id, norm FROM ext),
+           |ex2 AS (SELECT sp2.* FROM sp2
+           |        WHERE CAST('0x' || substr(md5(sp2.norm), 1, 15) AS UBIGINT) NOT IN
+           |          (SELECT CAST('0x' || substr(md5(norm), 1, 15) AS UBIGINT) FROM corpx)),
+           |${bipartiteDropCtes("ex2", "corpx")}
+           |SELECT doc_id, split FROM sp1
+           |UNION ALL
+           |SELECT doc_id, split FROM ext
            |UNION ALL
            |SELECT doc_id, split FROM ex2 WHERE doc_id NOT IN (SELECT ib FROM dropped)
            |ORDER BY doc_id""".stripMargin,
