@@ -348,16 +348,18 @@ object MinHashLsh {
         // the only one needing fresh counts, and only for delta's buckets
         val crossing: Option[DataFrame] = deltaBucketCounts match {
           case Some(counts) =>
-            // driver-resident delta occupancy: when even the delta's
-            // densest bucket stacked on the frozen side's densest NON-hot
-            // bucket cannot cross the cap, no bucket's hotness changed —
-            // skip the corpus-side count probe entirely (the steady-state
-            // path: zero frozen-banding work for hot detection)
-            val maxDc = if (counts.isEmpty) 0L else counts.valuesIterator.max
-            if (maxDc == 0L ||
-                frozenMaxNonHot.exists(m => maxDc + m <= maxBucketSize)) None
+            // driver-resident delta occupancy: a bucket can cross the cap
+            // only if its delta count stacked on the frozen side's densest
+            // NON-hot bucket exceeds it (per-bucket frozen counts are ≤
+            // that max by definition; already-hot buckets are in frozenHot
+            // regardless) — so the probe ships only the SUSPECT buckets,
+            // and the steady state (no suspects) skips the corpus-side
+            // count probe entirely
+            val suspects = frozenMaxNonHot.fold(counts)(m =>
+              counts.filter { case (_, dc) => dc + m > maxBucketSize })
+            if (suspects.isEmpty) None
             else {
-              val touched = spark.createDataFrame(counts.toSeq.map {
+              val touched = spark.createDataFrame(suspects.toSeq.map {
                 case ((b, bkt), dc) => (b, bkt, dc)
               }).toDF("__band", "__bucket", "__dc")
               val fCnt = frozenBanded.join(
