@@ -478,6 +478,13 @@ object CorpusPipeline {
       private[functions] val bandedHot: Option[DataFrame] = None,
       /** band count the frozen banding was built with */
       val bandedBands: Int = 16,
+      /** signature width the freeze was built with — the frozen-banded
+        * dispatch checks it alongside [[bandedBands]], because a caller
+        * gating with a different numHashes would get silently inconsistent
+        * bucket semantics between the cached frozen banding and the
+        * batch-side banded frame
+        */
+      val bandedNumHashes: Int = 64,
       /** hot-bucket occupancy cap the frozen hot set was built with */
       val bandedMaxBucketSize: Long = 4096L,
       /** max occupancy among the frozen side's NON-hot buckets — lets the
@@ -506,6 +513,10 @@ object CorpusPipeline {
     def release(): Unit = {
       slim.unpersist(blocking = false)
       bandedSlim.foreach(_.unpersist(blocking = false))
+      // the hot set is normally a driver-local relation (release no-ops),
+      // but a pathological freeze (most buckets hot) can leave it as a
+      // lineage-truncated checkpoint whose blocks must not outlive the gate
+      bandedHot.foreach(graft.core.Checkpoints.release)
     }
   }
 
@@ -574,7 +585,7 @@ object CorpusPipeline {
           }
         }
       new FrozenCorpus(slim, rows, bloom, withSignatures, embeddings.isDefined,
-        bnd, hot, bands, maxBucketSize, maxNonHot)
+        bnd, hot, bands, numHashes, maxBucketSize, maxNonHot)
     } catch {
       // the count and the filter build are real actions — a transient
       // failure there must not pin a corpus-keys-sized cache entry nobody
@@ -650,7 +661,8 @@ object CorpusPipeline {
         val corpusSigs = frozen.sigs.getOrElse(throw new IllegalStateException(
           "near-dup gating requested but the corpus was frozen without signatures"))
         frozen.banded match {
-          case Some((bnd, hot)) if frozen.bandedBands == bands =>
+          case Some((bnd, hot)) if frozen.bandedBands == bands &&
+              frozen.bandedNumHashes == numHashes =>
             MinHashLsh.dedupAgainstFrozenBanded(corpusSigs, bnd, hot,
               extraSigs, corpusDocs, exactNew, cfg.idCol,
               TextFunctions.shingleHashes(text, 5), numHashes, bands, th,

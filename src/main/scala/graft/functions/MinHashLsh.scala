@@ -340,8 +340,8 @@ object MinHashLsh {
     val blD = deltaBanded.orElse(deltaSigs.map(d => bandedFrame(d, bands, numHashes)))
     val bl0 = blD.fold(frozenBanded)(frozenBanded.unionByName(_))
     val br0 = bandedFrame(sr, bands, numHashes)
-    val (bl, br) =
-      if (maxBucketSize <= 0L) (bl0, br0)
+    val (bl, br, releaseHot) =
+      if (maxBucketSize <= 0L) (bl0, br0, () => ())
       else {
         // buckets hot over frozen ∪ delta = {frozen count > cap} ∪
         // {delta-touched: frozen + delta count > cap} — the second term is
@@ -391,11 +391,19 @@ object MinHashLsh {
           crossing.fold(frozenHot)(frozenHot.union(_))
             .union(hotBucketsOf(br0, maxBucketSize)).distinct())
         (bl0.join(hot, Seq("__band", "__bucket"), "left_anti"),
-         br0.join(hot, Seq("__band", "__bucket"), "left_anti"))
+         br0.join(hot, Seq("__band", "__bucket"), "left_anti"),
+         // localize falls back to a bare localCheckpoint above its row
+         // guard (pathological corpora where most buckets are hot) — those
+         // blocks must die with this call, not with the session. The hot
+         // frame is fully consumed by bipartiteTail's eager survivor
+         // materialization; the frame it RETURNS references only the
+         // localized survivors and the candidate text scans.
+         () => Checkpoints.release(hot))
       }
     val sl = deltaSigs.fold(slFrozen)(slFrozen.unionByName(_))
-    bipartiteTail(bl, br, sl, sr, releaseSigs, leftDocs, right, idCol,
+    try bipartiteTail(bl, br, sl, sr, releaseSigs, leftDocs, right, idCol,
       shingleHashes, numHashes, threshold, minBands, bands)
+    finally releaseHot()
   }
 
   /** The funnel's shared tail: banded collision candidates → signature-

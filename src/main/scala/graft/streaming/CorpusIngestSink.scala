@@ -101,21 +101,53 @@ object CorpusIngestSink {
       estimatedDeltaRowBytes(withSignatures, numHashes, withEmbeddings,
         embeddingDim, bands)))
 
-  /** Fingerprint of the corpus directory's data-file listing — (name,
-    * length, mtime) of every `.parquet` file, order-independent. One FS
-    * listing, no data read: the per-batch external-writer check
-    * ([[ExternalWriterPolicy]]) costs a metadata round-trip, never a scan.
+  /** The corpus directory's data-file listing — (relative path, length,
+    * mtime) of every `.parquet` file, RECURSIVE: `spark.read.parquet` does
+    * partition discovery, so a co-writer landing rows in a subdirectory
+    * (a `partitionBy` append) changes what the next refresh reads and must
+    * change the listing too. One FS metadata call, no data read.
     */
-  private[streaming] def corpusFingerprint(spark: SparkSession, dir: String): Long = {
+  private[streaming] def listingEntries(spark: SparkSession, dir: String)
+      : Seq[(String, Long, Long)] = {
     val path = new org.apache.hadoop.fs.Path(dir)
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(path)) return 0L
-    val entries = fs.listStatus(path)
-      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-      .map(s => (s.getPath.getName, s.getLen, s.getModificationTime))
-      .sortBy(_._1).toSeq
-    scala.util.hashing.MurmurHash3.orderedHash(entries).toLong ^
-      (entries.size.toLong << 32)
+    if (!fs.exists(path)) return Seq.empty
+    val base = fs.makeQualified(path).toString
+    val out = Seq.newBuilder[(String, Long, Long)]
+    val it = fs.listFiles(path, true)
+    while (it.hasNext) {
+      val s = it.next()
+      val p = s.getPath.toString
+      if (p.endsWith(".parquet"))
+        out += ((p.stripPrefix(base), s.getLen, s.getModificationTime))
+    }
+    out.result()
+  }
+
+  /** Order-independent fingerprint of a [[listingEntries]] listing. */
+  private[streaming] def fingerprintOf(entries: Seq[(String, Long, Long)]): Long = {
+    val sorted = entries.sortBy(_._1)
+    scala.util.hashing.MurmurHash3.orderedHash(sorted).toLong ^
+      (sorted.size.toLong << 32)
+  }
+
+  /** True for a listing entry that sits in a SUBDIRECTORY of the corpus
+    * dir. Nested files get their own fingerprint because they are not a
+    * survivable co-write: with plain subdirectories Spark's parquet read
+    * silently IGNORES the nested files (a re-freeze would still miss
+    * them), and with partition-style (`k=v`) subdirectories partition
+    * discovery reads ONLY the nested files and DROPS the gate's own
+    * top-level data (empirically checked on Spark 4.1). Neither can be
+    * absorbed by a refresh, so a nested change throws under any policy
+    * except Ignore.
+    */
+  private[streaming] def isNested(relPath: String): Boolean =
+    relPath.count(_ == '/') > 1
+
+  /** (top-level fingerprint, nested fingerprint) of a listing. */
+  private[streaming] def fingerprintsOf(entries: Seq[(String, Long, Long)]): (Long, Long) = {
+    val (nested, top) = entries.partition(e => isNested(e._1))
+    (fingerprintOf(top), fingerprintOf(nested))
   }
 
   /** Process one micro-batch: gate against the standing corpus at
@@ -263,18 +295,29 @@ object CorpusIngestSink {
     * zero-candidate short-circuit never touches storage at all). An
     * EXTERNAL writer appending to the target between refreshes is the one
     * thing the frozen STATE cannot see — so the gate fingerprints the
-    * target's file listing (name/length/mtime, one metadata call) at every
-    * freeze and after its own appends, re-checks it before each gated
-    * batch, and on mismatch re-freezes (default) or fails, per
-    * [[ExternalWriterPolicy]]. Detection is listing-granular: a writer
-    * that bypasses the listing (an in-place same-size same-mtime
-    * overwrite) stays invisible — co-writers needing stronger guarantees
-    * need per-batch gating.
+    * target's RECURSIVE file listing (relative path/length/mtime, one
+    * metadata call) at every freeze, re-checks it before each gated batch
+    * AND immediately before each own append (closing the gate-to-append
+    * race: a mid-batch co-write re-freezes and re-gates the batch under
+    * Refresh, throws under Fail), and derives the next expected value
+    * from the pre-append listing plus the files the append added. On a
+    * TOP-LEVEL mismatch it re-freezes (default) or fails, per
+    * [[ExternalWriterPolicy]]; a co-write landing in a SUBDIRECTORY
+    * throws under every policy except Ignore, because no re-freeze can
+    * absorb it ([[isNested]] — the corpus read either ignores nested
+    * files or, for partition-style ones, drops the top-level data).
+    * Two documented blind windows remain: a writer that bypasses the
+    * listing entirely (an in-place same-size same-mtime overwrite), and a
+    * NEW external file landing during the gate's own append
+    * (indistinguishable from the append's own files until the next
+    * scheduled refresh) — co-writers needing stronger guarantees need
+    * per-batch gating.
     *
     * WHEN TO USE — the trade is scan avoidance vs fixed bookkeeping: per
-    * admitted batch the gate pays one extra localCheckpoint job (the
-    * delta fold) plus a union-grown gate plan, and in exchange skips the
-    * per-batch corpus scan. Measured at sf0.1/local[32] (corpus ≈ 4k
+    * admitted batch the gate pays one extra collect job (the delta fold;
+    * driver-resident rows rebuild into ONE LocalRelation per side, so the
+    * gate plan stays flat across the refresh window), and in exchange
+    * skips the per-batch corpus scan. Measured at sf0.1/local[32] (corpus ≈ 4k
     * docs) the bookkeeping DOMINATES — per-batch gating is ~2× faster —
     * because scanning a few thousand cached rows is cheaper than any
     * fixed job overhead. The gate is for the regime it was built for:
@@ -314,32 +357,89 @@ object CorpusIngestSink {
     private var frozen: CorpusPipeline.FrozenCorpus = null
     private var sinceRefresh = 0
     private var refreshes = 0L
-    private var deltaKeys: Option[DataFrame] = None
-    private var deltaSigs: Option[DataFrame] = None
-    private var deltaEmbs: Option[DataFrame] = None
+    private[streaming] var deltaKeys: Option[DataFrame] = None
+    private[streaming] var deltaSigs: Option[DataFrame] = None
+    private[streaming] var deltaEmbs: Option[DataFrame] = None
     /** the delta's banded rows, built DRIVER-SIDE at fold time (the fold's
       * collect already carries each row's band buckets) — zero extra jobs,
       * and the funnel's hot-bucket check gets exact per-bucket delta
       * occupancy without ever re-banding the delta distributively
       */
-    private var deltaBanded: Option[DataFrame] = None
+    private[streaming] var deltaBanded: Option[DataFrame] = None
     private val deltaBucketCounts = scala.collection.mutable.HashMap.empty[(Int, Long), Long]
     /** false once any fold took the checkpoint path (delta no longer fully
       * driver-resident) — the funnel then falls back to plan-derived
       * delta banding until the next refresh
       */
     private var deltaDriverResident = true
+    /** The driver-resident delta: every in-budget fold's collected rows,
+      * accumulated across the refresh window and REBUILT into exactly ONE
+      * LocalRelation per side after each fold (the rows are already on the
+      * driver — concatenating arrays is free next to the collect that
+      * produced them). A `unionByName` chain of per-batch LocalRelations
+      * would instead serialize refreshEvery LocalTableScans into EVERY job
+      * that touches the gate — plan weight and task-serialization cost
+      * linear in the refresh window, a driver/scheduler tax at long
+      * windows. `FrozenGateFlatDeltaSpec` pins the one-scan shape.
+      */
+    private val deltaDriverRows = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+    private var deltaSchema: org.apache.spark.sql.types.StructType = null
+    private val deltaBandedRows = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+    /** over-budget folds only: executor-resident localCheckpoint frames
+      * (released on close). The rare fallback — the combined delta plan
+      * grows only with THESE, never with in-budget admissions.
+      */
     private[streaming] val deltaParts = scala.collection.mutable.ListBuffer.empty[DataFrame]
-    /** listing fingerprint the gate expects the target to have; refreshed
-      * at every freeze and after each own append
+    /** listing fingerprints (top-level files, nested files) the gate
+      * expects the target to have; refreshed at every freeze and after
+      * each own append
       */
     private var expectedFingerprint = 0L
+    private var expectedNestedFingerprint = 0L
     /** Test seam: applied to the delta projection right before it is
       * materialized, so specs can inject a fold-stage failure and pin the
       * recovery contract (gate invalidation after a committed append).
       */
     private[streaming] var foldTap: DataFrame => DataFrame = identity
+    /** Test seam: runs right before the pre-append external-writer
+      * re-check — i.e. inside the gate-to-append window that check closes.
+      */
+    private[streaming] var preAppendTap: () => Unit = () => ()
     private[streaming] def isFrozen: Boolean = frozen != null
+
+    /** Rebuild the combined delta frames after a fold: the driver-resident
+      * rows become exactly ONE LocalRelation (each side a column slice of
+      * it), regardless of how many batches the refresh window admitted;
+      * over-budget checkpointed parts (the rare fallback) union behind it.
+      */
+    private def rebuildDelta(spark: SparkSession): Unit = {
+      import org.apache.spark.sql.functions.{col => c}
+      val local: Option[DataFrame] =
+        if (deltaDriverRows.isEmpty) None
+        else Some(spark.createDataFrame(
+          java.util.Arrays.asList(deltaDriverRows.toArray: _*), deltaSchema))
+      val all = (local.toSeq ++ deltaParts).reduceOption(_.unionByName(_))
+      deltaKeys = all.map(_.select(c("__ck")))
+      deltaSigs =
+        if (againstThreshold.isDefined)
+          all.map(_.select(c("__id"), c("__sig")).filter(c("__sig").isNotNull))
+        else None
+      deltaEmbs =
+        if (semanticAgainstThreshold.isDefined)
+          all.map(_.select(c("__id"), c("__emb")).filter(c("__emb").isNotNull))
+        else None
+      deltaBanded =
+        if (deltaDriverResident && deltaBandedRows.nonEmpty) {
+          val bandedSchema = org.apache.spark.sql.types.StructType(Seq(
+            deltaSchema("__id").copy(name = "__id"),
+            org.apache.spark.sql.types.StructField("__band",
+              org.apache.spark.sql.types.IntegerType, nullable = false),
+            org.apache.spark.sql.types.StructField("__bucket",
+              org.apache.spark.sql.types.LongType, nullable = false)))
+          Some(spark.createDataFrame(
+            java.util.Arrays.asList(deltaBandedRows.toArray: _*), bandedSchema))
+        } else None
+    }
 
     /** Gate one micro-batch against frozen + delta state, append survivors,
       * fold them into the delta. Returns the number of admitted rows.
@@ -347,21 +447,45 @@ object CorpusIngestSink {
     def processBatch(batch: DataFrame): Long = {
       val spark = batch.sparkSession
       if (frozen == null || sinceRefresh >= refreshEvery) refresh(spark, batch)
-      else if (onExternalWrite != ExternalWriterPolicy.Ignore &&
-               corpusFingerprint(spark, targetDir) != expectedFingerprint) {
-        // somebody else wrote the corpus since the freeze: frozen + delta
-        // no longer IS the corpus, and gating against it would re-admit
-        // the co-writer's duplicates
-        onExternalWrite match {
-          case ExternalWriterPolicy.Fail => throw new IllegalStateException(
-            s"external writer detected under $targetDir since the last " +
-            "freeze; FrozenGate admissions would ignore the co-written " +
-            "rows (set onExternalWrite=Refresh to re-freeze instead)")
-          case _ =>
-            GraftMetrics.inc(GraftMetrics.IngestExternalWrites)
-            refresh(spark, batch)
+      else if (onExternalWrite != ExternalWriterPolicy.Ignore) {
+        val (topFp, nestedFp) = fingerprintsOf(listingEntries(spark, targetDir))
+        if (nestedFp != expectedNestedFingerprint)
+          throw nestedWriteError("since the last freeze")
+        if (topFp != expectedFingerprint) {
+          // somebody else wrote the corpus since the freeze: frozen + delta
+          // no longer IS the corpus, and gating against it would re-admit
+          // the co-writer's duplicates
+          externalWriteDetected(spark, batch, "since the last freeze")
         }
       }
+      gateAndAppend(spark, batch, reGated = false)
+    }
+
+    private def externalWriteDetected(spark: SparkSession, batch: DataFrame,
+                                      when: String): Unit = onExternalWrite match {
+      case ExternalWriterPolicy.Fail => throw new IllegalStateException(
+        s"external writer detected under $targetDir $when; FrozenGate " +
+        "admissions would ignore the co-written rows (set " +
+        "onExternalWrite=Refresh to re-freeze instead)")
+      case _ =>
+        GraftMetrics.inc(GraftMetrics.IngestExternalWrites)
+        refresh(spark, batch)
+    }
+
+    /** A nested co-write is detected but NOT survivable ([[isNested]]):
+      * a re-freeze reads the same broken layout, so Refresh cannot help —
+      * every policy except Ignore escalates to this error until an
+      * operator reconciles the directory.
+      */
+    private def nestedWriteError(when: String) = new IllegalStateException(
+      s"external writer landed files in a SUBDIRECTORY of $targetDir $when; " +
+      "the corpus's top-level parquet layout cannot absorb nested files " +
+      "(plain subdirectories are ignored by the corpus read; partition-style " +
+      "ones make partition discovery drop the top-level data) — remove the " +
+      "nested files or re-ingest them through the gate")
+
+    private def gateAndAppend(spark: SparkSession, batch: DataFrame,
+                              reGated: Boolean): Long = {
       val (accepted0, releaseBatch) = CorpusPipeline.prepareIncrementalFrozen(
         batch, frozen, corpusReader(spark, targetDir, batch), cfg,
         againstThreshold, numHashes, bands, deltaKeys, deltaSigs,
@@ -376,7 +500,38 @@ object CorpusIngestSink {
       try {
         val n = accepted.count()
         if (n > 0L) {
+          preAppendTap()
+          // pre-append re-check: the pre-gate fingerprint check and this
+          // append are not atomic, and a co-write landing BETWEEN them used
+          // to be absorbed into the post-append expected fingerprint —
+          // detected by nothing until the scheduled refresh (the r16
+          // verdict's TOCTOU finding). Re-checking against a listing taken
+          // immediately before the append shrinks the blind window to the
+          // append itself; on mismatch the batch's admissions are stale, so
+          // Refresh re-freezes and re-gates THIS batch once (Fail throws).
+          // A second mid-batch race in the same batch proceeds — the
+          // expected fingerprint below is derived from THIS listing, so the
+          // NEXT batch's pre-gate check detects it.
+          val preEntries = listingEntries(spark, targetDir)
+          if (onExternalWrite != ExternalWriterPolicy.Ignore) {
+            val (topFp, nestedFp) = fingerprintsOf(preEntries)
+            if (nestedFp != expectedNestedFingerprint)
+              throw nestedWriteError("between gate and append")
+            if (topFp != expectedFingerprint && !reGated) {
+              externalWriteDetected(spark, batch, "between gate and append")
+              return gateAndAppend(spark, batch, reGated = true)
+            }
+          }
           accepted.write.mode(SaveMode.Append).parquet(targetDir)
+          // expected = pre-append listing ∪ the files this append added:
+          // an external file landing DURING the append is misattributed as
+          // our own (the one remaining blind window); an external in-place
+          // MODIFICATION of a pre-existing file during the append is still
+          // caught, because the expected value keeps the PRE-append
+          // attributes for pre-existing names
+          val preNames = preEntries.iterator.map(_._1).toSet
+          val ownExpected = fingerprintsOf(preEntries ++
+            listingEntries(spark, targetDir).filterNot(e => preNames(e._1)))
           try {
           // delta fold: ONE localized projection carries the admitted
           // rows' exact keys, signatures, and (when the semantic arm is
@@ -421,67 +576,45 @@ object CorpusIngestSink {
             semanticAgainstThreshold.isDefined, cfg.embeddingDim, bands)
           val folded = foldTap(withEmb)
           val collected = if (n <= maxFoldRows) folded.collect() else null
-          val deltaSlim =
-            if (collected != null)
-              spark.createDataFrame(
-                java.util.Arrays.asList(collected: _*), folded.schema)
-            else folded.localCheckpoint()
-          deltaParts += deltaSlim
-          if (collected != null && deltaDriverResident &&
-              againstThreshold.isDefined) {
-            // driver-side banding of the admitted rows: the collected __bb
-            // arrays become (id, band, bucket) local rows plus an exact
-            // per-bucket occupancy map — the funnel uses the map to prove
-            // most batches cannot push any bucket over the hot cap and to
-            // probe frozen counts for exactly the touched buckets when one
-            // might
-            val idIdx = folded.schema.fieldIndex("__id")
-            val bbIdx = folded.schema.fieldIndex("__bb")
-            val bandedRows = new java.util.ArrayList[org.apache.spark.sql.Row](
-              collected.length * bands)
-            collected.foreach { r =>
-              if (!r.isNullAt(bbIdx)) {
-                val bb = r.getSeq[Long](bbIdx)
-                var b = 0
-                while (b < bb.length) {
-                  bandedRows.add(org.apache.spark.sql.Row(r.get(idIdx), b, bb(b)))
-                  val k = (b, bb(b))
-                  deltaBucketCounts.update(k, deltaBucketCounts.getOrElse(k, 0L) + 1L)
-                  b += 1
+          if (collected != null) {
+            if (deltaSchema == null) deltaSchema = folded.schema
+            deltaDriverRows ++= collected
+            if (deltaDriverResident && againstThreshold.isDefined) {
+              // driver-side banding of the admitted rows: the collected
+              // __bb arrays become (id, band, bucket) rows plus an exact
+              // per-bucket occupancy map — the funnel uses the map to
+              // prove most batches cannot push any bucket over the hot cap
+              // and to probe frozen counts for exactly the touched buckets
+              // when one might
+              val idIdx = folded.schema.fieldIndex("__id")
+              val bbIdx = folded.schema.fieldIndex("__bb")
+              collected.foreach { r =>
+                if (!r.isNullAt(bbIdx)) {
+                  val bb = r.getSeq[Long](bbIdx)
+                  var b = 0
+                  while (b < bb.length) {
+                    deltaBandedRows += org.apache.spark.sql.Row(r.get(idIdx), b, bb(b))
+                    val k = (b, bb(b))
+                    deltaBucketCounts.update(k, deltaBucketCounts.getOrElse(k, 0L) + 1L)
+                    b += 1
+                  }
                 }
               }
             }
-            val bandedSchema = org.apache.spark.sql.types.StructType(Seq(
-              folded.schema("__id").copy(name = "__id"),
-              org.apache.spark.sql.types.StructField("__band",
-                org.apache.spark.sql.types.IntegerType, nullable = false),
-              org.apache.spark.sql.types.StructField("__bucket",
-                org.apache.spark.sql.types.LongType, nullable = false)))
-            val part: DataFrame = spark.createDataFrame(bandedRows, bandedSchema)
-            deltaBanded = Some(deltaBanded.fold(part)(_.unionByName(part)))
-          } else if (collected == null) {
+          } else {
             // a checkpointed fold means the delta is no longer fully
             // driver-resident: drop the driver-side banding state and let
             // the funnel re-derive delta banding from the sig frames
+            deltaParts += folded.localCheckpoint()
             deltaDriverResident = false
-            deltaBanded = None
+            deltaBandedRows.clear()
             deltaBucketCounts.clear()
           }
-          val aKeys = deltaSlim.select(c("__ck"))
-          deltaKeys = Some(deltaKeys.fold(aKeys)(_.unionByName(aKeys)))
-          if (againstThreshold.isDefined) {
-            val aSigs = deltaSlim.select(c("__id"), c("__sig"))
-              .filter(c("__sig").isNotNull)
-            deltaSigs = Some(deltaSigs.fold(aSigs)(_.unionByName(aSigs)))
-          }
-          if (semanticAgainstThreshold.isDefined) {
-            val aEmbs = deltaSlim.select(c("__id"), c("__emb"))
-              .filter(c("__emb").isNotNull)
-            deltaEmbs = Some(deltaEmbs.fold(aEmbs)(_.unionByName(aEmbs)))
-          }
+          rebuildDelta(spark)
           // the append itself moved the listing — own writes must not trip
           // the external-writer check on the next batch
-          expectedFingerprint = corpusFingerprint(spark, targetDir)
+          expectedFingerprint = ownExpected._1
+          expectedNestedFingerprint = ownExpected._2
           } catch {
             case t: Throwable =>
               // the append COMMITTED but the delta didn't absorb it:
@@ -536,7 +669,9 @@ object CorpusIngestSink {
       // recorded AFTER the freeze materialized (freezeCorpus counts the
       // slim frame eagerly): a writer landing between the scan and this
       // listing is a benign race — the next batch's check catches it
-      expectedFingerprint = corpusFingerprint(spark, targetDir)
+      val fps = fingerprintsOf(listingEntries(spark, targetDir))
+      expectedFingerprint = fps._1
+      expectedNestedFingerprint = fps._2
       GraftMetrics.inc(GraftMetrics.IngestFreezes)
       GraftMetrics.gauge(GraftMetrics.IngestCorpusRows, frozen.rows)
     }
@@ -552,6 +687,9 @@ object CorpusIngestSink {
       deltaSigs = None
       deltaEmbs = None
       deltaBanded = None
+      deltaDriverRows.clear()
+      deltaBandedRows.clear()
+      deltaSchema = null
       deltaBucketCounts.clear()
       deltaDriverResident = true
     }

@@ -54,8 +54,8 @@ class FrozenGateHardeningSpec extends SparkSpec {
   test("oversized batches fold executor-side (localCheckpoint), never a driver collect") {
     // a 1-byte budget forces EVERY admitted batch over the cap (its floor
     // is ONE row, so each batch must admit ≥2) — the fold must take the
-    // checkpoint path (LogicalRDD), and admissions must stay bit-identical
-    // to the collect path on the same batches
+    // checkpoint path (LogicalRDD parts), and admissions must stay
+    // bit-identical to the driver-resident path on the same batches
     val batches = Seq(df(1L -> baseA, 2L -> baseB),
       df(10L -> baseA, 12L -> baseC, 13L -> baseD))
     def run(budget: Long): (Seq[Long], Seq[Long], Seq[Boolean]) = {
@@ -78,7 +78,8 @@ class FrozenGateHardeningSpec extends SparkSpec {
     assert(aTiny == Seq(2L, 2L) && aBig == aTiny, "both fold paths must admit identically")
     assert(cTiny == Seq(1L, 2L, 12L, 13L) && cBig == cTiny)
     assert(lTiny == Seq(false, false), "over-budget folds must stay executor-resident")
-    assert(lBig == Seq(true, true), "in-budget folds take the single-collect fast path")
+    assert(lBig == Seq.empty,
+      "in-budget folds accumulate driver-resident rows, never checkpoint parts")
     // the checkpointed delta blocks die with close()
     assert((spark.sparkContext.getPersistentRDDs.keySet.toSet -- rddsBefore).isEmpty,
       "closed gates must release checkpointed delta blocks")
