@@ -103,6 +103,40 @@ object BloomDedup {
     definiteNew.unionByName(confirmedNew)
   }
 
+  /** [[newKeysExact]] with a PRUNED corpus side: the Bloom-positive sliver
+    * is small by construction (true duplicates + fpp·new rows), so its
+    * distinct keys are collected driver-side and handed to `corpusKeysFor`
+    * — a key-sorted side-file read with the keys pushed as an In filter,
+    * IO ∝ sliver instead of a corpus-keys scan + distinct shuffle per
+    * call. Falls back to the plain [[newKeysExact]] corpus join when the
+    * sliver exceeds `cap` or the pruned read is unavailable. Identical
+    * output either way: an anti-join's right side restricted to the left
+    * side's own key set removes exactly the same rows (right-side rows
+    * outside the probe set can never match), and right-side multiplicity
+    * never matters to LEFT ANTI semantics.
+    *
+    * `incoming` should be cached by the caller: it feeds both branches of
+    * the split AND the sliver collect.
+    */
+  def newKeysExactPruned(incoming: DataFrame,
+                         corpusKeysFor: Seq[Any] => Option[DataFrame],
+                         corpusKeys: => DataFrame, keyCol: String,
+                         filter: BloomFilter, cap: Int = 8192): DataFrame = {
+    val flagged = incoming.withColumn("__might",
+      coalesce(mightContain(filter, col(keyCol)), lit(false)))
+    val definiteNew = flagged.filter(!col("__might")).drop("__might")
+    val candidates = flagged.filter(col("__might")).drop("__might")
+    val sliver = candidates.select(col(keyCol)).distinct()
+      .limit(cap + 1).collect()
+    val corpusSide =
+      (if (sliver.length <= cap)
+         corpusKeysFor(sliver.map(_.get(0)).toSeq).map(_.select(col(keyCol)))
+       else None)
+        .getOrElse(corpusKeys.select(col(keyCol)).distinct())
+    val confirmedNew = candidates.join(corpusSide, Seq(keyCol), "left_anti")
+    definiteNew.unionByName(confirmedNew)
+  }
+
   /** Zero-join probabilistic mode: every candidate is dropped, so an fpp
     * fraction of genuinely-new rows is lost alongside all true duplicates.
     * Survivors ⊆ [[newKeysExact]] survivors; no true duplicate survives.

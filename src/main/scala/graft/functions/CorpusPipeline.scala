@@ -492,7 +492,41 @@ object CorpusPipeline {
         * (maxDeltaOccupancy + this ≤ cap) and skip the per-batch count
         * probe entirely; None when frozen without banding
         */
-      val bandedMaxNonHot: Option[Long] = None) {
+      val bandedMaxNonHot: Option[Long] = None,
+      /** directory holding the freeze-time SIDE FILES (`keys/` sorted by
+        * __ck, `sigs/` sorted by __id, `banded/` sorted by __bucket; small
+        * parquet row groups) — present when the freeze wrote them. They
+        * are the PRUNED-PROBE fast path: a gated batch's probe sets
+        * (bloom-positive keys, touched band buckets, candidate ids) are
+        * driver-collected and pushed as In filters into these sorted
+        * scans, so per-batch corpus-side IO is bounded by the PROBES
+        * (row-group statistics skip everything else), not the corpus —
+        * the property that decouples steady-state batch cost from corpus
+        * size. The cached frames stay authoritative as the fallback for
+        * over-cap probe sets.
+        */
+      private[functions] val sideDir: Option[String] = None) {
+    /** max probe values inlined into one pruned side-file read; above it
+      * callers fall back to the cached frames (the In filter's literal
+      * set and the per-row-group evaluation stay bounded)
+      */
+    private[functions] val sideProbeCap: Int = 1 << 16
+    private def sideRead(sub: String): DataFrame =
+      slim.sparkSession.read.parquet(sideDir.get + "/" + sub)
+    private def pruned(sub: String, keyName: String, probes: Seq[Any]): Option[DataFrame] =
+      if (sideDir.isEmpty || probes.size > sideProbeCap) None
+      else Some(sideRead(sub).filter(col(keyName).isin(probes: _*)))
+    /** frozen keys restricted to `probes` — IO ∝ probes, or None */
+    def prunedKeys(probes: Seq[Any]): Option[DataFrame] =
+      pruned("keys", "__ck", probes)
+    /** frozen signatures restricted to the given ids, or None */
+    def prunedSigs(probes: Seq[Any]): Option[DataFrame] =
+      pruned("sigs", "__id", probes)
+    /** frozen banded rows restricted to the given bucket values, or None */
+    def prunedBanded(probes: Seq[Any]): Option[DataFrame] =
+      pruned("banded", "__bucket", probes)
+    /** whether the pruned-probe fast path is available at all */
+    def hasSideFiles: Boolean = sideDir.isDefined
     /** the frozen banded frame + hot set, when frozen `withBanded` */
     def banded: Option[(DataFrame, DataFrame)] = bandedSlim.zip(bandedHot)
     /** (`__ck`) — frozen exact-dedup keys, read from the shared cache. */
@@ -533,7 +567,9 @@ object CorpusPipeline {
                    bloomFpp: Double = 0.01,
                    embeddings: Option[DataFrame] = None,
                    withBanded: Boolean = false, bands: Int = 16,
-                   maxBucketSize: Long = 4096L): FrozenCorpus = {
+                   maxBucketSize: Long = 4096L,
+                   sideFileDir: Option[String] = None,
+                   sideFileMinRows: Long = 200000L): FrozenCorpus = {
     require(!withBanded || withSignatures,
       "banded freeze state derives from signatures")
     val text = col(cfg.textCol)
@@ -584,8 +620,45 @@ object CorpusPipeline {
             case t: Throwable => banded.unpersist(blocking = false); throw t
           }
         }
+      // SIDE FILES: sorted, small-row-group copies of the frozen keys /
+      // signatures / banded rows, written once per refresh so every gated
+      // batch can read them PRUNED to its probe set (In-filter pushdown +
+      // row-group statistics → IO ∝ probes). Written only above the row
+      // threshold: below it the cached frames are faster than any fixed
+      // job overhead (the same crossover argument as the gate itself).
+      // Cost: three write jobs off the already-cached frames, amortized
+      // over the refresh window.
+      val side =
+        if (sideFileDir.isEmpty || rows == 0L || rows < sideFileMinRows) None
+        else try {
+          val dir = sideFileDir.get
+          val blockOpt = "parquet.block.size"
+          val blockSz = (1L << 20).toString // ~50k narrow rows per group
+          def files(n: Long): Int = math.max(4L, math.min(256L, n / 4000000L)).toInt
+          slim.select(col("__ck"))
+            .repartitionByRange(files(rows), col("__ck"))
+            .sortWithinPartitions(col("__ck"))
+            .write.option(blockOpt, blockSz)
+            .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(dir + "/keys")
+          if (withSignatures)
+            slim.select(col("__id"), col("__sig")).filter(col("__sig").isNotNull)
+              .repartitionByRange(files(rows), col("__id"))
+              .sortWithinPartitions(col("__id"))
+              .write.option(blockOpt, blockSz)
+              .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(dir + "/sigs")
+          bnd.foreach(_.repartitionByRange(files(rows * bands), col("__bucket"))
+            .sortWithinPartitions(col("__bucket"))
+            .write.option(blockOpt, blockSz)
+            .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(dir + "/banded"))
+          Some(dir)
+        } catch {
+          // a failed side write must not leak the banded cache (slim's own
+          // unpersist rides the outer catch)
+          case t: Throwable =>
+            bnd.foreach(_.unpersist(blocking = false)); throw t
+        }
       new FrozenCorpus(slim, rows, bloom, withSignatures, embeddings.isDefined,
-        bnd, hot, bands, numHashes, maxBucketSize, maxNonHot)
+        bnd, hot, bands, numHashes, maxBucketSize, maxNonHot, side)
     } catch {
       // the count and the filter build are real actions — a transient
       // failure there must not pin a corpus-keys-sized cache entry nobody
@@ -637,9 +710,21 @@ object CorpusPipeline {
       // first (the filter covers exactly those), then a plain anti-join
       // against the small delta — a delta row is never "proven new" by the
       // frozen filter's fast path because that path skips only the frozen
-      // join, not this one
-      val afterFrozen = BloomDedup.newKeysExact(
-        prepared.withColumn("__ck", key), frozen.keys, "__ck", frozen.bloom)
+      // join, not this one. With freeze-time side files the sliver's keys
+      // are driver-collected and pushed into the key-sorted side scan —
+      // the exact check then reads ∝ sliver, never a corpus-keys pass.
+      val afterFrozen =
+        if (frozen.hasSideFiles) {
+          // the keyed batch feeds the split's two branches AND the sliver
+          // collect — persist the slim projection so none re-derives the
+          // in-batch prepare chain (BloomDedup.newKeysExact's plan note)
+          val keyed = prepared.withColumn("__ck", key)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          cached += keyed
+          BloomDedup.newKeysExactPruned(keyed, frozen.prunedKeys,
+            frozen.keys, "__ck", frozen.bloom)
+        } else BloomDedup.newKeysExact(
+          prepared.withColumn("__ck", key), frozen.keys, "__ck", frozen.bloom)
       // exactNew feeds several plan branches downstream (both sides of the
       // against-corpus signature funnel, the exact-verify shingle scan, the
       // final anti-join), and each would otherwise re-derive the ENTIRE
@@ -669,7 +754,11 @@ object CorpusPipeline {
               maxBucketSize = frozen.bandedMaxBucketSize,
               deltaBanded = extraBanded,
               deltaBucketCounts = extraBucketCounts,
-              frozenMaxNonHot = frozen.bandedMaxNonHot)
+              frozenMaxNonHot = frozen.bandedMaxNonHot,
+              prunedBandedFor =
+                if (frozen.hasSideFiles) Some(frozen.prunedBanded _) else None,
+              prunedSigsFor =
+                if (frozen.hasSideFiles) Some(frozen.prunedSigs _) else None)
           case _ =>
             val allSigs = extraSigs.fold(corpusSigs)(d => corpusSigs.unionByName(d))
             MinHashLsh.dedupAgainstPrecomputed(allSigs, corpusDocs, exactNew,

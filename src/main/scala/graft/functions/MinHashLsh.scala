@@ -33,6 +33,13 @@ object MinHashLsh {
     */
   private val CandidateIdPushdownCap = 8192
 
+  /** Max distinct batch bucket values driver-collected for the pruned
+    * frozen-banded probe (matches FrozenCorpus.sideProbeCap — the pruned
+    * read itself refuses larger sets); above it the funnel streams the
+    * cached banded frame as before.
+    */
+  private val BucketProbeCap = 1 << 16
+
   /** Distinct values of `colNames` read DRIVER-SIDE from an
     * already-localized survivor frame — zero Spark jobs: after
     * [[Checkpoints.localize]] the frame is a LocalRelation whose rows sit
@@ -333,13 +340,28 @@ object MinHashLsh {
       sr: DataFrame, releaseSigs: () => Unit,
       leftDocs: => DataFrame, right: DataFrame, idCol: String,
       shingleHashes: Column, numHashes: Int, bands: Int, threshold: Double,
-      minBands: Int, maxBucketSize: Long): DataFrame = {
+      minBands: Int, maxBucketSize: Long,
+      prunedBandedFor: Option[Seq[Any] => Option[DataFrame]] = None,
+      prunedSigsFor: Option[Seq[Any] => Option[DataFrame]] = None): DataFrame = {
     val spark = frozenBanded.sparkSession
     // the delta's banded rows: caller-precomputed (driver-built at fold
     // time, zero jobs) when available, else derived from the delta sigs
     val blD = deltaBanded.orElse(deltaSigs.map(d => bandedFrame(d, bands, numHashes)))
-    val bl0 = blD.fold(frozenBanded)(frozenBanded.unionByName(_))
     val br0 = bandedFrame(sr, bands, numHashes)
+    // PRUNED frozen banding: the batch's touched bucket values are a small
+    // driver-collectable set (≤ rows × bands), and the candidate join only
+    // ever matches frozen rows in THOSE buckets — so when the freeze wrote
+    // a bucket-sorted side file, read it pruned to the probe set instead
+    // of streaming the whole cached banded frame through the join. One
+    // extra small job (the probe collect, off the already-persisted batch
+    // signatures); identical candidates by construction.
+    val frozenBandedEff = prunedBandedFor.flatMap { f =>
+      val probes = br0.select(col("__bucket")).distinct()
+        .limit(BucketProbeCap + 1).collect()
+      if (probes.length > BucketProbeCap) None
+      else f(probes.map(_.get(0)).toSeq)
+    }.getOrElse(frozenBanded)
+    val bl0 = blD.fold(frozenBandedEff)(frozenBandedEff.unionByName(_))
     val (bl, br, releaseHot) =
       if (maxBucketSize <= 0L) (bl0, br0, () => ())
       else {
@@ -362,7 +384,12 @@ object MinHashLsh {
               val touched = spark.createDataFrame(suspects.toSeq.map {
                 case ((b, bkt), dc) => (b, bkt, dc)
               }).toDF("__band", "__bucket", "__dc")
-              val fCnt = frozenBanded.join(
+              // suspect bucket values are driver-resident — probe the
+              // side file pruned to exactly them when available
+              val crossingSource = prunedBandedFor.flatMap(f =>
+                f(suspects.keysIterator.map(_._2).toSeq.distinct))
+                .getOrElse(frozenBanded)
+              val fCnt = crossingSource.join(
                   touched.select("__band", "__bucket"),
                   Seq("__band", "__bucket"), "left_semi")
                 .groupBy(col("__band"), col("__bucket"))
@@ -401,8 +428,13 @@ object MinHashLsh {
          () => Checkpoints.release(hot))
       }
     val sl = deltaSigs.fold(slFrozen)(slFrozen.unionByName(_))
+    // the estimate stage's corpus-side sigs, pruned to the candidate ids
+    // (delta sigs union behind the pruned frozen read — a candidate id is
+    // always in one of the two)
+    val slSelect = prunedSigsFor.map(f => (ids: Seq[Any]) =>
+      f(ids).map(fp => deltaSigs.fold(fp)(fp.unionByName(_))))
     try bipartiteTail(bl, br, sl, sr, releaseSigs, leftDocs, right, idCol,
-      shingleHashes, numHashes, threshold, minBands, bands)
+      shingleHashes, numHashes, threshold, minBands, bands, slSelect)
     finally releaseHot()
   }
 
@@ -414,7 +446,9 @@ object MinHashLsh {
                             leftDocs: => DataFrame, right: DataFrame,
                             idCol: String, shingleHashes: Column,
                             numHashes: Int, threshold: Double,
-                            minBands: Int, bands: Int): DataFrame = {
+                            minBands: Int, bands: Int,
+                            slSelect: Option[Seq[Any] => Option[DataFrame]] = None)
+      : DataFrame = {
     val estimated = {
       val cand = bl.as("l").join(br.as("r"),
           col("l.__band") === col("r.__band") &&
@@ -423,8 +457,24 @@ object MinHashLsh {
         .agg(count(lit(1)).as("__nbands"))
         .filter(col("__nbands") >= math.min(minBands, bands))
         .select(col("id_left"), col("id_right"))
-      val survivors = cand
-        .join(sl.select(col("__id").as("id_left"), col("__sig").as("sig_l")), "id_left")
+      // When the corpus-side sigs can be read PRUNED (freeze-time side
+      // file), materialize the candidate pairs first — they are bounded
+      // by collisions — and push their left ids into the sig read: the
+      // estimate stage then reads ∝ candidates instead of streaming the
+      // whole cached sig frame through the join. One extra action; the
+      // over-cap / checkpoint-fallback path keeps the full sl join.
+      var candLocal: Option[DataFrame] = None
+      val (candEff, slEff) = slSelect match {
+        case Some(f) =>
+          val cl = Checkpoints.localize(cand)
+          candLocal = Some(cl)
+          val pruned = localizedIds(cl, Seq("id_left"), CandidateIdPushdownCap)
+            .flatMap(f)
+          (cl, pruned.getOrElse(sl))
+        case None => (cand, sl)
+      }
+      val survivors = candEff
+        .join(slEff.select(col("__id").as("id_left"), col("__sig").as("sig_l")), "id_left")
         .join(sr.select(col("__id").as("id_right"), col("__sig").as("sig_r")), "id_right")
         .withColumn("__est",
           size(filter(zip_with(col("sig_l"), col("sig_r"), (x, y) => x === y), p => p))
@@ -432,7 +482,7 @@ object MinHashLsh {
         .filter(col("__est") >= threshold - 0.2)
         .select(col("id_left"), col("id_right"))
       try Checkpoints.localize(survivors)
-      finally releaseSigs()
+      finally { releaseSigs(); candLocal.foreach(Checkpoints.release) }
     }
     // No estimate survivors → return the (empty) result WITHOUT evaluating
     // `leftDocs`: even constructing the verify join would touch the left
@@ -519,13 +569,17 @@ object MinHashLsh {
                                  maxBucketSize: Long = 4096L,
                                  deltaBanded: Option[DataFrame] = None,
                                  deltaBucketCounts: Option[Map[(Int, Long), Long]] = None,
-                                 frozenMaxNonHot: Option[Long] = None): DataFrame = {
+                                 frozenMaxNonHot: Option[Long] = None,
+                                 prunedBandedFor: Option[Seq[Any] => Option[DataFrame]] = None,
+                                 prunedSigsFor: Option[Seq[Any] => Option[DataFrame]] = None)
+      : DataFrame = {
     val sr = signatureFrame(right, idCol, shingleHashes, numHashes)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     bipartiteCoreFrozenBanded(frozenSigs, frozenBanded, frozenHot, deltaSigs,
       deltaBanded, deltaBucketCounts, frozenMaxNonHot,
       sr, () => sr.unpersist(false), leftDocs, right, idCol, shingleHashes,
-      numHashes, bands, threshold, minBands, maxBucketSize)
+      numHashes, bands, threshold, minBands, maxBucketSize,
+      prunedBandedFor, prunedSigsFor)
   }
 
   /** [[dedupAgainstPrecomputed]] over frozen banded state — the ingest
@@ -541,12 +595,16 @@ object MinHashLsh {
                                maxBucketSize: Long = 4096L,
                                deltaBanded: Option[DataFrame] = None,
                                deltaBucketCounts: Option[Map[(Int, Long), Long]] = None,
-                               frozenMaxNonHot: Option[Long] = None): DataFrame = {
+                               frozenMaxNonHot: Option[Long] = None,
+                               prunedBandedFor: Option[Seq[Any] => Option[DataFrame]] = None,
+                               prunedSigsFor: Option[Seq[Any] => Option[DataFrame]] = None)
+      : DataFrame = {
     val dupIds = bipartitePairsFrozenBanded(frozenSigs, frozenBanded,
         frozenHot, deltaSigs, existingDocs, incoming, idCol, shingleHashes,
         numHashes, bands, threshold, maxBucketSize = maxBucketSize,
         deltaBanded = deltaBanded, deltaBucketCounts = deltaBucketCounts,
-        frozenMaxNonHot = frozenMaxNonHot)
+        frozenMaxNonHot = frozenMaxNonHot,
+        prunedBandedFor = prunedBandedFor, prunedSigsFor = prunedSigsFor)
       .select(col("id_right").as(idCol)).distinct()
     incoming.join(dupIds, Seq(idCol), "left_anti")
   }

@@ -347,7 +347,23 @@ object CorpusIngestSink {
                          compactPartitions: Int = 8,
                          semanticAgainstThreshold: Option[Double] = None,
                          onExternalWrite: ExternalWriterPolicy = ExternalWriterPolicy.Refresh,
-                         foldDriverBytes: Long = DefaultFoldDriverBytes) {
+                         foldDriverBytes: Long = DefaultFoldDriverBytes,
+                         /** write freeze-time SIDE FILES (sorted keys /
+                           * sigs / banded copies under
+                           * `<targetDir>__gatestate/`) and serve each
+                           * batch's corpus-side probes from them pruned
+                           * to the batch's own probe set — steady-state
+                           * corpus IO ∝ probes, decoupled from corpus
+                           * size ([[CorpusPipeline.FrozenCorpus]]).
+                           */
+                         sideFiles: Boolean = true,
+                         /** corpus rows below which the freeze skips the
+                           * side files — at small corpora the cached
+                           * frames beat any fixed per-batch job overhead
+                           * (the gate's own crossover argument applied to
+                           * its probes)
+                           */
+                         sideFileMinRows: Long = 200000L) {
     require(refreshEvery >= 1, "refresh cadence must admit at least one batch")
     require(compactEvery >= 0, "compaction cadence is counted in refreshes; 0 disables")
     require(semanticAgainstThreshold.isEmpty || cfg.embeddings.isDefined,
@@ -663,7 +679,11 @@ object CorpusIngestSink {
         // shuffle amortize over the refresh window instead of recurring per
         // batch — the O(corpus)-shuffle-per-batch term the r16 crossover
         // measurement exposed (BENCH_VARIANCE_r16.md)
-        withBanded = againstThreshold.isDefined, bands = bands)
+        withBanded = againstThreshold.isDefined, bands = bands,
+        sideFileDir =
+          if (sideFiles) Some(targetDir.stripSuffix("/") + "__gatestate")
+          else None,
+        sideFileMinRows = sideFileMinRows)
       sinceRefresh = 0
       refreshes += 1
       // recorded AFTER the freeze materialized (freezeCorpus counts the
