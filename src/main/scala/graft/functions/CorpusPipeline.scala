@@ -646,9 +646,16 @@ object CorpusPipeline {
               .sortWithinPartitions(col("__id"))
               .write.option(blockOpt, blockSz)
               .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(dir + "/sigs")
+          // banded rows are ~20 B wide and probed by UNIFORM bucket hashes:
+          // row-group pruning only bites while probe count < group count,
+          // so the banded copy uses much finer groups (~6k rows) than the
+          // other side files — the per-batch read ceiling is then
+          // probes × groupRows regardless of corpus size, at the cost of
+          // proportionally larger (still small) footer metadata
           bnd.foreach(_.repartitionByRange(files(rows * bands), col("__bucket"))
             .sortWithinPartitions(col("__bucket"))
-            .write.option(blockOpt, blockSz)
+            .write.option(blockOpt, (128L << 10).toString)
+            .option("parquet.page.size", (64L << 10).toString)
             .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(dir + "/banded"))
           Some(dir)
         } catch {

@@ -28,6 +28,15 @@ object FrozenGateCrossover {
     val nBatches = args.lift(1).map(_.toInt).getOrElse(12)
     val batchRows = args.lift(2).map(_.toLong).getOrElse(1000L)
     val refreshEvery = args.lift(3).map(_.toInt).getOrElse(8)
+    // "both" | "frozen" | "perbatch" — frozen-only makes corpus-size
+    // sweeps (the steady-state decoupling measurement) affordable
+    val mode = args.lift(4).getOrElse("both")
+    // every `nearDupEvery`-th batch row (0 = none) is a NEAR-dup of a
+    // corpus doc (its text plus a short suffix): it passes the exact
+    // stage, collides in bands, and drives the estimate + exact-verify
+    // stages — the candidate-fetch IO path the steady-state numbers
+    // otherwise never touch (the default batches are shingle-disjoint)
+    val nearDupEvery = args.lift(5).map(_.toInt).getOrElse(0)
 
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
@@ -55,17 +64,29 @@ object FrozenGateCrossover {
       .select(col("id").as("doc_id"), textOf(col("id")).as("text"),
         lit("web").as("source"), lit("train").as("split"))
     // batch rows: ids far above the corpus range; every 20th row REUSES a
-    // corpus doc's text (exact dup → must be rejected by the exact stage)
+    // corpus doc's text (exact dup → must be rejected by the exact stage);
+    // optionally every `nearDupEvery`-th row (id % nearDupEvery == 1, so
+    // disjoint from the even exact-dup ids) carries a corpus doc's text
+    // plus a short suffix (jaccard ≈ 0.95 → must be rejected by the
+    // near-dup funnel, driving the estimate + verify stages)
     def batchDocs(i: Int): DataFrame = {
       val start = 10000000L + i.toLong * batchRows
+      val isNear =
+        if (nearDupEvery > 0) col("id") % nearDupEvery === 1 else lit(false)
       spark.range(start, start + batchRows)
         .select(col("id").as("doc_id"),
-          textOf(when(col("id") % 20 === 0, pmod(col("id") * 31, lit(corpusRows)))
-            .otherwise(col("id"))).as("text"),
+          when(isNear, concat(textOf(pmod(col("id") * 17, lit(corpusRows))),
+            lit(" extra trailing suffix words appended")))
+          .otherwise(
+            textOf(when(col("id") % 20 === 0, pmod(col("id") * 31, lit(corpusRows)))
+              .otherwise(col("id")))).as("text"),
           lit("web").as("source"))
     }
-    val expectAdmitted = (0 until nBatches)
-      .map(i => batchDocs(i).filter(col("doc_id") % 20 =!= 0).count()).sum
+    val expectAdmitted = (0 until nBatches).map { i =>
+      val isNear =
+        if (nearDupEvery > 0) col("doc_id") % nearDupEvery === 1 else lit(false)
+      batchDocs(i).filter(col("doc_id") % 20 =!= 0 && !isNear).count()
+    }.sum
 
     def seed(dir: String): Unit =
       corpusDocs(corpusRows).write.mode(SaveMode.Overwrite).parquet(dir)
@@ -76,35 +97,52 @@ object FrozenGateCrossover {
     }
 
     // --- per-batch mode: one fused freeze scan of the corpus EVERY batch
-    val dirP = Files.createTempDirectory("xover_perbatch").toString
-    seed(dirP)
-    val (admittedP, secP) = timed {
-      (0 until nBatches).map { i =>
-        val (n, s) = timed(CorpusIngestSink.processBatch(
-          spark, dirP, batchDocs(i), cfg))
-        System.err.println(f"[xover] per-batch b$i%02d $s%6.2f s admitted=$n")
-        n
-      }.sum
-    }
+    val (admittedP, secP) =
+      if (mode == "frozen") (expectAdmitted, Double.NaN)
+      else {
+        val dirP = Files.createTempDirectory("xover_perbatch").toString
+        seed(dirP)
+        timed {
+          (0 until nBatches).map { i =>
+            val (n, s) = timed(CorpusIngestSink.processBatch(
+              spark, dirP, batchDocs(i), cfg))
+            System.err.println(f"[xover] per-batch b$i%02d $s%6.2f s admitted=$n")
+            n
+          }.sum
+        }
+      }
 
     // --- frozen mode: ceil(K/N) freezes, delta folds in between
-    val dirF = Files.createTempDirectory("xover_frozen").toString
-    seed(dirF)
-    val gate = new CorpusIngestSink.FrozenGate(dirF, cfg,
-      refreshEvery = refreshEvery)
-    val (admittedF, secF) = timed {
-      try (0 until nBatches).map { i =>
-        val (n, s) = timed(gate.processBatch(batchDocs(i)))
-        System.err.println(f"[xover] frozen    b$i%02d $s%6.2f s admitted=$n")
-        n
-      }.sum finally gate.close()
-    }
+    val (admittedF, secF, steadyMedian) =
+      if (mode == "perbatch") (expectAdmitted, Double.NaN, Double.NaN)
+      else {
+        val dirF = Files.createTempDirectory("xover_frozen").toString
+        seed(dirF)
+        val gate = new CorpusIngestSink.FrozenGate(dirF, cfg,
+          refreshEvery = refreshEvery)
+        val perBatch = new Array[Double](nBatches)
+        val (n, s) = timed {
+          try (0 until nBatches).map { i =>
+            val (n, s) = timed(gate.processBatch(batchDocs(i)))
+            perBatch(i) = s
+            System.err.println(f"[xover] frozen    b$i%02d $s%6.2f s admitted=$n")
+            n
+          }.sum finally gate.close()
+        }
+        // steady state = batches that did NOT pay a freeze (b0 and every
+        // refreshEvery-th batch re-freeze) — the corpus-size-decoupling
+        // claim is about THESE
+        val steady = (0 until nBatches).filterNot(_ % refreshEvery == 0)
+          .map(perBatch).sorted
+        val med = if (steady.isEmpty) Double.NaN else steady(steady.size / 2)
+        (n, s, med)
+      }
 
     assert(admittedP == expectAdmitted && admittedF == expectAdmitted,
       s"modes must admit identically: per-batch=$admittedP frozen=$admittedF expected=$expectAdmitted")
     println(f"[xover] RESULT corpus=$corpusRows batches=$nBatches x $batchRows " +
       f"refreshEvery=$refreshEvery per-batch=$secP%.1f s frozen=$secF%.1f s " +
-      f"speedup=${secP / secF}%.2f x admitted=$admittedF")
+      f"steadyMedian=$steadyMedian%.2f s speedup=${secP / secF}%.2f x admitted=$admittedF")
     spark.stop()
   }
 }
