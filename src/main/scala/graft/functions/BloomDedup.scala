@@ -76,6 +76,30 @@ object BloomDedup {
         out.toByteArray))
   }
 
+  /** Serialize + broadcast a filter once, for callers that probe it across
+    * MANY queries (the frozen-corpus gate: one filter, refreshEvery
+    * batches × several stages each). Pair with [[mightContainBroadcast]];
+    * `unpersist()` the handle when the filter's owner is released.
+    */
+  def broadcastFilter(spark: org.apache.spark.sql.SparkSession,
+                      filter: BloomFilter)
+      : org.apache.spark.broadcast.Broadcast[Array[Byte]] = {
+    val out = new ByteArrayOutputStream()
+    filter.writeTo(out)
+    spark.sparkContext.broadcast(out.toByteArray)
+  }
+
+  /** [[mightContain]] over a broadcast filter handle — identical probe
+    * results; the task binary carries the handle, not the bits
+    * ([[graft.functions.expressions.BloomMightContainBcastExpr]]).
+    */
+  def mightContainBroadcast(
+      filterBcast: org.apache.spark.broadcast.Broadcast[Array[Byte]],
+      key: Column): Column =
+    ExpressionUtils.column(
+      graft.functions.expressions.BloomMightContainBcastExpr(
+        ExpressionUtils.expression(key.cast("long")), filterBcast))
+
   /** EXACT new-key detection: Bloom prefilter + exact anti-join on the
     * candidate sliver only. Output = incoming rows whose `keyCol` does not
     * occur in `corpus` — bit-identical to the plain anti-join, minus the
@@ -88,14 +112,17 @@ object BloomDedup {
     * either way.
     */
   def newKeysExact(incoming: DataFrame, corpus: DataFrame, keyCol: String,
-                   filter: BloomFilter): DataFrame = {
+                   filter: BloomFilter,
+                   filterBcast: Option[org.apache.spark.broadcast.Broadcast[Array[Byte]]] = None)
+      : DataFrame = {
     // NULL keys: the probe is null-propagating, so an un-coalesced split
     // would fail BOTH branch predicates and the row would silently vanish.
     // The plain anti-join this must stay bit-identical to KEEPS null-key
     // rows (null never equals any corpus key), so they route to the
     // definite-new branch.
-    val flagged = incoming.withColumn("__might",
-      coalesce(mightContain(filter, col(keyCol)), lit(false)))
+    val probe = filterBcast.fold(mightContain(filter, col(keyCol)))(
+      mightContainBroadcast(_, col(keyCol)))
+    val flagged = incoming.withColumn("__might", coalesce(probe, lit(false)))
     val definiteNew = flagged.filter(!col("__might")).drop("__might")
     val candidates = flagged.filter(col("__might")).drop("__might")
     val confirmedNew = candidates.join(
@@ -121,9 +148,12 @@ object BloomDedup {
   def newKeysExactPruned(incoming: DataFrame,
                          corpusKeysFor: Seq[Any] => Option[DataFrame],
                          corpusKeys: => DataFrame, keyCol: String,
-                         filter: BloomFilter, cap: Int = 8192): DataFrame = {
-    val flagged = incoming.withColumn("__might",
-      coalesce(mightContain(filter, col(keyCol)), lit(false)))
+                         filter: BloomFilter, cap: Int = 8192,
+                         filterBcast: Option[org.apache.spark.broadcast.Broadcast[Array[Byte]]] = None)
+      : DataFrame = {
+    val probe = filterBcast.fold(mightContain(filter, col(keyCol)))(
+      mightContainBroadcast(_, col(keyCol)))
+    val flagged = incoming.withColumn("__might", coalesce(probe, lit(false)))
     val definiteNew = flagged.filter(!col("__might")).drop("__might")
     val candidates = flagged.filter(col("__might")).drop("__might")
     val sliver = candidates.select(col(keyCol)).distinct()

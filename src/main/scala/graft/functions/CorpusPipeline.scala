@@ -505,7 +505,13 @@ object CorpusPipeline {
         * size. The cached frames stay authoritative as the fallback for
         * over-cap probe sets.
         */
-      private[functions] val sideDir: Option[String] = None) {
+      private[functions] val sideDir: Option[String] = None,
+      /** the Bloom filter's serialized bytes as a BROADCAST handle: probes
+        * built from it ship the handle in the task binary, not the bits
+        * (~1.2 MB per million keys at 1% fpp — plan-embedded bytes would
+        * re-ship per stage per batch); unpersisted on [[release]]
+        */
+      val bloomBcast: Option[org.apache.spark.broadcast.Broadcast[Array[Byte]]] = None) {
     /** max probe values inlined into one pruned side-file read; above it
       * callers fall back to the cached frames (the In filter's literal
       * set and the per-row-group evaluation stay bounded)
@@ -551,6 +557,11 @@ object CorpusPipeline {
       // but a pathological freeze (most buckets hot) can leave it as a
       // lineage-truncated checkpoint whose blocks must not outlive the gate
       bandedHot.foreach(graft.core.Checkpoints.release)
+      // executor copies die now; the driver-side value stays reachable
+      // until this FrozenCorpus is dropped, so a straggling lazy consumer
+      // re-fetches instead of crashing (unpersist, deliberately not
+      // destroy — same contract as the cached frames)
+      bloomBcast.foreach(_.unpersist(blocking = false))
     }
   }
 
@@ -665,7 +676,8 @@ object CorpusPipeline {
             bnd.foreach(_.unpersist(blocking = false)); throw t
         }
       new FrozenCorpus(slim, rows, bloom, withSignatures, embeddings.isDefined,
-        bnd, hot, bands, numHashes, maxBucketSize, maxNonHot, side)
+        bnd, hot, bands, numHashes, maxBucketSize, maxNonHot, side,
+        Some(BloomDedup.broadcastFilter(slim.sparkSession, bloom)))
     } catch {
       // the count and the filter build are real actions — a transient
       // failure there must not pin a corpus-keys-sized cache entry nobody
@@ -729,9 +741,11 @@ object CorpusPipeline {
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
           cached += keyed
           BloomDedup.newKeysExactPruned(keyed, frozen.prunedKeys,
-            frozen.keys, "__ck", frozen.bloom)
+            frozen.keys, "__ck", frozen.bloom,
+            filterBcast = frozen.bloomBcast)
         } else BloomDedup.newKeysExact(
-          prepared.withColumn("__ck", key), frozen.keys, "__ck", frozen.bloom)
+          prepared.withColumn("__ck", key), frozen.keys, "__ck", frozen.bloom,
+          filterBcast = frozen.bloomBcast)
       // exactNew feeds several plan branches downstream (both sides of the
       // against-corpus signature funnel, the exact-verify shingle scan, the
       // final anti-join), and each would otherwise re-derive the ENTIRE
