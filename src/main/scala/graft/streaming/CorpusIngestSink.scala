@@ -535,6 +535,12 @@ object CorpusIngestSink {
               throw nestedWriteError("between gate and append")
             if (topFp != expectedFingerprint && !reGated) {
               externalWriteDetected(spark, batch, "between gate and append")
+              // release THIS attempt's caches before re-gating (the
+              // enclosing finally would only run after the retry returns,
+              // overlapping two attempts' cached frames; both releases
+              // are idempotent unpersists, so the finally stays harmless)
+              releaseBatch()
+              accepted.unpersist(blocking = false)
               return gateAndAppend(spark, batch, reGated = true)
             }
           }

@@ -142,6 +142,29 @@ class FrozenSideFilesSpec extends SparkSpec {
       "over-cap slivers must fall back to the corpus-keys join")
   }
 
+  test("pruned paths hold for STRING ids (probes, sorts, and isin are type-generic)") {
+    val sCfg = cfg.copy(idCol = "doc_key")
+    val sCorpus = Seq(("alpha", boilerText, "web"), ("beta", uniqueText, "web"))
+      .toDF("doc_key", "text", "source")
+    val sBatch = Seq(("x1", uniqueText, "web"), // exact dup
+      ("x2", freshText, "web")).toDF("doc_key", "text", "source")
+    val dir = Files.createTempDirectory("side_strid").toString
+    val plain = CorpusPipeline.freezeCorpus(sCorpus, sCfg, withBanded = true)
+    val side = CorpusPipeline.freezeCorpus(sCorpus, sCfg, withBanded = true,
+      sideFileDir = Some(dir), sideFileMinRows = 0L)
+    try {
+      def run(f: CorpusPipeline.FrozenCorpus): Seq[String] = {
+        val (accepted, release) = CorpusPipeline.prepareIncrementalFrozen(
+          sBatch, f, sCorpus, sCfg, Some(0.8))
+        try accepted.select("doc_key").as[String].collect().toSeq.sorted
+        finally release()
+      }
+      val a = run(plain)
+      assert(a == Seq("x2"), s"fixture drifted: $a")
+      assert(run(side) == a, "string-id pruned paths must admit identically")
+    } finally { plain.release(); side.release() }
+  }
+
   test("FrozenGate with side files admits identically to the cached gate") {
     val batches = Seq(
       docs(1L -> boilerText, 2L -> uniqueText),
