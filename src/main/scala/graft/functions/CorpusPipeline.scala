@@ -646,14 +646,19 @@ object CorpusPipeline {
           val blockOpt = "parquet.block.size"
           val blockSz = (1L << 20).toString // ~50k narrow rows per group
           def files(n: Long): Int = math.max(4L, math.min(256L, n / 4000000L)).toInt
+          // HASH repartition + sort-within-partitions, NOT repartitionByRange:
+          // the pruning mechanism is per-ROW-GROUP min/max statistics, which
+          // sorting within each file already provides, while range
+          // partitioning would add a boundary-sampling pass over the whole
+          // frame per write — a measurable super-linear term in the freeze
           slim.select(col("__ck"))
-            .repartitionByRange(files(rows), col("__ck"))
+            .repartition(files(rows), col("__ck"))
             .sortWithinPartitions(col("__ck"))
             .write.option(blockOpt, blockSz)
             .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(dir + "/keys")
           if (withSignatures)
             slim.select(col("__id"), col("__sig")).filter(col("__sig").isNotNull)
-              .repartitionByRange(files(rows), col("__id"))
+              .repartition(files(rows), col("__id"))
               .sortWithinPartitions(col("__id"))
               .write.option(blockOpt, blockSz)
               .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(dir + "/sigs")
@@ -663,7 +668,7 @@ object CorpusPipeline {
           // other side files — the per-batch read ceiling is then
           // probes × groupRows regardless of corpus size, at the cost of
           // proportionally larger (still small) footer metadata
-          bnd.foreach(_.repartitionByRange(files(rows * bands), col("__bucket"))
+          bnd.foreach(_.repartition(files(rows * bands), col("__bucket"))
             .sortWithinPartitions(col("__bucket"))
             .write.option(blockOpt, (128L << 10).toString)
             .option("parquet.page.size", (64L << 10).toString)
