@@ -2358,6 +2358,44 @@ object SparkEntry {
       out.orderBy(col("doc_id"))
     }),
 
+    // the PRUNED-PROBE side-file path, oracle-checked: same two batches,
+    // but refreshEvery=1 (so batch 2's freeze sees a non-empty corpus) and
+    // sideFileMinRows=0 force the freeze to write the sorted keys / sigs /
+    // banded side files and batch 2 to gate ENTIRELY through the pruned
+    // probes — driver-collected bloom-positive keys, touched band buckets,
+    // and candidate ids pushed as In filters into the side scans
+    // (CorpusPipeline.FrozenCorpus). Admissions are cadence- and
+    // path-invariant by contract, so the SAME DuckDB replay must
+    // hash-match; a pruning bug that dropped or re-admitted anything
+    // would mismatch here.
+    "ingest_frozen_sidefiles" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val cfg = CorpusPipeline.Config(
+        nearDupThreshold = None, decontamThreshold = None)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_ingest_sf").toString
+      val b1 = docs.filter(pmod(col("doc_id"), lit(3L)) === 0L)
+      val b2 = docs.filter(pmod(col("doc_id"), lit(3L)) =!= 0L)
+      // round 1 through the per-batch sink (same funnel) so the gate's one
+      // freeze sees a NON-empty corpus and actually writes the side files
+      graft.streaming.CorpusIngestSink.processBatch(s, tmp, b1, cfg)
+      val gate = new graft.streaming.CorpusIngestSink.FrozenGate(
+        tmp, cfg, refreshEvery = 4, sideFiles = true, sideFileMinRows = 0L)
+      try gate.processBatch(b2)
+      finally gate.close()
+      val out = graft.core.Checkpoints.localize(
+        s.read.parquet(tmp).select(col("doc_id"), col("split")))
+      for (d <- Seq(tmp, tmp + "__gatestate")) {
+        val root = java.nio.file.Paths.get(d)
+        if (java.nio.file.Files.exists(root)) {
+          val walk = java.nio.file.Files.walk(root)
+          try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+            .forEach(f => java.nio.file.Files.deleteIfExists(f))
+          finally walk.close()
+        }
+      }
+      out.orderBy(col("doc_id"))
+    }),
+
     // EXTERNAL-WRITER detection, oracle-checked: batch 1 seeds the corpus
     // through the frozen gate (refreshEvery=3 — absent interference ONE
     // freeze would cover everything), then a co-writer appends raw rows
@@ -3567,6 +3605,20 @@ object SparkEntry {
       // frozen-gate lifecycle: cadence-invariant by construction, so the
       // oracle is the SAME two-round replay as ingest_lifecycle
       "ingest_frozen_lifecycle" ->
+        s"""WITH ${ingestPrepCtes("1", "doc_id % 3 = 0")},
+           |${ingestPrepCtes("2", "doc_id % 3 <> 0")},
+           |ex2 AS (SELECT sp2.* FROM sp2
+           |        WHERE CAST('0x' || substr(md5(sp2.norm), 1, 15) AS UBIGINT) NOT IN
+           |          (SELECT CAST('0x' || substr(md5(norm), 1, 15) AS UBIGINT) FROM sp1)),
+           |${bipartiteDropCtes("ex2", "sp1")}
+           |SELECT doc_id, split FROM sp1
+           |UNION ALL
+           |SELECT doc_id, split FROM ex2 WHERE doc_id NOT IN (SELECT ib FROM dropped)
+           |ORDER BY doc_id""".stripMargin,
+
+      // pruned-probe side-file path: path-invariant admissions, so the
+      // oracle is the SAME two-round replay as ingest_frozen_lifecycle
+      "ingest_frozen_sidefiles" ->
         s"""WITH ${ingestPrepCtes("1", "doc_id % 3 = 0")},
            |${ingestPrepCtes("2", "doc_id % 3 <> 0")},
            |ex2 AS (SELECT sp2.* FROM sp2
