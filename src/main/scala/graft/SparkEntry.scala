@@ -2359,15 +2359,20 @@ object SparkEntry {
     }),
 
     // the PRUNED-PROBE side-file path, oracle-checked: same two batches,
-    // but refreshEvery=1 (so batch 2's freeze sees a non-empty corpus) and
-    // sideFileMinRows=0 force the freeze to write the sorted keys / sigs /
-    // banded side files and batch 2 to gate ENTIRELY through the pruned
-    // probes — driver-collected bloom-positive keys, touched band buckets,
-    // and candidate ids pushed as In filters into the side scans
+    // with batch 1 pre-seeded through the per-batch sink so the gate's one
+    // freeze sees a NON-empty corpus, and sideFileMinRows=0 forcing that
+    // freeze to write the prefix-partitioned keys / sigs / banded side
+    // files — batch 2 then gates ENTIRELY through the pruned probes:
+    // driver-collected bloom-positive keys, touched band buckets, and
+    // candidate ids pushed as partition + In filters into the side scans
     // (CorpusPipeline.FrozenCorpus). Admissions are cadence- and
     // path-invariant by contract, so the SAME DuckDB replay must
     // hash-match; a pruning bug that dropped or re-admitted anything
-    // would mismatch here.
+    // would mismatch here. Geometry deliberately minimal for a fixture
+    // that pays unamortized side-file costs on a tiny corpus: one-batch
+    // refresh window, 4 prefix partitions, 32 hashes (recall at the 0.8
+    // verify threshold is ~1 − 2e-6 with 16 bands of 2 — the oracle's
+    // exact-Jaccard replay is LSH-parameter-blind).
     "ingest_frozen_sidefiles" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val cfg = CorpusPipeline.Config(
@@ -2375,11 +2380,10 @@ object SparkEntry {
       val tmp = java.nio.file.Files.createTempDirectory("graft_ingest_sf").toString
       val b1 = docs.filter(pmod(col("doc_id"), lit(3L)) === 0L)
       val b2 = docs.filter(pmod(col("doc_id"), lit(3L)) =!= 0L)
-      // round 1 through the per-batch sink (same funnel) so the gate's one
-      // freeze sees a NON-empty corpus and actually writes the side files
       graft.streaming.CorpusIngestSink.processBatch(s, tmp, b1, cfg)
       val gate = new graft.streaming.CorpusIngestSink.FrozenGate(
-        tmp, cfg, refreshEvery = 4, sideFiles = true, sideFileMinRows = 0L)
+        tmp, cfg, refreshEvery = 1, numHashes = 32, sideFiles = true,
+        sideFileMinRows = 0L, sideFilePartitions = 4)
       try gate.processBatch(b2)
       finally gate.close()
       val out = graft.core.Checkpoints.localize(

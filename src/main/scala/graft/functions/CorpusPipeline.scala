@@ -511,7 +511,16 @@ object CorpusPipeline {
         * (~1.2 MB per million keys at 1% fpp — plan-embedded bytes would
         * re-ship per stage per batch); unpersisted on [[release]]
         */
-      val bloomBcast: Option[org.apache.spark.broadcast.Broadcast[Array[Byte]]] = None) {
+      val bloomBcast: Option[org.apache.spark.broadcast.Broadcast[Array[Byte]]] = None,
+      /** prefix-partition count of the keys/banded side files (`__pfx =
+        * pmod(value, sidePfx)` directory column). Directory-level
+        * partition pruning evaluates an In set EXACTLY at listing time
+        * regardless of its size — the first pruning stage that cannot
+        * silently degrade the way parquet's >threshold In-to-range
+        * row-group rewrite does over uniform-hash domains. 0 = the
+        * unpartitioned layout (sigs always; a legacy keys/banded dir).
+        */
+      private[functions] val sidePfx: Int = 0) {
     /** max probe values inlined into one pruned side-file read; above it
       * callers fall back to the cached frames (the In filter's literal
       * set and the per-row-group evaluation stay bounded)
@@ -519,18 +528,51 @@ object CorpusPipeline {
     private[functions] val sideProbeCap: Int = 1 << 16
     private def sideRead(sub: String): DataFrame =
       slim.sparkSession.read.parquet(sideDir.get + "/" + sub)
+    // How the value-level In reaches parquet (verified against Spark
+    // 4.1.2 bytecode, ParquetFilters — the r17 verdict's premise is
+    // INVERTED on this version): a pushed In with MORE values than
+    // spark.sql.parquet.pushdown.inFilterThreshold (default 10) becomes
+    // parquet's NATIVE set-based FilterApi.in — exact at row-group-stats
+    // and dictionary level, so the sorted side files prune correctly at
+    // any probe size. At or BELOW the threshold Spark instead builds a
+    // recursive OR-chain of equalities; raising the threshold to "help"
+    // large probe sets therefore forces a probe-set-deep OR chain whose
+    // recursive visitor StackOverflowErrors around ~2k values (hit
+    // empirically at sf0.01) — the threshold must be left ALONE.
     private def pruned(sub: String, keyName: String, probes: Seq[Any]): Option[DataFrame] =
       if (sideDir.isEmpty || probes.size > sideProbeCap) None
       else Some(sideRead(sub).filter(col(keyName).isin(probes: _*)))
+    /** [[pruned]] plus the prefix-partition filter: the probe values'
+      * `__pfx` classes are computed driver-side (same `floorMod` as the
+      * write's `pmod`) and pushed as a partition-column In — file listing
+      * then touches only the probed directories, an exact prune with no
+      * row-group-statistics dependence at any probe-set size.
+      */
+    private def prunedPfx(sub: String, keyName: String, probes: Seq[Any]): Option[DataFrame] =
+      if (sidePfx <= 0) pruned(sub, keyName, probes)
+      else if (sideDir.isEmpty || probes.size > sideProbeCap) None
+      else if (probes.exists(p => !p.isInstanceOf[java.lang.Number])) None
+      else {
+        val pfx = probes.iterator
+          .map(p => java.lang.Math.floorMod(p.asInstanceOf[java.lang.Number].longValue, sidePfx.toLong).toInt)
+          .toSet.toSeq
+        Some(sideRead(sub)
+          .filter(col("__pfx").isin(pfx: _*) && col(keyName).isin(probes: _*))
+          .drop("__pfx"))
+      }
     /** frozen keys restricted to `probes` — IO ∝ probes, or None */
     def prunedKeys(probes: Seq[Any]): Option[DataFrame] =
-      pruned("keys", "__ck", probes)
-    /** frozen signatures restricted to the given ids, or None */
+      prunedPfx("keys", "__ck", probes)
+    /** frozen signatures restricted to the given ids, or None. Not prefix-
+      * partitioned: ids are caller-typed (strings included), and candidate
+      * ids arrive append-ordered, so the id-sorted row groups already
+      * carry tight min/max ranges.
+      */
     def prunedSigs(probes: Seq[Any]): Option[DataFrame] =
       pruned("sigs", "__id", probes)
     /** frozen banded rows restricted to the given bucket values, or None */
     def prunedBanded(probes: Seq[Any]): Option[DataFrame] =
-      pruned("banded", "__bucket", probes)
+      prunedPfx("banded", "__bucket", probes)
     /** whether the pruned-probe fast path is available at all */
     def hasSideFiles: Boolean = sideDir.isDefined
     /** the frozen banded frame + hot set, when frozen `withBanded` */
@@ -580,7 +622,8 @@ object CorpusPipeline {
                    withBanded: Boolean = false, bands: Int = 16,
                    maxBucketSize: Long = 4096L,
                    sideFileDir: Option[String] = None,
-                   sideFileMinRows: Long = 200000L): FrozenCorpus = {
+                   sideFileMinRows: Long = 200000L,
+                   sideFilePartitions: Int = 0): FrozenCorpus = {
     require(!withBanded || withSignatures,
       "banded freeze state derives from signatures")
     val text = col(cfg.textCol)
@@ -600,6 +643,10 @@ object CorpusPipeline {
       val bloom =
         if (rows == 0L) org.apache.spark.util.sketch.BloomFilter.create(1L, bloomFpp)
         else BloomDedup.buildLongNonEmpty(slim, col("__ck"), rows, bloomFpp)
+      // broadcast BEFORE the banded block: were it built after, a
+      // broadcast failure would leak the banded cache and the localized
+      // hot set (only slim rides the outer catch)
+      val bloomBc = BloomDedup.broadcastFilter(slim.sparkSession, bloom)
       val (bnd, hot, maxNonHot) =
         if (!withBanded) (None, None, None)
         else {
@@ -633,56 +680,87 @@ object CorpusPipeline {
         }
       // SIDE FILES: sorted, small-row-group copies of the frozen keys /
       // signatures / banded rows, written once per refresh so every gated
-      // batch can read them PRUNED to its probe set (In-filter pushdown +
-      // row-group statistics → IO ∝ probes). Written only above the row
-      // threshold: below it the cached frames are faster than any fixed
-      // job overhead (the same crossover argument as the gate itself).
-      // Cost: three write jobs off the already-cached frames, amortized
-      // over the refresh window.
-      val side =
-        if (sideFileDir.isEmpty || rows == 0L || rows < sideFileMinRows) None
-        else try {
-          val dir = sideFileDir.get
-          val blockOpt = "parquet.block.size"
-          val blockSz = (1L << 20).toString // ~50k narrow rows per group
-          def files(n: Long): Int = math.max(4L, math.min(256L, n / 4000000L)).toInt
-          // HASH repartition + sort-within-partitions, NOT repartitionByRange:
-          // the pruning mechanism is per-ROW-GROUP min/max statistics, which
-          // sorting within each file already provides, while range
-          // partitioning would add a boundary-sampling pass over the whole
-          // frame per write — a measurable super-linear term in the freeze
-          slim.select(col("__ck"))
-            .repartition(files(rows), col("__ck"))
-            .sortWithinPartitions(col("__ck"))
-            .write.option(blockOpt, blockSz)
-            .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(dir + "/keys")
-          if (withSignatures)
-            slim.select(col("__id"), col("__sig")).filter(col("__sig").isNotNull)
-              .repartition(files(rows), col("__id"))
-              .sortWithinPartitions(col("__id"))
-              .write.option(blockOpt, blockSz)
-              .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(dir + "/sigs")
-          // banded rows are ~20 B wide and probed by UNIFORM bucket hashes:
-          // row-group pruning only bites while probe count < group count,
-          // so the banded copy uses much finer groups (~6k rows) than the
-          // other side files — the per-batch read ceiling is then
-          // probes × groupRows regardless of corpus size, at the cost of
-          // proportionally larger (still small) footer metadata
-          bnd.foreach(_.repartition(files(rows * bands), col("__bucket"))
-            .sortWithinPartitions(col("__bucket"))
-            .write.option(blockOpt, (128L << 10).toString)
-            .option("parquet.page.size", (64L << 10).toString)
-            .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(dir + "/banded"))
-          Some(dir)
-        } catch {
-          // a failed side write must not leak the banded cache (slim's own
-          // unpersist rides the outer catch)
-          case t: Throwable =>
-            bnd.foreach(_.unpersist(blocking = false)); throw t
-        }
-      new FrozenCorpus(slim, rows, bloom, withSignatures, embeddings.isDefined,
-        bnd, hot, bands, numHashes, maxBucketSize, maxNonHot, side,
-        Some(BloomDedup.broadcastFilter(slim.sparkSession, bloom)))
+      // batch can read them PRUNED to its probe set. Written only above
+      // the row threshold: below it the cached frames are faster than any
+      // fixed job overhead (the same crossover argument as the gate
+      // itself). Cost: three write jobs off the already-cached frames,
+      // amortized over the refresh window.
+      //
+      // TWO pruning stages (r18, re-derived from Spark 4.1.2 bytecode —
+      // see the [[FrozenCorpus.pruned]] note):
+      //   1. keys/banded carry a `__pfx = pmod(value, P)` DIRECTORY
+      //      partition — partition pruning evaluates the probe In set
+      //      exactly at listing time, any size, no statistics involved,
+      //      bounding even the LISTING and footer reads by the probes'
+      //      pfx classes;
+      //   2. within a directory, per-file sort gives narrow row-group
+      //      min/max ranges, and any probe set larger than the default
+      //      inFilterThreshold (10) reaches parquet as the NATIVE
+      //      set-based In predicate — exact row-group and dictionary
+      //      pruning at any probe size, no conf changes needed (and none
+      //      wanted: raising the threshold forces the OR-chain path,
+      //      which stack-overflows around 2k values).
+      // Together: a probe touches its pfx directory, and inside it only
+      // the row groups whose range holds its value — per-batch side IO
+      // ∝ probes × rowGroupRows, independent of corpus size.
+      try {
+        val (side, pfxParts) =
+          if (sideFileDir.isEmpty || rows == 0L || rows < sideFileMinRows) (None, 0)
+          else {
+            val dir = sideFileDir.get
+            val blockOpt = "parquet.block.size"
+            val blockSz = (1L << 20).toString // ~50k narrow rows per group
+            // P scales with the corpus so directories stay coarse enough
+            // to list cheaply but fine enough that a steady batch's probe
+            // set touches a strict subset of them
+            val p =
+              if (sideFilePartitions > 0) sideFilePartitions
+              else math.max(8L, math.min(1024L, rows / 500000L)).toInt
+            def pfxOf(c: Column): Column = pmod(c, lit(p.toLong)).cast("int")
+            // HASH repartition on __pfx + sort-within-partitions, NOT
+            // repartitionByRange: range partitioning's boundary sampling
+            // was a measured super-linear term in the freeze; each pfx
+            // class lands whole in one task, so every directory gets ~one
+            // file, internally sorted for stage-2 row-group pruning
+            slim.select(col("__ck"), pfxOf(col("__ck")).as("__pfx"))
+              .repartition(p, col("__pfx"))
+              .sortWithinPartitions(col("__pfx"), col("__ck"))
+              .write.option(blockOpt, blockSz).partitionBy("__pfx")
+              .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(dir + "/keys")
+            // sigs stay UNPARTITIONED: ids are caller-typed (strings
+            // included, no driver-replicable pfx), and candidate ids are
+            // append-ordered so the id-sorted groups already prune tightly
+            if (withSignatures)
+              slim.select(col("__id"), col("__sig")).filter(col("__sig").isNotNull)
+                .repartition(math.max(4L, math.min(256L, rows / 4000000L)).toInt, col("__id"))
+                .sortWithinPartitions(col("__id"))
+                .write.option(blockOpt, blockSz)
+                .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(dir + "/sigs")
+            // banded rows are ~20 B wide and probed by UNIFORM bucket
+            // hashes: finer row groups (~6k rows) than the other side
+            // files keep the per-probe read floor small
+            bnd.foreach(_.withColumn("__pfx", pfxOf(col("__bucket")))
+              .repartition(p, col("__pfx"))
+              .sortWithinPartitions(col("__pfx"), col("__bucket"))
+              .write.option(blockOpt, (128L << 10).toString)
+              .option("parquet.page.size", (64L << 10).toString)
+              .partitionBy("__pfx")
+              .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(dir + "/banded"))
+            (Some(dir), p)
+          }
+        new FrozenCorpus(slim, rows, bloom, withSignatures, embeddings.isDefined,
+          bnd, hot, bands, numHashes, maxBucketSize, maxNonHot, side,
+          Some(bloomBc), pfxParts)
+      } catch {
+        // a failed side write (or constructor) must not leak the banded
+        // cache, the localized hot set, or the broadcast filter (slim's
+        // own unpersist rides the outer catch)
+        case t: Throwable =>
+          bnd.foreach(_.unpersist(blocking = false))
+          hot.foreach(graft.core.Checkpoints.release)
+          bloomBc.unpersist(blocking = false)
+          throw t
+      }
     } catch {
       // the count and the filter build are real actions — a transient
       // failure there must not pin a corpus-keys-sized cache entry nobody

@@ -118,8 +118,16 @@ object CorpusIngestSink {
     while (it.hasNext) {
       val s = it.next()
       val p = s.getPath.toString
-      if (p.endsWith(".parquet"))
-        out += ((p.stripPrefix(base), s.getLen, s.getModificationTime))
+      val rel = p.stripPrefix(base)
+      // mirror Spark's hidden-file rule (InMemoryFileIndex): any path
+      // COMPONENT starting with `_` or `.` is invisible to the corpus
+      // read — a concurrent committer's in-flight `_temporary/**` or
+      // `.spark-staging-*` files (or stale residue of an aborted job)
+      // must not fingerprint as an external write, let alone escalate to
+      // the unsurvivable-nested error while a co-writer is mid-commit
+      if (p.endsWith(".parquet") &&
+          !rel.split('/').exists(c => c.startsWith("_") || c.startsWith(".")))
+        out += ((rel, s.getLen, s.getModificationTime))
     }
     out.result()
   }
@@ -300,7 +308,9 @@ object CorpusIngestSink {
     * AND immediately before each own append (closing the gate-to-append
     * race: a mid-batch co-write re-freezes and re-gates the batch under
     * Refresh, throws under Fail), and derives the next expected value
-    * from the pre-append listing plus the files the append added. On a
+    * from the last VALIDATED listing plus the files the append added —
+    * so even a co-write landing inside a re-gated attempt's skipped
+    * re-check is caught by the next batch. On a
     * TOP-LEVEL mismatch it re-freezes (default) or fails, per
     * [[ExternalWriterPolicy]]; a co-write landing in a SUBDIRECTORY
     * throws under every policy except Ignore, because no re-freeze can
@@ -363,7 +373,12 @@ object CorpusIngestSink {
                            * (the gate's own crossover argument applied to
                            * its probes)
                            */
-                         sideFileMinRows: Long = 200000L) {
+                         sideFileMinRows: Long = 200000L,
+                         /** prefix-partition count for the keys/banded
+                           * side files; 0 = auto from corpus rows
+                           * ([[CorpusPipeline.freezeCorpus]])
+                           */
+                         sideFilePartitions: Int = 0) {
     require(refreshEvery >= 1, "refresh cadence must admit at least one batch")
     require(compactEvery >= 0, "compaction cadence is counted in refreshes; 0 disables")
     require(semanticAgainstThreshold.isEmpty || cfg.embeddings.isDefined,
@@ -406,12 +421,24 @@ object CorpusIngestSink {
       * grows only with THESE, never with in-budget admissions.
       */
     private[streaming] val deltaParts = scala.collection.mutable.ListBuffer.empty[DataFrame]
-    /** listing fingerprints (top-level files, nested files) the gate
-      * expects the target to have; refreshed at every freeze and after
-      * each own append
+    /** the listing the gate last VALIDATED — the refresh-time snapshot
+      * plus the files its own appends added since. The expected
+      * fingerprints derive from THESE entries, never from a raw
+      * pre-append listing: on a re-gated attempt the pre-append listing
+      * may already contain a second co-writer's files, and folding them
+      * into "expected" would absorb that write until the scheduled
+      * refresh (the r17 advisory's blind window) — kept outside, the
+      * NEXT batch's pre-gate check detects it
       */
+    private var expectedEntries: Seq[(String, Long, Long)] = Seq.empty
     private var expectedFingerprint = 0L
     private var expectedNestedFingerprint = 0L
+    private def setExpected(entries: Seq[(String, Long, Long)]): Unit = {
+      expectedEntries = entries
+      val fps = fingerprintsOf(entries)
+      expectedFingerprint = fps._1
+      expectedNestedFingerprint = fps._2
+    }
     /** Test seam: applied to the delta projection right before it is
       * materialized, so specs can inject a fold-stage failure and pin the
       * recovery contract (gate invalidation after a committed append).
@@ -525,9 +552,10 @@ object CorpusIngestSink {
           // immediately before the append shrinks the blind window to the
           // append itself; on mismatch the batch's admissions are stale, so
           // Refresh re-freezes and re-gates THIS batch once (Fail throws).
-          // A second mid-batch race in the same batch proceeds — the
-          // expected fingerprint below is derived from THIS listing, so the
-          // NEXT batch's pre-gate check detects it.
+          // A second mid-batch race in the same batch proceeds — but the
+          // expected value below is derived from the last VALIDATED
+          // listing plus own files, never this one, so the NEXT batch's
+          // pre-gate check detects it.
           val preEntries = listingEntries(spark, targetDir)
           if (onExternalWrite != ExternalWriterPolicy.Ignore) {
             val (topFp, nestedFp) = fingerprintsOf(preEntries)
@@ -545,15 +573,20 @@ object CorpusIngestSink {
             }
           }
           accepted.write.mode(SaveMode.Append).parquet(targetDir)
-          // expected = pre-append listing ∪ the files this append added:
-          // an external file landing DURING the append is misattributed as
-          // our own (the one remaining blind window); an external in-place
-          // MODIFICATION of a pre-existing file during the append is still
-          // caught, because the expected value keeps the PRE-append
-          // attributes for pre-existing names
+          // next expected = the last VALIDATED listing ∪ the files this
+          // append added (post-append names not in the pre-append
+          // listing). Using the validated base — not preEntries — keeps a
+          // co-write that landed between a Refresh-policy re-freeze and
+          // this (re-gated, check-skipped) append OUT of the expected
+          // set, so the next batch's pre-gate check detects and absorbs
+          // it. An external file landing DURING the append itself is
+          // still misattributed as our own (the one remaining blind
+          // window); an in-place MODIFICATION of a validated file is
+          // still caught, because the expected set keeps the validated
+          // attributes for pre-existing names.
           val preNames = preEntries.iterator.map(_._1).toSet
-          val ownExpected = fingerprintsOf(preEntries ++
-            listingEntries(spark, targetDir).filterNot(e => preNames(e._1)))
+          val ownEntries = expectedEntries ++
+            listingEntries(spark, targetDir).filterNot(e => preNames(e._1))
           try {
           // delta fold: ONE localized projection carries the admitted
           // rows' exact keys, signatures, and (when the semantic arm is
@@ -635,8 +668,7 @@ object CorpusIngestSink {
           rebuildDelta(spark)
           // the append itself moved the listing — own writes must not trip
           // the external-writer check on the next batch
-          expectedFingerprint = ownExpected._1
-          expectedNestedFingerprint = ownExpected._2
+          setExpected(ownEntries)
           } catch {
             case t: Throwable =>
               // the append COMMITTED but the delta didn't absorb it:
@@ -689,15 +721,14 @@ object CorpusIngestSink {
         sideFileDir =
           if (sideFiles) Some(targetDir.stripSuffix("/") + "__gatestate")
           else None,
-        sideFileMinRows = sideFileMinRows)
+        sideFileMinRows = sideFileMinRows,
+        sideFilePartitions = sideFilePartitions)
       sinceRefresh = 0
       refreshes += 1
       // recorded AFTER the freeze materialized (freezeCorpus counts the
       // slim frame eagerly): a writer landing between the scan and this
       // listing is a benign race — the next batch's check catches it
-      val fps = fingerprintsOf(listingEntries(spark, targetDir))
-      expectedFingerprint = fps._1
-      expectedNestedFingerprint = fps._2
+      setExpected(listingEntries(spark, targetDir))
       GraftMetrics.inc(GraftMetrics.IngestFreezes)
       GraftMetrics.gauge(GraftMetrics.IngestCorpusRows, frozen.rows)
     }

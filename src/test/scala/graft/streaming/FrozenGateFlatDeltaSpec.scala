@@ -21,8 +21,9 @@ import java.nio.file.Files
   *      append (a co-write landing between the pre-gate check and the
   *      append used to be absorbed into the expected fingerprint and never
   *      detected until the scheduled refresh), and derives the expected
-  *      value from the pre-append listing plus the files the append added,
-  *      so a co-write landing during the FOLD is caught by the next batch;
+  *      value from the last VALIDATED listing plus the files the append
+  *      added (r18) — so a co-write landing during the FOLD, or inside a
+  *      re-gated attempt's skipped re-check, is caught by the next batch;
   *   3. the listing fingerprint is RECURSIVE — a co-writer landing rows in
   *      a subdirectory changes what partition discovery reads, and must
   *      trip the check like a top-level append.
@@ -193,5 +194,80 @@ class FrozenGateFlatDeltaSpec extends SparkSpec {
         "removing the nested files must unblock the gate (top-level refresh)")
     } finally g.close()
     assert(corpusIds(dir) == Seq(1L, 32L))
+  }
+
+  test("committer scratch files (_temporary, .staging) are invisible to the fingerprint") {
+    // a CONCURRENT committer's in-flight state is data files under
+    // hidden (`_`/`.`-prefixed) paths — Spark's corpus read ignores every
+    // one of them, so the fingerprint must too. The pre-r18 recursive
+    // listing classified them as an UNSURVIVABLE nested co-write and
+    // threw under every policy except Ignore, turning a transient
+    // mid-commit state (or stale `_temporary` residue of an aborted job)
+    // into a hard failure.
+    val dir = Files.createTempDirectory("fg_hidden").toString
+    val freezesBefore = GraftMetrics.counter(GraftMetrics.IngestFreezes)
+    val g = new CorpusIngestSink.FrozenGate(dir, cfg, refreshEvery = 10,
+      onExternalWrite = CorpusIngestSink.ExternalWriterPolicy.Fail)
+    try {
+      assert(g.processBatch(df(1L -> texts(0))) == 1L)
+      val part = new java.io.File(dir).listFiles
+        .filter(_.getName.endsWith(".parquet")).head
+      def plant(rel: String): Unit = {
+        val dst = java.nio.file.Paths.get(dir, rel)
+        java.nio.file.Files.createDirectories(dst.getParent)
+        java.nio.file.Files.copy(part.toPath, dst)
+      }
+      // NOT under _temporary/0: that is the LIVE FileOutputCommitter
+      // job-attempt namespace, and the gate's own next append would
+      // merge a "committed task" directory planted there into the
+      // corpus root as real data (empirically checked) — stale residue
+      // of an aborted job lives under another attempt id
+      plant("_temporary/9/task_000/part-junk.parquet")
+      plant(".spark-staging-9/part-junk.parquet")
+      plant("._hidden-top.parquet")
+      // Fail policy: ANY detection throws — gating straight through is
+      // the assertion, and no re-freeze may be spent on scratch files
+      assert(g.processBatch(df(2L -> texts(2))) == 1L)
+      assert(GraftMetrics.counter(GraftMetrics.IngestFreezes) - freezesBefore == 1L,
+        "hidden paths must not trigger a refresh")
+    } finally g.close()
+    assert(corpusIds(dir) == Seq(1L, 2L),
+      "the corpus read itself ignores the hidden files")
+  }
+
+  test("a second co-write inside the re-gated window is caught by the NEXT batch") {
+    // co-write #1 lands between gate and append (detected → re-freeze →
+    // re-gate); co-write #2 lands inside the RE-GATED attempt, whose
+    // pre-append re-check is skipped. The expected listing derives from
+    // the last VALIDATED listing plus own files — never the retry's
+    // pre-append listing — so #2 stays outside it and the next batch's
+    // pre-gate check refreshes before gating (the r17 advisory's blind
+    // window: the old pre-append base silently absorbed #2 until the
+    // scheduled refresh, re-admitting its duplicates).
+    val dir = Files.createTempDirectory("fg_second_cowrite").toString
+    val extBefore = GraftMetrics.counter(GraftMetrics.IngestExternalWrites)
+    val g = new CorpusIngestSink.FrozenGate(dir, cfg, refreshEvery = 10)
+    try {
+      assert(g.processBatch(df(1L -> texts(0))) == 1L)
+      var call = 0
+      g.preAppendTap = () => {
+        call += 1
+        if (call <= 2)
+          df((100L + call) -> texts(call)).withColumn("split",
+            org.apache.spark.sql.functions.lit("train"))
+            .write.mode(SaveMode.Append).parquet(dir)
+        if (call == 2) g.preAppendTap = () => ()
+      }
+      assert(g.processBatch(df(30L -> texts(3))) == 1L)
+      assert(GraftMetrics.counter(GraftMetrics.IngestExternalWrites) - extBefore == 1L,
+        "co-write #1 is detected by the pre-append re-check")
+      // doc 40 duplicates co-write #2's text: the next batch must detect
+      // #2, re-freeze, and gate the duplicate — not re-admit it
+      assert(g.processBatch(df(40L -> texts(2))) == 0L,
+        "the second co-write must be visible to the very next batch")
+      assert(GraftMetrics.counter(GraftMetrics.IngestExternalWrites) - extBefore == 2L)
+    } finally g.close()
+    assert(corpusIds(dir) == Seq(1L, 30L, 101L, 102L),
+      "neither co-written row may be duplicated or lost")
   }
 }
