@@ -463,8 +463,12 @@ object CorpusPipeline {
       slim: DataFrame,
       /** corpus rows at freeze time */
       val rows: Long,
-      /** Bloom filter over the frozen exact-dedup keys */
-      val bloom: org.apache.spark.util.sketch.BloomFilter,
+      /** MONOLITHIC Bloom filter over the frozen exact-dedup keys; None
+        * when the freeze sharded the key space ([[bloomShardsBcast]]) —
+        * no single object then holds the whole corpus's bits, which is
+        * the point of sharding
+        */
+      private[functions] val bloomMono: Option[org.apache.spark.util.sketch.BloomFilter],
       withSignatures: Boolean,
       withEmbeddings: Boolean,
       /** banded (__id, __band, __bucket) frame of the frozen signatures,
@@ -520,7 +524,22 @@ object CorpusPipeline {
         * row-group rewrite does over uniform-hash domains. 0 = the
         * unpartitioned layout (sigs always; a legacy keys/banded dir).
         */
-      private[functions] val sidePfx: Int = 0) {
+      private[functions] val sidePfx: Int = 0,
+      /** KEY-SPACE-SHARDED Bloom filter: one broadcast handle per
+        * `floorMod(key, n)` shard class, present when the freeze sharded
+        * ([[freezeCorpus]]'s `bloomShardCount`, or auto above the
+        * monolithic-filter partition point). Executors fetch/deserialize
+        * only the shards their rows probe — per-executor resident filter
+        * bytes are bounded by shardBytes × touched shards, closing the
+        * last gate component that was O(corpus) in one JVM object.
+        */
+      val bloomShardsBcast: Option[Array[org.apache.spark.broadcast.Broadcast[Array[Byte]]]] = None) {
+    /** the monolithic filter (probe via [[bloomBcast]] where possible);
+      * defined iff the freeze did NOT shard the key space
+      */
+    def bloom: org.apache.spark.util.sketch.BloomFilter =
+      bloomMono.getOrElse(throw new IllegalStateException(
+        "sharded freeze holds no monolithic Bloom filter — probe via bloomShardsBcast"))
     /** max probe values inlined into one pruned side-file read; above it
       * callers fall back to the cached frames (the In filter's literal
       * set and the per-row-group evaluation stay bounded)
@@ -604,6 +623,7 @@ object CorpusPipeline {
       // re-fetches instead of crashing (unpersist, deliberately not
       // destroy — same contract as the cached frames)
       bloomBcast.foreach(_.unpersist(blocking = false))
+      bloomShardsBcast.foreach(_.foreach(_.unpersist(blocking = false)))
     }
   }
 
@@ -615,6 +635,15 @@ object CorpusPipeline {
     * NPEs on zero rows, and every probe of the empty filter correctly
     * answers "proven new".
     */
+  /** Keys per Bloom shard above which a freeze auto-shards the filter's
+    * key space: 2.5e8 keys ≈ 300 MB of bits at 1% fpp — comfortably under
+    * the ~1.2 GB-at-1e9-keys monolithic cliff, and never reached by the
+    * local fixtures (auto stays monolithic below 250M corpus rows, so the
+    * bench path is byte-identical; `bloomShardCount` pins it for tests
+    * and scale runs).
+    */
+  private[graft] val shardAutoKeys: Long = 250000000L
+
   def freezeCorpus(standingCorpus: DataFrame, cfg: Config = Config(),
                    withSignatures: Boolean = true, numHashes: Int = 64,
                    bloomFpp: Double = 0.01,
@@ -623,7 +652,8 @@ object CorpusPipeline {
                    maxBucketSize: Long = 4096L,
                    sideFileDir: Option[String] = None,
                    sideFileMinRows: Long = 200000L,
-                   sideFilePartitions: Int = 0): FrozenCorpus = {
+                   sideFilePartitions: Int = 0,
+                   bloomShardCount: Int = 0): FrozenCorpus = {
     require(!withBanded || withSignatures,
       "banded freeze state derives from signatures")
     val text = col(cfg.textCol)
@@ -640,13 +670,31 @@ object CorpusPipeline {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val rows = slim.count() // materializes the one corpus scan
-      val bloom =
-        if (rows == 0L) org.apache.spark.util.sketch.BloomFilter.create(1L, bloomFpp)
-        else BloomDedup.buildLongNonEmpty(slim, col("__ck"), rows, bloomFpp)
-      // broadcast BEFORE the banded block: were it built after, a
-      // broadcast failure would leak the banded cache and the localized
-      // hot set (only slim rides the outer catch)
-      val bloomBc = BloomDedup.broadcastFilter(slim.sparkSession, bloom)
+      // the Bloom prefilter: monolithic below the shard point, KEY-SPACE
+      // SHARDED above it (or when the caller pins a shard count) — a
+      // monolithic filter is one driver/executor object that grows with
+      // the corpus (~1.2 GB at 1e9 keys / 1% fpp), the documented last
+      // O(corpus)-in-one-JVM-object gate component; sharding bounds every
+      // single filter object at ~shardAutoKeys bits and lets executors
+      // fetch only the shards their rows probe
+      val shards =
+        if (rows == 0L) 1
+        else if (bloomShardCount > 0) bloomShardCount
+        else math.max(1L, (rows + shardAutoKeys - 1) / shardAutoKeys).toInt
+      val (bloomOpt, bloomBcOpt, shardsBcOpt) =
+        if (shards > 1) {
+          val built = BloomDedup.buildShardedLongNonEmpty(
+            slim, col("__ck"), rows, bloomFpp, shards)
+          (None, None, Some(BloomDedup.broadcastShards(slim.sparkSession, built)))
+        } else {
+          val bloom =
+            if (rows == 0L) org.apache.spark.util.sketch.BloomFilter.create(1L, bloomFpp)
+            else BloomDedup.buildLongNonEmpty(slim, col("__ck"), rows, bloomFpp)
+          // broadcast BEFORE the banded block: were it built after, a
+          // broadcast failure would leak the banded cache and the
+          // localized hot set (only slim rides the outer catch)
+          (Some(bloom), Some(BloomDedup.broadcastFilter(slim.sparkSession, bloom)), None)
+        }
       val (bnd, hot, maxNonHot) =
         if (!withBanded) (None, None, None)
         else {
@@ -748,9 +796,9 @@ object CorpusPipeline {
               .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(dir + "/banded"))
             (Some(dir), p)
           }
-        new FrozenCorpus(slim, rows, bloom, withSignatures, embeddings.isDefined,
+        new FrozenCorpus(slim, rows, bloomOpt, withSignatures, embeddings.isDefined,
           bnd, hot, bands, numHashes, maxBucketSize, maxNonHot, side,
-          Some(bloomBc), pfxParts)
+          bloomBcOpt, pfxParts, shardsBcOpt)
       } catch {
         // a failed side write (or constructor) must not leak the banded
         // cache, the localized hot set, or the broadcast filter (slim's
@@ -758,7 +806,8 @@ object CorpusPipeline {
         case t: Throwable =>
           bnd.foreach(_.unpersist(blocking = false))
           hot.foreach(graft.core.Checkpoints.release)
-          bloomBc.unpersist(blocking = false)
+          bloomBcOpt.foreach(_.unpersist(blocking = false))
+          shardsBcOpt.foreach(_.foreach(_.unpersist(blocking = false)))
           throw t
       }
     } catch {
@@ -825,10 +874,12 @@ object CorpusPipeline {
           cached += keyed
           BloomDedup.newKeysExactPruned(keyed, frozen.prunedKeys,
             frozen.keys, "__ck", frozen.bloom,
-            filterBcast = frozen.bloomBcast)
+            filterBcast = frozen.bloomBcast,
+            shardedBcast = frozen.bloomShardsBcast)
         } else BloomDedup.newKeysExact(
           prepared.withColumn("__ck", key), frozen.keys, "__ck", frozen.bloom,
-          filterBcast = frozen.bloomBcast)
+          filterBcast = frozen.bloomBcast,
+          shardedBcast = frozen.bloomShardsBcast)
       // exactNew feeds several plan branches downstream (both sides of the
       // against-corpus signature funnel, the exact-verify shingle scan, the
       // final anti-join), and each would otherwise re-derive the ENTIRE

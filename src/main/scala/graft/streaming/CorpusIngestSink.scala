@@ -378,7 +378,14 @@ object CorpusIngestSink {
                            * side files; 0 = auto from corpus rows
                            * ([[CorpusPipeline.freezeCorpus]])
                            */
-                         sideFilePartitions: Int = 0) {
+                         sideFilePartitions: Int = 0,
+                         /** key-space shard count for the freeze's Bloom
+                           * filter; 0 = auto (monolithic until the corpus
+                           * crosses [[CorpusPipeline.shardAutoKeys]] keys,
+                           * then one ~300 MB-max filter per shard —
+                           * executors fetch only the shards they probe)
+                           */
+                         bloomShards: Int = 0) {
     require(refreshEvery >= 1, "refresh cadence must admit at least one batch")
     require(compactEvery >= 0, "compaction cadence is counted in refreshes; 0 disables")
     require(semanticAgainstThreshold.isEmpty || cfg.embeddings.isDefined,
@@ -722,7 +729,8 @@ object CorpusIngestSink {
           if (sideFiles) Some(targetDir.stripSuffix("/") + "__gatestate")
           else None,
         sideFileMinRows = sideFileMinRows,
-        sideFilePartitions = sideFilePartitions)
+        sideFilePartitions = sideFilePartitions,
+        bloomShardCount = bloomShards)
       sinceRefresh = 0
       refreshes += 1
       // recorded AFTER the freeze materialized (freezeCorpus counts the

@@ -37,6 +37,9 @@ object FrozenGateCrossover {
     // stages — the candidate-fetch IO path the steady-state numbers
     // otherwise never touch (the default batches are shingle-disjoint)
     val nearDupEvery = args.lift(5).map(_.toInt).getOrElse(0)
+    // key-space shard count for the gate's Bloom filter (0 = auto:
+    // monolithic at these corpus sizes) — the r18 sharding A/B knob
+    val bloomShards = args.lift(6).map(_.toInt).getOrElse(0)
 
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
@@ -47,6 +50,26 @@ object FrozenGateCrossover {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    // READ-BYTES instrumentation (r18, for the pruning-∝-probes claim):
+    // sums file-scan input bytes across tasks; the per-batch window reads
+    // exactly the gate's side-file/corpus IO because batch inputs are
+    // spark.range-generated (no file reads of their own). Reset at each
+    // batch boundary by the caller.
+    val bytesRead = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (t.taskMetrics != null)
+            bytesRead.addAndGet(t.taskMetrics.inputMetrics.bytesRead)
+      })
+    def drainReadMb(): Double = {
+      // listener events are delivered asynchronously (the bus-drain API is
+      // private); batches run for seconds, so a short settle keeps window
+      // attribution honest to well under a percent
+      Thread.sleep(500)
+      bytesRead.getAndSet(0L) / 1048576.0
+    }
 
     // Synthetic doc: ~40 alphabetic pseudo-words derived from seeded
     // xxhash64 — every doc's 5-shingle set is (whp) disjoint from every
@@ -119,15 +142,30 @@ object FrozenGateCrossover {
         val dirF = Files.createTempDirectory("xover_frozen").toString
         seed(dirF)
         val gate = new CorpusIngestSink.FrozenGate(dirF, cfg,
-          refreshEvery = refreshEvery)
+          refreshEvery = refreshEvery, bloomShards = bloomShards)
         val perBatch = new Array[Double](nBatches)
+        val perBatchMb = new Array[Double](nBatches)
         val (n, s) = timed {
           try (0 until nBatches).map { i =>
+            drainReadMb() // open the batch's read-bytes window
             val (n, s) = timed(gate.processBatch(batchDocs(i)))
             perBatch(i) = s
-            System.err.println(f"[xover] frozen    b$i%02d $s%6.2f s admitted=$n")
+            perBatchMb(i) = drainReadMb()
+            System.err.println(f"[xover] frozen    b$i%02d $s%6.2f s " +
+              f"read=${perBatchMb(i)}%8.1f MB admitted=$n")
             n
           }.sum finally gate.close()
+        }
+        if (bloomShards > 1) {
+          // per-executor (this JVM, local mode) resident shard ledger:
+          // which shard filters were ever deserialized and their summed
+          // bytes — the resident-bytes bound sharding promises
+          graft.functions.expressions.ShardedBloomRuntime.snapshot
+            .foreach { case (g, (res, resBytes, totBytes)) =>
+              System.err.println(f"[xover] bloom group=$g shards=$bloomShards " +
+                f"touched=${res.size} residentKB=${resBytes / 1024} " +
+                f"totalKB=${totBytes / 1024} maxShardKB=${totBytes / bloomShards / 1024}")
+            }
         }
         // steady state = batches that did NOT pay a freeze (b0 and every
         // refreshEvery-th batch re-freeze) — the corpus-size-decoupling
