@@ -2370,9 +2370,11 @@ object SparkEntry {
     // hash-match; a pruning bug that dropped or re-admitted anything
     // would mismatch here. Geometry deliberately minimal for a fixture
     // that pays unamortized side-file costs on a tiny corpus: one-batch
-    // refresh window, 4 prefix partitions, 32 hashes (recall at the 0.8
-    // verify threshold is ~1 − 2e-6 with 16 bands of 2 — the oracle's
-    // exact-Jaccard replay is LSH-parameter-blind).
+    // refresh window, 4 prefix partitions. numHashes stays at the default
+    // 64 (16 bands of 4): a 32-hash trim was measured at 35 s standalone
+    // vs ~7 s with 64 — width-2 bands square the per-band collision
+    // probability on real-text shingles, and the candidate-pair explosion
+    // in the estimate/verify stages dwarfs the saved hashing.
     "ingest_frozen_sidefiles" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val cfg = CorpusPipeline.Config(
@@ -2382,7 +2384,7 @@ object SparkEntry {
       val b2 = docs.filter(pmod(col("doc_id"), lit(3L)) =!= 0L)
       graft.streaming.CorpusIngestSink.processBatch(s, tmp, b1, cfg)
       val gate = new graft.streaming.CorpusIngestSink.FrozenGate(
-        tmp, cfg, refreshEvery = 1, numHashes = 32, sideFiles = true,
+        tmp, cfg, refreshEvery = 1, sideFiles = true,
         sideFileMinRows = 0L, sideFilePartitions = 4)
       try gate.processBatch(b2)
       finally gate.close()

@@ -545,8 +545,19 @@ object CorpusPipeline {
       * set and the per-row-group evaluation stay bounded)
       */
     private[functions] val sideProbeCap: Int = 1 << 16
-    private def sideRead(sub: String): DataFrame =
-      slim.sparkSession.read.parquet(sideDir.get + "/" + sub)
+    /** one DataFrame per side-file sub-dir, memoized for the freeze's
+      * lifetime: a fresh `read.parquet` per probe re-lists the directory
+      * tree and re-reads a footer for schema EVERY batch — per-batch
+      * driver work that grows with the prefix-partition count. The cached
+      * relation's file index is built once per refresh; per-batch probe
+      * filters still prune partitions/row groups at query planning.
+      */
+    @transient private lazy val sideReadCache =
+      scala.collection.mutable.Map.empty[String, DataFrame]
+    private def sideRead(sub: String): DataFrame = sideReadCache.synchronized {
+      sideReadCache.getOrElseUpdate(sub,
+        slim.sparkSession.read.parquet(sideDir.get + "/" + sub))
+    }
     // How the value-level In reaches parquet (verified against Spark
     // 4.1.2 bytecode, ParquetFilters — the r17 verdict's premise is
     // INVERTED on this version): a pushed In with MORE values than
@@ -560,7 +571,7 @@ object CorpusPipeline {
     // empirically at sf0.01) — the threshold must be left ALONE.
     private def pruned(sub: String, keyName: String, probes: Seq[Any]): Option[DataFrame] =
       if (sideDir.isEmpty || probes.size > sideProbeCap) None
-      else Some(sideRead(sub).filter(col(keyName).isin(probes: _*)))
+      else Some(sideRead(sub).filter(SetFilters.probeFilter(col(keyName), probes)))
     /** [[pruned]] plus the prefix-partition filter: the probe values'
       * `__pfx` classes are computed driver-side (same `floorMod` as the
       * write's `pmod`) and pushed as a partition-column In — file listing
@@ -576,7 +587,8 @@ object CorpusPipeline {
           .map(p => java.lang.Math.floorMod(p.asInstanceOf[java.lang.Number].longValue, sidePfx.toLong).toInt)
           .toSet.toSeq
         Some(sideRead(sub)
-          .filter(col("__pfx").isin(pfx: _*) && col(keyName).isin(probes: _*))
+          .filter(col("__pfx").isin(pfx: _*) &&
+            SetFilters.probeFilter(col(keyName), probes))
           .drop("__pfx"))
       }
     /** frozen keys restricted to `probes` — IO ∝ probes, or None */

@@ -203,7 +203,7 @@ object MinHashLsh {
     // checkpoint-fallback path — identical rows either way, shingling
     // cost ∝ candidates regardless.
     val candSh = localizedIds(estimated, Seq("id_a", "id_b"), CandidateIdPushdownCap)
-      .map(ids => df.filter(col(idCol).isin(ids: _*)))
+      .map(ids => df.filter(SetFilters.probeFilter(col(idCol), ids)))
       .getOrElse {
         val candIds = estimated
           .select(explode(array(col("id_a"), col("id_b"))).as("__cid")).distinct()
@@ -503,7 +503,7 @@ object MinHashLsh {
     // stays as the over-cap / checkpoint-fallback path. Identical rows
     // either way: filter-by-ids == semi-join on those ids.
     val shL = localizedIds(estimated, Seq("id_left"), CandidateIdPushdownCap)
-      .map(ids => leftDocs.filter(col(idCol).isin(ids: _*)))
+      .map(ids => leftDocs.filter(SetFilters.probeFilter(col(idCol), ids)))
       .getOrElse(
         leftDocs.join(estimated.select(col("id_left").as("__cid")).distinct(),
           col(idCol) === col("__cid"), "left_semi"))
