@@ -93,7 +93,11 @@ object FrozenGateCrossover {
     // plus a short suffix (jaccard ≈ 0.95 → must be rejected by the
     // near-dup funnel, driving the estimate + verify stages)
     def batchDocs(i: Int): DataFrame = {
-      val start = 10000000L + i.toLong * batchRows
+      // ids must sit ABOVE the corpus id range at ANY corpus size: batch
+      // texts are textOf(id), so an id inside [0, corpusRows) would REUSE
+      // a corpus doc's text and be (correctly) gated as an exact dup —
+      // the fixed 10M base silently zeroed admissions at 16M docs
+      val start = math.max(10000000L, corpusRows * 2) + i.toLong * batchRows
       val isNear =
         if (nearDupEvery > 0) col("id") % nearDupEvery === 1 else lit(false)
       spark.range(start, start + batchRows)
