@@ -49,6 +49,25 @@ object SparkEntry {
     else df
   }
 
+  /** [[graft.functions.FanOut]] applied AT THE QUERY LEVEL, for the scans
+    * whose downstream is a genuinely expensive per-row kernel (regex
+    * scrubbing, md5 families, PQ distance math). The test tables are
+    * single-row-group parquet, so those kernels otherwise run on ONE core
+    * at any SPARK_GRAFT_CPUS; one small exchange of the scan unlocks them
+    * (guide §2.5: unsplittable input → repartition after the read). NOT
+    * applied blanket at [[t]]: an interleaved min-of-3 A/B measured the
+    * blanket form at 1.49× the subset total — shuffle-bound queries and
+    * the ingest fixtures pay the extra payload exchange, wider tiny-task
+    * stages, and 32-file batch writes for kernels too cheap to matter.
+    * Only the measured winners opt in (interleaved min-of-3 vs control:
+    * doc_pii_scrub 0.48×, doc_gopher_gate 0.67×, s1_merge_key_hex 0.77×,
+    * ann_ivfpq_exhaustive 0.83×; the explode+aggregate operators —
+    * unigram-LM family, NB classifier, tf-idf — measured 1.7–2.6× WORSE
+    * widened, their bounded partial-agg hash tables multiplying per
+    * partition, and were left alone).
+    */
+  private def fanOut(df: DataFrame): DataFrame = graft.functions.FanOut(df)
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q1_pricing_summary")(spark, "/root/testdata/sf0.001")
@@ -948,7 +967,7 @@ object SparkEntry {
 
     // S1: MSSQL-dialect merge key (lowercase-hex SHA-256 of '#'-joined PKs)
     "s1_merge_key_hex" -> ((s, dir) => {
-      t(s, dir, "lineitem")
+      fanOut(t(s, dir, "lineitem"))
         .select(col("l_orderkey"), col("l_linenumber"),
           MergeKey.mergeKeyHex(Seq(col("l_orderkey"), col("l_linenumber")))
             .as("ARCANE_MERGE_KEY"))
@@ -1537,7 +1556,7 @@ object SparkEntry {
         lit("@example.com from 10.0."),
         pmod(col("doc_id"), lit(200L)).cast("string"),
         lit(".77 ssn 987-65-4321 tel +1 (555) 123-4567"))
-      t(s, dir, "documents")
+      fanOut(t(s, dir, "documents"))
         .select(col("doc_id"), TextFunctions.scrubPii(injected).as("scrubbed"),
           TextFunctions.piiCounts(injected).as("pii"))
         .select(col("doc_id"), col("scrubbed"), col("pii.n_email"),
@@ -1953,7 +1972,7 @@ object SparkEntry {
     // (the approximate contracts stay covered by the rows-only ann_*
     // queries and the AnnRecallSpec floors)
     "ann_ivfpq_exhaustive" -> ((s, dir) => {
-      val emb = t(s, dir, "embeddings")
+      val emb = fanOut(t(s, dir, "embeddings"))
       val qArr = emb.filter(col("vec_id") < 10)
         .select(col("vec_id"), col("embedding").cast("array<float>"))
         .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
@@ -2560,7 +2579,7 @@ object SparkEntry {
       // the keep decision reads the same bound struct via gateOn instead
       // of a second kernel pass
       val st = TextFunctions.letBound(GopherQuality.stats(col("page")))
-      t(s, dir, "documents")
+      fanOut(t(s, dir, "documents"))
         .withColumn("page", expr(gopherInjectSql))
         .withColumn("__st", st)
         .select(col("doc_id"),
