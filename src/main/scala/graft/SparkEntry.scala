@@ -1972,11 +1972,16 @@ object SparkEntry {
     // (the approximate contracts stay covered by the rows-only ann_*
     // queries and the AnnRecallSpec floors)
     "ann_ivfpq_exhaustive" -> ((s, dir) => {
-      val emb = fanOut(t(s, dir, "embeddings"))
-      val qArr = emb.filter(col("vec_id") < 10)
+      // the 10 query vectors come off the un-repartitioned scan (a pruned
+      // single-partition read); fanOut floors parallelism only for the
+      // corpus frame the train/encode/ADC kernels sweep (r18 advice: the
+      // old placement paid a full round-robin shuffle just to collect 10
+      // rows)
+      val qArr = t(s, dir, "embeddings").filter(col("vec_id") < 10)
         .select(col("vec_id"), col("embedding").cast("array<float>"))
         .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
         .sortBy(_._1)
+      val emb = fanOut(t(s, dir, "embeddings"))
       val model = ProductQuantization.train(emb, "vec_id", "embedding", dim = 64)
       val coarse = VectorSimilarity.trainCoarseCodebook(emb, maxCentroids = 64)
       ProductQuantization.ivfPqTopK(emb, qArr, k = 5, model, coarse,

@@ -50,21 +50,18 @@ object Checkpoints {
     * bound is a guard rail rather than the expected path.
     */
   def localize(df: DataFrame, maxDriverRows: Long = 1L << 22): DataFrame = {
-    if (sys.env.contains("GRAFT_TRACE_LOCALIZE")) {
-      val t0 = System.nanoTime()
+    // optional timing/caller trace wraps the ONE shared path (a forked
+    // traced copy of the body can silently diverge — r18 advice)
+    val trace = sys.env.contains("GRAFT_TRACE_LOCALIZE")
+    val t0 = if (trace) System.nanoTime() else 0L
+    val checkpointed = df.localCheckpoint()
+    val n = checkpointed.count()
+    if (trace) {
       val caller = Thread.currentThread.getStackTrace
         .drop(2).filter(_.getClassName.startsWith("graft")).take(3).mkString(" <- ")
-      val checkpointed = df.localCheckpoint()
-      val n = checkpointed.count()
       System.err.println(f"[localize] ${(System.nanoTime() - t0) / 1e6}%7.1f ms rows=$n%6d  $caller")
-      if (n > maxDriverRows) return checkpointed
-      val rows: java.util.List[Row] = java.util.Arrays.asList(checkpointed.collect(): _*)
-      val local = df.sparkSession.createDataFrame(rows, checkpointed.schema)
-      release(checkpointed)
-      return local
     }
-    val checkpointed = df.localCheckpoint()
-    if (checkpointed.count() > maxDriverRows) return checkpointed
+    if (n > maxDriverRows) return checkpointed
     val rows: java.util.List[Row] = java.util.Arrays.asList(checkpointed.collect(): _*)
     val local = df.sparkSession.createDataFrame(rows, checkpointed.schema)
     release(checkpointed)

@@ -635,7 +635,13 @@ object CorpusPipeline {
       // re-fetches instead of crashing (unpersist, deliberately not
       // destroy — same contract as the cached frames)
       bloomBcast.foreach(_.unpersist(blocking = false))
-      bloomShardsBcast.foreach(_.foreach(_.unpersist(blocking = false)))
+      bloomShardsBcast.foreach { h =>
+        h.foreach(_.unpersist(blocking = false))
+        // drop the JVM-wide deserialized copies too (local mode: driver and
+        // executor share the JVM; cluster executors drop theirs when the
+        // unpersisted broadcast blocks are re-requested — never, post-close)
+        graft.functions.expressions.ShardedBloomRuntime.clear(h(0).id)
+      }
     }
   }
 

@@ -23,6 +23,46 @@ object ShardedBloomRuntime {
   def touch(group: Long, shard: Int): Unit =
     touched.computeIfAbsent(group,
       _ => java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()).add(shard)
+
+  /** JVM-WIDE deserialized-shard cache, keyed (group, shard). The r18
+    * expression kept its deserialized filters in per-instance slots — i.e.
+    * per TASK: with T concurrent tasks touching S shards a JVM held up to
+    * T×S deserialized copies and paid T×S `BloomFilter.readFrom` passes,
+    * overstating the sharding's resident-bytes bound by the task-
+    * concurrency factor (the broadcast byte[] was JVM-shared, the
+    * deserialized bits were not). `computeIfAbsent` makes the
+    * deserialization at-most-once per (JVM, shard) — concurrent callers
+    * block on the one in-flight load and share the result. Instances still
+    * keep a plain-array reference cache for the per-row fast path; it
+    * holds REFERENCES into this map, never copies.
+    */
+  private val filters =
+    new java.util.concurrent.ConcurrentHashMap[(Long, Int), BloomFilter]()
+
+  /** deserialization EVENTS per group — lets a spec assert the
+    * once-per-(JVM, shard) property under concurrent tasks (the resident
+    * ledger alone can't distinguish one load from T duplicate loads)
+    */
+  private val loads =
+    new java.util.concurrent.ConcurrentHashMap[Long, java.util.concurrent.atomic.AtomicLong]()
+  def deserializationCount(group: Long): Long = {
+    val c = loads.get(group); if (c == null) 0L else c.get()
+  }
+
+  /** The shared deserialized filter for (group, shard), loading it from the
+    * shard's broadcast exactly once per JVM. Called from both the
+    * interpreted and generated probe paths via the object's static
+    * forwarder.
+    */
+  def filterFor(group: Long, shard: Int,
+                handles: Array[Broadcast[Array[Byte]]]): BloomFilter =
+    filters.computeIfAbsent((group, shard), { k =>
+      val f = BloomFilter.readFrom(new ByteArrayInputStream(handles(k._2).value))
+      loads.computeIfAbsent(group,
+        _ => new java.util.concurrent.atomic.AtomicLong()).incrementAndGet()
+      touch(group, shard)
+      f
+    })
   /** distinct shards this JVM deserialized for `group` (a filter's
     * shard-0 broadcast id — unique per built filter) */
   def residentShards(group: Long): Set[Int] = {
@@ -30,7 +70,12 @@ object ShardedBloomRuntime {
     if (s == null) Set.empty
     else { val b = Set.newBuilder[Int]; s.forEach(i => b += i); b.result() }
   }
-  def clear(group: Long): Unit = touched.remove(group)
+  def clear(group: Long): Unit = {
+    touched.remove(group)
+    loads.remove(group)
+    val it = filters.keySet.iterator()
+    while (it.hasNext) if (it.next()._1 == group) it.remove()
+  }
 
   /** serialized bytes per shard, recorded at broadcast time — lets a
     * harness report resident bytes (= Σ sizes of touched shards) without
@@ -70,22 +115,22 @@ case class BloomMightContainShardedExpr(
 
   private def groupId: Long = handles(0).id
 
+  // per-instance REFERENCE cache over the JVM-wide deserialized-shard map
+  // ([[ShardedBloomRuntime.filterFor]]): the per-row cost stays one plain
+  // array load; deserialization happens at most once per (JVM, shard), not
+  // per (task, shard) as in r18
   @transient private lazy val slots = new Array[BloomFilter](handles.length)
 
   private def filterFor(shard: Int): BloomFilter = {
     var f = slots(shard)
-    if (f == null) slots.synchronized {
-      f = slots(shard)
-      if (f == null) {
-        f = BloomFilter.readFrom(new ByteArrayInputStream(handles(shard).value))
-        slots(shard) = f
-        ShardedBloomRuntime.touch(groupId, shard)
-      }
+    if (f == null) {
+      f = ShardedBloomRuntime.filterFor(groupId, shard, handles)
+      slots(shard) = f
     }
     f
   }
 
-  /** test seam: shards THIS instance holds deserialized right now */
+  /** test seam: shards THIS instance has probed (references held) */
   private[graft] def residentShardCount: Int = slots.count(_ != null)
 
   override def dataType: DataType = BooleanType
@@ -111,15 +156,9 @@ case class BloomMightContainShardedExpr(
          |}
          |int graftShard = (int) java.lang.Math.floorMod((long) $c, ${n}L);
          |if ($slotsName[graftShard] == null) {
-         |  try {
-         |    $slotsName[graftShard] = ${classOf[BloomFilter].getName}.readFrom(
-         |      new java.io.ByteArrayInputStream(
-         |        (byte[]) $handlesRef[graftShard].value()));
-         |  } catch (java.io.IOException e) {
-         |    throw new RuntimeException(e);
-         |  }
-         |  graft.functions.expressions.ShardedBloomRuntime.touch(
-         |    ${groupId}L, graftShard);
+         |  $slotsName[graftShard] =
+         |    graft.functions.expressions.ShardedBloomRuntime.filterFor(
+         |      ${groupId}L, graftShard, $handlesRef);
          |}
          |${ev.value} = $slotsName[graftShard].mightContainLong($c);""".stripMargin)
   }

@@ -82,6 +82,46 @@ class ShardedBloomSpec extends SparkSpec {
     }
   }
 
+  test("concurrent tasks share one deserialized filter per (JVM, shard)") {
+    // r18 kept deserialized shards per expression INSTANCE (i.e. per task):
+    // T tasks × S shards meant up to T×S readFrom passes and resident
+    // copies. The r19 JVM-wide cache must load each shard exactly once no
+    // matter how many concurrent probes race on it.
+    val shards = 4
+    val keys = spark.range(4000).select(xxhash64(col("id")).as("k"))
+    val built = BloomDedup.buildShardedLongNonEmpty(keys, col("k"), 4000L, 0.01, shards)
+    val handles = BloomDedup.broadcastShards(spark, built)
+    val group = handles(0).id
+    try {
+      ShardedBloomRuntime.clear(group)
+      val allKeys = keys.as[Long].collect()
+      val nThreads = 8 // ≥4 concurrent "tasks", each its own expression instance
+      val barrier = new java.util.concurrent.CyclicBarrier(nThreads)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(nThreads)
+      try {
+        val futures = (0 until nThreads).map { _ =>
+          pool.submit(new java.util.concurrent.Callable[Long] {
+            override def call(): Long = {
+              val expr = BloomMightContainShardedExpr(
+                BoundReference(0, LongType, nullable = false), handles)
+              barrier.await() // all instances start probing together
+              allKeys.count(k => expr.eval(InternalRow(k)).asInstanceOf[Boolean])
+            }
+          })
+        }
+        val counts = futures.map(_.get())
+        assert(counts.distinct.size == 1, "every instance must see the same members")
+      } finally pool.shutdown()
+      assert(ShardedBloomRuntime.residentShards(group) == (0 until shards).toSet)
+      assert(ShardedBloomRuntime.deserializationCount(group) == shards.toLong,
+        s"each shard must deserialize exactly once per JVM under concurrency, " +
+        s"got ${ShardedBloomRuntime.deserializationCount(group)} loads for $shards shards")
+    } finally {
+      ShardedBloomRuntime.clear(group)
+      handles.foreach(_.unpersist(blocking = false))
+    }
+  }
+
   test("a sharded freeze gates identically to a monolithic freeze") {
     val corpus = (1L to 60L).map(i =>
       (i, s"standing document $i with its own unmistakably distinct subject line", "web"))

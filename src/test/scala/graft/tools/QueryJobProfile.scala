@@ -72,8 +72,18 @@ object QueryJobProfile {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
       System.gc(); System.gc()
+      // listener events arrive asynchronously: wait (bounded) until every
+      // recorded job carries its JobEnd before snapshotting — the bus is
+      // ordered, so a delivered JobEnd implies its stage completions too;
+      // still-open jobs after the wait are excluded from the wall sum
+      // rather than contributing negative times (r18 advice)
+      val deadline = System.nanoTime() + 5L * 1000 * 1000 * 1000
+      while (jobs.synchronized(jobs.values.exists(_.end == 0L)) &&
+             System.nanoTime() < deadline) Thread.sleep(20)
       val snap = jobs.synchronized(jobs.values.toVector)
-      val totalJobMs = snap.map(j => j.end - j.start).sum
+      val open = snap.count(_.end == 0L)
+      if (open > 0) System.err.println(s"[profile] WARNING: $open job(s) never delivered JobEnd; excluded")
+      val totalJobMs = snap.filter(_.end != 0L).map(j => j.end - j.start).sum
       System.err.println(f"[profile] $name run $r: wall=$wall%.2f s " +
         f"jobs=${snap.size} jobWall=${totalJobMs / 1000.0}%.2f s " +
         f"taskTime=${snap.map(_.taskMs).sum / 1000.0}%.2f s tasks=${snap.map(_.tasks).sum}")
