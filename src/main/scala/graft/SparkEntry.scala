@@ -2386,10 +2386,14 @@ object SparkEntry {
     // with batch 1 pre-seeded through the per-batch sink so the gate's one
     // freeze sees a NON-empty corpus, and sideFileMinRows=0 forcing that
     // freeze to write the prefix-partitioned keys / sigs / banded side
-    // files — batch 2 then gates ENTIRELY through the pruned probes:
-    // driver-collected bloom-positive keys, touched band buckets, and
-    // candidate ids pushed as partition + In filters into the side scans
-    // (CorpusPipeline.FrozenCorpus). Admissions are cadence- and
+    // files — batch 2 then gates through the pruned probes:
+    // driver-collected bloom-positive keys and candidate ids pushed as
+    // partition + In filters into the side scans
+    // (CorpusPipeline.FrozenCorpus). The BANDED probe set (batch rows ×
+    // bands bucket values) exceeds the r19 profitability break-even at
+    // fixture scale, so that one stage routes to the cached frame by
+    // design (prunedBandedProfitable); SideFilePruningSpec pins both
+    // routes. Admissions are cadence- and
     // path-invariant by contract, so the SAME DuckDB replay must
     // hash-match; a pruning bug that dropped or re-admitted anything
     // would mismatch here. Geometry deliberately minimal for a fixture

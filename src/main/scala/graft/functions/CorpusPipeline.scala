@@ -604,6 +604,25 @@ object CorpusPipeline {
     /** frozen banded rows restricted to the given bucket values, or None */
     def prunedBanded(probes: Seq[Any]): Option[DataFrame] =
       prunedPfx("banded", "__bucket", probes)
+    /** [[prunedBanded]] only when the prune can actually WIN: every probe
+      * reads at least its row group, and bucket values are uniform hashes,
+      * so once probes × rowGroupRows reaches the banded row count the
+      * "pruned" read IS a full disk scan of the side file plus a listing —
+      * strictly worse than the resident cached frame it replaces. Measured
+      * (r19 crossover, 1000-doc batches × 16 bands ≈ 15k distinct bucket
+      * probes): steady batches read the ENTIRE banded side file — 994 MB
+      * per batch at 4M docs, 1967 MB at 8M — i.e. the read bytes DOUBLED
+      * with the corpus instead of staying ∝ probes. The pruned read's
+      * asymptotic cost is probes × rowGroupBytes (corpus-decoupled), so it
+      * pays exactly when that is below the banded rows; the estimate uses
+      * the banded writer's ~128 KB row groups at ~13 B/row (~10k rows).
+      * Probe-count-driven and corpus-size-driven — no cluster-shape
+      * constant involved.
+      */
+    def prunedBandedProfitable(probes: Seq[Any]): Option[DataFrame] =
+      if (probes.size.toLong * CorpusPipeline.BandedRowGroupRows >=
+            rows * bandedBands) None
+      else prunedBanded(probes)
     /** whether the pruned-probe fast path is available at all */
     def hasSideFiles: Boolean = sideDir.isDefined
     /** the frozen banded frame + hot set, when frozen `withBanded` */
@@ -662,6 +681,12 @@ object CorpusPipeline {
     */
   private[graft] val shardAutoKeys: Long = 250000000L
 
+  /** estimated rows per banded side-file row group (~128 KB blocks at
+    * ~13 B/row) — the [[FrozenCorpus.prunedBandedProfitable]] break-even
+    * constant
+    */
+  private[functions] val BandedRowGroupRows: Long = 10000L
+
   def freezeCorpus(standingCorpus: DataFrame, cfg: Config = Config(),
                    withSignatures: Boolean = true, numHashes: Int = 64,
                    bloomFpp: Double = 0.01,
@@ -680,6 +705,12 @@ object CorpusPipeline {
       if (withSignatures)
         MinHashLsh.signatureOfHashes(TextFunctions.shingleHashes(text, 5), numHashes)
       else lit(null).cast("array<bigint>")
+    // NO parallelism floor on the freeze scan: an interleaved min-of-2 A/B
+    // (r19) measured FanOut(standingCorpus) at 1.29× on ingest_lifecycle
+    // (which freezes per batch) and 1.09× on ingest_semantic_gate — the
+    // payload exchange plus wider tiny-task stages cost more than the
+    // serialized md5/minhash pass saves at micro-corpus scale, and at
+    // warehouse scale the scan already plans more partitions than cores.
     val base = standingCorpus
       .select(col(cfg.idCol).as("__id"), key.as("__ck"), sig.as("__sig"))
     val slim = embeddings.fold(base)(e => base.join(
@@ -929,7 +960,8 @@ object CorpusPipeline {
               deltaBucketCounts = extraBucketCounts,
               frozenMaxNonHot = frozen.bandedMaxNonHot,
               prunedBandedFor =
-                if (frozen.hasSideFiles) Some(frozen.prunedBanded _) else None,
+                if (frozen.hasSideFiles) Some(frozen.prunedBandedProfitable _)
+                else None,
               prunedSigsFor =
                 if (frozen.hasSideFiles) Some(frozen.prunedSigs _) else None)
           case _ =>

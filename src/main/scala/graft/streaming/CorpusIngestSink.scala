@@ -158,6 +158,20 @@ object CorpusIngestSink {
     (fingerprintOf(top), fingerprintOf(nested))
   }
 
+  /** Output-file sizing for one admitted batch's append: the survivor
+    * frame carries its gate pipeline's partitioning (cores-wide once the
+    * batch-side kernels are fanned out), and appending one file PER
+    * PARTITION decays the corpus into thousands of tiny files — every
+    * later freeze/read then pays listing + per-file open overhead (guide
+    * §6: small files hurt twice). The admitted count is already known
+    * (the sink counts before writing), so the append coalesces to
+    * ⌈n / 250k⌉ files (≈ hundreds of MB of doc text each at warehouse
+    * row widths), floor 1, cap 256 — coalesce reads the batch's cached
+    * partitions, no shuffle.
+    */
+  private[streaming] def appendFiles(n: Long): Int =
+    math.min(256L, math.max(1L, (n + 249999L) / 250000L)).toInt
+
   /** Process one micro-batch: gate against the standing corpus at
     * `targetDir`, append survivors, release the funnel's caches. Returns
     * the number of admitted rows.
@@ -172,7 +186,8 @@ object CorpusIngestSink {
       // the count runs over the funnel's cached candidate frame, so the
       // second action (the write) re-reads cache, not the raw scan
       val n = accepted.count()
-      if (n > 0) accepted.write.mode(SaveMode.Append).parquet(targetDir)
+      if (n > 0) accepted.coalesce(appendFiles(n))
+        .write.mode(SaveMode.Append).parquet(targetDir)
       n
     } finally release()
   }
@@ -579,7 +594,10 @@ object CorpusIngestSink {
               return gateAndAppend(spark, batch, reGated = true)
             }
           }
-          accepted.write.mode(SaveMode.Append).parquet(targetDir)
+          // sized append off the already-counted cache ([[appendFiles]]):
+          // per-partition files would decay the corpus the freeze re-reads
+          accepted.coalesce(appendFiles(n))
+            .write.mode(SaveMode.Append).parquet(targetDir)
           // next expected = the last VALIDATED listing ∪ the files this
           // append added (post-append names not in the pre-append
           // listing). Using the validated base — not preEntries — keeps a

@@ -131,6 +131,30 @@ class SideFilePruningSpec extends SparkSpec {
     } finally frozen.release()
   }
 
+  test("banded probe reads fall back to the cached frame when the prune cannot win") {
+    // r19 crossover measurement: ~15k uniform bucket probes (1000-doc
+    // batches × 16 bands) read the ENTIRE banded side file — 994 MB/batch
+    // at 4M docs, 1967 MB at 8M, i.e. O(corpus) disk IO per batch where
+    // the resident cached frame serves the same join from memory. The
+    // profitability gate must route large probe sets to the cached frame
+    // (None) and keep the pruned read for probe sets small enough that
+    // row-group pruning actually skips data.
+    val dir = Files.createTempDirectory("sfp_profit").toString
+    val frozen = CorpusPipeline.freezeCorpus(corpus(2000), cfg,
+      withBanded = true, sideFileDir = Some(dir), sideFileMinRows = 0L,
+      sideFilePartitions = 8)
+    try {
+      val (bnd, _) = frozen.banded.get
+      val buckets = bnd.select("__bucket").distinct().as[Long].collect()
+      // 2000 docs × 16 bands = 32k banded rows; break-even at ~10k rows
+      // per probed row group → ≤3 probes profitable, 32 probes not
+      assert(frozen.prunedBandedProfitable(buckets.take(2).toSeq).isDefined,
+        "a probe set far under the row-group break-even must stay pruned")
+      assert(frozen.prunedBandedProfitable(buckets.take(32).toSeq).isEmpty,
+        "a probe set past the break-even must fall back to the cached frame")
+    } finally frozen.release()
+  }
+
   test("thousands of probes survive and stay exact (native parquet In, no OR-chain)") {
     // regression guard for the r18 finding: with the default threshold,
     // >10 values push as parquet's NATIVE set-based In — raising
