@@ -262,7 +262,7 @@ object SparkEntry {
     "q_top_customers_per_segment" -> ((s, dir) => {
       val w = Window.partitionBy(col("c_mktsegment"))
         .orderBy(col("c_acctbal").desc, col("c_custkey"))
-      t(s, dir, "customer")
+      fanOut(t(s, dir, "customer"))
         .withColumn("rnk", row_number().over(w).cast("long"))
         .filter(col("rnk") <= 3)
         .select(col("c_mktsegment"), col("rnk"), col("c_custkey"), col("c_name"), col("c_acctbal"))
@@ -1100,7 +1100,7 @@ object SparkEntry {
     // The fused xxhash64-family kernel stays the pure-Spark scale path
     // (WordNgramHashesExpr, pinned by SimHashSpec).
     "dedup_simhash" -> ((s, dir) => {
-      SimHash.nearDupPairsHashed(t(s, dir, "documents"), "doc_id",
+      SimHash.nearDupPairsHashed(fanOut(t(s, dir, "documents")), "doc_id",
         TextFunctions.wordBigramHashes60(col("text")), maxDist = 8)
         .withColumn("hamming", col("hamming").cast("long"))
         .orderBy(col("id_a"), col("id_b"))
@@ -1113,7 +1113,7 @@ object SparkEntry {
     // posting-list join → df-cap → overlap filter (WinnowExpr's fused
     // rolling-hash family stays the pure-Spark scale path, WinnowSpec).
     "dedup_winnow" -> ((s, dir) => {
-      WinnowOverlap.pairsFromFingerprints(t(s, dir, "documents"), "doc_id",
+      WinnowOverlap.pairsFromFingerprints(fanOut(t(s, dir, "documents")), "doc_id",
         TextFunctions.winnowedFingerprints60(col("text"), k = 5, w = 8),
         minShared = 3, maxDocFreq = 50L)
         // this corpus's background similarity puts unrelated pairs at
@@ -1192,7 +1192,7 @@ object SparkEntry {
       // instead would multi-evaluate the kernel per conjunct (see
       // RepetitionGateExpr)
       val st = TextFunctions.repetitionStats(col("text"))
-      t(s, dir, "documents")
+      fanOut(t(s, dir, "documents"))
         .filter(CorpusPipeline.repetitionGate(col("text")))
         .select(col("doc_id"),
           st.getField("word_cnt").cast("long").as("word_cnt"),
@@ -1474,7 +1474,7 @@ object SparkEntry {
     // dedup → split → decontaminate → mixture (minhash stage off so the
     // whole composition stays exactly oracle-expressible)
     "corpus_prepare" -> ((s, dir) => {
-      CorpusPipeline.prepare(t(s, dir, "documents"),
+      CorpusPipeline.prepare(fanOut(t(s, dir, "documents")),
         CorpusPipeline.Config(
           nearDupThreshold = None,
           mixtureRates = Map("src0" -> 1.0, "src1" -> 0.5),
@@ -1709,8 +1709,8 @@ object SparkEntry {
     // 8 hot lines strip at sf0.01 with df cap 2; LineDedupSpec pins the
     // operator on genuinely multi-line fixtures
     "doc_strip_boilerplate" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-        .select(col("doc_id"), regexp_replace(col("text"), " the ", "\n").as("text"))
+      val docs = fanOut(t(s, dir, "documents")
+        .select(col("doc_id"), regexp_replace(col("text"), " the ", "\n").as("text")))
       LineDedup.stripBoilerplate(docs, "doc_id", col("text"), maxDocFreq = 2L)
         .orderBy(col("doc_id"))
     }),
@@ -2297,7 +2297,7 @@ object SparkEntry {
       val docs = t(s, dir, "documents")
         .withColumn("text", expr(htmlInjectSql))
         .withColumn("url", expr(urlInjectSql))
-      CorpusPipeline.prepare(docs, CorpusPipeline.Config(
+      CorpusPipeline.prepare(fanOut(docs), CorpusPipeline.Config(
         stripHtml = true, nfcNormalize = true,
         urlCol = Some("url"), blockedHosts = urlBlocklist,
         nearDupThreshold = None, decontamThreshold = None))
@@ -2317,7 +2317,7 @@ object SparkEntry {
       val standing = docs.filter(pmod(col("doc_id"), lit(5L)) =!= 0L)
       val incoming = docs.filter(pmod(col("doc_id"), lit(5L)) === 0L)
       val (accepted, _) = CorpusPipeline.prepareIncremental(
-        incoming, standing,
+        fanOut(incoming), standing,
         CorpusPipeline.Config(nearDupThreshold = None, decontamThreshold = None))
       accepted.select(col("doc_id"), col("split")).orderBy(col("doc_id"))
     }),

@@ -643,7 +643,9 @@ object CorpusPipeline {
         Some(slim.select(col("__id"), col("__emb")).filter(col("__emb").isNotNull))
       else None
     def release(): Unit = {
-      slim.unpersist(blocking = false)
+      // slim is a localCheckpoint (no CacheManager entry — Dataset.unpersist
+      // would no-op); free its blocks at the RDD level
+      graft.core.Checkpoints.release(slim)
       bandedSlim.foreach(_.unpersist(blocking = false))
       // the hot set is normally a driver-local relation (release no-ops),
       // but a pathological freeze (most buckets hot) can leave it as a
@@ -713,12 +715,26 @@ object CorpusPipeline {
     // warehouse scale the scan already plans more partitions than cores.
     val base = standingCorpus
       .select(col(cfg.idCol).as("__id"), key.as("__ck"), sig.as("__sig"))
+    // LOCALCHECKPOINT, not persist — and not for lineage reasons: a
+    // persisted plan that READS the corpus path is registered with the
+    // CacheManager, and Spark's own parquet INSERT into that path calls
+    // refreshByPath, which invalidates every such entry — so the frozen
+    // gate's OWN per-batch appends were re-executing the whole corpus
+    // signature scan from raw text on the next touch (measured r19:
+    // frozen.sigs.count 0.77 s cached → 16.3 s after one append at 400k
+    // docs; ~430 s of task time per gated batch in the crossover). A
+    // localCheckpoint truncates to block-store RDDs with no CacheManager
+    // entry — immune to the refresh, and semantically the truer FREEZE: a
+    // recompute-after-append would silently read the mutated target
+    // mid-window. Blocks die with their executor; a lost block fails the
+    // batch and the next one re-freezes (same recovery story as the delta
+    // checkpoint parts).
     val slim = embeddings.fold(base)(e => base.join(
         e.select(col(cfg.idCol).as("__id"), col(cfg.embCol).as("__emb")),
         Seq("__id"), "left"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     try {
-      val rows = slim.count() // materializes the one corpus scan
+      val rows = slim.count() // cheap: counts the checkpointed blocks
       // the Bloom prefilter: monolithic below the shard point, KEY-SPACE
       // SHARDED above it (or when the caller pins a shard count) — a
       // monolithic filter is one driver/executor object that grows with
@@ -752,6 +768,11 @@ object CorpusPipeline {
           // gate removes) runs here, once per refresh, and materializes
           // the banded cache as a side effect. Failure releases both via
           // the outer catch (bandedSlim rides the same guard as slim).
+          // persist stays correct here: banded's plan reads slim's
+          // CHECKPOINT (a LogicalRDD, no file-source path), so
+          // refreshByPath cannot match this cache entry, and the columnar
+          // cache format keeps the 16×-exploded frame ~3× smaller than
+          // row-format checkpoint blocks would be
           val banded = MinHashLsh.bandedFrame(
               slim.select(col("__id"), col("__sig")).filter(col("__sig").isNotNull),
               bands, numHashes)
@@ -861,9 +882,9 @@ object CorpusPipeline {
       }
     } catch {
       // the count and the filter build are real actions — a transient
-      // failure there must not pin a corpus-keys-sized cache entry nobody
-      // holds a handle to
-      case t: Throwable => slim.unpersist(blocking = false); throw t
+      // failure there must not pin corpus-keys-sized checkpoint blocks
+      // nobody holds a handle to
+      case t: Throwable => graft.core.Checkpoints.release(slim); throw t
     }
   }
 

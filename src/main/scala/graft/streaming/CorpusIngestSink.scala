@@ -18,17 +18,17 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * replay-idempotence property `CorpusPipelineSpec` pins at the batch
   * level. Either way the corpus ends correct.
   *
-  * Cache lifecycle: [[CorpusPipeline.prepareIncrementalManaged]] persists
-  * two frames per call (corpus keys, accepted candidates) and hands back a
-  * release handle; the sink invokes it once the batch's write has
-  * committed, so state is flat across any number of micro-batches
-  * (spec-asserted). The release goes through Dataset.unpersist — i.e.
-  * Spark's CacheManager — so the cached-PLAN entries die with the blocks;
-  * raw RDD-level unpersist would leave them alive and the NEXT batch's
-  * structurally-identical corpus scan would be rewritten to the stale
-  * cached snapshot (the gate would then dedup against an old corpus
-  * forever). Scoped to this call's own frames, never a global cache diff,
-  * so concurrent queries on the same session are untouched.
+  * Cache lifecycle: [[CorpusPipeline.prepareIncrementalManaged]] holds the
+  * frozen corpus state as a lineage-truncated localCheckpoint (r19: any
+  * CacheManager-registered plan that READS the target path is invalidated
+  * by the sink's own appends via refreshByPath — see [[CorpusPipeline.freezeCorpus]])
+  * plus per-call cached frames, and hands back a release handle; the sink
+  * invokes it once the batch's write has committed, so state is flat
+  * across any number of micro-batches (spec-asserted). Cached-PLAN frames
+  * release through Dataset.unpersist (CacheManager — the entries die with
+  * the blocks); checkpointed frames through Checkpoints.release. Scoped to
+  * this call's own frames, never a global cache diff, so concurrent
+  * queries on the same session are untouched.
   *
   * 100 TB posture: per batch the standing corpus contributes one keys-only
   * scan (Bloom build) and one signature scan (the banded funnel) — its text
@@ -558,10 +558,15 @@ object CorpusIngestSink {
         extraBanded = if (deltaDriverResident) deltaBanded else None,
         extraBucketCounts =
           if (deltaDriverResident) Some(deltaBucketCounts.toMap) else None)
-      // the batch's survivors feed the write AND the delta fold — persist
-      // once so neither re-runs the gate joins
-      val accepted = accepted0
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // the batch's survivors feed the write AND the delta fold — and the
+      // fold runs AFTER the gate's own append, whose refreshByPath
+      // invalidates every CacheManager entry whose plan reads the target
+      // (r19: a persisted `accepted` made the post-append fold re-execute
+      // the whole gate funnel INCLUDING the corpus-side scans — ~430 s of
+      // task time per admitted batch at 400k docs). A localCheckpoint has
+      // no CacheManager entry, so the append cannot invalidate it, and it
+      // pins the gated snapshot the way the fold semantically requires.
+      val accepted = accepted0.localCheckpoint()
       try {
         val n = accepted.count()
         if (n > 0L) {
@@ -590,7 +595,7 @@ object CorpusIngestSink {
               // overlapping two attempts' cached frames; both releases
               // are idempotent unpersists, so the finally stays harmless)
               releaseBatch()
-              accepted.unpersist(blocking = false)
+              graft.core.Checkpoints.release(accepted)
               return gateAndAppend(spark, batch, reGated = true)
             }
           }
@@ -712,7 +717,7 @@ object CorpusIngestSink {
         n
       } finally {
         releaseBatch()
-        accepted.unpersist(blocking = false)
+        graft.core.Checkpoints.release(accepted)
       }
     }
 
